@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query set and prints ONE JSON line.
+
+Config via env:
+  SPARK_GRAFT_SF_DIR  data directory (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default: all cores)
+  BENCH_QUERIES       comma-separated subset (default: all declared)
+
+Each query is materialized through the noop sink so every output column
+is computed but nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num: float | str = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    from dask_felleskomponenter_spark.plans import QUERIES
+    from dask_felleskomponenter_spark.session import get_spark
+
+    spark = get_spark(app_name="dfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    wanted = os.environ.get("BENCH_QUERIES")
+    names = (
+        [n.strip() for n in wanted.split(",") if n.strip()]
+        if wanted
+        else list(QUERIES.keys())
+    )
+
+    # Warm the JVM + parquet footer caches so per-query times measure the
+    # queries, not session spin-up.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_set_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

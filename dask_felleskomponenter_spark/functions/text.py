@@ -1,0 +1,167 @@
+"""Text-analysis column functions (LLM-pipeline pack).
+
+Everything here is a pure ``Column`` expression over built-ins — string
+functions, regexes, higher-order array functions — so text scoring over
+100 TB of documents runs fully inside whole-stage codegen. No UDFs.
+
+The functions return columns (not DataFrames) so they compose into any
+projection; ``documents_quality_profile``-style queries in
+``plans/queries.py`` show the intended usage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS_PATTERN = r"\s+"
+
+#: Word-ish tokens for a BPE-style token-count estimate: runs of letters,
+#: runs of digits, or any single non-space symbol. A deliberately simple,
+#: deterministic stand-in for a real tokenizer's token count.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[^\w\s]"
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic. Real pipelines plug in fastText/CLD3 via a
+#: Pandas UDF; the heuristic keeps the operator shape and is deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "ne", "pas", "que", "pour"],
+}
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def char_count(col: str | Column) -> Column:
+    return F.length(_c(col))
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens as array<string> (empty string → empty array)."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WS_PATTERN)
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Tokenizer-style token-count estimate via ``regexp_count``."""
+    return F.regexp_count(_c(col), F.lit(BPE_ISH_PATTERN))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation characters / total characters (0 for empty text)."""
+    n = char_count(col).cast("double")
+    p = F.regexp_count(_c(col), F.lit(PUNCT_PATTERN)).cast("double")
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (lowercased)."""
+    words = STOPWORDS[lang]
+    toks = tokens(F.lower(_c(col)))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column, lang: str = "en") -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Blend of length band (prefers 20–2000 tokens), low punctuation noise,
+    and stopword presence — the classic cheap pre-filter before expensive
+    model-based scoring in a training-data pipeline.
+    """
+    ntok = token_count(col).cast("double")
+    length_component = F.when(ntok <= 0, F.lit(0.0)).otherwise(
+        F.least(ntok / F.lit(20.0), F.lit(1.0))
+        * F.least(F.lit(2000.0) / F.greatest(ntok, F.lit(1.0)), F.lit(1.0))
+    )
+    punct_component = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(col, lang) * 5.0, F.lit(1.0))
+    return F.round(
+        0.4 * length_component + 0.3 * punct_component + 0.3 * stop_component, 6
+    )
+
+
+def language_id(col: str | Column) -> Column:
+    """Stopword-vote language ID over ``STOPWORDS`` languages.
+
+    Returns the language with the highest stopword hit-count;
+    deterministic tie-break on language code order; 'und' when no
+    stopword of any language occurs.
+    """
+    toks = tokens(F.lower(_c(col)))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        words = STOPWORDS[lang]
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: t.isin(*words))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct uses lexicographic (hits, lang) ordering; with
+    # reversed lang sort we prefer the alphabetically-first code on ties.
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash over whitespace tokens, pure column expression.
+
+    For each bit b: sum over tokens of (+1 if bit b of xxhash64(token) set
+    else -1); bit set in the output iff the sum is positive. Near-dup
+    docs differ in few bits (compare with ``bit_count(a ^ b)``).
+    """
+    toks = tokens(_c(col))
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    bucket = F.lit(0).cast("long")
+    for b in range(64):
+        # shiftleft keeps bit 63 in signed-long range (1 << 63 would
+        # overflow a JVM long literal)
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        votes = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        bucket = bucket + F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit SimHash values."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def rolling_fingerprint(col: str | Column, window: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style document fingerprint: the ``keep`` smallest hashes
+    of ``window``-token shingles, as a sorted array<bigint>.
+
+    Two documents sharing long runs of text share fingerprint entries —
+    the standard plagiarism/near-dup sketch (Schleimer et al. winnowing),
+    here as a single JVM-side expression.
+    """
+    toks = tokens(_c(col))
+    shingled = F.when(
+        F.size(toks) < window, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(window)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(window))),
+        )
+    )
+    hashed = F.array_sort(F.transform(shingled, lambda s: F.xxhash64(s)))
+    return F.slice(hashed, 1, keep)

@@ -1,0 +1,189 @@
+"""Deduplication operators (LLM-pipeline pack, SURVEY.md §2B EXT rows).
+
+Exact dedup, MinHash+LSH near-dup, and n-gram Jaccard — all expressed
+with JVM-side built-ins (higher-order functions + ``xxhash64``), never
+Python UDFs, so the whole pipeline stays inside whole-stage codegen /
+vectorized evaluation.
+
+Scale notes (the reason these shapes were chosen):
+- Exact dedup groups on a 256-bit content hash, not the content itself —
+  the shuffle moves 32 bytes per row instead of whole documents.
+- MinHash turns each document into a fixed ``num_hashes × 8``-byte
+  signature; LSH banding turns all-pairs O(n²) similarity into a
+  band-bucket equi-join whose cost is driven by true collisions only.
+- The n-gram Jaccard join explodes *distinct* shingles and re-aggregates;
+  it is the exact (oracle-checkable) twin of the MinHash estimate and the
+  verification stage after LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dask_felleskomponenter_spark.operators.windows import keep_first
+
+#: Split pattern for whitespace tokenization (kept identical across all
+#: text operators so shingles/token-counts agree between modules).
+WS_PATTERN = r"\s+"
+
+
+def content_hash(col: str | Column, num_bits: int = 256) -> Column:
+    """Stable content fingerprint for exact dedup (SHA-2 family)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, num_bits)
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str,
+    order_by: list[Column],
+    hash_out: str | None = None,
+) -> DataFrame:
+    """Exact duplicate removal: keep the first row (under ``order_by``)
+    per distinct value of ``content_col``.
+
+    Grouping key is ``sha2(content, 256)`` so the dedup shuffle carries a
+    fixed-width key regardless of document size.
+    """
+    hcol = hash_out or "_content_sha"
+    out = keep_first(
+        df.withColumn(hcol, content_hash(content_col)),
+        partition_by=[hcol],
+        order_by=order_by,
+    )
+    return out if hash_out else out.drop(hcol)
+
+
+def word_shingles(text_col: str | Column, k: int = 3, distinct: bool = True) -> Column:
+    """``k``-word shingles of a text column as ``array<string>``.
+
+    Pure higher-order-function expression (split → sliding slice →
+    concat); documents shorter than ``k`` tokens yield a single shingle of
+    the whole text so they still participate in similarity.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), WS_PATTERN)
+    shingled = F.when(
+        F.size(toks) < k, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(k))),
+        )
+    )
+    return F.array_distinct(shingled) if distinct else shingled
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """MinHash signature per document: ``array<bigint>`` of length
+    ``num_hashes``.
+
+    Hash family h_i(s) = xxhash64(s, i) — seeding by appending the hash
+    index as an extra hashed column gives ``num_hashes`` independent
+    64-bit functions with zero driver-side state. The nested
+    ``transform(sequence(...), h -> array_min(transform(shingles, ...)))``
+    stays entirely in the JVM.
+    """
+    sh = word_shingles(text_col, shingle_size)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, h))),
+    )
+    return df.select(F.col(id_col), sig.alias(sig_col))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash_sig",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: emit candidate pairs (id_a < id_b) whose signatures
+    collide in at least one band.
+
+    Each band is hashed to one 64-bit bucket key; the self-join is an
+    equi-join on ``(band, bucket)`` — a shuffle on the bucket key, never a
+    cartesian product. With b bands of r rows, a pair with Jaccard s
+    collides with probability 1-(1-s^r)^b (the standard S-curve).
+    """
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.slice(F.col(sig_col), b * F.lit(rows_per_band) + F.lit(1), F.lit(rows_per_band)),
+                b,
+            ).alias("bucket"),
+        ),
+    )
+    exploded = sig_df.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = exploded.alias("a")
+    b_ = exploded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (id_a < id_b) with
+    ``|A∩B| / |A∪B| >= threshold`` over distinct word shingles.
+
+    Inverted-index shape: explode distinct shingles, equi-join on the
+    shingle, count intersections, recover union from per-doc set sizes.
+    The only shuffles are the shingle join and the pair aggregation —
+    documents sharing no shingle never meet.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_size).alias("_sh"),
+    ).withColumn("_set_size", F.size("_sh"))
+
+    inv = base.select("_id", "_set_size", F.explode("_sh").alias("_s"))
+
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._set_size").alias("size_a"),
+            F.col("b._set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    jaccard = F.col("intersection") / (
+        F.col("size_a") + F.col("size_b") - F.col("intersection")
+    )
+    return (
+        inter.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

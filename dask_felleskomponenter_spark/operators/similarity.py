@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (LLM-pipeline pack).
+
+Brute-force cosine top-k is the exact baseline (oracle-checkable); the
+LSH-bucketed variant is the 100 TB scale path — random-hyperplane buckets
+turn the all-rows scan into a bucket-local scan, trading recall for a
+~2^bits fan-in reduction. Both use only built-in higher-order functions
+(``zip_with`` + ``aggregate``) so the dot products run in the JVM, no
+Python in the loop.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: str | Column) -> Column:
+    """Cast array<float> → array<double> so arithmetic is double-precision
+    end-to-end (matches any SQL oracle computing in doubles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_vector_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
+    """Precompute L2 norms once; at scale this is written alongside the
+    embeddings so queries never recompute it."""
+    return df.withColumn(out_col, l2_norm(as_double_vec(vec_col)))
+
+
+def literal_vector(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against one literal query vector.
+
+    One narrow projection + TakeOrderedAndProject: Spark computes the
+    per-partition top-k map-side and only k rows per partition reach the
+    driver-side merge — no full sort, no shuffle of the scores.
+    Deterministic tie-break on ``id_col``.
+    """
+    q = literal_vector(query_vec)
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    v = as_double_vec(vec_col)
+    cos = dot(v, q) / (l2_norm(v) * F.lit(qn))
+    return (
+        emb_df.select(F.col(id_col), cos.alias(score_col))
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_per_query(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Exact top-k per query row: broadcast the (small) query set against
+    the full embedding table, then window-limit per query.
+
+    The crossJoin is broadcast-nested-loop with the query side broadcast —
+    the embedding table streams through once regardless of query count.
+    """
+    from pyspark.sql import Window
+
+    v = as_double_vec(vec_col)
+    qv = as_double_vec(query_vec_col)
+    scored = (
+        emb_df.crossJoin(F.broadcast(query_df))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (dot(v, qv) / (l2_norm(v) * l2_norm(qv))).alias(score_col),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH (driver-side
+    constants — tiny, shipped in the plan as literals)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def signbit_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane, packed into a bigint."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        bit = F.when(dot(vec_col, literal_vector(plane)) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + (bit.cast("long") * F.lit(2**i).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_cosine_topk(
+    emb_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's sign-LSH
+    bucket. At scale the bucket id is precomputed and the table is
+    partitioned/bucketed by it, turning this into a single-partition read.
+    """
+    planes = random_hyperplanes(len(query_vec), bits, seed)
+    v = as_double_vec(vec_col)
+    q_bucket = 0
+    for i, plane in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if d >= 0:
+            q_bucket += 2**i
+    in_bucket = emb_df.filter(signbit_bucket(v, planes) == F.lit(q_bucket))
+    return cosine_topk(in_bucket, query_vec, k, id_col, vec_col, score_col)

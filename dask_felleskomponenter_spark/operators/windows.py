@@ -1,0 +1,101 @@
+"""Window operators (SURVEY.md §2B window rows — EXT, absent in reference).
+
+All windows shuffle once on their partition keys; at 100 TB the partition
+key must be high-cardinality (user_id, order key) so no single partition
+exceeds executor memory — never window over a constant. Frames are kept to
+``rowsBetween`` where possible (cheaper than range frames, no secondary
+sort per peer group).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_first(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    keep: int = 1,
+    rn_col: str = "_rn",
+) -> DataFrame:
+    """Keep the first ``keep`` rows per partition under a total order.
+
+    The dedup keep-first primitive: ``row_number`` (not ``rank``) so exact
+    ties still yield a single survivor; callers must pass a tie-breaking
+    total order for determinism.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rn_col, F.row_number().over(w))
+        .filter(F.col(rn_col) <= keep)
+        .drop(rn_col)
+    )
+
+
+def rank_topn_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-N rows per group, rank exposed in ``rank_col``."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )
+
+
+def lag_sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event for the same user exceeds ``gap_seconds``.
+
+    Classic two-window formulation (lag → boundary flag → running sum),
+    one shuffle on ``user_col``. The batch twin of what
+    ``F.session_window`` / ``applyInPandasWithState`` does in streaming
+    (see ``streaming/sessions.py``).
+    """
+    order_w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(order_w)
+    # Compare at microsecond precision (exact integers) — truncating to
+    # seconds would mis-bucket sub-second gaps and disagree with any
+    # oracle computing on full-precision timestamps.
+    gap_us = F.lit(int(gap_seconds) * 1_000_000).cast("long")
+    is_new = F.when(
+        prev_ts.isNull() | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run_w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("_new_session", is_new).withColumn(
+        session_col, F.sum("_new_session").over(run_w)
+    ).drop("_new_session")
+
+
+def running_total(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    value_col: str | Column,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum per partition (rows-frame running total)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))

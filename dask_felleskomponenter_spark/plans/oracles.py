@@ -1,0 +1,423 @@
+"""DuckDB oracle SQL twins for the declared query set.
+
+Each SQL string computes the same result as its ``plans/queries.py``
+namesake, on the driver's pre-registered parquet views (region nation
+customer supplier part orders lineitem events documents embeddings).
+
+The twin rules that make hash-parity hold:
+- identical output column names (aliased on both sides);
+- money aggregates summed in DECIMAL(18,s) then cast to DOUBLE (exact,
+  order-independent — mirrors ``queries.dmoney``/``dsum``);
+- per-row double math written with the same operation order and the same
+  explicit ROUND as the Spark expression;
+- rankings over computed doubles rank on the rounded value + id.
+
+Queries deliberately absent (rows-only checks): agg_approx_distinct
+(different HLL implementations), neardup_minhash_lsh / simhash_documents /
+fingerprint_documents (xxhash64 has no DuckDB twin), ann_lsh_bucketed
+(approximate by design).
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q1_pricing_summary"] = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_shipping_priority"] = """
+SELECT
+  o_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["q5_local_supplier_volume"] = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+ORACLES["q10_returned_customers"] = """
+SELECT
+  c_custkey,
+  c_name,
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["join_left_outer_counts"] = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  COALESCE(o.order_count, 0) AS order_count,
+  COALESCE(CAST(o.spent AS DOUBLE), 0.0) AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS order_count,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spent
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o.o_custkey
+ORDER BY c_custkey
+"""
+
+ORACLES["join_semi_customers"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+ORDER BY c_custkey
+"""
+
+ORACLES["join_anti_customers"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+ORACLES["join_broadcast_supplier_geo"] = """
+SELECT s_suppkey, s_name, n_name, r_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+ORDER BY s_suppkey
+"""
+
+ORACLES["agg_orders_stats"] = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_total,
+  MIN(o_totalprice) AS min_total,
+  MAX(o_totalprice) AS max_total,
+  COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["agg_rollup_status_priority"] = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+ORACLES["window_topn_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+ORACLES["window_lag_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       COUNT(DISTINCT session_id) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["window_running_total"] = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+ORACLES["topk_expensive_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["set_union_segments"] = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_custkey
+"""
+
+ORACLES["set_except_inactive"] = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+ORACLES["string_fns_documents"] = """
+SELECT
+  UPPER(lang) AS lang_uc,
+  COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+  ROUND(CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE len(string_split_regex(TRIM(text), '\\s+')) END) AS DOUBLE)
+          / COUNT(*), 6) AS avg_tokens,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY UPPER(lang)
+ORDER BY lang_uc
+"""
+
+ORACLES["date_fns_events"] = """
+SELECT
+  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+ORACLES["tumbling_window_events"] = """
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+ORACLES["json_fns_events"] = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+          / COUNT(json_extract_string(props, '$.k')), 6) AS avg_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["math_fns_lineitem"] = """
+SELECT
+  l_linestatus,
+  ROUND(SQRT(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)), 6) AS sqrt_qty,
+  ROUND(AVG(POW(CAST(l_discount AS DOUBLE), 2.0)), 6) AS avg_disc_sq,
+  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+  ROUND(ABS(MIN(l_extendedprice)), 2) AS abs_min_price
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLES["array_fns_embeddings"] = """
+SELECT
+  label,
+  COUNT(*) AS n_vecs,
+  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first,
+  ROUND(AVG(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> x * x)))), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+ORACLES["dedup_exact_docs"] = """
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+ORACLES["dedup_exact_summary"] = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT text) AS n_distinct_texts,
+  COUNT(*) - COUNT(DISTINCT text) AS n_duplicate_rows
+FROM documents
+"""
+
+ORACLES["neardup_jaccard_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+         END AS shs
+  FROM toks
+), sets AS (
+  SELECT doc_id, list_distinct(shs) AS s FROM shingled
+), inv AS (
+  SELECT doc_id, len(s) AS set_size, UNNEST(s) AS sh FROM sets
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         COUNT(*) AS intersection
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(intersection / (size_a + size_b - intersection), 6) AS jaccard
+FROM pairs
+WHERE intersection / (size_a + size_b - intersection) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+ORACLES["text_quality_profile"] = """
+WITH base AS (
+  SELECT doc_id,
+         text,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x)
+         END AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens, n_bpe_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio_raw,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks,
+                     t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio_raw
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       ROUND(punct_ratio_raw, 6) AS punct_ratio,
+       ROUND(stop_ratio_raw, 6) AS stopword_ratio,
+       ROUND(
+         0.4 * (CASE WHEN n_tokens <= 0 THEN 0.0
+                     ELSE LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                          * LEAST(2000.0 / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 1.0) END)
+         + 0.3 * (1.0 - LEAST(punct_ratio_raw * 4.0, 1.0))
+         + 0.3 * LEAST(stop_ratio_raw * 5.0, 1.0), 6) AS quality
+FROM scored
+ORDER BY doc_id
+"""
+
+# Tie rule must match Spark's array_max over (hits, lang) structs: equal
+# hit-counts prefer the lexicographically LARGEST language code.
+ORACLES["lang_id_documents"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+         len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) AS h_de,
+         len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es','no','por'], x))) AS h_es,
+         len(list_filter(t, x -> list_contains(['le','la','de','et','un','est','ne','pas','que','pour'], x))) AS h_fr
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+         WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de THEN 'es'
+         WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+         WHEN h_de > 0 THEN 'de'
+         ELSE 'und'
+       END AS lang_pred
+FROM hits
+ORDER BY doc_id
+"""
+
+ORACLES["cosine_topk_embeddings"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (SQRT(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+              * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 9) AS c9
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, c9,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c9 DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(c9, 6) AS cosine, rn
+FROM ranked
+WHERE rn <= 5
+ORDER BY query_id, rn
+"""

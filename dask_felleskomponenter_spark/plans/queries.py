@@ -1,0 +1,687 @@
+"""Declared query set (SURVEY.md §2C contract).
+
+Each entry is ``name -> (spark, sf_dir) -> DataFrame`` and has either a
+DuckDB oracle twin in ``plans/oracles.py`` (hash-checked by the driver)
+or is marked rows-only (non-SQL-expressible: xxhash64-based sketches).
+
+Determinism rules (BASELINE.md):
+- every query ends with a total-order ``ORDER BY``;
+- money aggregates are computed in DECIMAL (exact, order-independent)
+  and only then cast to double — parallel double summation would make
+  hash comparison against a serial oracle flaky;
+- per-row double arithmetic (ratios, cosines) is rounded explicitly, and
+  any ranking over computed doubles ranks on the rounded value with an
+  id tie-break.
+
+Scale notes are inline per query; the common ones: dimensions are
+broadcast, aggregations are partial-before-shuffle by construction
+(Catalyst), scans carry pushed filters + pruned columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_felleskomponenter_spark.functions import text as TX
+from dask_felleskomponenter_spark.functions.json_schema import (
+    convert_json_schema_to_spark,
+)
+from dask_felleskomponenter_spark.operators.joins import (
+    anti_join,
+    broadcast_dim_join,
+    semi_join,
+)
+from dask_felleskomponenter_spark.operators.windows import (
+    lag_sessionize,
+    rank_topn_per_group,
+    running_total,
+)
+from dask_felleskomponenter_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from dask_felleskomponenter_spark.operators.similarity import (
+    as_double_vec,
+    cosine_topk_per_query,
+    l2_norm,
+    lsh_bucketed_cosine_topk,
+)
+from dask_felleskomponenter_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# --- deterministic numeric helpers --------------------------------------
+
+def dmoney(col: str | Column, scale: int = 2) -> Column:
+    """Money column as exact decimal so SUM is order-independent.
+
+    Precision is kept narrow (12,2) on purpose: products of wide decimals
+    overflow precision 38, and engines disagree on overflow handling
+    (Spark reduces scale with per-row rounding; DuckDB widens scale).
+    With (12,2)×(4,2)-shaped inputs every product stays exact in both."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(12,{scale})")
+
+
+def drate(col: str | Column) -> Column:
+    """Small ratio column (discount/tax, 2 decimals) as exact decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(4,2)")
+
+
+def dsum(col: Column) -> Column:
+    """Exact decimal SUM surfaced as double (identical on both engines)."""
+    return F.sum(col).cast("double")
+
+
+# --- TPC-H-style relational core ----------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): scan-heavy grouped aggregation.
+
+    Scale: group key cardinality is tiny (RF×LS = 6), so the shuffle after
+    partial aggregation moves a handful of rows per partition — the query
+    is bound by the parquet scan, which prunes to 7 columns and pushes the
+    shipdate filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dmoney("l_extendedprice") * (1 - drate("l_discount"))
+    charge = disc_price * (1 + drate("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dmoney("l_quantity")).alias("sum_qty"),
+            dsum(dmoney("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            F.round(dsum(dmoney("l_quantity")) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(dsum(dmoney("l_extendedprice")) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(dsum(drate("l_discount")) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped orders by revenue (TPC-H Q3 shape).
+
+    Scale: customer is the small side after its segment filter → broadcast;
+    orders⋈lineitem is the only real shuffle, on l_orderkey/o_orderkey.
+    Revenue is decimal-exact so the top-10 ranking is stable."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    revenue = F.sum(dmoney("l_extendedprice") * (1 - drate("l_discount")))
+    return (
+        broadcast_dim_join(orders, cust, [("o_custkey", "c_custkey")])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("_rev"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("_rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where customer and supplier share the nation
+    (TPC-H Q5 shape) — the flagship multi-join.
+
+    Scale: region/nation/supplier/customer are all broadcast against the
+    orders⋈lineitem fact join; the nation equality (c_nationkey =
+    s_nationkey) is applied as a post-join filter. Only one big shuffle
+    (orders⋈lineitem on orderkey) survives at any scale factor."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(dmoney("l_extendedprice") * (1 - drate("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue (TPC-H Q10 shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(dmoney("l_extendedprice") * (1 - drate("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.alias("_rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- join family ---------------------------------------------------------
+
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving customers with zero orders (J1 shape:
+    ``governance/main.py:52-58`` is the reference's left-join exemplar)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(dmoney("o_totalprice")).alias("_spent"),
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            F.coalesce(F.col("_spent").cast("double"), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one open ('O') order."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return semi_join(cust, open_orders, [("c_custkey", "o_custkey")]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never placed an order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join(cust, orders, [("c_custkey", "o_custkey")]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+def join_broadcast_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension chain with explicit broadcast hints (supplier→nation→region)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    geo = broadcast_dim_join(sup, nation, [("s_nationkey", "n_nationkey")])
+    return (
+        broadcast_dim_join(geo, region, [("n_regionkey", "r_regionkey")])
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- aggregation family --------------------------------------------------
+
+def agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sum/avg/min/max/count/count-distinct over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.sum(dmoney("o_totalprice")).cast("double")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            total.alias("sum_total"),
+            F.round(total / F.count(F.lit(1)), 6).alias("avg_total"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) — grouping-sets surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dmoney("o_totalprice")).cast("double").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts (rows-only check: DuckDB's
+    approx algorithm differs, so exact hash parity is not expected).
+
+    Scale: this is THE cardinality operator at 100 TB — constant memory
+    per group vs the exact countDistinct's expand+shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- window family -------------------------------------------------------
+
+def window_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (ranking window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        rank_topn_per_group(
+            orders,
+            partition_by=["o_custkey"],
+            order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            n=3,
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def window_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-minute gap),
+    reduced to per-user session statistics."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = lag_sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend over order history (frame window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    with_money = orders.withColumn("_p", dmoney("o_totalprice"))
+    return (
+        running_total(
+            with_money,
+            partition_by=["o_custkey"],
+            order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+            value_col="_p",
+            out_col="_running",
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("_running").cast("double").alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --- sort / limit / set ops ---------------------------------------------
+
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price — TakeOrderedAndProject, no full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered key sets."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b).distinct().orderBy("c_custkey")
+
+
+def set_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customer keys minus keys that placed orders."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    active = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.exceptAll(active.distinct()).distinct().orderBy("c_custkey")
+
+
+# --- scalar function families -------------------------------------------
+
+def string_fns_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function profile per language over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.upper("lang").alias("lang_uc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+            F.round(
+                F.sum(TX.token_count("text")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang_uc")
+    )
+
+
+def date_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc daily aggregation over the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows via ``F.window`` (batch twin of the
+    Structured Streaming aggregation in ``streaming/``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENT_PROPS_JSON_SCHEMA = {
+    "type": "object",
+    "properties": {"k": {"type": "integer", "description": "event payload key"}},
+    "required": ["k"],
+}
+
+
+def json_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction with a Json2Spark-derived schema (composes X1 with
+    the scalar-JSON surface: ``from_json(props, schema).k``)."""
+    ev = load_table(spark, sf_dir, "events")
+    schema = convert_json_schema_to_spark(EVENT_PROPS_JSON_SCHEMA)
+    k = F.from_json("props", schema)["k"]
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.round(F.sum("_k").cast("double") / F.count("_k"), 6).alias("avg_k"),
+            F.max("_k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def math_fns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions over lineitem-derived quantities."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.sqrt(F.sum(dmoney("l_quantity")).cast("double")), 6).alias(
+                "sqrt_qty"
+            ),
+            F.round(
+                F.avg(F.pow(F.col("l_discount").cast("double"), F.lit(2.0))), 6
+            ).alias("avg_disc_sq"),
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_high_disc"),
+            F.round(F.abs(F.min("l_extendedprice")), 2).alias("abs_min_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def array_fns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embeddings table: per-label
+    count, mean first component, mean L2 norm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_vec("embedding")
+    return (
+        emb.select(
+            "label",
+            F.element_at("embedding", 1).cast("double").alias("_first"),
+            l2_norm(v).alias("_norm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_first"), 6).alias("avg_first"),
+            F.round(F.avg("_norm"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- LLM-pipeline: dedup ------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: keep lowest doc_id per distinct text
+    (hash-partitioned on sha2(text), SURVEY.md §2B exact-dedup row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs, "text", order_by=[F.col("doc_id").asc()])
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup statistics: total rows vs distinct texts vs duplicate rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_duplicate_rows"),
+    )
+
+
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (threshold 0.6) — the
+    oracle-checkable twin of the MinHash/LSH path."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (rows-only: xxhash64 has no DuckDB
+    twin). Banding 16×4 over 64 hashes targets Jaccard ≳ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_size=3)
+    return lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only; xxhash64-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.simhash64("text").alias("simhash")
+    ).orderBy("doc_id")
+
+
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.rolling_fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# --- LLM-pipeline: text analysis ----------------------------------------
+
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (token count, BPE-ish token estimate,
+    punctuation ratio, stopword ratio, composite score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
+        TX.quality_score("text", "en").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language identification per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.language_id("text").alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+# --- LLM-pipeline: similarity search ------------------------------------
+
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for three query vectors taken from
+    the table itself (vec_id 0,1,2): one broadcast-nested-loop pass over
+    the embedding table, window top-k per query.
+
+    Ranking is on the 9-decimal-rounded score with vec_id tie-break so
+    float ulp differences cannot reorder ranks across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    v = as_double_vec("embedding")
+    qv = as_double_vec("query_vec")
+    from dask_felleskomponenter_spark.operators.similarity import dot
+
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(dot(v, qv) / (l2_norm(v) * l2_norm(qv)), 9).alias("_c9"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_c9").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("_c9", 6).alias("cosine"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours via sign-LSH bucketing (rows-only:
+    the scale path trading recall for a 2^bits candidate reduction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
+    return lsh_bucketed_cosine_topk(emb, query, k=10, bits=6).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# --- registry ------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_customers": q10_returned_customers,
+    "join_left_outer_counts": join_left_outer_counts,
+    "join_semi_customers": join_semi_customers,
+    "join_anti_customers": join_anti_customers,
+    "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
+    "agg_orders_stats": agg_orders_stats,
+    "agg_rollup_status_priority": agg_rollup_status_priority,
+    "agg_approx_distinct": agg_approx_distinct,
+    "window_topn_orders_per_customer": window_topn_orders_per_customer,
+    "window_lag_sessionize": window_lag_sessionize,
+    "window_running_total": window_running_total,
+    "topk_expensive_orders": topk_expensive_orders,
+    "set_union_segments": set_union_segments,
+    "set_except_inactive": set_except_inactive,
+    "string_fns_documents": string_fns_documents,
+    "date_fns_events": date_fns_events,
+    "tumbling_window_events": tumbling_window_events,
+    "json_fns_events": json_fns_events,
+    "math_fns_lineitem": math_fns_lineitem,
+    "array_fns_embeddings": array_fns_embeddings,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_exact_summary": dedup_exact_summary,
+    "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "neardup_minhash_lsh": neardup_minhash_lsh,
+    "simhash_documents": simhash_documents,
+    "fingerprint_documents": fingerprint_documents,
+    "text_quality_profile": text_quality_profile,
+    "lang_id_documents": lang_id_documents,
+    "cosine_topk_embeddings": cosine_topk_embeddings,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's smoke-check query (entry point)."""
+    return q5_local_supplier_volume(spark, sf_dir)

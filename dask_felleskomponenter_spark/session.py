@@ -1,0 +1,85 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference leaves all session construction to Databricks
+(``SparkSession.builder.getOrCreate()`` at
+``governance/main.py:16``). Here we own the session and set the knobs
+that matter on a real cluster:
+
+- AQE (adaptive execution) for runtime join-strategy changes, partition
+  coalescing and skew-join splitting — the 100 TB posture is "declare the
+  plan, let AQE re-plan with real statistics".
+- ``spark.sql.shuffle.partitions`` sized to the parallelism actually
+  available (env-tunable; a 1000-executor cluster wants thousands, the
+  local test harness wants ~2×cores).
+- Session timezone pinned to UTC so timestamp semantics are stable across
+  driver environments (parquet naive micros == displayed wall-clock).
+- Arrow enabled for any pandas interchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "dask-felleskomponenter-spark"
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    par = _default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{par}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(par, 8)))
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        .config("spark.driver.maxResultSize", "2g")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session.
+
+    The verification driver hands us its own session; runtime confs (AQE,
+    timezone) are still settable per `SQLConf` semantics. Static confs are
+    left alone.
+    """
+    for key, value in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark

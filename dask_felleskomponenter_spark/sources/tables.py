@@ -1,0 +1,85 @@
+"""Parquet star-schema source layer.
+
+Replaces the reference's catalog scans (``spark.table`` /
+``system.information_schema`` SQL, SURVEY.md §2 S1/S2) with open parquet
+reads. At cluster scale these would be Delta/Iceberg tables partitioned by
+their natural keys; locally they are the driver-generated parquet files.
+
+Scan hygiene (SURVEY.md §4): we never materialize or cache here — callers
+compose filters/projections on the returned lazy DataFrames so Catalyst
+pushes predicates and prunes columns into the parquet scan
+(``PushedFilters`` / ``ReadSchema`` in the physical plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 rows — fixed-size in TPC-H-style generators).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    # Parquet naive timestamps are micros-since-epoch; with a UTC session
+    # they render as the wall-clock the generator wrote (and as DuckDB
+    # reads them), independent of driver-host timezone.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one table from a scale-factor directory.
+
+    Nanosecond parquet timestamps (the ``events.ts`` column) are not a
+    legal Spark type; we read them as raw nanos
+    (``legacy.parquet.nanosAsLong``) and truncate to microsecond
+    timestamps — the same truncation DuckDB's reader applies, so oracle
+    comparisons agree to the microsecond.
+    """
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _pin_utc(spark)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Lazy scans for several tables; returns ``{name: DataFrame}``."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register each table as a temp view for ``spark.sql`` use (S4)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
