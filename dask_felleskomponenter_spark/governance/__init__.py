@@ -1,0 +1,49 @@
+from dask_felleskomponenter_spark.governance.model import (
+    MEDALJONGNIVAA,
+    CodelistEntry,
+    MetadataError,
+    TableMetadata,
+)
+from dask_felleskomponenter_spark.governance.codelists import (
+    CODELIST_URLS,
+    DEFAULT_REGISTRY,
+    GEOMETRI_ENCODING,
+    SIKKERHETSNIVAA,
+    TILGANGSNIVAA,
+    VALID_GEOMETRI_ENCODING,
+    CodelistRegistry,
+)
+from dask_felleskomponenter_spark.governance.checks import (
+    check_geometri_encoding,
+    check_medaljongnivaa,
+    checks_for_level,
+    get_mandatory_metadata_for_medaljongnivaa,
+    validate_table,
+)
+from dask_felleskomponenter_spark.governance.store import (
+    Metadata,
+    TblPropertiesMetadataStore,
+    errors_to_df,
+)
+
+__all__ = [
+    "MEDALJONGNIVAA",
+    "CodelistEntry",
+    "MetadataError",
+    "TableMetadata",
+    "CODELIST_URLS",
+    "DEFAULT_REGISTRY",
+    "GEOMETRI_ENCODING",
+    "SIKKERHETSNIVAA",
+    "TILGANGSNIVAA",
+    "VALID_GEOMETRI_ENCODING",
+    "CodelistRegistry",
+    "check_geometri_encoding",
+    "check_medaljongnivaa",
+    "checks_for_level",
+    "get_mandatory_metadata_for_medaljongnivaa",
+    "validate_table",
+    "Metadata",
+    "TblPropertiesMetadataStore",
+    "errors_to_df",
+]

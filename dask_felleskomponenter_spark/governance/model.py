@@ -1,0 +1,95 @@
+"""Governance data model.
+
+Open rebuild of the reference's governance dataclasses
+(``/root/reference/src/dask_felleskomponenter/governance/checks/common.py:18-68``)
+with identical observable semantics. Norwegian field names are the public
+API and are kept verbatim (SURVEY.md §7 step 3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+#: Medallion levels, in maturity order (``common.py:8``).
+MEDALJONGNIVAA = ["bronze", "silver", "gold"]
+
+
+@dataclass
+class CodelistEntry:
+    """One codelist value.
+
+    Equality is asymmetric on purpose (``common.py:23-28``): comparing an
+    entry against a plain string matches the string against ``id`` only —
+    this is how raw tag values (URIs) match codelist entries. Two entries
+    compare by ``id``.
+    """
+
+    id: str
+    label: str | None = None
+    codevalue: str | None = None
+
+    def __eq__(self, other: object) -> bool:
+        if isinstance(other, str):
+            return other == self.id
+        if not isinstance(other, CodelistEntry):
+            return False
+        return self.id == other.id
+
+    def __repr__(self) -> str:  # keep error messages readable
+        return f"CodelistEntry(id={self.id!r}, label={self.label!r})"
+
+
+@dataclass(init=False)
+class TableMetadata:
+    """Governance metadata for one table (``common.py:31-56``).
+
+    Unknown keyword arguments are absorbed into ``optional_params``,
+    except engine-internal ``delta.*`` keys which are dropped
+    (``common.py:49-56`` — the same skip the fetch path applies at
+    ``main.py:27-29``).
+    """
+
+    catalog: str | None = field(default=None)
+    schema: str | None = field(default=None)
+    table: str | None = field(default=None)
+    tittel: str | None = field(default=None)
+    beskrivelse: str | None = field(default=None)
+    tilgangsnivaa: str | None = field(default=None)
+    medaljongnivaa: str | None = field(default=None)
+    hovedkategori: str | None = field(default=None)
+    emneord: str | None = field(default=None)
+    epsg_koder: str | None = field(default=None)
+    begrep: str | None = field(default=None)
+    sikkerhetsnivaa: str | None = field(default=None)
+    column_properties: dict[str, dict] = field(default_factory=dict)
+    optional_params: dict[str, Any] = field(default_factory=dict)
+
+    def __init__(self, **kwargs: Any) -> None:
+        self.optional_params = {}
+        for name in self.__dataclass_fields__:
+            if name == "optional_params":
+                continue
+            default = {} if name == "column_properties" else None
+            value = kwargs.get(name, default)
+            if name == "column_properties" and value is None:
+                value = {}
+            setattr(self, name, value)
+        for key, value in kwargs.items():
+            if key not in self.__dataclass_fields__ and "delta." not in key:
+                self.optional_params[key] = value
+
+
+@dataclass
+class MetadataError:
+    """One validation finding with an executable remedy
+    (``common.py:59-68``)."""
+
+    catalog: str | None
+    schema: str | None
+    table: str | None
+    column: str | None
+    description: str
+    solution: str | None
+    for_field: str
+    valid_values: str | list[CodelistEntry] | list[str]

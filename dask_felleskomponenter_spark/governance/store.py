@@ -1,0 +1,231 @@
+"""Open metadata backend + ``Metadata`` entry point.
+
+The reference reads table tags/comments from Databricks-proprietary
+``system.information_schema`` views (``governance/main.py:13-62``). The
+open rebuild stores governance tags as **table properties** on any
+Spark-catalog table:
+
+- table-level tags as plain property keys (``tittel``, ``emneord``, ...);
+- the description under the standard ``comment`` property;
+- per-column properties as ``columns.<col>.<prop>`` keys — exactly the
+  shape the reference's own remedy SQL emits
+  (``checks/column.py:32``: ``SET TBLPROPERTIES
+  ('columns.<col>.geometri_encoding' = ...)``), so remedies are
+  executable against this backend verbatim.
+
+All identifiers are backtick-quoted and values are escaped — the
+reference's f-string SQL (``main.py:17-22``) is an injection hazard
+SURVEY.md §4 flags for repair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_felleskomponenter_spark.governance.checks import quote_ident, validate_table
+from dask_felleskomponenter_spark.governance.codelists import CodelistRegistry
+from dask_felleskomponenter_spark.governance.model import MetadataError, TableMetadata
+
+#: Engine-internal property prefixes never surfaced as governance tags
+#: (the reference skips ``delta.*`` at ``main.py:27-29``).
+INTERNAL_PREFIXES = ("delta.", "spark.", "option.", "transient_lastDdlTime")
+
+
+class TblPropertiesMetadataStore:
+    """Governance tags on Spark table properties."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    # -- helpers -----------------------------------------------------------
+    @staticmethod
+    def _qualify(schema: str, table: str) -> str:
+        return f"{quote_ident(schema)}.{quote_ident(table)}"
+
+    @staticmethod
+    def _quote_value(value: str) -> str:
+        return "'" + str(value).replace("'", "''") + "'"
+
+    # -- writes ------------------------------------------------------------
+    def set_tags(self, schema: str, table: str, tags: dict[str, str]) -> None:
+        if not tags:
+            return
+        pairs = ", ".join(
+            f"{self._quote_value(k)} = {self._quote_value(v)}"
+            for k, v in tags.items()
+        )
+        self.spark.sql(
+            f"ALTER TABLE {self._qualify(schema, table)} SET TBLPROPERTIES ({pairs})"
+        )
+
+    def set_comment(self, schema: str, table: str, comment: str) -> None:
+        self.set_tags(schema, table, {"comment": comment})
+
+    def set_column_properties(
+        self, schema: str, table: str, column: str, props: dict[str, str]
+    ) -> None:
+        self.set_tags(
+            schema,
+            table,
+            {f"columns.{column}.{k}": v for k, v in props.items()},
+        )
+
+    # -- reads -------------------------------------------------------------
+    def get_properties(self, schema: str, table: str) -> dict[str, str]:
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self._qualify(schema, table)}"
+        ).collect()
+        return {r["key"]: r["value"] for r in rows}
+
+    def get_comment(self, schema: str, table: str) -> str | None:
+        # 'comment' is a reserved table property: SET TBLPROPERTIES routes
+        # it to the table comment and SHOW TBLPROPERTIES hides it
+        tbl = self.spark.catalog.getTable(f"{schema}.{table}")
+        return tbl.description or None
+
+    def get_table_metadata(
+        self, catalog: str, schema: str, table: str
+    ) -> TableMetadata:
+        """Assemble ``TableMetadata`` the way the reference does from
+        table_tags + comment (``main.py:13-45``), including the
+        ``delta.*``/internal-key skip and the open optional-params bag."""
+        props = self.get_properties(schema, table)
+        keys: dict[str, str] = {}
+        column_properties: dict[str, dict] = {}
+        for k, v in props.items():
+            if any(k.startswith(p) for p in INTERNAL_PREFIXES):
+                continue
+            if k.startswith("columns."):
+                rest = k[len("columns.") :]
+                col, _, prop = rest.partition(".")
+                if prop:
+                    column_properties.setdefault(col, {})[prop] = v
+                continue
+            keys[k] = v
+        beskrivelse = keys.pop("comment", None) or self.get_comment(schema, table)
+        known = {
+            f: keys.pop(f, None)
+            for f in (
+                "tittel",
+                "tilgangsnivaa",
+                "medaljongnivaa",
+                "hovedkategori",
+                "emneord",
+                "epsg_koder",
+                "begrep",
+                "sikkerhetsnivaa",
+            )
+        }
+        return TableMetadata(
+            catalog=catalog,
+            schema=schema,
+            table=table,
+            beskrivelse=beskrivelse,
+            column_properties=column_properties,
+            **{k: v for k, v in known.items() if v is not None},
+            **keys,  # unknown tags land in optional_params
+        )
+
+    def get_table_column_metadata(
+        self, catalog: str, schema: str, table: str
+    ) -> DataFrame:
+        """Columns × column-tags left join (J1 shape, ``main.py:47-62``)
+        rebuilt over open sources: the table schema joined with the
+        ``columns.*`` properties."""
+        spark = self.spark
+        fields = spark.table(self._qualify(schema, table)).schema.fields
+        cols_df = spark.createDataFrame(
+            [
+                (catalog, schema, table, f.name, f.dataType.simpleString(), i)
+                for i, f in enumerate(fields)
+            ],
+            ["table_catalog", "table_schema", "table_name", "column_name", "data_type", "ordinal_position"],
+        )
+        props = self.get_properties(schema, table)
+        tag_rows = []
+        for k, v in props.items():
+            if k.startswith("columns."):
+                rest = k[len("columns.") :]
+                col, _, prop = rest.partition(".")
+                if prop:
+                    tag_rows.append((catalog, schema, table, col, prop, v))
+        tags_df = spark.createDataFrame(
+            tag_rows,
+            ["catalog_name", "schema_name", "table_name2", "column_name2", "tag_name", "tag_value"],
+        ) if tag_rows else spark.createDataFrame(
+            [],
+            "catalog_name string, schema_name string, table_name2 string, "
+            "column_name2 string, tag_name string, tag_value string",
+        )
+        joined = cols_df.join(
+            tags_df,
+            (cols_df["table_catalog"] == tags_df["catalog_name"])
+            & (cols_df["table_schema"] == tags_df["schema_name"])
+            & (cols_df["table_name"] == tags_df["table_name2"])
+            & (cols_df["column_name"] == tags_df["column_name2"]),
+            "left",
+        )
+        return joined.drop("table_name2", "column_name2")
+
+
+class Metadata:
+    """Entry point mirroring the reference's ``Metadata`` class
+    (``governance/main.py:8-68``), over the open property store."""
+
+    def __init__(
+        self,
+        catalog: str,
+        schema: str,
+        table: str,
+        spark: SparkSession | None = None,
+        store: TblPropertiesMetadataStore | None = None,
+        registry: CodelistRegistry | None = None,
+    ) -> None:
+        self.catalog = catalog
+        self.schema = schema
+        self.table = table
+        if store is None:
+            if spark is None:
+                spark = SparkSession.builder.getOrCreate()
+            store = TblPropertiesMetadataStore(spark)
+        self.store = store
+        self.registry = registry
+
+    def get_table_metadata(self) -> TableMetadata:
+        return self.store.get_table_metadata(self.catalog, self.schema, self.table)
+
+    def get_table_column_metadata(self) -> DataFrame:
+        return self.store.get_table_column_metadata(
+            self.catalog, self.schema, self.table
+        )
+
+    def validate(self) -> list[MetadataError]:
+        return validate_table(self.get_table_metadata(), self.registry)
+
+    def validate_as_df(self) -> DataFrame:
+        """Findings surfaced as a DataFrame for reporting pipelines."""
+        return errors_to_df(self.store.spark, self.validate())
+
+
+def errors_to_df(spark: SparkSession, errors: list[MetadataError]) -> DataFrame:
+    """Materialize findings as a DataFrame (SURVEY.md §1.1 rebuild note:
+    findings-as-DataFrame is the open reporting surface)."""
+    rows = [
+        (
+            e.catalog,
+            e.schema,
+            e.table,
+            e.column,
+            e.description,
+            e.solution,
+            e.for_field,
+            str(e.valid_values),
+        )
+        for e in errors
+    ]
+    schema = (
+        "catalog string, schema string, table string, column string, "
+        "description string, solution string, for_field string, valid_values string"
+    )
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)

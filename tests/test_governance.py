@@ -1,0 +1,202 @@
+"""Governance pack tests: golden fixture parity with the reference's
+``tests/test_table_validation.py`` + negative variants (FIXTURES.md §3)
++ the open TBLPROPERTIES metadata backend end-to-end."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dask_felleskomponenter_spark.governance import (
+    CodelistEntry,
+    CodelistRegistry,
+    Metadata,
+    TableMetadata,
+    TblPropertiesMetadataStore,
+    get_mandatory_metadata_for_medaljongnivaa,
+    validate_table,
+)
+
+# Verbatim shape of the reference's golden fixture
+# (/root/reference/example_table_metadata_gold.json, FIXTURES.md §3).
+GOLD = {
+    "catalog": "catalog",
+    "schema": "schema",
+    "table": "table",
+    "tittel": "tittel",
+    "beskrivelse": "beskrivelse",
+    "tilgangsnivaa": "http://publications.europa.eu/resource/authority/access-right/PUBLIC",
+    "medaljongnivaa": "gold",
+    "hovedkategori": "https://register.geonorge.no/metadata-kodelister/tematisk-hovedkategori/farming",
+    "begrep": "https://register.geonorge.no/metadata-kodelister/nasjonal-temainndeling/Samfunnssikkerhet",
+    "epsg_koder": "25835",
+    "emneord": "bruksomraade",
+    "sikkerhetsnivaa": "https://register.geonorge.no/metadata-kodelister/sikkerhetsnivaa/unclassified_sensitive",
+    "column_properties": {
+        "geometri": {"epsg": "25835", "geometri_encoding": "wkt"}
+    },
+}
+
+
+def test_gold_fixture_validates_clean():
+    md = TableMetadata(**GOLD)
+    assert validate_table(md) == []
+
+
+def test_gold_fixture_with_extra_optional_param_still_clean():
+    # mutation case from the reference's unit test: adding an optional
+    # field must still pass, landing in optional_params
+    data = {**GOLD, "ekstra_felt": "valgfritt"}
+    md = TableMetadata(**data)
+    assert md.optional_params == {"ekstra_felt": "valgfritt"}
+    assert validate_table(md) == []
+
+
+def test_delta_keys_are_dropped():
+    md = TableMetadata(**GOLD, **{"delta.minReaderVersion": "2"})
+    assert "delta.minReaderVersion" not in md.optional_params
+
+
+def test_invalid_medallion_gates_early():
+    md = TableMetadata(**{**GOLD, "medaljongnivaa": "platinum"})
+    errors = validate_table(md)
+    assert len(errors) == 1
+    assert errors[0].for_field == "medaljongnivaa"
+    assert "er ugyldig" in errors[0].description
+
+
+@pytest.mark.parametrize(
+    "level,missing_field",
+    [
+        ("bronze", "tittel"),
+        ("bronze", "beskrivelse"),
+        ("bronze", "sikkerhetsnivaa"),
+        ("silver", "emneord"),
+        ("silver", "begrep"),
+        ("gold", "hovedkategori"),
+        ("gold", "tilgangsnivaa"),
+    ],
+)
+def test_missing_mandatory_field_reported(level, missing_field):
+    data = {**GOLD, "medaljongnivaa": level}
+    data[missing_field] = None
+    errors = validate_table(TableMetadata(**data))
+    assert [e.for_field for e in errors] == [missing_field]
+    assert "mangler" in errors[0].description
+    # remedies are executable SQL strings
+    sol = errors[0].solution
+    assert sol.startswith("COMMENT ON TABLE" if missing_field == "beskrivelse" else "ALTER TABLE")
+
+
+def test_invalid_codelist_value_reported():
+    data = {**GOLD, "sikkerhetsnivaa": "not-a-valid-uri"}
+    errors = validate_table(TableMetadata(**data))
+    assert [e.for_field for e in errors] == ["sikkerhetsnivaa"]
+    assert "er ugyldig" in errors[0].description
+
+
+def test_invalid_geometri_encoding_reported():
+    data = {
+        **GOLD,
+        "column_properties": {"geom": {"epsg": "25835", "geometri_encoding": "shapefile"}},
+    }
+    errors = validate_table(TableMetadata(**data))
+    assert [(e.for_field, e.column) for e in errors] == [("geometri_encoding", "geom")]
+    assert "columns.geom.geometri_encoding" in errors[0].solution
+
+
+def test_geometri_encoding_case_insensitive_and_epsg_gated():
+    ok = {
+        **GOLD,
+        "column_properties": {
+            "g1": {"epsg": "4326", "geometri_encoding": "WkB"},
+            "g2": {"geometri_encoding": "not-checked-without-epsg"},
+        },
+    }
+    assert validate_table(TableMetadata(**ok)) == []
+
+
+def test_mandatory_metadata_introspection():
+    bronze = get_mandatory_metadata_for_medaljongnivaa("bronze")
+    assert set(bronze) == {"tittel", "beskrivelse", "sikkerhetsnivaa"}
+    silver = get_mandatory_metadata_for_medaljongnivaa("silver")
+    assert set(silver) == {"tittel", "beskrivelse", "emneord", "begrep", "sikkerhetsnivaa"}
+    gold = get_mandatory_metadata_for_medaljongnivaa("gold")
+    assert set(gold) == {
+        "tittel", "beskrivelse", "hovedkategori", "emneord",
+        "begrep", "tilgangsnivaa", "sikkerhetsnivaa",
+    }
+
+
+def test_codelist_entry_asymmetric_equality():
+    e = CodelistEntry(id="urn:x", label="X")
+    assert e == "urn:x"
+    assert not (e == "X")  # label never matches
+    assert e == CodelistEntry(id="urn:x", label="other")
+    assert not (e == 42)
+
+
+def test_remote_registry_injectable():
+    # hovedkategori is remote-backed; with a loader, membership is strict
+    loader_calls = []
+
+    def fake_loader(url):
+        loader_calls.append(url)
+        if "tematisk-hovedkategori" in url:
+            return {"containeditems": [{"id": "urn:cat/ok", "label": "OK"}]}
+        # begrep list: include the gold fixture's value so only
+        # hovedkategori misbehaves in this test
+        return {"containeditems": [{"id": GOLD["begrep"], "label": "B"}]}
+
+    reg = CodelistRegistry(remote_loader=fake_loader)
+    data = {**GOLD, "hovedkategori": "urn:cat/nope"}
+    errors = validate_table(TableMetadata(**data), reg)
+    assert [e.for_field for e in errors] == ["hovedkategori"]
+    assert loader_calls  # loader actually consulted
+    ok = {**GOLD, "hovedkategori": "urn:cat/ok"}
+    assert validate_table(TableMetadata(**ok), reg) == []
+
+
+def test_tblproperties_store_roundtrip(spark, tmp_path):
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS gov_test")
+    spark.sql("DROP TABLE IF EXISTS gov_test.t1")
+    # a previous interrupted run can leave the managed-table location on
+    # disk while the (ephemeral derby) catalog forgot it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/gov_test.db/t1", ignore_errors=True)
+    spark.createDataFrame([(1, "x")], ["id", "geometri"]).write.mode(
+        "overwrite"
+    ).saveAsTable("gov_test.t1")
+
+    store = TblPropertiesMetadataStore(spark)
+    tags = {k: v for k, v in GOLD.items() if k not in (
+        "catalog", "schema", "table", "beskrivelse", "column_properties")}
+    store.set_tags("gov_test", "t1", tags)
+    store.set_comment("gov_test", "t1", GOLD["beskrivelse"])
+    store.set_column_properties(
+        "gov_test", "t1", "geometri", GOLD["column_properties"]["geometri"]
+    )
+
+    meta = Metadata("spark_catalog", "gov_test", "t1", spark=spark, store=store)
+    md = meta.get_table_metadata()
+    assert md.tittel == "tittel"
+    assert md.beskrivelse == "beskrivelse"
+    assert md.column_properties == {"geometri": {"epsg": "25835", "geometri_encoding": "wkt"}}
+    assert meta.validate() == []
+    assert meta.validate_as_df().count() == 0
+
+    # break one tag, see the finding surface through the DataFrame API
+    store.set_tags("gov_test", "t1", {"sikkerhetsnivaa": "bogus"})
+    df = meta.validate_as_df()
+    rows = df.collect()
+    assert [r["for_field"] for r in rows] == ["sikkerhetsnivaa"]
+
+    # column metadata join surface (J1 shape)
+    cm = meta.get_table_column_metadata()
+    got = {(r["column_name"], r["tag_name"]): r["tag_value"] for r in cm.collect()}
+    assert got[("geometri", "epsg")] == "25835"
+    assert got[("geometri", "geometri_encoding")] == "wkt"
+    assert ("id", None) in {(r["column_name"], r["tag_name"]) for r in cm.collect()}
