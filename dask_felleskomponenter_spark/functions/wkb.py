@@ -1,0 +1,273 @@
+"""WKB/EWKB geometry functions (reference parity: U1/U2, SURVEY.md §2A).
+
+Semantics match the reference's UDFs
+(``/root/reference/src/dask_felleskomponenter/udfs/udf_tools.py:49-107``
+and ``udf_conversions.py:12-59``) — same type table, same EWKB bit flags
+(PostGIS Z/M/SRID high bits) and ISO 1000/2000/3000 offsets, same
+``Invalid (...)`` error strings — but the execution strategy is
+Spark-first:
+
+- ``wkb_geom_type_col`` is a **pure Column expression** (hex slicing +
+  ``conv`` + bitmask arithmetic): geometry-type introspection over 100 TB
+  runs inside whole-stage codegen with zero Python workers. This is the
+  default path.
+- ``get_wkb_geom_type`` is the same logic as a **vectorized pandas UDF**
+  (Arrow batches), kept for SQL registration parity and as the
+  reference-compatible surface (accepts hex strings, bytes, bytearray,
+  null — ``udf_tools.py:56-71``). The reference used a row-at-a-time
+  pickle UDF here; SURVEY.md §4 flags the promotion to pandas.
+- ``strip_ewkb_srid`` (the EWKB→WKB header rewrite,
+  ``udf_conversions.py:25-44``) is pure Python and GDAL-free.
+- ``curved_to_linear_wkb`` needs real geometry linearization → OGR,
+  gated behind an import-try (the reference imports GDAL unconditionally,
+  which breaks bare installs — SURVEY.md §7 step 4 gates it).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+try:  # optional extra: linearization/contours need GDAL/OGR
+    from osgeo import ogr  # type: ignore
+
+    HAS_OGR = True
+except ImportError:  # pragma: no cover - env without GDAL
+    ogr = None
+    HAS_OGR = False
+
+#: ISO/OGC WKB geometry type codes (``udf_tools.py:12-40``).
+WKB_GEOM_TYPES = {
+    0: "Geometry",
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+    8: "CircularString",
+    9: "CompoundCurve",
+    10: "CurvePolygon",
+    11: "MultiCurve",
+    12: "MultiSurface",
+    13: "Curve",
+    14: "Surface",
+    15: "PolyhedralSurface",
+    16: "TIN",
+    17: "Triangle",
+    18: "Circle",
+    19: "GeodesicString",
+    20: "EllipticalCurve",
+    21: "NurbsCurve",
+    22: "Clothoid",
+    23: "SpiralCurve",
+    24: "CompoundSurface",
+    102: "AffinePlacement",
+    1025: "BrepSolid",
+}
+
+# PostGIS EWKB high-bit flags (``udf_tools.py:43-46``).
+EWKB_Z_FLAG = 0x80000000
+EWKB_M_FLAG = 0x40000000
+EWKB_SRID_FLAG = 0x20000000
+EWKB_FLAG_MASK = EWKB_Z_FLAG | EWKB_M_FLAG | EWKB_SRID_FLAG
+
+
+# --- shared pure-Python core (used by the pandas UDF) --------------------
+
+def geom_type_of_wkb(value: bytes | bytearray | str | None) -> str:
+    """Geometry type name of one WKB/EWKB value (reference semantics
+    including error strings, ``udf_tools.py:56-107``)."""
+    if value is None:
+        return "Invalid (null input)"
+    if isinstance(value, str):
+        try:
+            data = bytes.fromhex(value)
+        except (ValueError, TypeError):
+            return "Invalid (not hex)"
+    elif isinstance(value, (bytes, bytearray)):
+        data = bytes(value)
+    else:
+        return f"Invalid (unsupported type: {type(value).__name__})"
+    if len(data) < 5:
+        return "Invalid (too short)"
+
+    order = "big" if data[0] == 0 else "little"
+    code = int.from_bytes(data[1:5], byteorder=order, signed=False)
+
+    base, suffix = code, ""
+    if code & EWKB_FLAG_MASK:
+        z, m = bool(code & EWKB_Z_FLAG), bool(code & EWKB_M_FLAG)
+        suffix = " ZM" if (z and m) else (" Z" if z else (" M" if m else ""))
+        base &= ~EWKB_FLAG_MASK
+    elif 3000 <= code < 4000:
+        base, suffix = code - 3000, " ZM"
+    elif 2000 <= code < 3000:
+        base, suffix = code - 2000, " M"
+    elif 1000 <= code < 2000:
+        base, suffix = code - 1000, " Z"
+
+    return WKB_GEOM_TYPES.get(base, f"Unknown({base})") + suffix
+
+
+# --- JVM-side column expression (the scale path) --------------------------
+
+def wkb_geom_type_col(col: str | Column, hex_input: bool = False) -> Column:
+    """Geometry type as a pure Column expression — no Python workers.
+
+    ``hex(col)`` → byte-order switch on the first byte → endian-aware
+    reassembly of the 4-byte type int via string slicing + ``conv`` →
+    flag/offset decoding with integer arithmetic → type-name lookup via a
+    literal map. Stays entirely inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if hex_input:
+        data = F.unhex(F.upper(c))
+        not_hex = c.isNotNull() & data.isNull()
+    else:
+        data = c
+        not_hex = F.lit(False)
+
+    h = F.hex(data)
+    th = F.substring(h, 3, 8)
+    little = F.substring(h, 1, 2) != "00"
+    swapped = F.when(
+        little,
+        F.concat(
+            F.substring(th, 7, 2),
+            F.substring(th, 5, 2),
+            F.substring(th, 3, 2),
+            F.substring(th, 1, 2),
+        ),
+    ).otherwise(th)
+    code = F.conv(swapped, 16, 10).cast("long")
+
+    has_flags = code.bitwiseAND(F.lit(EWKB_FLAG_MASK)) != 0
+    has_z = code.bitwiseAND(F.lit(EWKB_Z_FLAG)) != 0
+    has_m = code.bitwiseAND(F.lit(EWKB_M_FLAG)) != 0
+    ewkb_suffix = (
+        F.when(has_z & has_m, " ZM")
+        .when(has_z, " Z")
+        .when(has_m, " M")
+        .otherwise("")
+    )
+    iso_suffix = (
+        F.when((code >= 3000) & (code < 4000), " ZM")
+        .when((code >= 2000) & (code < 3000), " M")
+        .when((code >= 1000) & (code < 2000), " Z")
+        .otherwise("")
+    )
+    suffix = F.when(has_flags, ewkb_suffix).otherwise(iso_suffix)
+
+    base_flagged = code.bitwiseAND(F.lit(0xFFFFFFFF & ~EWKB_FLAG_MASK))
+    base_iso = (
+        F.when((code >= 3000) & (code < 4000), code - 3000)
+        .when((code >= 2000) & (code < 3000), code - 2000)
+        .when((code >= 1000) & (code < 2000), code - 1000)
+        .otherwise(code)
+    )
+    base = F.when(has_flags, base_flagged).otherwise(base_iso)
+
+    pairs: list[Column] = []
+    for k, v in WKB_GEOM_TYPES.items():
+        pairs.append(F.lit(k).cast("long"))
+        pairs.append(F.lit(v))
+    name = F.coalesce(
+        F.element_at(F.create_map(*pairs), base),
+        F.format_string("Unknown(%d)", base),
+    )
+
+    return (
+        F.when(c.isNull(), "Invalid (null input)")
+        .when(not_hex, "Invalid (not hex)")
+        .when(F.length(data) < 5, "Invalid (too short)")
+        .otherwise(F.concat(name, suffix))
+    )
+
+
+# --- vectorized pandas UDFs ----------------------------------------------
+
+@F.pandas_udf(StringType())
+def get_wkb_geom_type(values: pd.Series) -> pd.Series:
+    """Reference-parity UDF surface (U1), vectorized over Arrow batches."""
+    return values.apply(geom_type_of_wkb)
+
+
+def strip_ewkb_srid_bytes(data: bytes | bytearray | None) -> bytes | None:
+    """Rewrite an EWKB header to standard WKB: clear the SRID flag and
+    drop the 4-byte SRID (``udf_conversions.py:25-44``). Pure Python, no
+    GDAL. Non-EWKB input passes through unchanged."""
+    if not isinstance(data, (bytes, bytearray)):
+        return None
+    if len(data) >= 9:
+        fmt = "<I" if data[0] == 1 else ">I"
+        code = struct.unpack(fmt, bytes(data[1:5]))[0]
+        if code & EWKB_SRID_FLAG:
+            header = bytes([data[0]]) + struct.pack(fmt, code & ~EWKB_SRID_FLAG)
+            return header + bytes(data[9:])
+    return bytes(data)
+
+
+@F.pandas_udf(BinaryType())
+def strip_ewkb_srid(values: pd.Series) -> pd.Series:
+    return values.apply(strip_ewkb_srid_bytes)
+
+
+def curved_to_linear_bytes(
+    data: bytes | bytearray | None, max_angle_step_deg: float = 0.0
+) -> bytes | None:
+    """Linearize curved geometry via OGR after SRID stripping
+    (``udf_conversions.py:12-59`` semantics: None on non-bytes or parse
+    failure). Requires the GDAL extra."""
+    if not isinstance(data, (bytes, bytearray)):
+        return None
+    if not HAS_OGR:
+        raise NotImplementedError(
+            "curved_to_linear_wkb requires GDAL/OGR (install the [gdal] extra)"
+        )
+    wkb = strip_ewkb_srid_bytes(data)
+    try:
+        geom = ogr.CreateGeometryFromWkb(wkb)
+        if geom is None:
+            return None
+        angle = float(max_angle_step_deg if max_angle_step_deg is not None else 0.0)
+        return bytes(geom.GetLinearGeometry(angle).ExportToWkb())
+    except Exception:
+        return None
+
+
+@F.pandas_udf(BinaryType())
+def curved_to_linear_wkb(
+    geometries: pd.Series, max_angle_step_deg: pd.Series
+) -> pd.Series:
+    """U2 as a vectorized pandas UDF; angle passed as a ``lit()``
+    constant (read once per batch, like U3's interval/base —
+    ``udf_tools.py:233-236``)."""
+    angle = float(max_angle_step_deg.iloc[0]) if len(max_angle_step_deg) else 0.0
+    return geometries.apply(lambda g: curved_to_linear_bytes(g, angle))
+
+
+def register_all_udfs(spark: SparkSession) -> list[str]:
+    """Register the geometry UDF surface for SQL use (U4,
+    ``udf_tools.py:261-272`` / ``udf_conversions.py:62-91``): nested SQL
+    calls like ``get_wkb_geom_type(curved_to_linear_wkb(b, 5.0))`` work."""
+    registered = []
+    spark.udf.register("get_wkb_geom_type", get_wkb_geom_type)
+    registered.append("get_wkb_geom_type")
+    spark.udf.register("strip_ewkb_srid", strip_ewkb_srid)
+    registered.append("strip_ewkb_srid")
+    spark.udf.register("curved_to_linear_wkb", curved_to_linear_wkb)
+    registered.append("curved_to_linear_wkb")
+    from dask_felleskomponenter_spark.functions.raster import (
+        generate_contours_udf,
+    )
+
+    spark.udf.register("generate_contours_udf", generate_contours_udf)
+    registered.append("generate_contours_udf")
+    return registered
