@@ -141,6 +141,43 @@ def simhash64(col: str | Column) -> Column:
     return bucket
 
 
+def simhash_signatures(df, id_col: str, text_col: str, out_col: str = "simhash"):
+    """64-bit SimHash per document as a DataFrame op — the scale path.
+
+    Same hash family and bit semantics as ``simhash64`` but shaped as
+    explode(tokens) → one ``xxhash64`` per token → 64 codegen'd
+    ``sum(±1)`` bit-vote aggregates → bit reassembly. ``simhash64``'s 64
+    ``F.aggregate`` higher-order calls each re-walk the token array
+    interpreted per bit; this shape hashes each token once, keeps the
+    votes in whole-stage codegen with map-side partial aggregation, and
+    shuffles exactly 64 longs per document per partition.
+
+    Empty/null text keeps its row (``explode_outer`` → null token → zero
+    votes) and fingerprints to 0, matching ``simhash64``.
+    """
+    inv = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(text_col)).alias("_t"),
+    ).select(id_col, F.col("_t"), F.xxhash64("_t").alias("_h"))
+    votes = []
+    for b in range(64):
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        vote = (
+            F.when(F.col("_t").isNull(), 0)
+            .when(F.col("_h").bitwiseAND(mask) != 0, 1)
+            .otherwise(-1)
+        )
+        votes.append(F.sum(vote).alias(f"_v{b}"))
+    agg = inv.groupBy(id_col).agg(*votes)
+    bucket = F.lit(0).cast("long")
+    for b in range(64):
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        bucket = bucket + F.when(F.col(f"_v{b}") > 0, mask).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), bucket.alias(out_col))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit SimHash values."""
     return F.bit_count(a.bitwiseXOR(b))

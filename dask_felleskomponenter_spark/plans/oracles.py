@@ -421,3 +421,22 @@ FROM ranked
 WHERE rn <= 5
 ORDER BY query_id, rn
 """
+
+ORACLES["sync_merge_orders"] = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 <> 0
+), staging AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         'SYNCED' AS o_orderpriority,
+         CASE WHEN o_orderkey % 6 = 0 THEN 'delete' ELSE 'upsert' END AS update_type
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_orderpriority
+FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM staging WHERE update_type <> 'delete'
+ORDER BY o_orderkey
+"""

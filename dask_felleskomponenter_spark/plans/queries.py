@@ -557,11 +557,13 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only; xxhash64-based)."""
+    """64-bit SimHash per document (rows-only; xxhash64-based).
+
+    Uses the explode+bit-vote-aggregate shape (``TX.simhash_signatures``)
+    rather than the per-bit higher-order ``F.aggregate`` column form —
+    one hash per token, codegen'd votes, 64-long-wide shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", TX.simhash64("text").alias("simhash")
-    ).orderBy("doc_id")
+    return TX.simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
 
 
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,6 +645,34 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sync: pure-Spark MERGE twin (X2/X3) ---------------------------------
+
+def sync_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics as DataFrame algebra (``sync/merge.py``), staged
+    deterministically from ``orders``: target = keys not divisible by 5;
+    staging delta = keys divisible by 3, deletes where divisible by 6,
+    upserts rewrite ``o_orderpriority``. Oracle-checks every MERGE branch
+    (keep / delete / update / insert / ignored-unmatched-delete) in one
+    result. Anti join + union — staging side broadcastable in the common
+    big-target/small-delta case."""
+    from dask_felleskomponenter_spark.sync.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    staging = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.lit("SYNCED").alias("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 6 == 0, "delete")
+        .otherwise("upsert")
+        .alias("update_type"),
+    )
+    return merge_upsert(target, staging, keys=["o_orderkey"]).orderBy("o_orderkey")
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -679,6 +709,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_documents": lang_id_documents,
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "sync_merge_orders": sync_merge_orders,
 }
 
 

@@ -1,0 +1,93 @@
+"""Pure-Spark merge/snapshot twins of the Postgres sync (X2/X3).
+
+The reference pushes its MERGE into Postgres
+(``/root/reference/src/dask_felleskomponenter/felleskomponenter/
+sync_df_to_pgdb.py:222-252``); these are the same semantics as
+DataFrame algebra, so the behavior is oracle-testable without a
+database and usable against any Spark-writable target (Parquet here;
+on a lakehouse the natural physical form is Delta
+``MERGE INTO`` — same logical result).
+
+Merge semantics being twinned (see ``sync/postgres.py::merge_sql``):
+
+- target row with NO staging match on the keys        → kept as-is
+- target row matched by staging ``update_type='delete'`` → removed
+- target row matched by staging non-delete             → replaced by staging
+- staging non-delete row with no target match          → inserted
+- staging delete row with no target match              → silently ignored
+- the ``update_type`` column never appears in the result
+- NULL keys never match (SQL equality), on either side
+
+Shape & scale: one left-anti join (target vs staging keys) plus a
+union — the anti join shuffles on the merge keys only and AQE turns it
+into a broadcast when the staging side is small, which is the common
+CDC case (big target, small delta).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    staging: DataFrame,
+    keys: Sequence[str],
+    update_type_col: str = "update_type",
+) -> DataFrame:
+    """Apply a staging delta to a target DataFrame with MERGE semantics.
+
+    ``staging`` must carry ``update_type_col``; rows with value
+    ``'delete'`` are deletions, anything else is an upsert. Result
+    columns = target columns (the update-type column is dropped).
+    """
+    if update_type_col not in staging.columns:
+        raise ValueError(
+            f"staging is missing the update-type column {update_type_col!r}"
+        )
+    missing = [k for k in keys if k not in target.columns or k not in staging.columns]
+    if missing:
+        raise ValueError(f"merge keys absent from target or staging: {missing}")
+
+    # SQL MERGE `ON t.k = s.k` null semantics: NULL never matches, so a
+    # null-keyed target row survives and a null-keyed staging upsert
+    # inserts. Spark's join condition has the same semantics natively.
+    cond = [target[k] == staging[k] for k in keys]
+
+    untouched = target.join(staging, on=cond, how="left_anti")
+    applied = (
+        staging.filter(F.col(update_type_col) != F.lit("delete"))
+        .select(*target.columns)
+    )
+    return untouched.unionByName(applied)
+
+
+def snapshot_overwrite(staging: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Snapshot publish as algebra: the target is simply replaced by the
+    staging content (``sync_df_to_pgdb.py:204-218`` minus the
+    transactional TRUNCATE/INSERT, which is the sink's concern)."""
+    return staging.select(*(columns or staging.columns))
+
+
+def merge_into_path(
+    target_path: str,
+    staging: DataFrame,
+    keys: Sequence[str],
+    update_type_col: str = "update_type",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read a Parquet/ORC target, merge the staging delta, write back.
+
+    The merged plan is materialized (``localCheckpoint``) before the
+    overwrite because Spark cannot overwrite a path it is still reading
+    lazily. On Delta-capable clusters prefer ``DeltaTable.merge`` —
+    same logical semantics, no rewrite of untouched files.
+    """
+    spark = staging.sparkSession
+    target = spark.read.format(fmt).load(target_path)
+    merged = merge_upsert(target, staging, keys, update_type_col).localCheckpoint()
+    merged.write.format(fmt).mode("overwrite").save(target_path)
+    return merged
