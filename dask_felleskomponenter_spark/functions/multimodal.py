@@ -1,0 +1,337 @@
+"""Multimodal (image/audio/video) column operators.
+
+Generalizes the reference's binary-payload pattern — geometries and
+GeoTIFF rasters ride in ``BinaryType`` columns with per-column encoding
+metadata (``/root/reference/src/dask_felleskomponenter/governance/checks/
+column.py:5-31``, ``udfs/udf_tools.py:135,155``) — into the conventions a
+training-data pipeline needs: media as opaque bytes + a typed metadata
+struct, with decode / feature-extraction / resize / frame-sampling as
+Arrow-batched ``mapInPandas`` stages.
+
+Codec reality: this container ships no image/audio libraries, so the
+*real* decoders are clearly-marked ``NotImplementedError`` stubs
+(plug in PIL/libsndfile/ffmpeg via the ``decoder`` argument in a real
+deployment). The Spark-side plumbing — output schemas, batch iteration,
+multi-row frame explosion, null propagation, partition behavior — is
+real and tested against the deterministic FAKM codec below, which is
+also what the oracle-checked query uses.
+
+Scale shape: every operator is ``mapInPandas`` over Arrow batches — one
+Python worker per core streaming batches, no collect, no driver
+round-trip; media rows stay where they are (no shuffle) unless the
+caller repartitions by a grouping key first. Metadata-only work (size,
+type sniffing) stays JVM-side as plain column expressions.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Per-column metadata key declaring how a binary column is encoded —
+#: the multimodal twin of the governance pack's ``geometri_encoding``.
+MEDIA_ENCODING_KEY = "media_encoding"
+KNOWN_MEDIA_ENCODINGS = ("image", "audio", "video", "wkb", "geotiff", "opaque")
+
+#: Decoded-image metadata struct (one row per image).
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+#: Image feature vector: per-channel means scaled to [0, 1].
+IMAGE_FEATURES_SCHEMA = ArrayType(DoubleType())
+
+
+# --- the deterministic FAKM codec (test/fixture codec) -------------------
+#
+# Layout: b"FAKM" | media_type:1s | width:u32 | height:u32 | channels:u16
+#         | payload bytes (row-major, one byte per sample)
+# A tiny, fully-deterministic container so decode plumbing is testable
+# in environments without codec libraries.
+
+FAKM_MAGIC = b"FAKM"
+_FAKM_HEADER = struct.Struct(">4sc I I H")
+
+
+def fakm_encode(
+    media_type: str, width: int, height: int, channels: int, payload: bytes
+) -> bytes:
+    return (
+        _FAKM_HEADER.pack(
+            FAKM_MAGIC, media_type[:1].encode(), width, height, channels
+        )
+        + payload
+    )
+
+
+def fakm_decode(data: bytes | None) -> dict | None:
+    """Decode one FAKM blob → {media_type, width, height, channels,
+    payload}; None for null/invalid input (decode never throws row-wise)."""
+    if data is None or len(data) < _FAKM_HEADER.size:
+        return None
+    magic, mt, w, h, c = _FAKM_HEADER.unpack(bytes(data[: _FAKM_HEADER.size]))
+    if magic != FAKM_MAGIC:
+        return None
+    return {
+        "media_type": mt.decode(),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "payload": bytes(data[_FAKM_HEADER.size :]),
+    }
+
+
+# --- real-codec stubs (plug in PIL/ffmpeg here) ---------------------------
+
+def decode_image_real(data: bytes | None) -> dict | None:  # pragma: no cover
+    """Real image decode (PNG/JPEG → pixels). STUB: this container has no
+    image codec library; inject this via ``decoder=`` backed by
+    PIL.Image.open in a real deployment."""
+    raise NotImplementedError(
+        "real image decode requires an image codec library (e.g. PIL); "
+        "pass decoder=... or use the FAKM fixture codec"
+    )
+
+
+def decode_audio_real(data: bytes | None) -> dict | None:  # pragma: no cover
+    """Real audio decode (WAV/FLAC → samples). STUB — see decode_image_real."""
+    raise NotImplementedError(
+        "real audio decode requires an audio codec library (e.g. soundfile)"
+    )
+
+
+# --- JVM-side metadata helpers (no Python workers) ------------------------
+
+def media_size(col: str | Column) -> Column:
+    """Payload size in bytes — plain column expression."""
+    return F.length(F.col(col) if isinstance(col, str) else col)
+
+
+def sniff_media_type(col: str | Column) -> Column:
+    """Container sniff from magic bytes, JVM-side (FAKM + common real
+    magics so governance checks can run without decoding)."""
+    c = F.col(col) if isinstance(col, str) else col
+    head = F.hex(F.substring(c, 1, 4))
+    return (
+        F.when(c.isNull(), None)
+        .when(head == F.hex(F.lit(FAKM_MAGIC)), "fakm")
+        .when(head.startswith("89504E47"), "png")
+        .when(head.startswith("FFD8FF"), "jpeg")
+        .when(head == "52494646", "riff")  # wav/avi
+        .when(head.startswith("474954"), "gif")
+        .when(head.startswith("4949") | head.startswith("4D4D"), "tiff")
+        .otherwise("unknown")
+    )
+
+
+def with_media_metadata(df: DataFrame, col: str, encoding: str) -> DataFrame:
+    """Declare a binary column's media encoding in ``StructField.metadata``
+    (the G3 per-column-encoding pattern generalized to media)."""
+    if encoding not in KNOWN_MEDIA_ENCODINGS:
+        raise ValueError(
+            f"unknown media encoding {encoding!r}; expected one of "
+            f"{KNOWN_MEDIA_ENCODINGS}"
+        )
+    meta = dict(df.schema[col].metadata or {})
+    meta[MEDIA_ENCODING_KEY] = encoding
+    return df.withMetadata(col, meta)
+
+
+def media_encoding_of(df: DataFrame, col: str) -> str | None:
+    return (df.schema[col].metadata or {}).get(MEDIA_ENCODING_KEY)
+
+
+# --- mapInPandas operators ------------------------------------------------
+
+Decoder = Callable[[bytes | None], dict | None]
+
+
+def decode_images(
+    df: DataFrame,
+    binary_col: str,
+    decoder: Decoder = fakm_decode,
+    out_col: str = "image_meta",
+) -> DataFrame:
+    """Decode image blobs → metadata struct column, via ``mapInPandas``.
+
+    Output schema = input columns + ``out_col`` struct
+    (width/height/channels/n_pixels); undecodable rows get a null
+    struct. The decoder runs once per row inside Arrow batches; all
+    other columns pass through untouched.
+    """
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, IMAGE_META_SCHEMA)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for data in pdf[binary_col]:
+                d = decoder(data)
+                metas.append(
+                    None
+                    if d is None
+                    else {
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "n_pixels": d["width"] * d["height"],
+                    }
+                )
+            out = pdf.copy()
+            out[out_col] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def extract_image_features(
+    df: DataFrame,
+    binary_col: str,
+    decoder: Decoder = fakm_decode,
+    out_col: str = "features",
+) -> DataFrame:
+    """Per-channel mean intensity in [0,1] as ``array<double>`` — the
+    cheap content-feature stage ahead of embedding models. Null for
+    undecodable rows."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IMAGE_FEATURES_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf[binary_col]:
+                d = decoder(data)
+                if d is None or not d["payload"] or d["channels"] == 0:
+                    feats.append(None)
+                    continue
+                payload, ch = d["payload"], d["channels"]
+                sums = [0] * ch
+                counts = [0] * ch
+                for i, b in enumerate(payload):
+                    sums[i % ch] += b
+                    counts[i % ch] += 1
+                feats.append(
+                    [round(s / c / 255.0, 9) if c else 0.0 for s, c in zip(sums, counts)]
+                )
+            out = pdf.copy()
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    width: int,
+    height: int,
+    decoder: Decoder = fakm_decode,
+    out_col: str = "resized",
+) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded with the same codec (FAKM in
+    tests; a real deployment injects a PIL-backed decoder/encoder).
+    Demonstrates the binary→binary transform shape."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for data in pdf[binary_col]:
+                d = decoder(data)
+                if d is None:
+                    out_bytes.append(None)
+                    continue
+                w0, h0, ch = d["width"], d["height"], d["channels"]
+                src = d["payload"]
+                row_stride = w0 * ch
+                resized = bytearray()
+                for y in range(height):
+                    sy = min(int(y * h0 / height), max(h0 - 1, 0))
+                    for x in range(width):
+                        sx = min(int(x * w0 / width), max(w0 - 1, 0))
+                        off = sy * row_stride + sx * ch
+                        resized += src[off : off + ch]
+                out_bytes.append(
+                    fakm_encode(d["media_type"], width, height, ch, bytes(resized))
+                )
+            out = pdf.copy()
+            out[out_col] = out_bytes
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str,
+    id_cols: list[str],
+    every_n: int = 2,
+    decoder: Decoder = fakm_decode,
+) -> DataFrame:
+    """Video → frame rows: one output row per sampled frame (every
+    ``every_n``-th), exploding inside ``mapInPandas`` so a 10k-frame
+    video never materializes as a single array value.
+
+    FAKM videos store frames as consecutive ``width×height×channels``
+    planes; a real deployment injects an ffmpeg-backed decoder with the
+    same contract (payload = concatenated frames).
+    """
+    out_schema = StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            StructField("frame_index", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in id_cols}
+            rows["frame_index"] = []
+            rows["frame"] = []
+            for _, r in pdf.iterrows():
+                d = decoder(r[binary_col])
+                if d is None:
+                    continue
+                frame_size = d["width"] * d["height"] * d["channels"]
+                if frame_size == 0:
+                    continue
+                n_frames = len(d["payload"]) // frame_size
+                for i in range(0, n_frames, every_n):
+                    for c in id_cols:
+                        rows[c].append(r[c])
+                    rows["frame_index"].append(i)
+                    rows["frame"].append(
+                        fakm_encode(
+                            "i",
+                            d["width"],
+                            d["height"],
+                            d["channels"],
+                            d["payload"][i * frame_size : (i + 1) * frame_size],
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)

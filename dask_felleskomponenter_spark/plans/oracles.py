@@ -440,3 +440,16 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
 FROM staging WHERE update_type <> 'delete'
 ORDER BY o_orderkey
 """
+
+ORACLES["multimodal_decode_profile"] = """
+SELECT
+  doc_id,
+  'fakm' AS container,
+  octet_length(encode(text)) % 64 + 1 AS width,
+  octet_length(encode(text)) % 48 + 1 AS height,
+  3 AS channels,
+  CAST((octet_length(encode(text)) % 64 + 1) AS BIGINT)
+    * (octet_length(encode(text)) % 48 + 1) AS n_pixels
+FROM documents
+ORDER BY doc_id
+"""

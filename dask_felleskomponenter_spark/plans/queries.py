@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -645,6 +646,48 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LLM-pipeline: multimodal columns ------------------------------------
+
+def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, oracle-checked end-to-end: documents →
+    deterministic FAKM image blobs (pandas-UDF encode) → ``mapInPandas``
+    decode (``functions/multimodal.py``) → metadata projection.
+
+    The oracle recomputes width/height/n_pixels arithmetically from
+    ``octet_length(text)``, so any defect in the binary header layout,
+    endianness, batch iteration, or null propagation breaks hash parity.
+    Media rows never shuffle — encode and decode are map-only stages."""
+    from dask_felleskomponenter_spark.functions.multimodal import (
+        decode_images,
+        fakm_encode,
+        sniff_media_type,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def to_fakm(text: pd.Series) -> pd.Series:
+        def enc(t):
+            if t is None:
+                return None
+            payload = t.encode("utf-8")
+            n = len(payload)
+            return fakm_encode("i", n % 64 + 1, n % 48 + 1, 3, payload)
+
+        return text.apply(enc)
+
+    imgs = docs.select("doc_id", to_fakm("text").alias("img"))
+    decoded = decode_images(imgs, "img")
+    return decoded.select(
+        "doc_id",
+        sniff_media_type("img").alias("container"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.channels").alias("channels"),
+        F.col("image_meta.n_pixels").alias("n_pixels"),
+    ).orderBy("doc_id")
+
+
 # --- sync: pure-Spark MERGE twin (X2/X3) ---------------------------------
 
 def sync_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,6 +753,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "sync_merge_orders": sync_merge_orders,
+    "multimodal_decode_profile": multimodal_decode_profile,
 }
 
 

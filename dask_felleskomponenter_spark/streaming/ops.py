@@ -1,0 +1,246 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §1.3: batch only);
+this pack is the ``readStream`` re-expression of the engine's event
+operators — the v2 stretch SURVEY.md §7 designates — so the same
+logical pipelines run continuously at cluster scale:
+
+- ``stream_events``: file-source stream with the same nanosecond-
+  timestamp normalization as the batch source layer
+  (``sources/tables.py::load_table``).
+- ``windowed_event_counts``: watermarked tumbling-window counts — the
+  streaming twin of the batch ``tumbling_window_events`` query. Late
+  rows beyond the watermark are dropped; state is bounded by
+  (watermark / slide) windows per key.
+- ``sessionize_events``: session windows via the built-in
+  ``session_window`` (gap-based) — the streaming twin of the batch
+  ``lag_sessionize`` query.
+- ``sessionize_stateful``: the same sessionization as a custom stateful
+  operator on ``applyInPandasWithState`` — the escape hatch shape for
+  semantics the built-in windows can't express (per-key custom state,
+  timeout-driven emission).
+
+Scale: all state is keyed and watermark-bounded; shuffle happens once on
+the grouping key; sinks should be partitioned by window start for
+append-mode compaction. Tests drive these with file sources +
+``availableNow`` triggers and assert exact parity against the batch
+twins — the recommended way to validate streaming semantics without a
+long-running cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Schema of the events table (driver testdata; ts normalized to micros).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event rows from a parquet directory."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    Streaming twin of the batch ``tumbling_window_events`` query: same
+    grouping, same aggregate; the watermark bounds state and defines the
+    late-data cutoff.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user via built-in ``session_window``
+    — sessions close when no event arrives for ``gap``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+#: Output schema of the stateful sessionizer.
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+
+def _make_sessionizer(gap_us: int):
+    """Build the per-user session state machine: accumulate
+    (start, last, count); emit closed sessions when the event-time gap
+    exceeds ``gap_us`` or the state times out between micro-batches."""
+
+    def _sessionize_group(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+        ts_list.sort()
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_list:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+
+        state.update((start_us, last_us, n))
+        # Event-time timeout: flush the open session once the watermark
+        # passes last-event + gap. (ProcessingTimeTimeout would make
+        # availableNow triggers spin micro-batches re-checking wall-clock
+        # timeouts instead of terminating.)
+        timeout_ms = last_us // 1000 + gap_us // 1000
+        watermark_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, watermark_ms + 1))
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return _sessionize_group
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionization on ``applyInPandasWithState``.
+
+    Semantically equivalent to ``sessionize_events`` for in-order data;
+    exists as the template for stateful logic the built-in windows can't
+    express. State per user is three numbers; timeouts flush idle
+    sessions so state never grows unboundedly.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(gap_minutes * 60 * 1_000_000),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion on currently-available
+    data (``availableNow`` trigger) into an in-memory table; returns the
+    materialized result as a batch DataFrame. Test/dev harness — real
+    deployments write Delta/Kafka sinks with the same plan."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if _has_aggregate_complete(stream_df) else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def _has_aggregate_complete(df: DataFrame) -> bool:
+    # session_window/applyInPandasWithState require append; plain
+    # windowed aggregates can use complete for exact test comparisons.
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan and "sessionWindow" not in plan and "FlatMapGroupsInPandasWithState" not in plan

@@ -1,0 +1,120 @@
+"""Multimodal column operator tests (FAKM fixture codec).
+
+The Spark-side plumbing under test is real — mapInPandas schemas, Arrow
+batch iteration, multi-row frame explosion, null propagation — with the
+deterministic FAKM codec standing in for PIL/ffmpeg (not in this
+container; real decoders are clearly-marked stubs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from dask_felleskomponenter_spark.functions.multimodal import (
+    decode_image_real,
+    decode_images,
+    extract_image_features,
+    fakm_decode,
+    fakm_encode,
+    media_encoding_of,
+    resize_images,
+    sample_frames,
+    sniff_media_type,
+    with_media_metadata,
+)
+
+
+def _img(w: int, h: int, ch: int = 1, fill: bytes | None = None) -> bytes:
+    payload = fill if fill is not None else bytes(range(w * h * ch and 1)) * (w * h * ch)
+    return fakm_encode("i", w, h, ch, payload[: w * h * ch])
+
+
+class TestFakmCodec:
+    def test_roundtrip(self):
+        blob = fakm_encode("v", 4, 3, 2, b"\x01" * 24)
+        d = fakm_decode(blob)
+        assert (d["media_type"], d["width"], d["height"], d["channels"]) == ("v", 4, 3, 2)
+        assert d["payload"] == b"\x01" * 24
+
+    def test_invalid_inputs(self):
+        assert fakm_decode(None) is None
+        assert fakm_decode(b"xx") is None
+        assert fakm_decode(b"NOPE" + b"\x00" * 20) is None
+
+    def test_real_decoder_is_marked_stub(self):
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_image_real(b"\x89PNG....")
+
+
+class TestDecodeImages:
+    def test_metadata_and_null_propagation(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(id=1, img=_img(8, 4, 3, b"\x10" * 96)),
+                Row(id=2, img=None),
+                Row(id=3, img=b"garbage-not-fakm"),
+            ]
+        )
+        out = {r["id"]: r["image_meta"] for r in decode_images(df, "img").collect()}
+        assert out[1]["width"] == 8 and out[1]["height"] == 4
+        assert out[1]["channels"] == 3 and out[1]["n_pixels"] == 32
+        assert out[2] is None and out[3] is None
+
+    def test_passthrough_columns_survive(self, spark):
+        df = spark.createDataFrame([Row(id=7, tag="x", img=_img(2, 2))])
+        row = decode_images(df, "img").collect()[0]
+        assert row["id"] == 7 and row["tag"] == "x"
+
+
+class TestFeaturesAndResize:
+    def test_channel_means(self, spark):
+        # channels interleaved: ch0 bytes all 0, ch1 bytes all 255
+        payload = bytes([0, 255] * 6)
+        df = spark.createDataFrame([Row(id=1, img=fakm_encode("i", 3, 2, 2, payload))])
+        feats = extract_image_features(df, "img").collect()[0]["features"]
+        assert feats == [0.0, 1.0]
+
+    def test_resize_dims_and_reencode(self, spark):
+        df = spark.createDataFrame([Row(id=1, img=_img(4, 4, 1, bytes(range(16))))])
+        out = resize_images(df, "img", width=2, height=2).collect()[0]["resized"]
+        d = fakm_decode(out)
+        assert (d["width"], d["height"], d["channels"]) == (2, 2, 1)
+        # nearest-neighbor picks pixels (0,0),(2,0),(0,2),(2,2) = 0,2,8,10
+        assert list(d["payload"]) == [0, 2, 8, 10]
+
+
+class TestSampleFrames:
+    def test_every_n_explosion(self, spark):
+        # video: 2x1 px, 1 channel, 6 frames -> payload 12 bytes
+        video = fakm_encode("v", 2, 1, 1, bytes(range(12)))
+        df = spark.createDataFrame([Row(vid="a", data=video), Row(vid="b", data=None)])
+        rows = sample_frames(df, "data", id_cols=["vid"], every_n=2).collect()
+        assert [(r["vid"], r["frame_index"]) for r in rows] == [
+            ("a", 0), ("a", 2), ("a", 4),
+        ]
+        frame0 = fakm_decode(rows[0]["frame"])
+        assert frame0["payload"] == bytes([0, 1])  # first 2x1 plane
+
+
+class TestMetadataAndSniffing:
+    def test_media_encoding_declaration(self, spark):
+        df = spark.createDataFrame([Row(id=1, img=_img(2, 2))])
+        tagged = with_media_metadata(df, "img", "image")
+        assert media_encoding_of(tagged, "img") == "image"
+        assert media_encoding_of(df, "img") is None
+        with pytest.raises(ValueError, match="unknown media encoding"):
+            with_media_metadata(df, "img", "hologram")
+
+    def test_sniff_magics(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(id=1, b=_img(1, 1)),
+                Row(id=2, b=b"\x89PNG\r\n\x1a\n...."),
+                Row(id=3, b=b"\xff\xd8\xff\xe0...."),
+                Row(id=4, b=b"RIFF....WAVE"),
+                Row(id=5, b=b"whatever"),
+                Row(id=6, b=None),
+            ]
+        )
+        got = {r["id"]: r["t"] for r in df.select("id", sniff_media_type("b").alias("t")).collect()}
+        assert got == {1: "fakm", 2: "png", 3: "jpeg", 4: "riff", 5: "unknown", 6: None}
