@@ -21,11 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dask_felleskomponenter_spark.functions.text import WS_PATTERN, word_shingles  # noqa: F401
 from dask_felleskomponenter_spark.operators.windows import keep_first
-
-#: Split pattern for whitespace tokenization (kept identical across all
-#: text operators so shingles/token-counts agree between modules).
-WS_PATTERN = r"\s+"
 
 
 def content_hash(col: str | Column, num_bits: int = 256) -> Column:
@@ -54,24 +51,6 @@ def exact_dedup(
     return out if hash_out else out.drop(hcol)
 
 
-def word_shingles(text_col: str | Column, k: int = 3, distinct: bool = True) -> Column:
-    """``k``-word shingles of a text column as ``array<string>``.
-
-    Pure higher-order-function expression (split → sliding slice →
-    concat); documents shorter than ``k`` tokens yield a single shingle of
-    the whole text so they still participate in similarity.
-    """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.trim(c), WS_PATTERN)
-    shingled = F.when(
-        F.size(toks) < k, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(k))),
-        )
-    )
-    return F.array_distinct(shingled) if distinct else shingled
 
 
 def minhash_signatures(
@@ -181,6 +160,13 @@ def ngram_jaccard_pairs(
     shingle, count intersections, recover union from per-doc set sizes.
     The only shuffles are the shingle join and the pair aggregation —
     documents sharing no shingle never meet.
+
+    The join carries the exactness-preserving length-ratio prefilter:
+    ``jaccard(A,B) >= t`` implies ``t·|A| <= |B| <= |A|/t`` (since the
+    intersection is at most the smaller set and the union at least the
+    larger), so size-incompatible pairs are pruned inside the join
+    instead of surviving to the aggregation — the candidate-pair blowup
+    on high-frequency shingles is the cost driver at scale.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -191,8 +177,17 @@ def ngram_jaccard_pairs(
 
     a = inv.alias("a")
     b = inv.alias("b")
+    t = float(threshold)
+    size_compatible = (
+        F.col("b._set_size") >= F.col("a._set_size") * F.lit(t)
+    ) & (F.col("b._set_size") * F.lit(t) <= F.col("a._set_size"))
     inter = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._id") < F.col("b._id"))
+            & size_compatible,
+        )
         .groupBy(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
