@@ -109,6 +109,103 @@ def cosine_topk_per_query(
     )
 
 
+def cosine_neardup_pairs(
+    emb_df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (``id_a < id_b``,
+    cosine ≥ threshold) via blocked matrix multiply.
+
+    All-pairs cosine is a dense GEMM, and per-pair JVM expressions (or a
+    naive crossJoin) would evaluate O(n²) dot products row-at-a-time.
+    Instead: vectors are hashed into ``n_blocks`` blocks, every block
+    *pair* becomes one ``applyInPandas`` group holding the two blocks'
+    rows, and the group computes its similarity tile with one
+    numpy ``A @ B.T``. Each vector is replicated to ``n_blocks`` groups
+    per side — the standard O(n·√P) data movement of blocked all-pairs —
+    and no tile ever exceeds (n/n_blocks)² scores in memory. Scale knob:
+    ``n_blocks`` grows with √(cluster cores); skew-free because block
+    assignment is a hash of the id.
+
+    Scores are rounded to 9 decimals *before* thresholding so the
+    accept/reject decision is reproducible across engines (BLAS vs SQL
+    summation order differs in the last ulps).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = emb_df.sparkSession
+    tagged = emb_df.select(
+        F.col(id_col).alias("_id"),
+        as_double_vec(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        ["_b1", "_b2"],
+    )
+    left = pairs.join(tagged, tagged["_blk"] == pairs["_b1"]).select(
+        "_b1", "_b2", "_id", "_v", F.lit("L").alias("_side")
+    )
+    right = pairs.join(tagged, tagged["_blk"] == pairs["_b2"]).select(
+        "_b1", "_b2", "_id", "_v", F.lit("R").alias("_side")
+    )
+    grouped = left.unionByName(right)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField(score_col, DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        lhs = pdf[pdf["_side"] == "L"]
+        rhs = pdf[pdf["_side"] == "R"]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], score_col: []})
+        a_ids = lhs["_id"].to_numpy()
+        b_ids = rhs["_id"].to_numpy()
+        a = np.stack(lhs["_v"].to_numpy())
+        b = np.stack(rhs["_v"].to_numpy())
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        scores = np.round(a @ b.T, 9)
+        ia, ib = np.nonzero(scores >= thr)
+        id_a, id_b = a_ids[ia], b_ids[ib]
+        vals = scores[ia, ib]
+        if pdf["_b1"].iloc[0] == pdf["_b2"].iloc[0]:
+            # same-block tile: both sides hold the same rows, every
+            # unordered pair appears twice — keep the upper triangle
+            # (also drops self-pairs)
+            keep = id_a < id_b
+            id_a, id_b, vals = id_a[keep], id_b[keep], vals[keep]
+        else:
+            # cross-block tile: each unordered pair appears exactly once,
+            # but its side order is block order, not id order — emit in
+            # canonical (lo, hi) id order instead of filtering
+            lo = np.minimum(id_a, id_b)
+            id_b = np.maximum(id_a, id_b)
+            id_a = lo
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, score_col: vals})
+
+    return grouped.groupBy("_b1", "_b2").applyInPandas(tile, schema=out_schema)
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH (driver-side
     constants — tiny, shipped in the plan as literals)."""

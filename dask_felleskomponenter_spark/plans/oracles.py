@@ -453,3 +453,19 @@ SELECT
 FROM documents
 ORDER BY doc_id
 """
+
+ORACLES["neardup_embedding_cosine"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS c9
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c9, 6) AS cosine
+FROM scored
+WHERE c9 >= 0.4
+ORDER BY id_a, id_b
+"""

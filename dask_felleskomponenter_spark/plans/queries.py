@@ -635,6 +635,24 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (threshold 0.4) via
+    the blocked-GEMM all-pairs operator
+    (``operators/similarity.py::cosine_neardup_pairs``): block-pair
+    ``applyInPandas`` tiles, one numpy matmul per tile, O(n·√P) data
+    movement instead of a crossJoin. Oracle: DuckDB all-pairs with the
+    same round-9-then-threshold decision rule."""
+    from dask_felleskomponenter_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbours via sign-LSH bucketing (rows-only:
     the scale path trading recall for a 2^bits candidate reduction)."""
@@ -751,6 +769,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality_profile": text_quality_profile,
     "lang_id_documents": lang_id_documents,
     "cosine_topk_embeddings": cosine_topk_embeddings,
+    "neardup_embedding_cosine": neardup_embedding_cosine,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "sync_merge_orders": sync_merge_orders,
     "multimodal_decode_profile": multimodal_decode_profile,

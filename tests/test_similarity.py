@@ -1,0 +1,56 @@
+"""Blocked all-pairs cosine operator tests — tile correctness against a
+brute-force reference, including the cross-block canonical-ordering
+cases (pair ids in opposite order to their block sides)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+from pyspark.sql import Row
+
+from dask_felleskomponenter_spark.operators.similarity import cosine_neardup_pairs
+
+
+def _brute_force(vecs: dict[int, list[float]], thr: float) -> set[tuple[int, int]]:
+    out = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        c = round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 9)
+        if c >= thr:
+            out.add((a, b))
+    return out
+
+
+def test_blocked_pairs_match_brute_force(spark):
+    rng = random.Random(7)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(8)] for i in range(60)}
+    # plant near-duplicates across arbitrary id distances (and therefore
+    # arbitrary block pairs): slightly perturbed copies
+    for src, dst in [(3, 41), (17, 58), (0, 29)]:
+        vecs[dst] = [x + rng.gauss(0, 0.01) for x in vecs[src]]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_neardup_pairs(df, threshold=0.8, n_blocks=n_blocks).collect()
+        }
+        assert got == _brute_force(vecs, 0.8), f"n_blocks={n_blocks}"
+        assert {(3, 41), (17, 58), (0, 29)} <= got
+
+
+def test_no_self_or_duplicate_pairs(spark):
+    # identical vectors: every pair is a near-dup; each unordered pair
+    # must appear exactly once, no self-pairs
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 2.0, 3.0]) for i in range(10)]
+    )
+    rows = cosine_neardup_pairs(df, threshold=0.99, n_blocks=4).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 45  # C(10,2)
+    assert all(a < b for a, b in pairs)
