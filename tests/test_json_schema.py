@@ -1,0 +1,199 @@
+"""JSON Schema → StructType compiler tests (X1 reference parity).
+
+Pure driver-side — no SparkSession needed. Covers the reference
+semantics (type table, nested/array/enum/const, required-driven
+nullability, $ref local/external/circular, metadata provenance) plus
+the documented extensions (format refinement, map_open_objects,
+type unions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    LongType,
+    MapType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from dask_felleskomponenter_spark.functions.json_schema import (
+    convert_json_schema_to_spark as convert,
+)
+
+
+def test_primitive_type_table():
+    schema = {
+        "type": "object",
+        "properties": {
+            "s": {"type": "string"},
+            "dec": {"type": "decimal"},
+            "num": {"type": "number"},
+            "f": {"type": "float"},
+            "i": {"type": "integer"},
+            "b": {"type": "boolean"},
+            "ts": {"type": "timestamp"},
+            "d": {"type": "date"},
+        },
+    }
+    st = convert(schema)
+    expect = {
+        "s": StringType(),
+        "dec": DecimalType(),
+        "num": DoubleType(),
+        "f": FloatType(),
+        "i": LongType(),
+        "b": BooleanType(),
+        "ts": TimestampType(),
+        "d": DateType(),
+    }
+    assert {f.name: f.dataType for f in st.fields} == expect
+
+
+def test_required_drives_nullability():
+    schema = {
+        "type": "object",
+        "required": ["a"],
+        "properties": {"a": {"type": "string"}, "b": {"type": "string"}},
+    }
+    st = convert(schema)
+    assert st["a"].nullable is False and st["b"].nullable is True
+    # enforcement off => everything nullable
+    st2 = convert(schema, enforce_required_field=False)
+    assert st2["a"].nullable is True
+
+
+def test_nested_object_array_enum_const():
+    schema = {
+        "type": "object",
+        "properties": {
+            "nested": {
+                "type": "object",
+                "required": ["x"],
+                "properties": {"x": {"type": "integer"}, "y": {"type": "number"}},
+            },
+            "arr": {"type": "array", "items": {"type": "integer"}},
+            "arr_of_struct": {
+                "type": "array",
+                "items": [{"type": "object", "properties": {"k": {"type": "string"}}}],
+            },
+            "e": {"enum": ["red", "green"]},
+            "c": {"const": "fixed-value"},
+        },
+    }
+    st = convert(schema)
+    assert isinstance(st["nested"].dataType, StructType)
+    assert st["nested"].dataType["x"].dataType == LongType()
+    assert st["nested"].dataType["x"].nullable is False
+    assert st["arr"].dataType == ArrayType(LongType())
+    inner = st["arr_of_struct"].dataType
+    assert isinstance(inner, ArrayType) and isinstance(inner.elementType, StructType)
+    assert st["e"].dataType == StringType()  # enum degrades to string
+    assert "c" not in st.fieldNames()  # const dropped entirely
+
+
+def test_unknown_type_falls_back_to_default():
+    schema = {"type": "object", "properties": {"u": {"type": "uuid"}}}
+    assert convert(schema)["u"].dataType == StringType()
+    assert convert(schema, default_type="integer")["u"].dataType == LongType()
+
+
+def test_field_metadata_provenance():
+    schema = {
+        "type": "object",
+        "properties": {
+            "outer": {
+                "type": "object",
+                "properties": {"inner": {"type": "string", "description": "doc"}},
+            }
+        },
+    }
+    st = convert(schema)
+    inner = st["outer"].dataType["inner"]
+    assert inner.metadata == {"path": "$.outer.inner", "description": "doc"}
+
+
+def test_local_ref_resolution():
+    schema = {
+        "type": "object",
+        "properties": {"addr": {"$ref": "#/$defs/address"}},
+        "$defs": {
+            "address": {
+                "type": "object",
+                "properties": {"street": {"type": "string"}},
+            }
+        },
+    }
+    st = convert(schema)
+    assert isinstance(st["addr"].dataType, StructType)
+    assert st["addr"].dataType["street"].dataType == StringType()
+
+
+def test_external_ref_with_injectable_fetcher_and_memoization():
+    calls = []
+
+    def fetcher(url):
+        calls.append(url)
+        return {
+            "$defs": {"geo": {"type": "object", "properties": {"lat": {"type": "number"}}}}
+        }
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "a": {"$ref": "https://ex.test/s.json#/$defs/geo"},
+            "b": {"$ref": "https://ex.test/s.json#/$defs/geo"},
+        },
+    }
+    st = convert(schema, ref_fetcher=fetcher)
+    assert st["a"].dataType["lat"].dataType == DoubleType()
+    assert calls == ["https://ex.test/s.json"]  # memoized: fetched once
+
+    with pytest.raises(ValueError, match="ref_fetcher"):
+        convert(schema)  # offline compiler refuses to fetch silently
+
+
+def test_circular_ref_cut_to_string():
+    schema = {
+        "type": "object",
+        "properties": {"node": {"$ref": "#/$defs/node"}},
+        "$defs": {
+            "node": {
+                "type": "object",
+                "properties": {"child": {"$ref": "#/$defs/node"}},
+            }
+        },
+    }
+    st = convert(schema, circular_references=["#/$defs/node"])
+    assert st["node"].dataType == StringType()
+
+
+def test_type_union_and_format_refinement():
+    schema = {
+        "type": "object",
+        "properties": {
+            "maybe": {"type": ["string", "null"]},
+            "when": {"type": "string", "format": "date-time"},
+            "day": {"type": "string", "format": "date"},
+        },
+    }
+    st = convert(schema)
+    assert st["maybe"].dataType == StringType()
+    assert st["when"].dataType == TimestampType()
+    assert st["day"].dataType == DateType()
+
+
+def test_map_open_objects_extension():
+    schema = {"type": "object", "properties": {"bag": {"type": "object"}}}
+    # reference behavior: open object degrades to default scalar
+    assert convert(schema)["bag"].dataType == StringType()
+    # extension: MapType for open-keyed objects
+    assert convert(schema, map_open_objects=True)["bag"].dataType == MapType(
+        StringType(), StringType()
+    )
