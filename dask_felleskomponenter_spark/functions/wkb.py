@@ -129,7 +129,9 @@ def wkb_geom_type_col(col: str | Column, hex_input: bool = False) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if hex_input:
         data = F.unhex(F.upper(c))
-        not_hex = c.isNotNull() & data.isNull()
+        # Spark's unhex left-pads odd-length input; bytes.fromhex (the
+        # reference semantics) rejects it — treat odd length as not-hex.
+        not_hex = c.isNotNull() & (data.isNull() | (F.length(c) % 2 != 0))
     else:
         data = c
         not_hex = F.lit(False)
