@@ -150,9 +150,17 @@ def cosine_neardup_pairs(
         as_double_vec(vec_col).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        ["_b1", "_b2"],
+    # Block-pair table generated JVM-side with spark.range:
+    # createDataFrame would round-trip pickled rows through a driver temp
+    # file, which measures 10-20s in long-lived sessions under shuffle
+    # I/O pressure — for 36 rows.
+    pairs = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("long").alias("_b1"),
+            F.pmod(F.col("id"), n_blocks).alias("_b2"),
+        )
+        .filter(F.col("_b1") <= F.col("_b2"))
     )
     left = pairs.join(tagged, tagged["_blk"] == pairs["_b1"]).select(
         "_b1", "_b2", "_id", "_v", F.lit("L").alias("_side")
