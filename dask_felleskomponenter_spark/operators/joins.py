@@ -61,3 +61,75 @@ def anti_join(
 ) -> DataFrame:
     """Rows of ``left`` with no match in ``right`` (NOT EXISTS)."""
     return equi_join(left, right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: every ``left`` row, joined to the *latest* ``right``
+    row with the same key and ``right_ts <= left_ts`` (ASOF LEFT JOIN).
+
+    Spark has no native as-of join; the naive shapes are a range join
+    (pair blowup on dense keys) or per-row subqueries. This is the
+    interleaved-stream form instead: union both sides ordered by
+    ``(ts, side)`` — build rows sorting *before* probe rows at equal
+    timestamps, giving ``<=`` semantics — then carry the most recent
+    build row forward with one running ``last(ignorenulls)`` window.
+    Cost is ONE shuffle on the key plus a linear in-partition sort; no
+    pair amplification no matter how dense either side is, which is what
+    makes it survive 100 TB event streams.
+
+    Build rows are carried as a single struct so a build row whose value
+    columns are NULL still *wins* the as-of race (matching SQL ASOF
+    semantics, where the latest row matches regardless of its payload).
+    Right rows should be unique per (key, right_ts) — pre-dedup for
+    deterministic results, as with any as-of engine.
+
+    Matched value columns land as ``{prefix}{col}``; unmatched probe
+    rows keep NULLs there (LEFT semantics).
+    """
+    from pyspark.sql import Window
+
+    key_cols = list(on)
+    out_cols = list(left.columns)
+
+    probe = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{c}: {dict(right.dtypes)[c]}" for c in value_cols
+            )
+            + ">"
+        )
+        .alias("_asof_val"),
+    )
+    build = right.select(
+        *[F.col(k) for k in key_cols],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_asof_val"),
+    )
+    stream = probe.unionByName(build, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = stream.withColumn(
+        "_asof_match", F.last("_asof_val", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_asof_side") == 1).select(
+        *[F.col(c) for c in out_cols],
+        *[F.col("_asof_match")[c].alias(f"{prefix}{c}") for c in value_cols],
+    )

@@ -469,3 +469,22 @@ FROM scored
 WHERE c9 >= 0.4
 ORDER BY id_a, id_b
 """
+
+ORACLES["asof_last_error_before_click"] = """
+WITH errors_dedup AS (
+  SELECT user_id, ts AS err_ts, event_id, value
+  FROM events
+  WHERE event_type = 'error'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id,
+       c.user_id,
+       e.event_id AS err_event_id,
+       e.value AS err_value
+FROM clicks c
+ASOF LEFT JOIN errors_dedup e
+  ON c.user_id = e.user_id AND e.err_ts <= c.ts
+ORDER BY c.event_id
+"""

@@ -664,6 +664,49 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- as-of join ----------------------------------------------------------
+
+def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF LEFT JOIN: for every click event, the latest error event of
+    the same user at or before it (click-to-error attribution).
+
+    Runs on the interleaved-stream as-of operator
+    (``operators/joins.py::asof_join``): one shuffle on ``user_id``, a
+    linear in-partition sort, zero pair amplification — the shape that
+    survives dense event streams, vs a range join's blowup. The build
+    side is pre-deduped per (user_id, ts) keeping the max event_id so
+    the as-of winner is well-defined on both engines; the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from dask_felleskomponenter_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    errors_dedup = (
+        errors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    joined = asof_join(
+        clicks,
+        errors_dedup.withColumnRenamed("ts", "err_ts"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        value_cols=["event_id", "value"],
+        prefix="err_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("err_event_id"),
+        F.col("err_value"),
+    ).orderBy("event_id")
+
+
 # --- LLM-pipeline: multimodal columns ------------------------------------
 
 def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,6 +788,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
     "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
+    "asof_last_error_before_click": asof_last_error_before_click,
     "agg_orders_stats": agg_orders_stats,
     "agg_rollup_status_priority": agg_rollup_status_priority,
     "agg_approx_distinct": agg_approx_distinct,

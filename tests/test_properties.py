@@ -232,3 +232,47 @@ def test_merge_upsert_matches_model(spark):
     staging = spark.createDataFrame(staging_rows, ["id", "val", "update_type"])
     got = {r["id"]: r["val"] for r in merge_upsert(target, staging, ["id"]).collect()}
     assert got == model
+
+
+def test_asof_join_semantics(spark):
+    """<=-inclusive as-of matching, null-payload build rows winning the
+    race, LEFT semantics for unmatched keys."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.joins import asof_join
+
+    probe = spark.createDataFrame(
+        [
+            Row(pid=1, k=1, t=10),
+            Row(pid=2, k=1, t=20),   # equal ts as a build row -> matches it (<=)
+            Row(pid=3, k=1, t=5),    # before any build row -> NULL
+            Row(pid=4, k=2, t=100),  # key with no build rows -> NULL
+        ]
+    )
+    build = spark.createDataFrame(
+        [
+            Row(k=1, bt=8, v="early"),
+            Row(k=1, bt=20, v=None),   # null payload must still WIN at t>=20
+            Row(k=1, bt=15, v="mid"),
+        ]
+    )
+    out = {
+        r["pid"]: r["asof_v"]
+        for r in asof_join(
+            probe, build, on=["k"], left_ts="t", right_ts="bt", value_cols=["v"]
+        ).collect()
+    }
+    assert out == {1: "early", 2: None, 3: None, 4: None}
+
+    # distinguish "matched a null-payload row" from "no match": carry a
+    # build-side key column as a value too
+    out2 = {
+        r["pid"]: (r["asof_bt"], r["asof_v"])
+        for r in asof_join(
+            probe, build, on=["k"], left_ts="t", right_ts="bt",
+            value_cols=["bt", "v"],
+        ).collect()
+    }
+    assert out2[2] == (20, None)     # matched the ts-20 null-payload row
+    assert out2[3] == (None, None)   # genuinely unmatched
+    assert out2[1] == (8, "early")
