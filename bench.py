@@ -43,9 +43,32 @@ def main() -> None:
         else list(QUERIES.keys())
     )
 
-    # Warm the JVM + parquet footer caches so per-query times measure the
-    # queries, not session spin-up.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM so per-query times measure the queries, not session
+    # spin-up: parquet reader + footer cache, whole-stage-codegen
+    # compilation for agg/join/window, and the Arrow/pandas-UDF worker
+    # path (first pandas stage pays Arrow init + worker spawn).
+    import pandas as pd  # noqa: F401 - resolved by the UDF type hints
+    from pyspark.sql import functions as F
+
+    globals()["pd"] = pd
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_name")
+        .count()
+        .orderBy("r_name")
+        .count()
+    )
+
+    @F.pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    nation.select(_warm(F.col("n_nationkey"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:
