@@ -488,3 +488,10 @@ ASOF LEFT JOIN errors_dedup e
   ON c.user_id = e.user_id AND e.err_ts <= c.ts
 ORDER BY c.event_id
 """
+
+ORACLES["set_intersect_buyers"] = """
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY c_custkey
+"""

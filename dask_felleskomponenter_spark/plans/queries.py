@@ -392,6 +392,19 @@ def set_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.exceptAll(active.distinct()).distinct().orderBy("c_custkey")
 
 
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers that placed both an urgent-priority
+    and a low-priority order."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return urgent.intersect(low).orderBy("c_custkey")
+
+
 # --- scalar function families -------------------------------------------
 
 def string_fns_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +811,7 @@ QUERIES: dict[str, QueryFn] = {
     "topk_expensive_orders": topk_expensive_orders,
     "set_union_segments": set_union_segments,
     "set_except_inactive": set_except_inactive,
+    "set_intersect_buyers": set_intersect_buyers,
     "string_fns_documents": string_fns_documents,
     "date_fns_events": date_fns_events,
     "tumbling_window_events": tumbling_window_events,

@@ -7,6 +7,7 @@ from dask_felleskomponenter_spark.streaming.ops import (
     run_to_memory_sink,
     sessionize_events,
     sessionize_stateful,
+    stream_dedup,
     stream_events,
     windowed_event_counts,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "run_to_memory_sink",
     "sessionize_events",
     "sessionize_stateful",
+    "stream_dedup",
     "stream_events",
     "windowed_event_counts",
 ]

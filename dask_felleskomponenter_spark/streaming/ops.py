@@ -220,6 +220,24 @@ def sessionize_stateful(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: first occurrence per key wins,
+    duplicate arrivals within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state is bounded by the duplicate-arrival
+    window instead of growing with total distinct keys — the streaming
+    twin of the batch ``exact_dedup`` operator (hash the content column
+    first for fixed-width state, as in ``operators/dedup.py``).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -1,0 +1,68 @@
+"""Physical-plan regression tests.
+
+Lock in the plan properties the 100 TB posture depends on: predicates
+reaching the parquet scan, dimension joins broadcasting, no Python
+evaluation nodes in pure-relational queries. If a refactor silently
+turns a broadcast join into a shuffle or lifts a filter off the scan,
+these fail before any benchmark does.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from dask_felleskomponenter_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_customers"]
+)
+def test_tpch_joins_broadcast_and_push_filters(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    # dim-sized sides must never sort-merge at these scales
+    assert "SortMergeJoin" not in plan
+    pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
+    assert pushed, "no predicates reached the parquet scans"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "window_topn_orders_per_customer", "dedup_exact_docs"],
+)
+def test_relational_queries_have_no_python_nodes(spark, name):
+    plan = plan_of(spark, name)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, f"{name} contains Python node {node}"
+
+
+def test_scan_prunes_columns(spark):
+    # q1 touches 7 of lineitem's 16 columns; the scan schema must shrink
+    plan = plan_of(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert 0 < len(cols) <= 7, cols
+    assert "l_comment" not in cols
+
+
+def test_exact_dedup_shuffles_on_hash_not_content(spark):
+    # the dedup window partitions on the sha2 hash, so the exchange key
+    # must be the hash column, not the document text
+    plan = plan_of(spark, "dedup_exact_docs")
+    m = re.search(r"hashpartitioning\(([^,]+)", plan)
+    assert m, "no hash exchange in dedup plan"
+    assert "sha2" in m.group(1) or "_content_sha" in m.group(1), m.group(1)

@@ -106,3 +106,25 @@ def test_stateful_sessionizer_matches_batch_gap_split(spark, events_dir, tmp_pat
          for r in closed_batch.collect()}
     assert b <= g  # every batch-closed session was emitted by the stream
     assert len(g) > 0
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "dup_events")
+    rows = [
+        Row(event_id=1, ts=datetime(2024, 1, 1, 0, 0), key="a"),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 0, 5), key="a"),
+        Row(event_id=3, ts=datetime(2024, 1, 1, 0, 10), key="b"),
+        Row(event_id=4, ts=datetime(2024, 1, 1, 0, 15), key="a"),
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("event_id long, ts timestamp, key string").parquet(src)
+    deduped = stream_dedup(stream, ["key"], ts_col="ts", watermark="1 hour")
+    got = run_to_memory_sink(deduped, "dedup_stream", str(tmp_path / "ckpt"))
+    keys = sorted(r["key"] for r in got.collect())
+    assert keys == ["a", "b"]  # duplicates of 'a' within the watermark dropped
