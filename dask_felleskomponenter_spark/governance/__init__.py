@@ -30,6 +30,7 @@ __all__ = [
     "MEDALJONGNIVAA",
     "CodelistEntry",
     "MetadataError",
+    "errors_to_df",
     "TableMetadata",
     "CODELIST_URLS",
     "DEFAULT_REGISTRY",

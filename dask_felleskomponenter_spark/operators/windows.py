@@ -63,7 +63,7 @@ def lag_sessionize(
     Classic two-window formulation (lag → boundary flag → running sum),
     one shuffle on ``user_col``. The batch twin of what
     ``F.session_window`` / ``applyInPandasWithState`` does in streaming
-    (see ``streaming/sessions.py``).
+    (see ``streaming/ops.py``).
     """
     order_w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(order_w)

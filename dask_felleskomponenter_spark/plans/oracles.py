@@ -481,8 +481,8 @@ WITH errors_dedup AS (
 )
 SELECT c.event_id,
        c.user_id,
-       e.event_id AS err_event_id,
-       e.value AS err_value
+       COALESCE(e.event_id, -1) AS err_event_id,
+       COALESCE(ROUND(e.value, 6), -1.0) AS err_value
 FROM clicks c
 ASOF LEFT JOIN errors_dedup e
   ON c.user_id = e.user_id AND e.err_ts <= c.ts

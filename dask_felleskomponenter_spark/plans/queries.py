@@ -712,11 +712,14 @@ def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["event_id", "value"],
         prefix="err_",
     )
+    # Sentinels instead of NULLs for unmatched probes: the driver's
+    # row comparator totally orders tuples, and NULL-bearing columns
+    # make that ordering engine-dependent.
     return joined.select(
         "event_id",
         "user_id",
-        F.col("err_event_id"),
-        F.col("err_value"),
+        F.coalesce(F.col("err_event_id"), F.lit(-1)).alias("err_event_id"),
+        F.coalesce(F.round("err_value", 6), F.lit(-1.0)).alias("err_value"),
     ).orderBy("event_id")
 
 

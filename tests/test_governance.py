@@ -200,3 +200,27 @@ def test_tblproperties_store_roundtrip(spark, tmp_path):
     assert got[("geometri", "epsg")] == "25835"
     assert got[("geometri", "geometri_encoding")] == "wkt"
     assert ("id", None) in {(r["column_name"], r["tag_name"]) for r in cm.collect()}
+
+
+def test_errors_to_df_materializes_findings(spark):
+    from dask_felleskomponenter_spark.governance import (
+        CodelistEntry,
+        MetadataError,
+        errors_to_df,
+    )
+
+    errors = [
+        MetadataError("c", "s", "t", None, "missing tittel",
+                      "ALTER TABLE c.s.t SET TAGS ('tittel' = '<val>')",
+                      "tittel", "any string"),
+        MetadataError("c", "s", "t", "geom", "bad encoding", None,
+                      "geometri_encoding",
+                      [CodelistEntry("wkb"), CodelistEntry("wkt")]),
+    ]
+    df = errors_to_df(spark, errors)
+    rows = {r["for_field"]: r for r in df.collect()}
+    assert rows["tittel"]["valid_values"] == "any string"
+    assert "wkb" in rows["geometri_encoding"]["valid_values"]
+    assert rows["geometri_encoding"]["column"] == "geom"
+    # empty finding lists still yield a typed, writable frame
+    assert errors_to_df(spark, []).count() == 0

@@ -32,7 +32,10 @@ def _normalize(rows: list[dict], cols: list[str]) -> list[tuple]:
 
     ordered_cols = sorted(cols)
     return sorted(
-        tuple(norm_val(r[c]) for c in ordered_cols) for r in rows
+        (tuple(norm_val(r[c]) for c in ordered_cols) for r in rows),
+        # None-safe total order: LEFT-join queries carry NULL columns and
+        # plain tuple comparison raises TypeError on None vs int
+        key=lambda t: tuple((x is None, repr(x)) for x in t),
     )
 
 
