@@ -495,3 +495,14 @@ INTERSECT
 SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '5-LOW'
 ORDER BY c_custkey
 """
+
+ORACLES["agg_cube_segment_status"] = """
+SELECT
+  COALESCE(c_mktsegment, 'ALL') AS segment,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+ORDER BY segment, status
+"""

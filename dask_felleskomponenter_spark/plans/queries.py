@@ -292,6 +292,29 @@ def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, orderstatus) — all 2² grouping sets in one
+    pass (partial aggregation expands grouping ids map-side; one
+    shuffle). Completes the grouping-sets surface next to ROLLUP."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        joined.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dmoney("o_totalprice")).cast("double").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "sum_total",
+        )
+        .orderBy("segment", "status")
+    )
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct counts (rows-only check: DuckDB's
     approx algorithm differs, so exact hash parity is not expected).
@@ -807,6 +830,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_last_error_before_click": asof_last_error_before_click,
     "agg_orders_stats": agg_orders_stats,
     "agg_rollup_status_priority": agg_rollup_status_priority,
+    "agg_cube_segment_status": agg_cube_segment_status,
     "agg_approx_distinct": agg_approx_distinct,
     "window_topn_orders_per_customer": window_topn_orders_per_customer,
     "window_lag_sessionize": window_lag_sessionize,
