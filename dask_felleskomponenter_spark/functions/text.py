@@ -112,8 +112,10 @@ def language_id(col: str | Column) -> Column:
                 F.lit(lang).alias("lang"),
             )
         )
-    # array_max on struct uses lexicographic (hits, lang) ordering; with
-    # reversed lang sort we prefer the alphabetically-first code on ties.
+    # array_max on struct uses lexicographic (hits, lang) ordering, so
+    # equal hit-counts prefer the lexicographically LARGEST language code
+    # ('fr' beats 'en'); the DuckDB oracle encodes the same largest-wins
+    # rule in its CASE ordering.
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
@@ -233,4 +235,23 @@ def rolling_fingerprint(col: str | Column, window: int = 8, keep: int = 4) -> Co
     """
     shingled = word_shingles(_c(col), k=window, distinct=False)
     hashed = F.array_sort(F.transform(shingled, lambda s: F.xxhash64(s)))
+    return F.slice(hashed, 1, keep)
+
+
+def rolling_fingerprint_md5(
+    col: str | Column, window: int = 8, keep: int = 4
+) -> Column:
+    """Winnowing fingerprint with md5-hex shingle hashes instead of
+    ``xxhash64``: identical selection semantics (the ``keep`` smallest
+    hashes of ``window``-token shingles, sorted), but the hash family is
+    available verbatim in DuckDB so the result is oracle-checkable.
+    Hex strings order identically under Spark's and SQL's binary
+    collation, so "smallest k" agrees across engines.
+
+    Scale note: ``rolling_fingerprint`` (8-byte longs, xxhash64) is the
+    production path; this twin exists for differential verification and
+    costs ~4× the fingerprint bytes.
+    """
+    shingled = word_shingles(_c(col), k=window, distinct=False)
+    hashed = F.array_sort(F.transform(shingled, lambda s: F.md5(s)))
     return F.slice(hashed, 1, keep)

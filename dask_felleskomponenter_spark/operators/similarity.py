@@ -232,6 +232,38 @@ def signbit_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the sign-LSH bucket id as a regular column — the
+    materialization step of the ANN scale path.
+
+    At 100 TB this DataFrame is what gets *written*, partitioned (or
+    bucketed) by ``bucket_col``, so every later query is a
+    partition-pruned read of one bucket instead of recomputing ``bits``
+    dot products per row per query. Queries then filter the precomputed
+    column (see ``plans/queries.py::ann_lsh_bucketed``).
+    """
+    planes = random_hyperplanes(dim, bits, seed)
+    return df.withColumn(bucket_col, signbit_bucket(as_double_vec(vec_col), planes))
+
+
+def query_bucket(query_vec: list[float], bits: int = 8, seed: int = 42) -> int:
+    """Driver-side sign-LSH bucket id of a literal query vector (same
+    hyperplane family as ``with_lsh_bucket``)."""
+    planes = random_hyperplanes(len(query_vec), bits, seed)
+    b = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * float(p) for a, p in zip(query_vec, plane)) >= 0:
+            b += 2**i
+    return b
+
+
 def lsh_bucketed_cosine_topk(
     emb_df: DataFrame,
     query_vec: list[float],
@@ -243,15 +275,19 @@ def lsh_bucketed_cosine_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scan to the query's sign-LSH
-    bucket. At scale the bucket id is precomputed and the table is
-    partitioned/bucketed by it, turning this into a single-partition read.
+    bucket.
+
+    Convenience form over an *unbucketed* table — it attaches the bucket
+    column on the fly via ``with_lsh_bucket`` and filters it. The scale
+    path precomputes ``with_lsh_bucket`` once at write time and filters
+    the stored column (single-bucket partition-pruned read); this helper
+    exists so small/ad-hoc tables don't need the materialization step.
     """
-    planes = random_hyperplanes(len(query_vec), bits, seed)
-    v = as_double_vec(vec_col)
-    q_bucket = 0
-    for i, plane in enumerate(planes):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
-        if d >= 0:
-            q_bucket += 2**i
-    in_bucket = emb_df.filter(signbit_bucket(v, planes) == F.lit(q_bucket))
+    bucketed = with_lsh_bucket(
+        emb_df, len(query_vec), bits, vec_col, "_lsh_bucket", seed
+    )
+    q_bucket = query_bucket(query_vec, bits, seed)
+    in_bucket = bucketed.filter(F.col("_lsh_bucket") == F.lit(q_bucket)).drop(
+        "_lsh_bucket"
+    )
     return cosine_topk(in_bucket, query_vec, k, id_col, vec_col, score_col)

@@ -13,9 +13,8 @@ The twin rules that make hash-parity hold:
 - rankings over computed doubles rank on the rounded value + id.
 
 Queries deliberately absent (rows-only checks): agg_approx_distinct
-(different HLL implementations), neardup_minhash_lsh / simhash_documents /
-fingerprint_documents (xxhash64 has no DuckDB twin), ann_lsh_bucketed
-(approximate by design).
+(different HLL implementations), neardup_minhash_lsh / simhash_documents
+(xxhash64 has no DuckDB twin), ann_lsh_bucketed (approximate by design).
 """
 
 from __future__ import annotations
@@ -260,7 +259,7 @@ ORACLES["json_fns_events"] = """
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
           / COUNT(json_extract_string(props, '$.k')), 6) AS avg_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
@@ -274,7 +273,7 @@ SELECT
   l_linestatus,
   ROUND(SQRT(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)), 6) AS sqrt_qty,
   ROUND(AVG(POW(CAST(l_discount AS DOUBLE), 2.0)), 6) AS avg_disc_sq,
-  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
   ROUND(ABS(MIN(l_extendedprice)), 2) AS abs_min_price
 FROM lineitem
 GROUP BY l_linestatus
@@ -505,4 +504,36 @@ SELECT
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY CUBE (c_mktsegment, o_orderstatus)
 ORDER BY segment, status
+"""
+
+# Winnowing fingerprint twin: same tokenization (trim + \s+ split), same
+# "whole text as one shingle when shorter than the window" rule, same
+# md5-hex hash family and smallest-4 selection as
+# ``functions/text.py::rolling_fingerprint_md5``; exploded to scalar
+# (doc_id, pos, fp_hash) rows with 1-based pos.
+ORACLES["fingerprint_documents"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(
+                     generate_series(1, len(t) - 7),
+                     i -> array_to_string(list_slice(t, i, i + 7), ' '))
+         END AS shingles
+  FROM toks
+),
+fp AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_transform(shingles, s -> md5(s))), 1, 4) AS f
+  FROM sh
+)
+SELECT fp.doc_id,
+       CAST(r.i AS INTEGER) AS pos,
+       fp.f[CAST(r.i AS INTEGER)] AS fp_hash
+FROM fp, (SELECT unnest(generate_series(1, 4)) AS i) r
+WHERE r.i <= len(fp.f)
+ORDER BY doc_id, pos
 """

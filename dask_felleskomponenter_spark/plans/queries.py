@@ -50,7 +50,6 @@ from dask_felleskomponenter_spark.operators.similarity import (
     as_double_vec,
     cosine_topk_per_query,
     l2_norm,
-    lsh_bucketed_cosine_topk,
 )
 from dask_felleskomponenter_spark.sources import load_table
 
@@ -412,7 +411,9 @@ def set_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return cust.exceptAll(active.distinct()).distinct().orderBy("c_custkey")
+    # subtract == EXCEPT DISTINCT — one set-op instead of
+    # exceptAll(...).distinct()
+    return cust.subtract(active).orderBy("c_custkey")
 
 
 def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,11 +605,28 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (rows-only)."""
+    """Winnowing-style rolling-hash fingerprints, exploded to scalar
+    ``(doc_id, pos, fp_hash)`` rows.
+
+    Uses the md5-hex twin (``TX.rolling_fingerprint_md5``) so DuckDB can
+    recompute the exact fingerprint; the xxhash64 production variant
+    (``TX.rolling_fingerprint``) shares the selection logic and is
+    covered by pytest. Scalar output shape because the driver's row
+    comparator totally orders cell values (arrays are unhashable there).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", TX.rolling_fingerprint("text").alias("fingerprint")
-    ).orderBy("doc_id")
+    fp = docs.select(
+        "doc_id", TX.rolling_fingerprint_md5("text").alias("_fp")
+    )
+    return (
+        fp.select("doc_id", F.posexplode("_fp").alias("pos", "fp_hash"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            "fp_hash",
+        )
+        .orderBy("doc_id", "pos")
+    )
 
 
 # --- LLM-pipeline: text analysis ----------------------------------------
@@ -689,14 +707,39 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+#: Embedding dimensionality of the driver's `embeddings` table
+#: (array<float> x 64, constant across scale factors). A schema-level
+#: constant, read once here instead of probing rows at query time — an
+#: ANN query must not run driver-side actions (`.first()`) in its plan-
+#: construction path.
+EMBEDDING_DIM = 64
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbours via sign-LSH bucketing (rows-only:
-    the scale path trading recall for a 2^bits candidate reduction)."""
+    the scale path trading recall for a 2^bits candidate reduction).
+
+    The bucket id is attached as a precomputed column
+    (``with_lsh_bucket``) and the query filters that column — the same
+    plan a bucket-partitioned 100 TB table would produce via partition
+    pruning. No driver-side actions; total ORDER BY for determinism.
+    """
+    from dask_felleskomponenter_spark.operators.similarity import (
+        cosine_topk,
+        query_bucket,
+        with_lsh_bucket,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
-    return lsh_bucketed_cosine_topk(emb, query, k=10, bits=6).select(
-        "vec_id", F.round("cosine", 6).alias("cosine")
+    query = [1.0 if i % 7 == 0 else 0.1 for i in range(EMBEDDING_DIM)]
+    bucketed = with_lsh_bucket(emb, EMBEDDING_DIM, bits=6)
+    in_bucket = bucketed.filter(
+        F.col("lsh_bucket") == F.lit(query_bucket(query, bits=6))
+    ).drop("lsh_bucket")
+    return (
+        cosine_topk(in_bucket, query, k=10)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
     )
 
 

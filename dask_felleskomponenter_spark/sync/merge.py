@@ -12,11 +12,20 @@ Merge semantics being twinned (see ``sync/postgres.py::merge_sql``):
 
 - target row with NO staging match on the keys        → kept as-is
 - target row matched by staging ``update_type='delete'`` → removed
-- target row matched by staging non-delete             → replaced by staging
+- target row matched by staging ``update_type != 'delete'`` → replaced
+- target row matched by staging NULL update_type       → kept as-is
+  (``MATCHED AND ut='delete'`` and ``MATCHED AND ut != 'delete'`` are
+  both NULL-false, so no WHEN branch fires — reference
+  ``sync_df_to_pgdb.py:243-246``)
 - staging non-delete row with no target match          → inserted
-- staging delete row with no target match              → silently ignored
+- staging delete-or-NULL row with no target match      → silently ignored
+  (``NOT MATCHED AND ut != 'delete'`` is NULL-false too)
 - the ``update_type`` column never appears in the result
 - NULL keys never match (SQL equality), on either side
+- duplicate staging key tuples are a caller error: Postgres MERGE
+  raises when one target row matches several staging rows, while the
+  DataFrame twin would silently fan out — opt into
+  ``validate_unique_keys=True`` to get the MERGE-like failure
 
 Shape & scale: one left-anti join (target vs staging keys) plus a
 union — the anti join shuffles on the merge keys only and AQE turns it
@@ -37,12 +46,21 @@ def merge_upsert(
     staging: DataFrame,
     keys: Sequence[str],
     update_type_col: str = "update_type",
+    validate_unique_keys: bool = False,
 ) -> DataFrame:
     """Apply a staging delta to a target DataFrame with MERGE semantics.
 
     ``staging`` must carry ``update_type_col``; rows with value
-    ``'delete'`` are deletions, anything else is an upsert. Result
-    columns = target columns (the update-type column is dropped).
+    ``'delete'`` are deletions, other non-NULL values are upserts, and
+    NULL fires no MERGE branch at all (matched target rows survive
+    untouched, unmatched NULL rows are not inserted) — matching the
+    reference's ``WHEN MATCHED AND ut = 'delete' / MATCHED AND ut !=
+    'delete' / NOT MATCHED AND ut != 'delete'`` three-valued logic.
+    Result columns = target columns (the update-type column is dropped).
+
+    ``validate_unique_keys=True`` runs one aggregation job over staging
+    and raises if any key tuple occurs twice — the condition under which
+    real Postgres MERGE errors out instead of fanning out.
     """
     if update_type_col not in staging.columns:
         raise ValueError(
@@ -51,13 +69,30 @@ def merge_upsert(
     missing = [k for k in keys if k not in target.columns or k not in staging.columns]
     if missing:
         raise ValueError(f"merge keys absent from target or staging: {missing}")
+    if validate_unique_keys:
+        dup = (
+            staging.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"staging has duplicate merge-key tuples (e.g. {dup[0]}); "
+                "Postgres MERGE would raise on this input"
+            )
 
     # SQL MERGE `ON t.k = s.k` null semantics: NULL never matches, so a
     # null-keyed target row survives and a null-keyed staging upsert
     # inserts. Spark's join condition has the same semantics natively.
     cond = [target[k] == staging[k] for k in keys]
 
-    untouched = target.join(staging, on=cond, how="left_anti")
+    # Only staging rows with a non-NULL update_type can fire a WHEN
+    # MATCHED branch; a NULL-typed staging row must leave its matched
+    # target row in place, so it is excluded from the anti-join side.
+    effective = staging.filter(F.col(update_type_col).isNotNull())
+    untouched = target.join(effective, on=cond, how="left_anti")
     applied = (
         staging.filter(F.col(update_type_col) != F.lit("delete"))
         .select(*target.columns)

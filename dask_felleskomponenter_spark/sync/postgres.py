@@ -79,6 +79,11 @@ class PostgresTargetConfig:
             if k.startswith(prefix)
         }
         env.update(overrides)
+        # Environment values arrive as strings; coerce the int-typed
+        # fields so comparisons like `n > max_connections` don't TypeError.
+        for int_field in ("port", "srid", "max_connections", "batch_size"):
+            if int_field in env and env[int_field] is not None:
+                env[int_field] = int(env[int_field])
         return cls(**env)
 
     @property
