@@ -61,3 +61,46 @@ def test_json_lines(spark, json_file):
     good = df.filter(df[CORRUPT_COL].isNull()).collect()
     assert [(r["id"], r["name"], r["score"]) for r in good] == [(1, "alpha", 0.5)]
     assert df.filter(df[CORRUPT_COL].isNotNull()).count() == 1
+
+
+def test_read_jdbc_partitioned_options():
+    """read_jdbc (S5 read twin) builds a partition-parallel JDBC scan;
+    option-level test mirroring test_sync's no-database style."""
+    from unittest.mock import MagicMock
+
+    from dask_felleskomponenter_spark.sources.files import read_jdbc
+
+    spark = MagicMock()
+    reader = spark.read.format.return_value
+    reader.option.return_value = reader
+
+    df = read_jdbc(
+        spark,
+        "jdbc:postgresql://h:5432/db",
+        "public.tbl",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100_000,
+        num_partitions=16,
+        fetchsize="5000",
+    )
+    spark.read.format.assert_called_once_with("jdbc")
+    opts = dict(c.args for c in reader.option.call_args_list)
+    assert opts["url"] == "jdbc:postgresql://h:5432/db"
+    assert opts["dbtable"] == "public.tbl"
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "0"
+    assert opts["upperBound"] == "100000"
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "5000"
+    reader.load.assert_called_once_with()
+    assert df is reader.load.return_value
+
+
+def test_read_jdbc_partition_column_requires_bounds():
+    from unittest.mock import MagicMock
+
+    from dask_felleskomponenter_spark.sources.files import read_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(MagicMock(), "jdbc:x", "t", partition_column="id")

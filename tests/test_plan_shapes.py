@@ -66,3 +66,54 @@ def test_exact_dedup_shuffles_on_hash_not_content(spark):
     m = re.search(r"hashpartitioning\(([^,]+)", plan)
     assert m, "no hash exchange in dedup plan"
     assert "sha2" in m.group(1) or "_content_sha" in m.group(1), m.group(1)
+
+
+def test_ann_query_construction_runs_no_driver_actions(spark, monkeypatch):
+    # an ANN query's plan construction must be purely lazy — no .first()
+    # probes for the dimension, no .collect() (VERDICT r1 finding)
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # pragma: no cover - only fires on regression
+        raise AssertionError("driver-side action during query construction")
+
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "take", boom)
+    QUERIES["ann_lsh_bucketed"](spark, SF)  # construction only
+
+
+def test_ann_filters_precomputed_bucket_column(spark):
+    # the analyzed plan must filter the lsh_bucket column attached by
+    # with_lsh_bucket — the shape a bucket-partitioned table would prune
+    # on — rather than re-deriving bucket bits inside the filter
+    df = QUERIES["ann_lsh_bucketed"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"Filter \(lsh_bucket#\d+L? = ", analyzed), analyzed[:2000]
+
+
+def test_approx_distinct_within_tolerance(spark):
+    # HLL++ estimates must track exact distinct counts (rsd default 5%;
+    # assert a loose 10% so the test never flakes on data growth)
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources import load_table
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_approx_distinct"](spark, SF).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) <= max(2, 0.1 * e["parts"])
+        assert abs(a["approx_supps"] - e["supps"]) <= max(2, 0.1 * e["supps"])

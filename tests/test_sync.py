@@ -139,6 +139,40 @@ class TestMergeUpsert:
         assert 5 not in ids  # ghost delete never inserted
         assert 3 not in ids  # matched delete removed
 
+    def test_null_update_type_fires_no_branch(self, spark):
+        # MERGE three-valued logic: `ut = 'delete'` and `ut != 'delete'`
+        # are both NULL-false, so a NULL-typed staging row neither
+        # deletes, updates, nor inserts (reference sync_df_to_pgdb.py
+        # :243-248).
+        target = spark.createDataFrame(
+            [Row(id=1, val="keep"), Row(id=2, val="also-keep")]
+        )
+        staging = spark.createDataFrame(
+            [
+                (1, "overwrite-attempt", None),
+                (9, "insert-attempt", None),
+            ],
+            "id bigint, val string, update_type string",
+        )
+        out = merge_upsert(target, staging, keys=["id"])
+        got = {(r["id"], r["val"]) for r in out.collect()}
+        assert got == {(1, "keep"), (2, "also-keep")}
+
+    def test_duplicate_staging_keys_validation(self, spark):
+        target = spark.createDataFrame([Row(id=1, val="a")])
+        staging = spark.createDataFrame(
+            [
+                Row(id=1, val="b", update_type="upsert"),
+                Row(id=1, val="c", update_type="upsert"),
+            ]
+        )
+        with pytest.raises(ValueError, match="duplicate merge-key"):
+            merge_upsert(
+                target, staging, keys=["id"], validate_unique_keys=True
+            )
+        # without opt-in validation the fan-out is the caller's problem
+        assert merge_upsert(target, staging, keys=["id"]).count() == 2
+
     def test_missing_update_type_raises(self, spark):
         target, _ = self._frames(spark)
         with pytest.raises(ValueError, match="update-type"):
