@@ -152,21 +152,36 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (id_a < id_b) with
     ``|A∩B| / |A∪B| >= threshold`` over distinct word shingles.
 
-    Inverted-index shape: explode distinct shingles, equi-join on the
-    shingle, count intersections, recover union from per-doc set sizes.
-    The only shuffles are the shingle join and the pair aggregation —
-    documents sharing no shingle never meet.
+    Postings-list shape: explode distinct shingles, group by shingle
+    into a postings list, generate candidate pairs by a double explode
+    of each list, aggregate intersection counts per pair. One shuffle of
+    the inverted index (the groupBy) instead of the self-join's two,
+    the shingle expression is evaluated once instead of once per join
+    side, and documents sharing no shingle never meet.
 
-    The join carries the exactness-preserving length-ratio prefilter:
-    ``jaccard(A,B) >= t`` implies ``t·|A| <= |B| <= |A|/t`` (since the
-    intersection is at most the smaller set and the union at least the
-    larger), so size-incompatible pairs are pruned inside the join
-    instead of surviving to the aggregation — the candidate-pair blowup
-    on high-frequency shingles is the cost driver at scale.
+    Exactness-preserving prunes applied on the default path:
+    - singleton postings (df = 1) generate no pairs and are dropped
+      *after* set sizes are fixed, so unions still count them;
+    - the length-ratio prefilter: ``jaccard(A,B) >= t`` implies
+      ``t·|A| <= |B| <= |A|/t``, so size-incompatible candidates die
+      before the pair aggregation.
+
+    ``max_shingle_df`` is the hot-shingle cut for pathological data — a
+    boilerplate phrase shared by millions of documents makes any exact
+    scheme quadratic in that shingle's document frequency. When set,
+    shingles with df > cap are removed from the *universe*: both from
+    the index and from the per-document set sizes, so the result is the
+    exact Jaccard over the capped shingle universe (pairs that are
+    similar on distinctive content keep their score; pairs related only
+    through boilerplate drop out). The blacklist is computed with a
+    count aggregate and applied as a broadcast anti-join *before* any
+    postings list materializes, so a df=10M shingle never reaches a
+    ``collect_list`` buffer.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -175,27 +190,45 @@ def ngram_jaccard_pairs(
 
     inv = base.select("_id", "_set_size", F.explode("_sh").alias("_s"))
 
-    a = inv.alias("a")
-    b = inv.alias("b")
-    t = float(threshold)
-    size_compatible = (
-        F.col("b._set_size") >= F.col("a._set_size") * F.lit(t)
-    ) & (F.col("b._set_size") * F.lit(t) <= F.col("a._set_size"))
-    inter = (
-        a.join(
-            b,
-            (F.col("a._s") == F.col("b._s"))
-            & (F.col("a._id") < F.col("b._id"))
-            & size_compatible,
+    if max_shingle_df is not None:
+        # Hot shingles are rare by construction (few shingles exceed any
+        # sane cap), so the blacklist broadcasts and the anti-join is
+        # map-side — no extra shuffle of the index.
+        hot = (
+            inv.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > int(max_shingle_df))
+            .select("_s")
         )
-        .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._set_size").alias("size_a"),
-            F.col("b._set_size").alias("size_b"),
+        inv = inv.join(F.broadcast(hot), on="_s", how="left_anti")
+        # Set sizes over the capped universe (singletons still count —
+        # they are part of every union they appear in).
+        eff = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_eff_size"))
+        inv = inv.drop("_set_size").join(eff, on="_id").withColumnRenamed(
+            "_eff_size", "_set_size"
         )
-        .agg(F.count(F.lit(1)).alias("intersection"))
+
+    postings = inv.groupBy("_s").agg(
+        F.collect_list(F.struct("_id", "_set_size")).alias("_ps")
     )
+
+    t = float(threshold)
+    cands = (
+        postings.filter(F.size("_ps") >= 2)  # singletons cannot pair
+        .select(F.explode("_ps").alias("_x"), "_ps")
+        .select("_x", F.explode("_ps").alias("_y"))
+        .filter(F.col("_x._id") < F.col("_y._id"))
+        .filter(
+            (F.col("_y._set_size") >= F.col("_x._set_size") * F.lit(t))
+            & (F.col("_y._set_size") * F.lit(t) <= F.col("_x._set_size"))
+        )
+    )
+    inter = cands.groupBy(
+        F.col("_x._id").alias("id_a"),
+        F.col("_y._id").alias("id_b"),
+        F.col("_x._set_size").alias("size_a"),
+        F.col("_y._set_size").alias("size_b"),
+    ).agg(F.count(F.lit(1)).alias("intersection"))
     jaccard = F.col("intersection") / (
         F.col("size_a") + F.col("size_b") - F.col("intersection")
     )

@@ -76,6 +76,11 @@ def get_spark(
             "spark.python.worker.reuse",
             os.environ.get("SPARK_GRAFT_PY_WORKER_REUSE", "false"),
         )
+        # The context cleaner only reclaims shuffle files/broadcasts when
+        # driver GC collects their weak refs; with a 16g heap that can be
+        # never in a long session, so disk state accumulates across a
+        # multi-query run. Force a periodic GC (default is 30min).
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

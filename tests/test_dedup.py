@@ -1,0 +1,73 @@
+"""Near-dup dedup operator tests: exact Jaccard postings-list join and
+the hot-shingle document-frequency cut."""
+
+from __future__ import annotations
+
+import pytest
+
+from dask_felleskomponenter_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def _pairs(df, **kw):
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", **kw).collect()
+    }
+
+
+def test_cap_above_max_df_is_identity(spark, sf_dir):
+    """A document-frequency cap no shingle reaches must not change the
+    result (the cut is a pure blacklist, not a rescoring)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _pairs(docs, shingle_size=3, threshold=0.5)
+    capped = _pairs(docs, shingle_size=3, threshold=0.5, max_shingle_df=10**9)
+    assert base == capped
+    assert base, "oracle-checked query should produce pairs at this SF"
+
+
+def test_hot_shingle_cut_preserves_distinctive_pairs(spark):
+    """Every doc shares a boilerplate phrase; A/B also share distinctive
+    content. With the cut, the boilerplate shingles leave the universe:
+    the A-B pair survives on its distinctive overlap while pairs related
+    only through boilerplate drop out."""
+    boiler = "terms of service apply to all"
+    distinct_ab = "quick brown foxes jump over lazy dogs tonight"
+    rows = [
+        (1, f"{distinct_ab} alpha {boiler}"),
+        (2, f"{distinct_ab} omega {boiler}"),
+        (3, f"unrelated text about gardening and soil {boiler}"),
+        (4, f"completely different musings on astronomy {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = _pairs(docs, shingle_size=3, threshold=0.3, max_shingle_df=3)
+    assert (1, 2) in capped
+    # boilerplate-only relations must not survive the cut
+    for bad in [(3, 4), (1, 3), (1, 4), (2, 3), (2, 4)]:
+        assert bad not in capped
+
+    # without the cut the boilerplate inflates every pairing
+    uncapped = _pairs(docs, shingle_size=3, threshold=0.3)
+    assert (1, 2) in uncapped
+
+
+def test_cut_scores_are_exact_on_capped_universe(spark):
+    """With the cap, jaccard = |A∩B| / |A∪B| computed over shingles with
+    df <= cap — verified against a hand-computed value."""
+    # A and B: 6 tokens each -> 4 trigram shingles each, sharing 3;
+    # plus one boilerplate trigram present in all three docs (df=3).
+    a = "w1 w2 w3 w4 w5 bb1 bb2 bb3"
+    b = "w0 w2 w3 w4 w5 bb1 bb2 bb3"
+    c = "zz yy xx bb1 bb2 bb3"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    got = _pairs(docs, shingle_size=3, threshold=0.1, max_shingle_df=2)
+    # capped universe per doc: shingles touching bb* survive if df<=2.
+    # trigrams of a: (w1 w2 w3)(w2 w3 w4)(w3 w4 w5)(w4 w5 bb1)(w5 bb1 bb2)(bb1 bb2 bb3)
+    # df: (bb1 bb2 bb3) appears in all 3 docs -> cut. All others df<=2.
+    # a-set: 5 shingles, b-set: 5 shingles
+    # shared: (w2 w3 w4)(w3 w4 w5)(w4 w5 bb1)(w5 bb1 bb2) = 4
+    # union = 5 + 5 - 4 = 6 -> jaccard = 4/6
+    assert (1, 2) in got
+    assert got[(1, 2)] == pytest.approx(4 / 6)
