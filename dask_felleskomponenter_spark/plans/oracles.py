@@ -506,6 +506,36 @@ GROUP BY CUBE (c_mktsegment, o_orderstatus)
 ORDER BY segment, status
 """
 
+# Bounded interval join twin: plain key join + BETWEEN range predicate
+# (DuckDB's planner handles the small scale; the Spark side buckets —
+# same result, different physical strategy). COUNT is BIGINT in DuckDB,
+# matching Spark's long without a cast.
+ORACLES["range_join_error_context"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+),
+ctx AS (
+  SELECT c.event_id,
+         COUNT(*) AS n,
+         ROUND(MAX(e.value), 6) AS mx
+  FROM clicks c
+  JOIN errors e
+    ON c.user_id = e.user_id
+   AND e.ts BETWEEN c.ts - INTERVAL 300 SECOND AND c.ts
+  GROUP BY c.event_id
+)
+SELECT c.event_id,
+       c.user_id,
+       COALESCE(ctx.n, 0) AS n_errors,
+       COALESCE(ctx.mx, -1.0) AS max_err_value
+FROM clicks c
+LEFT JOIN ctx ON c.event_id = ctx.event_id
+ORDER BY c.event_id
+"""
+
 # Winnowing fingerprint twin: same tokenization (trim + \s+ split), same
 # "whole text as one shingle when shorter than the window" rule, same
 # md5-hex hash family and smallest-4 selection as

@@ -789,6 +789,52 @@ def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join: for every click, the count and max value of
+    error events of the same user in the preceding 5 minutes.
+
+    Runs on ``operators/joins.py::interval_join`` — time-bucketed range
+    join (bucket width = range span, each right row in exactly one
+    bucket, each left row probing ≤2) so dense users never amplify
+    quadratically before the range filter. LEFT semantics recovered by
+    aggregating the pairs and re-joining onto the probe side; sentinel
+    values keep the output NULL-free for the driver comparator.
+    """
+    from dask_felleskomponenter_spark.operators.joins import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    pairs = interval_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=-300,
+        upper_seconds=0,
+        value_cols=["value"],
+    )
+    ctx = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.max("rng_value"), 6).alias("_mx"),
+    )
+    return (
+        clicks.join(ctx, on="event_id", how="left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_errors"),
+            F.coalesce(F.col("_mx"), F.lit(-1.0)).alias("max_err_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --- LLM-pipeline: multimodal columns ------------------------------------
 
 def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +917,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_anti_customers": join_anti_customers,
     "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
     "asof_last_error_before_click": asof_last_error_before_click,
+    "range_join_error_context": range_join_error_context,
     "agg_orders_stats": agg_orders_stats,
     "agg_rollup_status_priority": agg_rollup_status_priority,
     "agg_cube_segment_status": agg_cube_segment_status,

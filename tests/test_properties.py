@@ -276,3 +276,52 @@ def test_asof_join_semantics(spark):
     assert out2[2] == (20, None)     # matched the ts-20 null-payload row
     assert out2[3] == (None, None)   # genuinely unmatched
     assert out2[1] == (8, "early")
+
+
+def test_interval_join_matches_naive_model(spark):
+    """Bucketed interval join == brute-force pairs model, including
+    boundary inclusivity and rows that straddle bucket edges."""
+    import datetime as dt
+    import itertools
+    import random
+
+    from dask_felleskomponenter_spark.operators.joins import interval_join
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lefts = [
+        (i, rng.choice(["u1", "u2"]), base + dt.timedelta(seconds=rng.randint(0, 900)))
+        for i in range(40)
+    ]
+    rights = [
+        (100 + i, rng.choice(["u1", "u2"]),
+         base + dt.timedelta(seconds=rng.randint(0, 900)), float(i))
+        for i in range(40)
+    ]
+    # plant exact-boundary cases: right at left_ts-300 and at left_ts
+    lid, user, lts = lefts[0]
+    rights.append((900, user, lts - dt.timedelta(seconds=300), 9.0))
+    rights.append((901, user, lts, 9.5))
+    rights.append((902, user, lts - dt.timedelta(seconds=300, microseconds=1), -9.0))
+
+    ldf = spark.createDataFrame(lefts, "lid bigint, user string, ts timestamp")
+    rdf = spark.createDataFrame(
+        rights, "rid bigint, user string, rts timestamp, value double"
+    )
+    got = {
+        (r["lid"], r["rng_rid"])
+        for r in interval_join(
+            ldf, rdf, on=["user"], left_ts="ts", right_ts="rts",
+            lower_seconds=-300, upper_seconds=0,
+            value_cols=["rid", "value"],
+        ).collect()
+    }
+    want = {
+        (l[0], r[0])
+        for l, r in itertools.product(lefts, rights)
+        if l[1] == r[1]
+        and l[2] - dt.timedelta(seconds=300) <= r[2] <= l[2]
+    }
+    assert got == want
+    assert (lid, 900) in got and (lid, 901) in got  # inclusive bounds
+    assert (lid, 902) not in got  # 1us outside
