@@ -100,22 +100,93 @@ def fakm_decode(data: bytes | None) -> dict | None:
     }
 
 
-# --- real-codec stubs (plug in PIL/ffmpeg here) ---------------------------
+# --- real codecs ----------------------------------------------------------
+#
+# WAV (RIFF/PCM) is implemented for real below — it is a pure
+# header-walk container needing no codec library, so one genuine media
+# format round-trips oracle-checked in any environment. Compressed
+# formats (PNG/JPEG/FLAC/MP4) still require injected libraries.
+
+_RIFF = struct.Struct("<4sI4s")
+_CHUNK = struct.Struct("<4sI")
+_FMT_PCM = struct.Struct("<HHIIHH")
+
+
+def wav_encode(
+    sample_rate: int, channels: int, pcm: bytes, bits_per_sample: int = 16
+) -> bytes:
+    """Canonical 44-byte-header PCM WAV (RIFF little-endian): the actual
+    interchange format, byte-compatible with the stdlib ``wave`` module
+    and any audio tool."""
+    block_align = channels * bits_per_sample // 8
+    byte_rate = sample_rate * block_align
+    fmt = _FMT_PCM.pack(
+        1, channels, sample_rate, byte_rate, block_align, bits_per_sample
+    )
+    body = (
+        _CHUNK.pack(b"fmt ", len(fmt))
+        + fmt
+        + _CHUNK.pack(b"data", len(pcm))
+        + pcm
+    )
+    return _RIFF.pack(b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def decode_audio_wav(data: bytes | None) -> dict | None:
+    """Real WAV decode: RIFF chunk walk → fmt + data. Tolerates extra
+    chunks (LIST/fact/...) in any order, odd-length chunk padding, and
+    truncated input (returns None rather than raising — decode is
+    row-wise total like ``fakm_decode``).
+
+    Returns {media_type:'a', sample_rate, channels, bits_per_sample,
+    n_frames, duration_ms, payload}.
+    """
+    if data is None:
+        return None
+    data = bytes(data)
+    if len(data) < _RIFF.size:
+        return None
+    magic, _size, wave_id = _RIFF.unpack_from(data, 0)
+    if magic != b"RIFF" or wave_id != b"WAVE":
+        return None
+    fmt = None
+    payload = None
+    off = _RIFF.size
+    while off + _CHUNK.size <= len(data):
+        cid, clen = _CHUNK.unpack_from(data, off)
+        off += _CHUNK.size
+        chunk = data[off : off + clen]
+        if cid == b"fmt " and len(chunk) >= _FMT_PCM.size:
+            fmt = _FMT_PCM.unpack_from(chunk, 0)
+        elif cid == b"data":
+            payload = chunk
+        off += clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        return None
+    audio_format, channels, sample_rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or channels == 0 or sample_rate == 0 or bits == 0:
+        return None
+    block_align = channels * bits // 8
+    n_frames = len(payload) // block_align if block_align else 0
+    return {
+        "media_type": "a",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+        "payload": payload,
+    }
+
 
 def decode_image_real(data: bytes | None) -> dict | None:  # pragma: no cover
     """Real image decode (PNG/JPEG → pixels). STUB: this container has no
     image codec library; inject this via ``decoder=`` backed by
-    PIL.Image.open in a real deployment."""
+    PIL.Image.open in a real deployment. (Audio has no such stub —
+    ``decode_audio_wav`` above is a real decoder.)"""
     raise NotImplementedError(
         "real image decode requires an image codec library (e.g. PIL); "
         "pass decoder=... or use the FAKM fixture codec"
-    )
-
-
-def decode_audio_real(data: bytes | None) -> dict | None:  # pragma: no cover
-    """Real audio decode (WAV/FLAC → samples). STUB — see decode_image_real."""
-    raise NotImplementedError(
-        "real audio decode requires an audio codec library (e.g. soundfile)"
     )
 
 
@@ -163,6 +234,53 @@ def media_encoding_of(df: DataFrame, col: str) -> str | None:
 # --- mapInPandas operators ------------------------------------------------
 
 Decoder = Callable[[bytes | None], dict | None]
+
+#: Decoded-audio metadata struct (one row per clip).
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    binary_col: str,
+    decoder: Decoder = decode_audio_wav,
+    out_col: str = "audio_meta",
+) -> DataFrame:
+    """Decode audio blobs → metadata struct column via ``mapInPandas``
+    (real WAV by default). Same batch/null contract as
+    ``decode_images``."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, AUDIO_META_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for data in pdf[binary_col]:
+                d = decoder(data)
+                metas.append(
+                    None
+                    if d is None
+                    else {
+                        "sample_rate": d["sample_rate"],
+                        "channels": d["channels"],
+                        "bits_per_sample": d["bits_per_sample"],
+                        "n_frames": d["n_frames"],
+                        "duration_ms": d["duration_ms"],
+                    }
+                )
+            out = pdf.copy()
+            out[out_col] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def decode_images(

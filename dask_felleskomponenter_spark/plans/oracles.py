@@ -506,6 +506,34 @@ GROUP BY CUBE (c_mktsegment, o_orderstatus)
 ORDER BY segment, status
 """
 
+# Real-WAV multimodal twin: the Spark side encodes text to PCM WAV and
+# chunk-walks it back; the oracle recomputes the same metadata from
+# octet_length with the query's deterministic parameter derivation
+# (channels = L%2+1, rate = 8000 + (L%100)*10, payload zero-padded to a
+# block-align multiple, integer-floor duration).
+ORACLES["multimodal_audio_profile"] = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+),
+c AS (
+  SELECT doc_id, L,
+         L % 2 + 1 AS ch,
+         8000 + (L % 100) * 10 AS sr,
+         2 * (L % 2 + 1) AS blk
+  FROM b
+)
+SELECT doc_id,
+       'riff' AS container,
+       CAST(sr AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST((L + ((blk - L % blk) % blk)) // blk AS BIGINT) AS n_frames,
+       CAST(((L + ((blk - L % blk) % blk)) // blk) * 1000 // sr AS BIGINT)
+         AS duration_ms
+FROM c
+ORDER BY doc_id
+"""
+
 # Bounded interval join twin: plain key join + BETWEEN range predicate
 # (DuckDB's planner handles the small scale; the Spark side buckets —
 # same result, different physical strategy). COUNT is BIGINT in DuckDB,

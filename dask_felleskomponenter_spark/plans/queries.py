@@ -877,6 +877,53 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container multimodal round-trip, oracle-checked: documents →
+    genuine PCM WAV blobs (``wav_encode``: RIFF header byte-compatible
+    with the stdlib ``wave`` module) → ``mapInPandas`` WAV chunk-walk
+    decode (``decode_audio_wav``) → audio metadata projection.
+
+    The oracle recomputes sample-rate/channels/frame/duration metadata
+    arithmetically from ``octet_length(text)``, so a wrong fmt-chunk
+    layout, endianness, block-align padding, or duration rounding breaks
+    hash parity. Unlike the FAKM query this exercises a real interchange
+    format end-to-end."""
+    from dask_felleskomponenter_spark.functions.multimodal import (
+        decode_audio,
+        sniff_media_type,
+        wav_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def to_wav(text: pd.Series) -> pd.Series:
+        def enc(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            n = len(raw)
+            channels = n % 2 + 1
+            sample_rate = 8000 + (n % 100) * 10
+            block = 2 * channels
+            pad = (block - n % block) % block
+            return wav_encode(sample_rate, channels, raw + b"\x00" * pad)
+
+        return text.apply(enc)
+
+    clips = docs.select("doc_id", to_wav("text").alias("wav"))
+    decoded = decode_audio(clips, "wav")
+    return decoded.select(
+        "doc_id",
+        sniff_media_type("wav").alias("container"),
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.channels").alias("channels"),
+        F.col("audio_meta.bits_per_sample").alias("bits_per_sample"),
+        F.col("audio_meta.n_frames").alias("n_frames"),
+        F.col("audio_meta.duration_ms").alias("duration_ms"),
+    ).orderBy("doc_id")
+
+
 # --- sync: pure-Spark MERGE twin (X2/X3) ---------------------------------
 
 def sync_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,6 +995,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "sync_merge_orders": sync_merge_orders,
     "multimodal_decode_profile": multimodal_decode_profile,
+    "multimodal_audio_profile": multimodal_audio_profile,
 }
 
 

@@ -118,3 +118,87 @@ class TestMetadataAndSniffing:
         )
         got = {r["id"]: r["t"] for r in df.select("id", sniff_media_type("b").alias("t")).collect()}
         assert got == {1: "fakm", 2: "png", 3: "jpeg", 4: "riff", 5: "unknown", 6: None}
+
+
+class TestWavCodec:
+    """Real-container codec: cross-validated against the stdlib wave
+    module in both directions (our encoder -> stdlib decoder, stdlib
+    encoder -> our decoder)."""
+
+    def test_our_encode_stdlib_decode(self):
+        import io
+        import wave
+
+        from dask_felleskomponenter_spark.functions.multimodal import wav_encode
+
+        pcm = bytes(range(256)) * 4  # 512 16-bit frames mono
+        blob = wav_encode(11025, 1, pcm)
+        with wave.open(io.BytesIO(blob)) as w:
+            assert w.getframerate() == 11025
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == len(pcm) // 2
+            assert w.readframes(w.getnframes()) == pcm
+
+    def test_stdlib_encode_our_decode(self):
+        import io
+        import wave
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_audio_wav,
+        )
+
+        pcm = b"\x01\x02\x03\x04" * 100
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(pcm)
+        d = decode_audio_wav(buf.getvalue())
+        assert d is not None
+        assert d["sample_rate"] == 44100
+        assert d["channels"] == 2
+        assert d["bits_per_sample"] == 16
+        assert d["n_frames"] == len(pcm) // 4
+        assert d["payload"] == pcm
+
+    def test_decode_tolerates_extra_chunks_and_junk(self):
+        import struct as st
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_audio_wav,
+            wav_encode,
+        )
+
+        pcm = b"\x00\x01" * 10
+        blob = wav_encode(8000, 1, pcm)
+        # splice a LIST chunk (odd length -> exercises word-align pad)
+        # between the RIFF header and fmt chunk
+        extra = st.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+        spliced = blob[:12] + extra + blob[12:]
+        d = decode_audio_wav(spliced)
+        assert d is not None and d["n_frames"] == 10 and d["payload"] == pcm
+
+        assert decode_audio_wav(None) is None
+        assert decode_audio_wav(b"") is None
+        assert decode_audio_wav(b"RIFFxxxxNOPE") is None
+        assert decode_audio_wav(blob[:20]) is None  # truncated: no data chunk
+
+    def test_decode_audio_operator(self, spark):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_audio,
+            wav_encode,
+        )
+
+        rows = [
+            (1, wav_encode(16000, 1, b"\x00\x01" * 8000)),  # 8000 frames = 500ms
+            (2, None),
+            (3, b"not a wav"),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, wav binary")
+        got = {r["id"]: r["audio_meta"] for r in decode_audio(df, "wav").collect()}
+        assert got[1]["sample_rate"] == 16000
+        assert got[1]["n_frames"] == 8000
+        assert got[1]["duration_ms"] == 500
+        assert got[2] is None and got[3] is None
