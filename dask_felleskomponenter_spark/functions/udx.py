@@ -1,0 +1,75 @@
+"""User-defined aggregate and table functions (SURVEY.md §2B UDAF/UDTF).
+
+The reference has no UDAF/UDTF counterpart (its only UDFs are scalar —
+``udfs/udf_tools.py:49``, ``udf_conversions.py:12``); these close the
+checklist category with the two Python-native surfaces open Spark
+offers, both Arrow-friendly and both oracle-expressible:
+
+- **UDAF**: a grouped-aggregate ``pandas_udf`` — the whole group's
+  column arrives as one Arrow-backed series, the return is one scalar.
+  Vectorized (numpy over the batch), and partial-aggregation-free by
+  contract, so use it for aggregates Catalyst lacks, not for sums.
+- **UDTF**: a Python user-defined *table* function (one input row →
+  many output rows) — the training-pipeline chunking shape: documents
+  exploded into overlapping token windows for context-length-bounded
+  model input.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf, udtf
+
+
+@pandas_udf("double")
+def geometric_mean(v: pd.Series) -> float:
+    """Grouped-agg UDAF: geometric mean of the positive values of the
+    group (NaN when the group has none).
+
+    The log values are sorted before the mean so the result is
+    bit-deterministic regardless of shuffle arrival order — grouped-agg
+    UDFs see the whole group at once but in partition order.
+    """
+    import numpy as np
+
+    x = v.dropna()
+    x = x[x > 0]
+    if x.empty:
+        return float("nan")
+    logs = np.sort(np.log(x.to_numpy(dtype="float64")))
+    return float(np.exp(logs.mean()))
+
+
+_WS = re.compile(r"\s+")
+
+
+@udtf(returnType="chunk_index int, chunk_text string, n_tokens int")
+class ChunkDocument:
+    """UDTF: split a document into overlapping token-window chunks.
+
+    ``eval(text, chunk_size, stride)`` yields one row per chunk:
+    token windows ``[s, s + chunk_size)`` for ``s = 0, stride, 2·stride,
+    … < n_tokens``. Tokenization is the engine-wide trim + ``\\s+``
+    split (empty text → one empty token → a single empty chunk), so the
+    DuckDB oracle can reproduce chunks exactly. None text yields no
+    rows (LATERAL-join semantics drop the document).
+    """
+
+    def eval(self, text: str | None, chunk_size: int, stride: int):
+        if text is None:
+            return
+        toks = _WS.split(text.strip())
+        n = len(toks)
+        s = 0
+        while s < n:
+            chunk = toks[s : s + chunk_size]
+            yield (s // stride, " ".join(chunk), len(chunk))
+            s += stride
+
+
+def register_udx(spark) -> None:
+    """Register both surfaces for SQL use (U4 registry pattern)."""
+    spark.udf.register("geometric_mean", geometric_mean)
+    spark.udtf.register("chunk_document", ChunkDocument)

@@ -506,6 +506,35 @@ GROUP BY CUBE (c_mktsegment, o_orderstatus)
 ORDER BY segment, status
 """
 
+# UDAF twin: geometric mean as EXP(AVG(LN(x))), rounded to 4 so
+# summation-order ulp noise cannot flip the hash.
+ORACLES["udaf_geomean_orders"] = """
+SELECT
+  o_orderstatus,
+  ROUND(EXP(AVG(LN(CAST(o_totalprice AS DOUBLE)))), 4) AS geomean_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# UDTF twin: overlapping token windows via generate_series starts;
+# same trim + \s+ tokenization as the UDTF, chunk_index = start/stride.
+ORACLES["udtf_chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) / 24 AS INTEGER) AS chunk_index,
+       array_to_string(list_slice(t, s, least(s + 31, len(t))), ' ')
+         AS chunk_text,
+       CAST(least(s + 31, len(t)) - s + 1 AS INTEGER) AS n_tokens
+FROM starts
+ORDER BY doc_id, chunk_index
+"""
+
 # Real-WAV multimodal twin: the Spark side encodes text to PCM WAV and
 # chunk-walks it back; the oracle recomputes the same metadata from
 # octet_length with the query's deterministic parameter derivation

@@ -924,6 +924,50 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- UDAF / UDTF surfaces -------------------------------------------------
+
+def udaf_geomean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (vectorized Python aggregate): geometric
+    mean of order totals per status. Oracle twin: EXP(AVG(LN(x))).
+    Rounded to 4 decimals — the UDAF sorts its logs for Spark-side
+    determinism, but the oracle sums in its own order, so parity needs
+    margin over last-ulp divergence."""
+    from dask_felleskomponenter_spark.functions.udx import geometric_mean
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        # NB: a grouped-agg pandas UDF cannot share an agg() with JVM
+        # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — single-column agg.
+        .agg(
+            F.round(
+                geometric_mean(F.col("o_totalprice").cast("double")), 4
+            ).alias("geomean_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: documents exploded into overlapping
+    32-token chunks with stride 24 — the context-window chunking stage
+    of a training-data pipeline. One input row → many output rows, the
+    shape scalar UDFs cannot express."""
+    from dask_felleskomponenter_spark.functions.udx import register_udx
+
+    register_udx(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("_udtf_chunk_src")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_index, c.chunk_text, c.n_tokens
+        FROM _udtf_chunk_src,
+             LATERAL chunk_document(text, 32, 24) AS c
+        ORDER BY doc_id, chunk_index
+        """
+    )
+
+
 # --- sync: pure-Spark MERGE twin (X2/X3) ---------------------------------
 
 def sync_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,6 +1040,8 @@ QUERIES: dict[str, QueryFn] = {
     "sync_merge_orders": sync_merge_orders,
     "multimodal_decode_profile": multimodal_decode_profile,
     "multimodal_audio_profile": multimodal_audio_profile,
+    "udaf_geomean_orders": udaf_geomean_orders,
+    "udtf_chunk_documents": udtf_chunk_documents,
 }
 
 

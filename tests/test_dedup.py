@@ -71,3 +71,46 @@ def test_cut_scores_are_exact_on_capped_universe(spark):
     # union = 5 + 5 - 4 = 6 -> jaccard = 4/6
     assert (1, 2) in got
     assert got[(1, 2)] == pytest.approx(4 / 6)
+
+
+class TestUdx:
+    """UDAF/UDTF surfaces (functions/udx.py)."""
+
+    def test_geometric_mean_handles_empty_and_nonpositive(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions.udx import geometric_mean
+
+        df = spark.createDataFrame(
+            [("a", 2.0), ("a", 8.0), ("b", -1.0), ("b", 0.0)],
+            "g string, v double",
+        )
+        got = {
+            r["g"]: r["gm"]
+            for r in df.groupBy("g").agg(geometric_mean("v").alias("gm")).collect()
+        }
+        assert got["a"] == pytest.approx(4.0)
+        assert math.isnan(got["b"])  # no positive values
+
+    def test_chunk_udtf_rows(self, spark):
+        from dask_felleskomponenter_spark.functions.udx import register_udx
+
+        register_udx(spark)
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, ""), (3, None)], "id bigint, text string"
+        )
+        df.createOrReplaceTempView("_t_chunks")
+        rows = spark.sql(
+            "SELECT id, c.* FROM _t_chunks, LATERAL chunk_document(text, 3, 2) c"
+            " ORDER BY id, chunk_index"
+        ).collect()
+        got = [(r["id"], r["chunk_index"], r["chunk_text"], r["n_tokens"]) for r in rows]
+        assert got == [
+            (1, 0, "a b c", 3),
+            (1, 1, "c d e", 3),
+            (1, 2, "e", 1),
+            (2, 0, "", 1),  # empty text -> one empty token chunk
+            # id=3 (NULL text) yields no rows
+        ]
