@@ -26,7 +26,8 @@ from pyspark.sql.functions import pandas_udf, udtf
 @pandas_udf("double")
 def geometric_mean(v: pd.Series) -> float:
     """Grouped-agg UDAF: geometric mean of the positive values of the
-    group (NaN when the group has none).
+    group; NULL when the group has none (SQL aggregate convention —
+    a returned NaN would surface as NULL through Arrow anyway).
 
     The log values are sorted before the mean so the result is
     bit-deterministic regardless of shuffle arrival order — grouped-agg
@@ -37,7 +38,7 @@ def geometric_mean(v: pd.Series) -> float:
     x = v.dropna()
     x = x[x > 0]
     if x.empty:
-        return float("nan")
+        return None
     logs = np.sort(np.log(x.to_numpy(dtype="float64")))
     return float(np.exp(logs.mean()))
 

@@ -77,10 +77,6 @@ class TestUdx:
     """UDAF/UDTF surfaces (functions/udx.py)."""
 
     def test_geometric_mean_handles_empty_and_nonpositive(self, spark):
-        import math
-
-        from pyspark.sql import functions as F
-
         from dask_felleskomponenter_spark.functions.udx import geometric_mean
 
         df = spark.createDataFrame(
@@ -92,7 +88,7 @@ class TestUdx:
             for r in df.groupBy("g").agg(geometric_mean("v").alias("gm")).collect()
         }
         assert got["a"] == pytest.approx(4.0)
-        assert math.isnan(got["b"])  # no positive values
+        assert got["b"] is None  # no positive values -> SQL-style NULL
 
     def test_chunk_udtf_rows(self, spark):
         from dask_felleskomponenter_spark.functions.udx import register_udx
