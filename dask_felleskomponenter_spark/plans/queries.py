@@ -80,6 +80,21 @@ def dsum(col: Column) -> Column:
     return F.sum(col).cast("double")
 
 
+def ordered_output(df: DataFrame, *sort_cols: str) -> DataFrame:
+    """Total-order a declared query's output with an exchange in front.
+
+    Spark's global ``orderBy`` range-partitions by *sampling its child*;
+    when the child is an expensive map-only plan (pandas-UDF decode,
+    interpreted higher-order functions, UDTFs) the sampling job
+    re-executes the entire lineage — measured 2× the whole query. A hash
+    ``repartition`` on the leading sort key materializes the expensive
+    stage once (AQE stage boundary), so the range sampler reads shuffle
+    output instead of recomputing. At scale this is also the shape you
+    want: materialize expensive map work before a range exchange.
+    """
+    return df.repartition(sort_cols[0]).orderBy(*sort_cols)
+
+
 # --- TPC-H-style relational core ----------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,25 +623,26 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprints, exploded to scalar
     ``(doc_id, pos, fp_hash)`` rows.
 
-    Uses the md5-hex twin (``TX.rolling_fingerprint_md5``) so DuckDB can
-    recompute the exact fingerprint; the xxhash64 production variant
-    (``TX.rolling_fingerprint``) shares the selection logic and is
-    covered by pytest. Scalar output shape because the driver's row
-    comparator totally orders cell values (arrays are unhashable there).
+    Uses md5-hex hashes so DuckDB can recompute the exact fingerprint,
+    via the DataFrame-op scale path (``TX.rolling_fingerprint_df``:
+    posexplode + window-lead grams, tokenization evaluated once); the
+    column forms (``TX.rolling_fingerprint*``) share the selection
+    semantics and are covered by pytest equivalence. Scalar output
+    shape because the driver's row comparator totally orders cell
+    values (arrays are unhashable there).
     """
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id", TX.rolling_fingerprint_md5("text").alias("_fp")
+    fp = TX.rolling_fingerprint_df(
+        docs, "doc_id", "text", out_col="_fp"
     )
-    return (
-        fp.select("doc_id", F.posexplode("_fp").alias("pos", "fp_hash"))
-        .select(
-            "doc_id",
-            (F.col("pos") + 1).cast("int").alias("pos"),
-            "fp_hash",
-        )
-        .orderBy("doc_id", "pos")
+    exploded = fp.select(
+        "doc_id", F.posexplode("_fp").alias("pos", "fp_hash")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        "fp_hash",
     )
+    return ordered_output(exploded, "doc_id", "pos")
 
 
 # --- LLM-pipeline: text analysis ----------------------------------------
@@ -635,22 +651,24 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics (token count, BPE-ish token estimate,
     punctuation ratio, stopword ratio, composite score)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    prof = docs.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
         TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
         TX.quality_score("text", "en").alias("quality"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(prof, "doc_id")
 
 
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language identification per document."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", TX.language_id("text").alias("lang_pred")
-    ).orderBy("doc_id")
+    return ordered_output(
+        docs.select("doc_id", "lang", TX.language_id("text").alias("lang_pred")),
+        "doc_id",
+    )
 
 
 # --- LLM-pipeline: similarity search ------------------------------------
@@ -867,14 +885,15 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = docs.select("doc_id", to_fakm("text").alias("img"))
     decoded = decode_images(imgs, "img")
-    return decoded.select(
+    prof = decoded.select(
         "doc_id",
         sniff_media_type("img").alias("container"),
         F.col("image_meta.width").alias("width"),
         F.col("image_meta.height").alias("height"),
         F.col("image_meta.channels").alias("channels"),
         F.col("image_meta.n_pixels").alias("n_pixels"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(prof, "doc_id")
 
 
 def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,7 +932,7 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = docs.select("doc_id", to_wav("text").alias("wav"))
     decoded = decode_audio(clips, "wav")
-    return decoded.select(
+    prof = decoded.select(
         "doc_id",
         sniff_media_type("wav").alias("container"),
         F.col("audio_meta.sample_rate").alias("sample_rate"),
@@ -921,7 +940,8 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("audio_meta.bits_per_sample").alias("bits_per_sample"),
         F.col("audio_meta.n_frames").alias("n_frames"),
         F.col("audio_meta.duration_ms").alias("duration_ms"),
-    ).orderBy("doc_id")
+    )
+    return ordered_output(prof, "doc_id")
 
 
 # --- UDAF / UDTF surfaces -------------------------------------------------
@@ -958,14 +978,14 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_udx(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.createOrReplaceTempView("_udtf_chunk_src")
-    return spark.sql(
+    chunks = spark.sql(
         """
         SELECT doc_id, c.chunk_index, c.chunk_text, c.n_tokens
         FROM _udtf_chunk_src,
              LATERAL chunk_document(text, 32, 24) AS c
-        ORDER BY doc_id, chunk_index
         """
     )
+    return ordered_output(chunks, "doc_id", "chunk_index")
 
 
 # --- sync: pure-Spark MERGE twin (X2/X3) ---------------------------------

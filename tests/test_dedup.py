@@ -110,3 +110,44 @@ class TestUdx:
             (2, 0, "", 1),  # empty text -> one empty token chunk
             # id=3 (NULL text) yields no rows
         ]
+
+
+def test_fingerprint_df_matches_column_form(spark, sf_dir):
+    """The DataFrame-op fingerprint (posexplode + window-lead) must be
+    value-identical to the interpreted column form, including short and
+    empty documents."""
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "one two"), (9003, "   "), (9004, "a b c d e f g h i")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    col_form = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", TX.rolling_fingerprint_md5("text").alias("fp")
+        ).collect()
+    }
+    df_form = {
+        r["doc_id"]: r["fingerprint"]
+        for r in TX.rolling_fingerprint_df(docs, "doc_id", "text").collect()
+    }
+    assert col_form == df_form
+
+    xx_col = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", TX.rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    xx_df = {
+        r["doc_id"]: r["fingerprint"]
+        for r in TX.rolling_fingerprint_df(
+            docs, "doc_id", "text", hash_fn=F.xxhash64
+        ).collect()
+    }
+    assert xx_col == xx_df
