@@ -117,3 +117,15 @@ def test_approx_distinct_within_tolerance(spark):
         a = approx[flag]
         assert abs(a["approx_parts"] - e["parts"]) <= max(2, 0.1 * e["parts"])
         assert abs(a["approx_supps"] - e["supps"]) <= max(2, 0.1 * e["supps"])
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    # the bucketed range join must plan as a hash/sort-merge equi-join on
+    # (bucket, keys); a BroadcastNestedLoopJoin or CartesianProduct means
+    # the bucketing stopped reaching the join condition
+    plan = plan_of(spark, "range_join_error_context")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
