@@ -214,6 +214,118 @@ def cosine_neardup_pairs(
     return grouped.groupBy("_b1", "_b2").applyInPandas(tile, schema=out_schema)
 
 
+def nearest_cell_col(
+    vec_col: Column, centroids: list[list[float]]
+) -> Column:
+    """Index of the centroid with the highest cosine similarity to the
+    vector — a pure JVM expression (one dot product per centroid,
+    ``array_max`` over (score, cell) structs; ties prefer the larger
+    cell id deterministically)."""
+    scored = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        score = dot(vec_col, literal_vector(c)) / (l2_norm(vec_col) * F.lit(cn))
+        scored.append(
+            F.struct(score.alias("score"), F.lit(i).alias("cell"))
+        )
+    return F.array_max(F.array(*scored))["cell"]
+
+
+def build_ivf_centroids(
+    emb_df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse-quantizer training for an IVF index: deterministic seeding
+    (the ``n_cells`` lowest-id vectors) + ``iters`` distributed Lloyd
+    steps (assignment is a JVM expression; the mean reduces via
+    posexplode → per-(cell, dim) avg, so only ``n_cells × dim`` numbers
+    ever reach the driver).
+
+    This is an INDEX-BUILD step — it runs Spark jobs, like writing a
+    bucketed table. Never call it inside a query path; persist the
+    centroids (they are a tiny plan literal) and the ``with_ivf_cell``
+    output, then queries are cell-pruned scans.
+    """
+    v = as_double_vec(vec_col)
+    seeds = (
+        emb_df.orderBy(id_col)
+        .limit(n_cells)
+        .select(v.alias("_v"))
+        .collect()
+    )
+    centroids = [list(r["_v"]) for r in seeds]
+    for _ in range(max(0, iters)):
+        assigned = emb_df.select(
+            nearest_cell_col(v, centroids).alias("_cell"), v.alias("_v")
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cell", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["_dim"]] = r["_m"]
+        centroids = [
+            [cell_dims[d] for d in sorted(cell_dims)]
+            if (cell_dims := by_cell.get(i))
+            else centroids[i]  # empty cell keeps its previous centroid
+            for i in range(n_cells)
+        ]
+    return centroids
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Attach the IVF cell id — the materialization step (at scale this
+    DataFrame is written partitioned by ``out_col``, mirroring
+    ``with_lsh_bucket``)."""
+    return df.withColumn(
+        out_col, nearest_cell_col(as_double_vec(vec_col), centroids)
+    )
+
+
+def ivf_topk(
+    cell_df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """IVF query: probe the ``nprobe`` cells whose centroids are nearest
+    the query (driver-side arithmetic on the tiny centroid list — no
+    Spark action), exact cosine top-k within the probed cells.
+
+    ``nprobe = len(centroids)`` degrades gracefully to exact brute
+    force — the property the tests pin. Unlike sign-LSH the quantizer
+    is data-adaptive, so recall concentrates probes on real density
+    rather than fixed hyperplane orthants.
+    """
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, c))
+        return d / (cn * qn)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    probe = ranked[: max(1, nprobe)]
+    in_cells = cell_df.filter(F.col(cell_col).isin(probe)).drop(cell_col)
+    return cosine_topk(in_cells, query_vec, k, id_col, vec_col, score_col)
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH (driver-side
     constants — tiny, shipped in the plan as literals)."""

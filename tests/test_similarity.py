@@ -54,3 +54,65 @@ def test_no_self_or_duplicate_pairs(spark):
     pairs = [(r["id_a"], r["id_b"]) for r in rows]
     assert len(pairs) == len(set(pairs)) == 45  # C(10,2)
     assert all(a < b for a, b in pairs)
+
+
+class TestIvf:
+    def _emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_probe_all_cells_equals_brute_force(self, spark):
+        """nprobe = n_cells must reproduce the exact top-k — the
+        graceful-degradation property that pins cell assignment
+        completeness (no vector may fall out of every cell)."""
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_ivf_centroids,
+            cosine_topk,
+            ivf_topk,
+            with_ivf_cell,
+        )
+
+        emb = self._emb(spark)
+        dim = 64
+        q = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
+        cents = build_ivf_centroids(emb, n_cells=8, iters=1)
+        cells = with_ivf_cell(emb, cents)
+        approx = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(cells, cents, q, k=10, nprobe=8).collect()
+        ]
+        exact = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in cosine_topk(emb, q, k=10).collect()
+        ]
+        assert approx == exact
+
+    def test_probed_subset_results_come_from_probed_cells(self, spark):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_ivf_centroids,
+            ivf_topk,
+            with_ivf_cell,
+        )
+
+        emb = self._emb(spark)
+        q = [0.5] * 64
+        cents = build_ivf_centroids(emb, n_cells=8, iters=1)
+        cells = with_ivf_cell(emb, cents)
+        got = ivf_topk(cells, cents, q, k=5, nprobe=2)
+        assert got.count() <= 5
+        # results must be a subset of the union of probed cells' members
+        probed_ids = {
+            r["vec_id"]
+            for r in cells.filter("ivf_cell in (0,1,2,3,4,5,6,7)").collect()
+        }
+        assert {r["vec_id"] for r in got.collect()} <= probed_ids
+
+    def test_centroid_build_is_deterministic(self, spark):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_ivf_centroids,
+        )
+
+        emb = self._emb(spark)
+        a = build_ivf_centroids(emb, n_cells=4, iters=2)
+        b = build_ivf_centroids(emb, n_cells=4, iters=2)
+        assert len(a) == 4 and all(len(c) == 64 for c in a)
+        assert a == b
