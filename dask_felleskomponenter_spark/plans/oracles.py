@@ -14,7 +14,8 @@ The twin rules that make hash-parity hold:
 
 Queries deliberately absent (rows-only checks): agg_approx_distinct
 (different HLL implementations), neardup_minhash_lsh / simhash_documents
-(xxhash64 has no DuckDB twin), ann_lsh_bucketed (approximate by design).
+(xxhash64 has no DuckDB twin), ann_lsh_bucketed / ann_ivf_topk
+(approximate by design).
 """
 
 from __future__ import annotations
