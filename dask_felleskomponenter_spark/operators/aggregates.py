@@ -1,0 +1,75 @@
+"""Aggregation operators beyond plain groupBy (scale tooling).
+
+``two_phase_salted_agg`` is the standard skew mitigation for heavy-key
+aggregation: a pathological key (one user with 10% of a 100 TB event
+stream) funnels into a single reducer under plain ``groupBy``. Salting
+splits every key into ``salt_buckets`` sub-keys for a first partial
+aggregation (spreading the hot key over the cluster), then merges the
+partials in a second, tiny aggregation. Only decomposable aggregates
+are supported — their merge is exact, so the result is byte-identical
+to the unsalted groupBy (oracle-checked in ``plans/queries.py``).
+
+Note AQE's ``skewJoin`` handles skewed *joins*; skewed *aggregation*
+over a non-associative pipeline (e.g. collect_list) has no AQE rescue,
+which is why the operator restricts to mergeable functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: agg name -> (phase-1 partial fn, phase-2 merge fn)
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def two_phase_salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof grouped aggregation.
+
+    ``aggs`` maps output column name -> (function, input column) with
+    function in {sum, count, min, max}. Result equals
+    ``df.groupBy(keys).agg(...)`` exactly; the difference is the
+    physical shape: the first shuffle's key space is ``|keys| ×
+    salt_buckets`` so no single reducer owns a hot key, and the second
+    shuffle moves only ``salt_buckets`` partial rows per key.
+    """
+    unknown = [f for f, _ in aggs.values() if f not in _MERGEABLE]
+    if unknown:
+        raise ValueError(
+            f"non-decomposable aggregate(s) {unknown}; salting requires "
+            f"mergeable functions {sorted(_MERGEABLE)}"
+        )
+    key_cols = list(keys)
+    # deterministic salt: hash of the whole row spreads a hot key's rows
+    # uniformly without an RNG (monotonically_increasing_id would skew
+    # to partition order, rand() would break retry determinism)
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).alias("_salt")
+
+    partial = (
+        df.select(*df.columns, salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            *[
+                _MERGEABLE[fn][0](col).alias(f"_p_{out}")
+                for out, (fn, col) in aggs.items()
+            ]
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[
+            _MERGEABLE[fn][1](f"_p_{out}").alias(out)
+            for out, (fn, col) in aggs.items()
+        ]
+    )

@@ -507,6 +507,63 @@ GROUP BY CUBE (c_mktsegment, o_orderstatus)
 ORDER BY segment, status
 """
 
+# PIVOT twin: conditional aggregation (COUNT FILTER yields BIGINT,
+# matching Spark's long without the HUGEINT cast dance).
+ORACLES["pivot_status_by_priority"] = """
+SELECT
+  o_orderstatus,
+  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+ORACLES["unpivot_lineitem_metrics"] = """
+WITH wide AS (
+  SELECT l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, 'sum_qty' AS metric, ROUND(sum_qty, 2) AS value FROM wide
+UNION ALL
+SELECT l_linestatus, 'sum_price', ROUND(sum_price, 2) FROM wide
+UNION ALL
+SELECT l_linestatus, 'sum_disc', ROUND(sum_disc, 2) FROM wide
+ORDER BY l_linestatus, metric
+"""
+
+# Exact interpolated percentiles: Spark's percentile() and DuckDB's
+# quantile_cont share the p*(n-1) linear-interpolation definition.
+ORACLES["agg_percentiles_orders"] = """
+SELECT
+  o_orderstatus,
+  ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,
+  ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# Salted two-phase aggregation must equal the plain GROUP BY — that IS
+# the check.
+ORACLES["agg_salted_user_events"] = """
+SELECT
+  user_id,
+  COUNT(value) AS n_events,
+  ROUND(SUM(CAST(value AS DOUBLE)), 6) AS sum_value,
+  ROUND(MAX(CAST(value AS DOUBLE)), 6) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
 # UDAF twin: geometric mean as EXP(AVG(LN(x))), rounded to 4 so
 # summation-order ulp noise cannot flip the hash.
 ORACLES["udaf_geomean_orders"] = """

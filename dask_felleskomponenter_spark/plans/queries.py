@@ -981,6 +981,101 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_output(prof, "doc_id")
 
 
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, status rows × priority columns.
+
+    The pivot value list is explicit — with it Spark skips the extra
+    distinct-values job and the output schema is static, which is the
+    only sane form at scale (an unbounded pivot column is a schema
+    explosion). Missing combinations surface as 0, not NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0).cast("long")).alias(a)
+            for p, a in zip(prios, aliases)
+        ],
+    ).orderBy("o_orderstatus")
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-status sums → long (status, metric,
+    value) rows — the inverse reshaping of pivot, via the native
+    ``unpivot`` operator (no UNION of self-scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_linestatus").agg(
+        F.sum(dmoney("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dmoney("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(drate("l_discount")).cast("double").alias("sum_disc"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_linestatus"],
+            values=["sum_qty", "sum_price", "sum_disc"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select("l_linestatus", "metric", F.round("value", 2).alias("value"))
+        .orderBy("l_linestatus", "metric")
+    )
+
+
+def agg_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of order totals per
+    status — ``F.percentile``, the sort-based exact form; DuckDB's
+    ``quantile_cont`` interpolates identically. The sketch-based scale
+    twin is ``approx_percentile`` (rows-only by the same argument as
+    approx_count_distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile(price, F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(price, F.lit(0.9)), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def agg_salted_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over events (skew armor): identical
+    result to a plain GROUP BY — which is exactly what the oracle
+    checks — with the hot-key-proof physical shape
+    (``operators/aggregates.py::two_phase_salted_agg``)."""
+    from dask_felleskomponenter_spark.operators.aggregates import (
+        two_phase_salted_agg,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("double").alias("value")
+    )
+    out = two_phase_salted_agg(
+        events,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", "value"),
+            "sum_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("user_id")
+
+
 # --- UDAF / UDTF surfaces -------------------------------------------------
 
 def udaf_geomean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,6 +1193,10 @@ QUERIES: dict[str, QueryFn] = {
     "sync_merge_orders": sync_merge_orders,
     "multimodal_decode_profile": multimodal_decode_profile,
     "multimodal_audio_profile": multimodal_audio_profile,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "agg_percentiles_orders": agg_percentiles_orders,
+    "agg_salted_user_events": agg_salted_user_events,
     "udaf_geomean_orders": udaf_geomean_orders,
     "udtf_chunk_documents": udtf_chunk_documents,
 }

@@ -325,3 +325,39 @@ def test_interval_join_matches_naive_model(spark):
     assert got == want
     assert (lid, 900) in got and (lid, 901) in got  # inclusive bounds
     assert (lid, 902) not in got  # 1us outside
+
+
+def test_salted_agg_matches_plain_groupby_on_skew(spark):
+    """Two-phase salted aggregation must be value-identical to plain
+    groupBy, including on pathologically skewed keys and NULL values."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.operators.aggregates import (
+        two_phase_salted_agg,
+    )
+
+    rows = [("hot", float(i % 7)) for i in range(5000)]
+    rows += [(f"u{i}", float(i)) for i in range(50)]
+    rows += [("hot", None), ("u0", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in two_phase_salted_agg(
+            df, ["k"],
+            {"n": ("count", "v"), "s": ("sum", "v"), "mx": ("max", "v")},
+            salt_buckets=8,
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert salted == plain
+
+    with _pytest.raises(ValueError, match="non-decomposable"):
+        two_phase_salted_agg(df, ["k"], {"bad": ("avg", "v")})
