@@ -9,6 +9,7 @@ from dask_felleskomponenter_spark.streaming.ops import (
     sessionize_stateful,
     stream_dedup,
     stream_events,
+    stream_interval_join,
     windowed_event_counts,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "sessionize_stateful",
     "stream_dedup",
     "stream_events",
+    "stream_interval_join",
     "windowed_event_counts",
 ]

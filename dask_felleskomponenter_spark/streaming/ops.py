@@ -238,6 +238,57 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: float = -300.0,
+    upper_seconds: float = 0.0,
+    watermark: str = "2 hours",
+    prefix: str = "rng_",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition — the
+    streaming twin of ``operators/joins.py::interval_join`` (same
+    inclusive ``left_ts + lower <= right_ts <= left_ts + upper``
+    semantics, parity-tested).
+
+    Both sides carry watermarks, and the range condition itself is what
+    bounds the join state: Spark evicts buffered rows once the watermark
+    passes their join-window, so state is (watermark + range-span) deep
+    per key instead of unbounded. This is the canonical two-stream
+    correlation shape (click↔error attribution) run continuously.
+
+    No time-bucketing here: Structured Streaming's symmetric hash join
+    keys the shuffle on the equality columns and applies the range as a
+    state-eviction predicate, which already avoids the batch all-pairs
+    blowup the bucketed batch operator exists to prevent.
+    """
+    lo_us = int(round(float(lower_seconds) * 1_000_000))
+    hi_us = int(round(float(upper_seconds) * 1_000_000))
+    if hi_us < lo_us:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+
+    lhs = left.withWatermark(left_ts, watermark).alias("l")
+    rename = [
+        F.col(f"r.{c}").alias(f"{prefix}{c}") for c in right.columns
+    ]
+    rhs = right.withWatermark(right_ts, watermark).alias("r")
+
+    cond = None
+    for k in on:
+        clause = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = clause if cond is None else cond & clause
+    l_us = F.unix_micros(F.col(f"l.{left_ts}"))
+    r_us = F.unix_micros(F.col(f"r.{right_ts}"))
+    cond = cond & (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
+
+    return lhs.join(rhs, cond, "inner").select(
+        *[F.col(f"l.{c}") for c in left.columns], *rename
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -128,3 +128,43 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     got = run_to_memory_sink(deduped, "dedup_stream", str(tmp_path / "ckpt"))
     keys = sorted(r["key"] for r in got.collect())
     assert keys == ["a", "b"]  # duplicates of 'a' within the watermark dropped
+
+
+def test_stream_interval_join_matches_batch_operator(spark, events_dir, tmp_path):
+    """Stream-stream range join (clicks ⋈ errors within the preceding 5
+    minutes) must produce exactly the batch interval_join's pairs."""
+    from dask_felleskomponenter_spark.operators.joins import interval_join
+    from dask_felleskomponenter_spark.streaming import (
+        run_to_memory_sink,
+        stream_events,
+        stream_interval_join,
+    )
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"), "user_id", "ts"
+        )
+        return clicks, errors
+
+    s_clicks, s_errors = split(stream_events(spark, events_dir))
+    joined = stream_interval_join(
+        s_clicks, s_errors, on=["user_id"],
+        lower_seconds=-300, upper_seconds=0,
+    )
+    got = run_to_memory_sink(joined, "rng_join", str(tmp_path / "ckpt"))
+    g = {(r["event_id"], r["rng_err_id"]) for r in got.collect()}
+
+    b_clicks, b_errors = split(spark.read.parquet(events_dir))
+    batch = interval_join(
+        b_clicks,
+        b_errors.withColumnRenamed("ts", "err_ts"),
+        on=["user_id"], left_ts="ts", right_ts="err_ts",
+        lower_seconds=-300, upper_seconds=0,
+        value_cols=["err_id"],
+    )
+    b = {(r["event_id"], r["rng_err_id"]) for r in batch.collect()}
+    assert g == b
+    assert len(g) > 0
