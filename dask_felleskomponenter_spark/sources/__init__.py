@@ -3,6 +3,7 @@ from dask_felleskomponenter_spark.sources.tables import (
     load_table,
     load_tables,
     register_views,
+    write_bucketed,
 )
 
 from dask_felleskomponenter_spark.sources.files import (
@@ -19,4 +20,5 @@ __all__ = [
     "read_jdbc",
     "read_json",
     "register_views",
+    "write_bucketed",
 ]

@@ -77,6 +77,31 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a bucketed (and bucket-sorted) managed
+    table — the co-located-join storage layout.
+
+    Two tables bucketed on their join key with the same bucket count
+    join with **zero shuffle** (and zero sort, when ``sort=True``):
+    Spark matches bucket files pairwise, so a 100 TB fact⋈fact join
+    becomes an embarrassingly-parallel per-bucket merge. This is the
+    pre-shuffle you pay once at write time instead of per query —
+    the managed-table twin of Delta/Iceberg clustering.
+    (``tests/test_plan_shapes.py`` pins the no-Exchange plan.)
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table_name)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> None:

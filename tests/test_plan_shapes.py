@@ -129,3 +129,51 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # two tables bucketed on the join key with equal bucket counts must
+    # join shuffle-free AND sort-free: the pre-shuffle was paid once at
+    # write time (sources/tables.py::write_bucketed)
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources import load_table, write_bucketed
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], n_buckets=4)
+    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], n_buckets=4)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("bkt_orders")
+            .join(
+                spark.table("bkt_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucket layout satisfies BOTH the join and the downstream
+        # same-key aggregation: the entire plan is exchange-free
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the unbucketed join
+        assert joined.count() == (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .count()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
