@@ -507,6 +507,20 @@ GROUP BY CUBE (c_mktsegment, o_orderstatus)
 ORDER BY segment, status
 """
 
+# Map-functions twin: DuckDB has no map-over-JSON, but every map op in
+# the query reduces to JSON introspection (json_extract for element_at,
+# json_keys for map_keys/size), so the twin checks real values.
+ORACLES["map_fns_events"] = """
+SELECT
+  event_id,
+  COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k_val,
+  COALESCE(array_to_string(list_sort(json_keys(props)), ','), '') AS prop_keys,
+  COALESCE(CAST(len(json_keys(props)) AS INTEGER), -1) AS n_props,
+  COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) * 2, -1) AS k_doubled
+FROM events
+ORDER BY event_id
+"""
+
 # PIVOT twin: conditional aggregation (COUNT FILTER yields BIGINT,
 # matching Spark's long without the HUGEINT cast dance).
 ORACLES["pivot_status_by_priority"] = """

@@ -524,6 +524,30 @@ def json_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar functions (§2B array/map row, map half): JSON props
+    parsed as ``map<string,bigint>``, then ``element_at`` / ``map_keys``
+    / ``size`` / ``transform_values`` — sentinel-coalesced so the output
+    is NULL-free for the driver comparator."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    return (
+        ev.select(
+            "event_id",
+            F.coalesce(F.element_at(m, F.lit("k")), F.lit(-1)).alias("k_val"),
+            F.coalesce(
+                F.concat_ws(",", F.array_sort(F.map_keys(m))), F.lit("")
+            ).alias("prop_keys"),
+            F.coalesce(F.size(m), F.lit(-1)).alias("n_props"),
+            F.coalesce(F.element_at(doubled, F.lit("k")), F.lit(-1)).alias(
+                "k_doubled"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
 def math_fns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar functions over lineitem-derived quantities."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1176,6 +1200,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_fns_events": date_fns_events,
     "tumbling_window_events": tumbling_window_events,
     "json_fns_events": json_fns_events,
+    "map_fns_events": map_fns_events,
     "math_fns_lineitem": math_fns_lineitem,
     "array_fns_embeddings": array_fns_embeddings,
     "dedup_exact_docs": dedup_exact_docs,
