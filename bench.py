@@ -90,8 +90,9 @@ def main() -> None:
             if rnd == 0 or elapsed < timings[name]:
                 timings[name] = elapsed
         # Drop any cached state between passes so every pass measures
-        # cold plans, and nudge the context cleaner so shuffle files from
-        # the previous pass are reclaimed before the next one starts.
+        # cold plans. (Shuffle-file reclamation is left to the periodic
+        # cleaner configured in session.py — forcing a JVM GC here would
+        # perturb the very timings we are isolating.)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -52,10 +52,16 @@ def two_phase_salted_agg(
             f"mergeable functions {sorted(_MERGEABLE)}"
         )
     key_cols = list(keys)
-    # deterministic salt: hash of the whole row spreads a hot key's rows
-    # uniformly without an RNG (monotonically_increasing_id would skew
-    # to partition order, rand() would break retry determinism)
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).alias("_salt")
+    # deterministic salt: hash of (partition id, whole row). The row hash
+    # alone would send fully-identical rows — common in event data — to
+    # one bucket, re-creating the hot reducer for duplicate-heavy keys;
+    # mixing in spark_partition_id() spreads those across buckets while
+    # staying deterministic under task retries (partition membership is
+    # fixed by the upstream plan, unlike rand(); and unlike
+    # monotonically_increasing_id there is no per-row driver state).
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), *df.columns), F.lit(salt_buckets)
+    ).alias("_salt")
 
     partial = (
         df.select(*df.columns, salt)

@@ -313,6 +313,19 @@ def ivf_topk(
     is data-adaptive, so recall concentrates probes on real density
     rather than fixed hyperplane orthants.
     """
+    probe = probed_cells(centroids, query_vec, nprobe)
+    in_cells = cell_df.filter(F.col(cell_col).isin(probe)).drop(cell_col)
+    return cosine_topk(in_cells, query_vec, k, id_col, vec_col, score_col)
+
+
+def probed_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side probe selection for ``ivf_topk``: ids of the
+    ``nprobe`` cells whose centroids are most cosine-similar to the
+    query (deterministic lower-id tie-break). Pure arithmetic on the
+    tiny centroid list — no Spark action. Exposed so tests can assert
+    that query results come only from these cells."""
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
 
     def cos(c: list[float]) -> float:
@@ -321,9 +334,7 @@ def ivf_topk(
         return d / (cn * qn)
 
     ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
-    probe = ranked[: max(1, nprobe)]
-    in_cells = cell_df.filter(F.col(cell_col).isin(probe)).drop(cell_col)
-    return cosine_topk(in_cells, query_vec, k, id_col, vec_col, score_col)
+    return ranked[: max(1, nprobe)]
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:

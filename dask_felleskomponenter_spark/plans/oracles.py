@@ -444,12 +444,12 @@ ORDER BY o_orderkey
 ORACLES["multimodal_decode_profile"] = """
 SELECT
   doc_id,
-  'fakm' AS container,
-  octet_length(encode(text)) % 64 + 1 AS width,
-  octet_length(encode(text)) % 48 + 1 AS height,
-  3 AS channels,
-  CAST((octet_length(encode(text)) % 64 + 1) AS BIGINT)
-    * (octet_length(encode(text)) % 48 + 1) AS n_pixels
+  CASE WHEN text IS NULL THEN 'none' ELSE 'fakm' END AS container,
+  COALESCE(octet_length(encode(text)) % 64 + 1, -1) AS width,
+  COALESCE(octet_length(encode(text)) % 48 + 1, -1) AS height,
+  CASE WHEN text IS NULL THEN -1 ELSE 3 END AS channels,
+  COALESCE(CAST((octet_length(encode(text)) % 64 + 1) AS BIGINT)
+    * (octet_length(encode(text)) % 48 + 1), -1) AS n_pixels
 FROM documents
 ORDER BY doc_id
 """
@@ -624,13 +624,15 @@ c AS (
   FROM b
 )
 SELECT doc_id,
-       'riff' AS container,
-       CAST(sr AS INTEGER) AS sample_rate,
-       CAST(ch AS INTEGER) AS channels,
-       CAST(16 AS INTEGER) AS bits_per_sample,
-       CAST((L + ((blk - L % blk) % blk)) // blk AS BIGINT) AS n_frames,
-       CAST(((L + ((blk - L % blk) % blk)) // blk) * 1000 // sr AS BIGINT)
-         AS duration_ms
+       CASE WHEN L IS NULL THEN 'none' ELSE 'riff' END AS container,
+       CAST(COALESCE(sr, -1) AS INTEGER) AS sample_rate,
+       CAST(COALESCE(ch, -1) AS INTEGER) AS channels,
+       CAST(CASE WHEN L IS NULL THEN -1 ELSE 16 END AS INTEGER)
+         AS bits_per_sample,
+       CAST(COALESCE((L + ((blk - L % blk) % blk)) // blk, -1) AS BIGINT)
+         AS n_frames,
+       CAST(COALESCE(((L + ((blk - L % blk) % blk)) // blk) * 1000 // sr, -1)
+         AS BIGINT) AS duration_ms
 FROM c
 ORDER BY doc_id
 """

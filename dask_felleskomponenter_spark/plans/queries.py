@@ -946,13 +946,18 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = docs.select("doc_id", to_fakm("text").alias("img"))
     decoded = decode_images(imgs, "img")
+    # NULL-text docs produce NULL blobs and NULL metadata; sentinel them
+    # so the output totally orders (driver row comparator) and the oracle
+    # can mirror the rule regardless of whether the corpus has NULLs.
     prof = decoded.select(
         "doc_id",
-        sniff_media_type("img").alias("container"),
-        F.col("image_meta.width").alias("width"),
-        F.col("image_meta.height").alias("height"),
-        F.col("image_meta.channels").alias("channels"),
-        F.col("image_meta.n_pixels").alias("n_pixels"),
+        F.coalesce(sniff_media_type("img"), F.lit("none")).alias("container"),
+        F.coalesce(F.col("image_meta.width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("image_meta.height"), F.lit(-1)).alias("height"),
+        F.coalesce(F.col("image_meta.channels"), F.lit(-1)).alias("channels"),
+        F.coalesce(F.col("image_meta.n_pixels"), F.lit(-1).cast("long")).alias(
+            "n_pixels"
+        ),
     )
     return ordered_output(prof, "doc_id")
 
@@ -993,14 +998,24 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = docs.select("doc_id", to_wav("text").alias("wav"))
     decoded = decode_audio(clips, "wav")
+    # Sentinels for NULL-text rows (same rationale as the image profile:
+    # total ordering + oracle parity on NULL-bearing corpora).
     prof = decoded.select(
         "doc_id",
-        sniff_media_type("wav").alias("container"),
-        F.col("audio_meta.sample_rate").alias("sample_rate"),
-        F.col("audio_meta.channels").alias("channels"),
-        F.col("audio_meta.bits_per_sample").alias("bits_per_sample"),
-        F.col("audio_meta.n_frames").alias("n_frames"),
-        F.col("audio_meta.duration_ms").alias("duration_ms"),
+        F.coalesce(sniff_media_type("wav"), F.lit("none")).alias("container"),
+        F.coalesce(F.col("audio_meta.sample_rate"), F.lit(-1)).alias(
+            "sample_rate"
+        ),
+        F.coalesce(F.col("audio_meta.channels"), F.lit(-1)).alias("channels"),
+        F.coalesce(F.col("audio_meta.bits_per_sample"), F.lit(-1)).alias(
+            "bits_per_sample"
+        ),
+        F.coalesce(F.col("audio_meta.n_frames"), F.lit(-1).cast("long")).alias(
+            "n_frames"
+        ),
+        F.coalesce(
+            F.col("audio_meta.duration_ms"), F.lit(-1).cast("long")
+        ).alias("duration_ms"),
     )
     return ordered_output(prof, "doc_id")
 

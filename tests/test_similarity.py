@@ -9,6 +9,7 @@ import math
 import random
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from dask_felleskomponenter_spark.operators.similarity import cosine_neardup_pairs
 
@@ -90,6 +91,7 @@ class TestIvf:
         from dask_felleskomponenter_spark.operators.similarity import (
             build_ivf_centroids,
             ivf_topk,
+            probed_cells,
             with_ivf_cell,
         )
 
@@ -99,12 +101,23 @@ class TestIvf:
         cells = with_ivf_cell(emb, cents)
         got = ivf_topk(cells, cents, q, k=5, nprobe=2)
         assert got.count() <= 5
-        # results must be a subset of the union of probed cells' members
-        probed_ids = {
+        # results must come ONLY from the 2 actually-probed cells — the
+        # same probe selection the operator uses (exposed helper), so
+        # this fails if cell pruning silently widens
+        probe = probed_cells(cents, q, nprobe=2)
+        assert len(probe) == 2
+        member_ids = {
             r["vec_id"]
-            for r in cells.filter("ivf_cell in (0,1,2,3,4,5,6,7)").collect()
+            for r in cells.filter(F.col("ivf_cell").isin(probe)).collect()
         }
-        assert {r["vec_id"] for r in got.collect()} <= probed_ids
+        non_members = {
+            r["vec_id"]
+            for r in cells.filter(~F.col("ivf_cell").isin(probe)).collect()
+        }
+        assert non_members, "probing 2 of 8 cells must exclude someone"
+        result_ids = {r["vec_id"] for r in got.collect()}
+        assert result_ids <= member_ids
+        assert not (result_ids & non_members)
 
     def test_centroid_build_is_deterministic(self, spark):
         from dask_felleskomponenter_spark.operators.similarity import (
