@@ -146,13 +146,23 @@ def lsh_candidate_pairs(
     )
 
 
+#: Default hot-shingle document-frequency cap. Finite BY DEFAULT: one
+#: boilerplate shingle with df=N builds an N-element postings array in
+#: one executor and emits N² candidate rows — the uncapped path OOMs on
+#: exactly the data (web boilerplate) this operator targets. 10k keeps
+#: every realistic same-content shingle while bounding any single
+#: postings buffer to ~10k entries and its pair fan-out to 10⁸ rows
+#: spread across the shuffle.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_size: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (id_a < id_b) with
     ``|A∩B| / |A∪B| >= threshold`` over distinct word shingles.
@@ -171,17 +181,24 @@ def ngram_jaccard_pairs(
       ``t·|A| <= |B| <= |A|/t``, so size-incompatible candidates die
       before the pair aggregation.
 
-    ``max_shingle_df`` is the hot-shingle cut for pathological data — a
-    boilerplate phrase shared by millions of documents makes any exact
-    scheme quadratic in that shingle's document frequency. When set,
-    shingles with df > cap are removed from the *universe*: both from
-    the index and from the per-document set sizes, so the result is the
-    exact Jaccard over the capped shingle universe (pairs that are
-    similar on distinctive content keep their score; pairs related only
-    through boilerplate drop out). The blacklist is computed with a
-    count aggregate and applied as a broadcast anti-join *before* any
-    postings list materializes, so a df=10M shingle never reaches a
-    ``collect_list`` buffer.
+    ``max_shingle_df`` is the hot-shingle cut — a boilerplate phrase
+    shared by millions of documents makes any exact scheme quadratic in
+    that shingle's document frequency. Shingles with df > cap are
+    removed from the *universe*: both from the index and from the
+    per-document set sizes, so the result is the exact Jaccard over the
+    capped shingle universe (pairs that are similar on distinctive
+    content keep their score; pairs related only through boilerplate
+    drop out). The blacklist is computed with a count aggregate and
+    applied as a broadcast anti-join *before* any postings list
+    materializes, so a df=10M shingle never reaches a ``collect_list``
+    buffer.
+
+    The cap is ON by default (``DEFAULT_MAX_SHINGLE_DF``) because the
+    uncapped path is an OOM/skew hazard at scale. Pass
+    ``max_shingle_df=None`` only when you can prove the corpus has no
+    hot shingles (or cover the blowup) and need the unbounded-universe
+    exact semantics; with any cap at or above the corpus's true maximum
+    df the two are identical (property-tested in ``tests/test_dedup.py``).
     """
     base = df.select(
         F.col(id_col).alias("_id"),

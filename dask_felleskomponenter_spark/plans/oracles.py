@@ -308,6 +308,10 @@ SELECT
 FROM documents
 """
 
+# Capped-universe twin: shingles with document frequency > 64 leave the
+# universe (both the index and the set sizes) before pairing — the same
+# hot-shingle cut the Spark query applies, so parity holds even when the
+# cap is actually removing shingles.
 ORACLES["neardup_jaccard_pairs"] = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
@@ -320,19 +324,26 @@ WITH toks AS (
   FROM toks
 ), sets AS (
   SELECT doc_id, list_distinct(shs) AS s FROM shingled
+), inv0 AS (
+  SELECT doc_id, UNNEST(s) AS sh FROM sets
+), hot AS (
+  SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) > 64
 ), inv AS (
-  SELECT doc_id, len(s) AS set_size, UNNEST(s) AS sh FROM sets
+  SELECT i.doc_id, i.sh FROM inv0 i ANTI JOIN hot h ON i.sh = h.sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM inv GROUP BY doc_id
 ), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.set_size AS size_a, b.set_size AS size_b,
-         COUNT(*) AS intersection
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
   FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2
 )
-SELECT id_a, id_b,
-       ROUND(intersection / (size_a + size_b - intersection), 6) AS jaccard
-FROM pairs
-WHERE intersection / (size_a + size_b - intersection) >= 0.6
+SELECT p.id_a, p.id_b,
+       ROUND(p.intersection / (sa.set_size + sb.set_size - p.intersection), 6)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE p.intersection / (sa.set_size + sb.set_size - p.intersection) >= 0.6
 ORDER BY id_a, id_b
 """
 

@@ -615,9 +615,17 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-duplicate pairs (threshold 0.6) — the
-    oracle-checkable twin of the MinHash/LSH path."""
+    oracle-checkable twin of the MinHash/LSH path.
+
+    The hot-shingle cut is ACTIVE here (df cap 64): the oracle mirrors
+    the capped-universe semantics in SQL, so parity holds even on a
+    corpus where the cap actually removes shingles — the declared query
+    exercises the exact shape that survives boilerplate-heavy data at
+    100 TB, not a benign-data special case."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, threshold=0.6)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
