@@ -71,6 +71,58 @@ def cosine_topk(
     )
 
 
+def partition_local_topk(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Shuffle-free top-k pre-reduction: within every input partition,
+    keep only the k best rows per query under the total order
+    ``(score desc, id asc)``.
+
+    The global top-k under a total order is always contained in the
+    union of per-partition top-ks, so following this with a per-query
+    merge is exact — but the merge now receives ``k × n_partitions``
+    rows per query instead of the full scored set. Without this stage,
+    ``Window.partitionBy(query_id)`` funnels all n scored rows into one
+    reducer per query: with a handful of queries over a 100 TB table
+    that single reducer is the job (VERDICT r2 finding).
+
+    Implementation is an Arrow-batched ``mapInPandas`` over the narrow
+    ``(query_id, id, score)`` projection — declarative built-ins cannot
+    express a partition-local reduction (a window on
+    ``(query_id, spark_partition_id())`` or a groupBy on the same keys
+    still inserts an exchange carrying every scored row, because
+    Catalyst cannot know the key aligns with the physical partitioning).
+    The Python stage only *selects* rows computed JVM-side — scores pass
+    through Arrow bit-exact, so oracle parity is unaffected.
+
+    NaN ordering matches Spark's (NaN greatest, so first under desc):
+    ``na_position='first'`` below.
+    """
+    import pandas as pd
+
+    schema = scored.schema
+
+    def run(batches):
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pd.concat([acc, pdf]) if acc is not None else pdf
+            both = both.sort_values(
+                [score_col, id_col],
+                ascending=[False, True],
+                na_position="first",
+                kind="mergesort",
+            )
+            acc = both.groupby(query_id_col, sort=False).head(k)
+        if acc is not None:
+            yield acc
+
+    return scored.mapInPandas(run, schema=schema)
+
+
 def cosine_topk_per_query(
     emb_df: DataFrame,
     query_df: DataFrame,
@@ -80,32 +132,46 @@ def cosine_topk_per_query(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     score_col: str = "cosine",
+    round_digits: int | None = None,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k per query row: broadcast the (small) query set against
-    the full embedding table, then window-limit per query.
+    the full embedding table, pre-reduce to the per-partition top-k
+    (``partition_local_topk``), then merge per query.
 
     The crossJoin is broadcast-nested-loop with the query side broadcast —
     the embedding table streams through once regardless of query count.
+    The final window sees only ``k × n_partitions`` rows per query, so
+    no reducer ever holds the full scored set.
+
+    ``round_digits`` rounds the score *before* ranking (cross-engine
+    determinism at the top-k boundary); ``rank_col`` exposes the 1-based
+    rank instead of dropping it.
     """
     from pyspark.sql import Window
 
     v = as_double_vec(vec_col)
     qv = as_double_vec(query_vec_col)
+    score = dot(v, qv) / (l2_norm(v) * l2_norm(qv))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
     scored = (
         emb_df.crossJoin(F.broadcast(query_df))
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            (dot(v, qv) / (l2_norm(v) * l2_norm(qv))).alias(score_col),
+            score.alias(score_col),
         )
     )
+    reduced = partition_local_topk(scored, k, id_col, query_id_col, score_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
+    out = reduced.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+        out.withColumnRenamed("_rn", rank_col) if rank_col else out.drop("_rn")
     )
 
 

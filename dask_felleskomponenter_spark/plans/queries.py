@@ -708,35 +708,35 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for three query vectors taken from
     the table itself (vec_id 0,1,2): one broadcast-nested-loop pass over
-    the embedding table, window top-k per query.
+    the embedding table, partition-local top-k pre-reduction, then a
+    per-query merge of k×partitions survivors — no reducer ever holds
+    the full scored set (``operators/similarity.py::
+    cosine_topk_per_query``, VERDICT r2 fix).
 
     Ranking is on the 9-decimal-rounded score with vec_id tie-break so
     float ulp differences cannot reorder ranks across engines."""
+    from dask_felleskomponenter_spark.operators.similarity import (
+        cosine_topk_per_query,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    v = as_double_vec("embedding")
-    qv = as_double_vec("query_vec")
-    from dask_felleskomponenter_spark.operators.similarity import dot
-
-    scored = emb.crossJoin(F.broadcast(queries)).select(
+    topk = cosine_topk_per_query(
+        emb,
+        queries,
+        k=5,
+        score_col="_c9",
+        round_digits=9,
+        rank_col="rn",
+    )
+    return topk.select(
         "query_id",
         "vec_id",
-        F.round(dot(v, qv) / (l2_norm(v) * l2_norm(qv)), 9).alias("_c9"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("_c9").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round("_c9", 6).alias("cosine"),
-            "rn",
-        )
-        .orderBy("query_id", "rn")
-    )
+        F.round("_c9", 6).alias("cosine"),
+        "rn",
+    ).orderBy("query_id", "rn")
 
 
 def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

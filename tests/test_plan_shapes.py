@@ -91,6 +91,18 @@ def test_ann_filters_precomputed_bucket_column(spark):
     assert re.search(r"Filter \(lsh_bucket#\d+L? = ", analyzed), analyzed[:2000]
 
 
+def test_cosine_topk_pre_reduces_before_per_query_window(spark):
+    # the per-query merge window must consume the partition-local
+    # MapInPandas pre-reduction, never the raw scored set (VERDICT r2:
+    # Window.partitionBy(query_id) alone is a one-reducer-per-query
+    # funnel). Formatted plans print parents first, so the Window must
+    # appear before (above) the MapInPandas node it consumes.
+    plan = plan_of(spark, "cosine_topk_embeddings")
+    assert "MapInPandas" in plan, "partition-local top-k pre-reduction missing"
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
 def test_approx_distinct_within_tolerance(spark):
     # HLL++ estimates must track exact distinct counts (rsd default 5%;
     # assert a loose 10% so the test never flakes on data growth)

@@ -57,6 +57,99 @@ def test_no_self_or_duplicate_pairs(spark):
     assert all(a < b for a, b in pairs)
 
 
+class TestPartitionLocalTopk:
+    """The shuffle-free pre-reduction feeding the per-query merge
+    (VERDICT r2: the merge window must never see the full scored set)."""
+
+    def _scored(self, spark, n=400, n_queries=3, n_parts=8):
+        rng = random.Random(11)
+        rows = [
+            Row(query_id=q, vec_id=i, cosine=round(rng.random(), 9))
+            for q in range(n_queries)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows).repartition(n_parts)
+
+    def test_bounded_output_per_partition(self, spark):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            partition_local_topk,
+        )
+
+        scored = self._scored(spark)
+        reduced = partition_local_topk(scored, k=5)
+        # ≤ k rows per (query, input-partition): 3 queries × 8 parts × 5
+        assert reduced.count() <= 3 * 8 * 5
+        per_part = (
+            reduced.withColumn("_p", F.spark_partition_id())
+            .groupBy("query_id", "_p")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert per_part <= 5
+
+    def test_merge_of_reduction_is_exact(self, spark):
+        from pyspark.sql import Window
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            partition_local_topk,
+        )
+
+        scored = self._scored(spark)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+
+        def topk(df):
+            return sorted(
+                (r["query_id"], r["vec_id"], r["cosine"], r["rn"])
+                for r in df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 7)
+                .collect()
+            )
+
+        naive = topk(scored)  # the old single-reducer shape, as oracle
+        fast = topk(partition_local_topk(scored, k=7))
+        assert naive == fast
+
+    def test_operator_end_to_end_matches_brute_force(self, spark):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            cosine_topk_per_query,
+        )
+
+        rng = random.Random(13)
+        vecs = {i: [rng.gauss(0, 1) for _ in range(8)] for i in range(80)}
+        emb = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+        ).repartition(6)
+        qdf = spark.createDataFrame(
+            [
+                Row(query_id=i, query_vec=[float(x) for x in vecs[i]])
+                for i in (0, 1)
+            ]
+        )
+        got = {
+            (r["query_id"], r["rn"]): r["vec_id"]
+            for r in cosine_topk_per_query(
+                emb, qdf, k=4, round_digits=9, rank_col="rn"
+            ).collect()
+        }
+
+        def brute(q):
+            def cos(a, b):
+                na = math.sqrt(sum(x * x for x in a))
+                nb = math.sqrt(sum(x * x for x in b))
+                return round(
+                    sum(x * y for x, y in zip(a, b)) / (na * nb), 9
+                )
+
+            ranked = sorted(vecs, key=lambda i: (-cos(vecs[q], vecs[i]), i))
+            return ranked[:4]
+
+        for q in (0, 1):
+            assert [got[(q, rn)] for rn in range(1, 5)] == brute(q)
+
+
 class TestIvf:
     def _emb(self, spark):
         return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
