@@ -12,8 +12,17 @@ from dask_felleskomponenter_spark.sources.files import (
     read_json,
 )
 
+from dask_felleskomponenter_spark.sources.ann_store import (
+    build_ann_store,
+    ensure_ann_store,
+    load_ann_store,
+)
+
 __all__ = [
     "TABLE_NAMES",
+    "build_ann_store",
+    "ensure_ann_store",
+    "load_ann_store",
     "load_table",
     "load_tables",
     "read_csv",

