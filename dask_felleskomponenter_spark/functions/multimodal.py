@@ -8,13 +8,15 @@ training-data pipeline needs: media as opaque bytes + a typed metadata
 struct, with decode / feature-extraction / resize / frame-sampling as
 Arrow-batched ``mapInPandas`` stages.
 
-Codec reality: this container ships no image/audio libraries, so the
-*real* decoders are clearly-marked ``NotImplementedError`` stubs
-(plug in PIL/libsndfile/ffmpeg via the ``decoder`` argument in a real
-deployment). The Spark-side plumbing — output schemas, batch iteration,
-multi-row frame explosion, null propagation, partition behavior — is
-real and tested against the deterministic FAKM codec below, which is
-also what the oracle-checked query uses.
+Codec reality: two genuine interchange formats are implemented end-to-
+end with the stdlib alone — PCM WAV (RIFF chunk walk) and PNG (zlib
+inflate + all five scanline unfilters) — and both back oracle-checked
+queries. Formats needing codec libraries this container lacks
+(JPEG/FLAC/MP4) plug in via the ``decoder`` argument (PIL/libsndfile/
+ffmpeg in a real deployment). The Spark-side plumbing — output schemas,
+batch iteration, multi-row frame explosion, null propagation, partition
+behavior — is additionally tested against the deterministic FAKM
+fixture codec below.
 
 Scale shape: every operator is ``mapInPandas`` over Arrow batches — one
 Python worker per core streaming batches, no collect, no driver
@@ -26,6 +28,7 @@ type sniffing) stays JVM-side as plain column expressions.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -179,15 +182,182 @@ def decode_audio_wav(data: bytes | None) -> dict | None:
     }
 
 
-def decode_image_real(data: bytes | None) -> dict | None:  # pragma: no cover
-    """Real image decode (PNG/JPEG → pixels). STUB: this container has no
-    image codec library; inject this via ``decoder=`` backed by
-    PIL.Image.open in a real deployment. (Audio has no such stub —
-    ``decode_audio_wav`` above is a real decoder.)"""
-    raise NotImplementedError(
-        "real image decode requires an image codec library (e.g. PIL); "
-        "pass decoder=... or use the FAKM fixture codec"
+# PNG (stdlib zlib) — the image twin of the WAV codec: a genuine
+# interchange format implemented end-to-end with no external library.
+# 8-bit depth, non-interlaced, color types 0/2/4/6 (gray/RGB/gray+A/
+# RGBA); all five scanline filters (None/Sub/Up/Average/Paeth) per the
+# PNG spec §9. JPEG/FLAC/MP4 remain inject-your-own-library formats.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_IHDR = struct.Struct(">IIBBBBB")
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_OF_CHANNELS = {1: 0, 3: 2, 2: 4, 4: 6}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_line(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply scanline filter ``ft`` (encode direction)."""
+    out = bytearray(len(line))
+    for i, x in enumerate(line):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (x - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_line(
+    ft: int, line: bytearray, prev: bytes, bpp: int
+) -> None:
+    """Undo scanline filter ``ft`` in place (decode direction)."""
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            pred = _paeth(a, b, c)
+        line[i] = (line[i] + pred) & 0xFF
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
     )
+
+
+def png_encode(
+    width: int,
+    height: int,
+    channels: int,
+    payload: bytes,
+    filter_mode: str = "mixed",
+) -> bytes:
+    """Canonical 8-bit PNG from a row-major sample payload.
+
+    ``filter_mode='mixed'`` rotates the scanline filter through all five
+    types (y % 5) so a decoder must implement every unfilter correctly
+    to recover the pixels — the property the oracle-checked query leans
+    on; ``'none'`` emits filter 0 only (fastest, largest).
+    """
+    if channels not in _PNG_COLOR_OF_CHANNELS:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(payload) != stride * height:
+        raise ValueError(
+            f"payload is {len(payload)} bytes; expected {stride * height}"
+        )
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = payload[y * stride : (y + 1) * stride]
+        ft = (y % 5) if filter_mode == "mixed" else 0
+        raw.append(ft)
+        raw += _png_filter_line(ft, line, prev, channels)
+        prev = line
+    ihdr = _IHDR.pack(width, height, 8, _PNG_COLOR_OF_CHANNELS[channels], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_image_png(data: bytes | None) -> dict | None:
+    """Real PNG decode: signature + chunk walk (CRC-verified) → IHDR →
+    concatenated-IDAT inflate → per-scanline unfilter. Returns the same
+    dict shape as ``fakm_decode`` ({media_type:'i', width, height,
+    channels, payload}) so every image operator takes it via
+    ``decoder=``. Row-wise total: None for null/corrupt/unsupported
+    input (16-bit, palette, interlaced), never raises.
+    """
+    if data is None:
+        return None
+    data = bytes(data)
+    if len(data) < len(_PNG_SIG) or not data.startswith(_PNG_SIG):
+        return None
+    off = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    try:
+        while off + 8 <= len(data):
+            (clen,) = struct.unpack_from(">I", data, off)
+            ctype = data[off + 4 : off + 8]
+            body = data[off + 8 : off + 8 + clen]
+            if len(body) != clen:
+                return None
+            (crc,) = struct.unpack_from(">I", data, off + 8 + clen)
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                return None
+            if ctype == b"IHDR":
+                ihdr = _IHDR.unpack(body)
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            off += 12 + clen
+        if ihdr is None or not idat:
+            return None
+        width, height, depth, color, comp, filt, interlace = ihdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        channels = _PNG_COLOR_CHANNELS.get(color)
+        if channels is None or width == 0 or height == 0:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        return None
+    payload = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ft = raw[base]
+        if ft > 4:
+            return None
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        _png_unfilter_line(ft, line, prev, channels)
+        payload += line
+        prev = bytes(line)
+    return {
+        "media_type": "i",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "payload": bytes(payload),
+    }
 
 
 # --- JVM-side metadata helpers (no Python workers) ------------------------
@@ -316,6 +486,57 @@ def decode_images(
                 )
             out = pdf.copy()
             out[out_col] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+#: Decoded-image integer statistics (one row per image): dimensions from
+#: the header plus an exact integer probe of the *pixel* path — a wrong
+#: inflate or unfilter changes ``pixel_sum`` even when the header parses.
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    binary_col: str,
+    decoder: Decoder = fakm_decode,
+    out_col: str = "pixel_stats",
+) -> DataFrame:
+    """Decode image blobs → integer pixel statistics struct via
+    ``mapInPandas`` (one decode per row; all-integer outputs so an SQL
+    oracle can reproduce them with zero float-rounding concerns).
+    Same batch/null contract as ``decode_images``."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IMAGE_STATS_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for data in pdf[binary_col]:
+                d = decoder(data)
+                stats.append(
+                    None
+                    if d is None
+                    else {
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "pixel_sum": sum(d["payload"]),
+                        "n_bytes": len(d["payload"]),
+                    }
+                )
+            out = pdf.copy()
+            out[out_col] = stats
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

@@ -648,6 +648,33 @@ FROM c
 ORDER BY doc_id
 """
 
+# Real-PNG multimodal twin: the Spark side encodes a deterministic
+# (x+y+c) gradient to PNG (mixed scanline filters) and decodes it back;
+# the oracle recomputes the metadata AND the exact integer pixel sum
+# from octet_length: with w = L%32+1 <= 32, h = L%24+1 <= 24, ch = 3,
+# every sample x+y+c < 256, so
+#   pixel_sum = ch*h*(w(w-1)/2) + ch*w*(h(h-1)/2) + w*h*(0+1+2).
+ORACLES["multimodal_image_profile"] = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+),
+c AS (
+  SELECT doc_id, L, L % 32 + 1 AS w, L % 24 + 1 AS h FROM b
+)
+SELECT doc_id,
+       CASE WHEN L IS NULL THEN 'none' ELSE 'png' END AS container,
+       CAST(COALESCE(w, -1) AS INTEGER) AS width,
+       CAST(COALESCE(h, -1) AS INTEGER) AS height,
+       CAST(CASE WHEN L IS NULL THEN -1 ELSE 3 END AS INTEGER) AS channels,
+       CAST(COALESCE(w * h, -1) AS BIGINT) AS n_pixels,
+       CAST(COALESCE(
+         3 * h * (w * (w - 1) // 2) + 3 * w * (h * (h - 1) // 2) + 3 * w * h,
+         -1) AS BIGINT) AS pixel_sum,
+       CAST(COALESCE(w * h * 3, -1) AS BIGINT) AS n_bytes
+FROM c
+ORDER BY doc_id
+"""
+
 # Bounded interval join twin: plain key join + BETWEEN range predicate
 # (DuckDB's planner handles the small scale; the Spark side buckets —
 # same result, different physical strategy). COUNT is BIGINT in DuckDB,

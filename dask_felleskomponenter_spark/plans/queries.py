@@ -1032,6 +1032,70 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_output(prof, "doc_id")
 
 
+def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second real-container multimodal round-trip, oracle-checked:
+    documents → genuine PNG blobs (``png_encode``: stdlib zlib deflate,
+    per-scanline filter rotation through all five PNG filter types) →
+    ``mapInPandas`` PNG decode (``decode_image_png``: chunk walk +
+    inflate + unfilter) → integer pixel statistics.
+
+    Pixels are a deterministic gradient ``(x + y + c)`` (< 256 by
+    construction, so no wraparound), which gives ``pixel_sum`` a closed
+    form the oracle computes arithmetically from ``octet_length(text)``
+    — a wrong Paeth predictor, filter dispatch, or inflate boundary
+    changes the sum even when the header still parses. All outputs are
+    integers: no float-rounding parity risk."""
+    from dask_felleskomponenter_spark.functions.multimodal import (
+        decode_image_png,
+        image_pixel_stats,
+        png_encode,
+        sniff_media_type,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def to_png(text: pd.Series) -> pd.Series:
+        def enc(t):
+            if t is None:
+                return None
+            n = len(t.encode("utf-8"))
+            w, h, ch = n % 32 + 1, n % 24 + 1, 3
+            payload = bytes(
+                (x + y + c) & 0xFF
+                for y in range(h)
+                for x in range(w)
+                for c in range(ch)
+            )
+            return png_encode(w, h, ch, payload, filter_mode="mixed")
+
+        return text.apply(enc)
+
+    imgs = docs.select("doc_id", to_png("text").alias("img"))
+    stats = image_pixel_stats(imgs, "img", decoder=decode_image_png)
+    prof = stats.select(
+        "doc_id",
+        F.coalesce(sniff_media_type("img"), F.lit("none")).alias("container"),
+        F.coalesce(F.col("pixel_stats.width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("pixel_stats.height"), F.lit(-1)).alias("height"),
+        F.coalesce(F.col("pixel_stats.channels"), F.lit(-1)).alias("channels"),
+        F.coalesce(
+            (
+                F.col("pixel_stats.width").cast("long")
+                * F.col("pixel_stats.height")
+            ),
+            F.lit(-1).cast("long"),
+        ).alias("n_pixels"),
+        F.coalesce(F.col("pixel_stats.pixel_sum"), F.lit(-1).cast("long")).alias(
+            "pixel_sum"
+        ),
+        F.coalesce(F.col("pixel_stats.n_bytes"), F.lit(-1).cast("long")).alias(
+            "n_bytes"
+        ),
+    )
+    return ordered_output(prof, "doc_id")
+
+
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts, status rows × priority columns.
 
@@ -1245,6 +1309,7 @@ QUERIES: dict[str, QueryFn] = {
     "sync_merge_orders": sync_merge_orders,
     "multimodal_decode_profile": multimodal_decode_profile,
     "multimodal_audio_profile": multimodal_audio_profile,
+    "multimodal_image_profile": multimodal_image_profile,
     "pivot_status_by_priority": pivot_status_by_priority,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "agg_percentiles_orders": agg_percentiles_orders,
