@@ -151,3 +151,95 @@ def test_fingerprint_df_matches_column_form(spark, sf_dir):
         ).collect()
     }
     assert xx_col == xx_df
+
+
+class TestSketchSCurve:
+    """Statistical ground-truth tests pinning the rows-only sketches
+    (MinHash+LSH, SimHash) to exact Jaccard on a controlled corpus.
+
+    Corpus construction: ``n_pairs`` document pairs, each in its own
+    token namespace (``p{i}w{j}``) so cross-pair Jaccard is exactly 0 and
+    the only designed signal is within-pair overlap. With ``shingle_size=1``
+    the shingle set IS the token set, so true Jaccard is m/(2k-m) by
+    construction (k tokens per doc, m shared). Everything is xxhash64 on
+    fixed strings — fully deterministic, no flake margin needed beyond
+    the documented S-curve expectation.
+    """
+
+    N_PAIRS = 25
+    K = 40  # tokens per document
+
+    @staticmethod
+    def _corpus(spark, shared: int):
+        rows = []
+        for i in range(TestSketchSCurve.N_PAIRS):
+            common = [f"p{i}c{j}" for j in range(shared)]
+            only_a = [f"p{i}a{j}" for j in range(TestSketchSCurve.K - shared)]
+            only_b = [f"p{i}b{j}" for j in range(TestSketchSCurve.K - shared)]
+            rows.append((2 * i, " ".join(common + only_a)))
+            rows.append((2 * i + 1, " ".join(common + only_b)))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def _lsh_pairs(self, spark, shared):
+        from dask_felleskomponenter_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        docs = self._corpus(spark, shared)
+        sigs = minhash_signatures(docs, "doc_id", "text", shingle_size=1)
+        return {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+        }
+
+    def test_lsh_recalls_high_jaccard_pairs(self, spark):
+        # m=34, k=40 -> J = 34/46 ~= 0.739; S-curve P(collide) with
+        # b=16, r=4 is 1-(1-0.739^4)^16 ~= 0.996 -> expect essentially
+        # all 25 designed pairs as candidates.
+        got = self._lsh_pairs(spark, shared=34)
+        designed = {(2 * i, 2 * i + 1) for i in range(self.N_PAIRS)}
+        recalled = got & designed
+        assert len(recalled) >= int(0.9 * self.N_PAIRS), (
+            f"LSH recalled only {len(recalled)}/{self.N_PAIRS} pairs "
+            f"with true Jaccard 0.74"
+        )
+
+    def test_lsh_rejects_low_jaccard_pairs(self, spark):
+        # m=10, k=40 -> J = 10/70 ~= 0.143; P(collide) ~= 0.007 -> the
+        # designed pairs should essentially never band together, and
+        # cross-pair (J=0) collisions require a 64-bit bucket-hash
+        # collision.
+        got = self._lsh_pairs(spark, shared=10)
+        assert len(got) <= 2, (
+            f"LSH produced {len(got)} candidate pairs from a corpus whose "
+            f"max true Jaccard is 0.14: {sorted(got)[:5]}"
+        )
+
+    def test_simhash_separates_similar_from_dissimilar(self, spark):
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions.text import (
+            hamming64,
+            simhash_signatures,
+        )
+
+        def dists(shared):
+            docs = self._corpus(spark, shared)
+            sigs = simhash_signatures(docs, "doc_id", "text")
+            a = sigs.withColumn("pair", (F.col("doc_id") / 2).cast("long"))
+            paired = (
+                a.groupBy("pair")
+                .agg(F.min("simhash").alias("s1"), F.max("simhash").alias("s2"))
+                .select(hamming64(F.col("s1"), F.col("s2")).alias("d"))
+            )
+            return [r["d"] for r in paired.collect()]
+
+        high = dists(shared=34)  # J ~= 0.74
+        low = dists(shared=10)  # J ~= 0.14
+        mean_high = sum(high) / len(high)
+        mean_low = sum(low) / len(low)
+        # 64-bit SimHash: unrelated docs sit near 32 bits apart; near-dups
+        # well below. The two distributions must be cleanly separated.
+        assert mean_high < mean_low - 8, (mean_high, mean_low)
+        assert max(high) < 64 / 2, f"a 0.74-Jaccard pair hashed {max(high)} bits apart"
