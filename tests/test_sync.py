@@ -192,3 +192,95 @@ class TestMergeUpsert:
         got = {(r["id"], r["val"]) for r in back.collect()}
         assert (2, "updated") in got and (4, "inserted") in got
         assert all(v != "delete-me" for _, v in got)
+
+
+class TestJdbcWirePath:
+    """End-to-end JDBC execution against embedded Derby — the one JDBC
+    engine whose driver ships in pyspark's own jars.
+
+    Upgrades the staging write (S5/X2) from options-tested to
+    wire-tested: real driver registration, dialect resolution, CREATE
+    TABLE DDL, batched inserts, and overwrite+truncate republish all
+    execute against an actual SQL database, and the rows are read back
+    over JDBC. If ``_write_to_staging`` stops issuing JDBC writes (or
+    breaks option plumbing), these fail.
+    """
+
+    @staticmethod
+    def _derby_cfg(tmp_path, **over) -> PostgresTargetConfig:
+        # extra_jdbc_options is applied last, so it can redirect the
+        # connection at a non-Postgres JDBC engine while every other
+        # code path (coalesce bound, option assembly, publish SQL)
+        # stays exactly the production one.
+        url = f"jdbc:derby:{tmp_path}/syncdb;create=true"
+        base = dict(
+            host="unused.invalid",
+            dbname="unused",
+            user="app",
+            password="app",
+            staging_table="staging_orders",
+            target_table="target_orders",
+            extra_jdbc_options={
+                "url": url,
+                "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            },
+        )
+        base.update(over)
+        return PostgresTargetConfig(**base)
+
+    def _read_staging(self, spark, cfg):
+        from dask_felleskomponenter_spark.sources.files import read_jdbc
+
+        return read_jdbc(
+            spark,
+            cfg.extra_jdbc_options["url"],
+            cfg.staging_table,
+            driver=cfg.extra_jdbc_options["driver"],
+        )
+
+    def test_staging_write_lands_rows_and_truncate_republish(self, spark, tmp_path):
+        cfg = self._derby_cfg(tmp_path)
+        mgr = PostgresSyncManager(cfg, sql_executor=lambda sql: 0)
+
+        first = spark.range(100).select(
+            F.col("id").cast("int").alias("order_id"),
+            F.concat(F.lit("cust-"), F.col("id")).alias("customer"),
+            (F.col("id") * 1.5).alias("amount"),
+        )
+        mgr._write_to_staging(first)
+        got = self._read_staging(spark, cfg)
+        assert got.count() == 100
+        assert {r["order_id"] for r in got.collect()} == set(range(100))
+
+        # Overwrite+truncate republish: staging is replaced, not appended.
+        second = first.filter(F.col("order_id") < 10)
+        mgr._write_to_staging(second)
+        assert self._read_staging(spark, cfg).count() == 10
+
+    def test_staging_write_bounds_connection_fanin(self, spark, tmp_path):
+        cfg = self._derby_cfg(tmp_path, max_connections=2)
+        mgr = PostgresSyncManager(cfg, sql_executor=lambda sql: 0)
+        wide = spark.range(64).repartition(16).select(
+            F.col("id").cast("int").alias("k")
+        )
+        # Embedded Derby tolerates few concurrent writers; the
+        # max_connections coalesce is what keeps this from failing —
+        # and the write itself proves the bound produced a valid plan.
+        mgr._write_to_staging(wide)
+        assert self._read_staging(spark, cfg).count() == 64
+
+    def test_full_sync_publishes_through_executor(self, spark, tmp_path):
+        """sync() = wire write + publish SQL handoff: the staging rows
+        must already be queryable at the moment the executor runs."""
+        cfg = self._derby_cfg(tmp_path)
+        seen: list[str] = []
+
+        def executor(sql: str) -> int:
+            seen.append(sql)
+            return self._read_staging(spark, cfg).count()
+
+        mgr = PostgresSyncManager(cfg, sql_executor=executor)
+        df = spark.range(7).select(F.col("id").cast("int").alias("order_id"))
+        rowcount = mgr.sync(df, mode="snapshot")
+        assert rowcount == 7
+        assert 'TRUNCATE TABLE "target_orders"' in seen[0]
