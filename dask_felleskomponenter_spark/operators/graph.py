@@ -1,0 +1,138 @@
+"""Distributed connected components — the pairs→clusters step of dedup.
+
+Near-dup operators (``ngram_jaccard_pairs``, ``lsh_candidate_pairs``)
+emit *pairs*; a training-data pipeline needs disjoint *clusters* so it
+can keep one representative per duplicate group. Pair lists are not
+clusters: A~B and B~C must collapse into {A,B,C} even though A~C was
+never emitted (similarity is not transitive, dedup policy is).
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14). Converges in O(log n) rounds versus
+O(graph diameter) for naive min-label propagation; at 100 TB a
+boilerplate near-dup chain can have diameter in the millions, which is
+the difference between 20 rounds and a job that never finishes.
+
+Scale shape per round: one groupBy (map-side-combinable ``min``) and
+one shuffle join back to the neighbor list — all JVM-side columnar ops,
+no UDFs. The convergence check is one count+hash aggregate per round;
+driver-side loop control is inherent to iterative algorithms (GraphX /
+GraphFrames use the same model) and moves O(1) bytes per round.
+
+Lineage: every round ends in ``localCheckpoint(eager=True)`` — without
+it the iterated self-joins grow the logical plan exponentially and
+Catalyst analysis dominates wall-clock after ~10 rounds. On a real
+cluster set ``spark.sparkContext.setCheckpointDir`` and swap in
+``.checkpoint()`` for executor-loss-tolerant truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list as (a < b) long pairs, self-loops dropped."""
+    e = edges.select(
+        F.col(src).cast("long").alias("_u"), F.col(dst).cast("long").alias("_v")
+    ).where(F.col("_u") != F.col("_v"))
+    return e.select(
+        F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = nbrs.groupBy("a").agg(F.min("b").alias("_mn"))
+    mins = mins.select("a", F.least("a", "_mn").alias("_m"))
+    # m <= u < v, so the emitted (v, m) is never a self-loop.
+    return (
+        nbrs.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u itself) to
+    the minimum of that neighborhood. Output is root-oriented: b < a."""
+    e2 = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+    mins = e2.groupBy("a").agg(F.min("b").alias("_m"))  # _m < a always
+    nbr = (
+        e2.join(mins, "a")
+        .where(F.col("b") != F.col("_m"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+    )
+    own = mins.select("a", F.col("_m").alias("b"))
+    return nbr.union(own).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list.
+
+    Returns ``(node: long, component: long)`` for every node incident to
+    at least one edge, where ``component`` is the smallest node id in
+    the node's component (roots map to themselves). Nodes with no edges
+    don't appear — union them in with ``assign_components``.
+
+    Raises ``RuntimeError`` if the star fixpoint is not reached within
+    ``max_iter`` alternating rounds (2^max_iter node span — never in
+    practice; a hit means pathological input like id overflow).
+    """
+    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        stars = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # Order-independent set signature; XOR cannot overflow under ANSI.
+        sig = tuple(
+            stars.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+            ).first()
+        )
+        if sig == prev_sig:
+            cur = stars
+            break
+        prev_sig, cur = sig, stars
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # Fixpoint is a star forest with b = root < a: every non-root node
+    # has exactly one outgoing edge to its component minimum.
+    members = cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = (
+        cur.select(F.col("b").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    return members.union(roots)
+
+
+def assign_components(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    out_col: str = "component",
+) -> DataFrame:
+    """Attach a cluster id to every row of ``df``: the component minimum
+    for rows that near-dup with anything, the row's own id otherwise
+    (singleton clusters)."""
+    cc = connected_components(pairs, src, dst).select(
+        F.col("node").alias("_cc_id"), F.col("component").alias("_cc_comp")
+    )
+    return (
+        df.join(cc, on=df[id_col] == cc["_cc_id"], how="left")
+        .withColumn(out_col, F.coalesce("_cc_comp", F.col(id_col).cast("long")))
+        .drop("_cc_id", "_cc_comp")
+    )

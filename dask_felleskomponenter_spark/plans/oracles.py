@@ -347,6 +347,61 @@ WHERE p.intersection / (sa.set_size + sb.set_size - p.intersection) >= 0.6
 ORDER BY id_a, id_b
 """
 
+# Connected components of the capped-universe Jaccard pair graph
+# (same derivation as neardup_jaccard_pairs) via recursive label
+# propagation: `reach` enumerates every (node, label) where label can
+# reach node along pair edges; MIN(label) per node is then the smallest
+# doc_id in the node's component — exactly the Spark operator's cluster
+# id. Fine at oracle scale (few hundred nodes); the Spark side is the
+# O(log n) large-star/small-star algorithm.
+ORACLES["neardup_cluster_assign"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+         END AS shs
+  FROM toks
+), sets AS (
+  SELECT doc_id, list_distinct(shs) AS s FROM shingled
+), inv0 AS (
+  SELECT doc_id, UNNEST(s) AS sh FROM sets
+), hot AS (
+  SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) > 64
+), inv AS (
+  SELECT i.doc_id, i.sh FROM inv0 i ANTI JOIN hot h ON i.sh = h.sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM inv GROUP BY doc_id
+), ipairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jpairs AS (
+  SELECT p.id_a, p.id_b
+  FROM ipairs p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE p.intersection / (sa.set_size + sb.set_size - p.intersection) >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM jpairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+)
+SELECT c.doc_id, c.component, s.cluster_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component) s
+  ON c.component = s.component
+ORDER BY c.doc_id
+"""
+
 ORACLES["text_quality_profile"] = """
 WITH base AS (
   SELECT doc_id,

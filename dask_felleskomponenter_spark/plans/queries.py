@@ -46,6 +46,7 @@ from dask_felleskomponenter_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
 )
+from dask_felleskomponenter_spark.operators.graph import assign_components
 from dask_felleskomponenter_spark.operators.similarity import (
     as_double_vec,
     cosine_topk_per_query,
@@ -629,6 +630,36 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs→clusters: exact-Jaccard near-dup pairs collapsed into
+    duplicate clusters via large-star/small-star connected components
+    (``operators/graph.py``), every document assigned its cluster id
+    (= min doc_id in the cluster, own id for singletons) plus the
+    cluster size.
+
+    This is the step a dedup pipeline runs between candidate pairs and
+    representative selection; O(log n) rounds, two shuffles per round,
+    so a million-link boilerplate chain still terminates at 100 TB.
+    Cluster sizes come from a map-side-combinable groupBy + broadcast
+    join rather than a window, so a pathological giant cluster cannot
+    funnel all its rows through one reducer's sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
+    )
+    assigned = assign_components(
+        docs.select("doc_id"), "doc_id", pairs
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        assigned.join(F.broadcast(sizes), on="component")
+        .select("doc_id", "component", "cluster_size")
+        .orderBy("doc_id")
+    )
 
 
 def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,6 +1328,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_exact_summary": dedup_exact_summary,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "neardup_cluster_assign": neardup_cluster_assign,
     "neardup_minhash_lsh": neardup_minhash_lsh,
     "simhash_documents": simhash_documents,
     "fingerprint_documents": fingerprint_documents,

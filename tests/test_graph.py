@@ -1,0 +1,96 @@
+"""Connected-components operator tests: hand-built graphs, a union-find
+model check on a seeded random graph, and the pairs→clusters assignment."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_felleskomponenter_spark.operators.graph import (
+    assign_components,
+    connected_components,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def _model(edges):
+    """Union-find ground truth: node -> min id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_path_graph_collapses_to_min(spark):
+    edges = [(i, i + 1) for i in range(1, 10)]
+    got = _cc(spark, edges)
+    assert got == {n: 1 for n in range(1, 11)}
+
+
+def test_two_components_and_reversed_edges(spark):
+    edges = [(5, 3), (3, 8), (20, 10), (10, 30), (30, 10)]
+    got = _cc(spark, edges)
+    assert got == {3: 3, 5: 3, 8: 3, 10: 10, 20: 10, 30: 10}
+
+
+def test_self_loops_and_duplicates_ignored(spark):
+    edges = [(7, 7), (1, 2), (2, 1), (1, 2)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """A 64-node path has diameter 63; naive propagation needs 63
+    rounds. Large-star/small-star must finish inside the default
+    max_iter=25 (expected ~log2(64)+O(1))."""
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges) == _model(edges)
+
+
+def test_assign_components_covers_singletons(spark):
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a bigint, id_b bigint")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in assign_components(docs, "doc_id", pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
