@@ -1294,6 +1294,171 @@ def sync_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(target, staging, keys=["o_orderkey"]).orderBy("o_orderkey")
 
 
+# --- correlated-subquery / complex-predicate relational shapes ----------
+
+def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery (TPC-H Q4 shape): orders of 1996 with
+    at least one line item shipped more than 60 days after the order
+    date, counted by priority.
+
+    Spark expresses the EXISTS as a LEFT SEMI join whose condition mixes
+    the equi-key with a both-sides date predicate — the equi part drives
+    a hash/sort-merge join (never a nested loop), the residual date
+    comparison rides along as the join filter. The semi join also
+    short-circuits per key, so the lineitem side never fans out."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def scalar_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue impact of
+    small-quantity lineitems, threshold = half the per-part average.
+
+    Decorrelated by hand into the plan Catalyst would also produce:
+    filter part (12 rows) → broadcast-semi-reduce lineitem → per-part
+    average as a tiny aggregate that broadcasts back onto the same
+    reduced lineitem. The per-part aggregate is computed over the
+    *filtered* lineitem subset, so the big table is scanned once."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_sel = li.join(
+        F.broadcast(part_f), li.l_partkey == part_f.p_partkey
+    ).drop("p_partkey")
+    thr = li_sel.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("_thr")
+    )
+    return (
+        li_sel.join(F.broadcast(thr), "l_partkey")
+        .where(F.col("l_quantity") < F.col("_thr"))
+        .agg(F.round(dsum(dmoney("l_extendedprice")) / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def filter_or_of_and_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-of-conjunctions predicate (TPC-H Q19 shape): revenue
+    from three (brand, size-range, quantity-range) bands.
+
+    The OR spans both join sides, so it cannot become part of the join
+    key — but part is small and broadcast, and the part-only legs of
+    each conjunct still prune the scan via Catalyst's OR-factoring
+    (brand ∈ {12,23,34} is implied and pushed)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+
+    def band(brand: str, smin: int, smax: int, qmin: int, qmax: int) -> Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+
+    rev = dmoney("l_extendedprice") * (1 - drate("l_discount"))
+    return j.where(
+        band("Brand#12", 1, 15, 1, 11)
+        | band("Brand#23", 10, 30, 10, 20)
+        | band("Brand#34", 20, 50, 20, 30)
+    ).agg(dsum(rev).alias("revenue"))
+
+
+def notexists_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS + uncorrelated scalar subquery (TPC-H Q22 shape):
+    above-average-balance customers with no order since 2000, by
+    segment.
+
+    The global average is a one-row aggregate broadcast via crossJoin —
+    no driver round-trip, the threshold stays inside the plan. The NOT
+    EXISTS is a LEFT ANTI join against the date-filtered orders
+    projection (filter pushed below the anti join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(dmoney("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def conditional_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation ratio (TPC-H Q14 shape): share of Q1-1997
+    revenue from PROMO parts, as one scan + one broadcast join — the
+    CASE lives inside the aggregate, not as a second pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = dmoney("l_extendedprice") * (1 - drate("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev)  # else NULL → skipped
+    return j.agg(
+        F.round(F.lit(100.0) * dsum(promo) / dsum(rev), 4).alias("promo_pct")
+    )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — ((status, priority), (priority), ()) is
+    neither a rollup nor a cube, exercising the arbitrary-sets API
+    (Spark 4 ``DataFrame.groupingSets``). All sets aggregate in one
+    pass: partial aggregation expands grouping ids map-side, one
+    shuffle total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dmoney("o_totalprice")).alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -1305,6 +1470,12 @@ QUERIES: dict[str, QueryFn] = {
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
     "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
+    "exists_late_shipment_orders": exists_late_shipment_orders,
+    "scalar_subquery_small_qty": scalar_subquery_small_qty,
+    "filter_or_of_and_revenue": filter_or_of_and_revenue,
+    "notexists_dormant_customers": notexists_dormant_customers,
+    "conditional_promo_revenue": conditional_promo_revenue,
+    "grouping_sets_orders": grouping_sets_orders,
     "asof_last_error_before_click": asof_last_error_before_click,
     "range_join_error_context": range_join_error_context,
     "agg_orders_stats": agg_orders_stats,
