@@ -809,6 +809,43 @@ FROM c
 ORDER BY doc_id
 """
 
+# Video twin: every derived quantity (dimensions, frame count, rate,
+# sampled-frame pixel sums) has a closed integer form in
+# L = octet_length(text). Sampled frames are i = 0, 2, …, 2(ns-1) with
+# ns = (nf+1)//2; per-frame pixel sum of the (x+y+c+i) gradient is
+# base + 3*w*h*i, so the sampled total is ns*base + 3*w*h*ns*(ns-1).
+# NULL text → NULL blob → 'none'/-1 sentinels, matching the Spark side.
+ORACLES["multimodal_video_profile"] = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+),
+c AS (
+  SELECT doc_id, L,
+         L % 16 + 1 AS w, L % 12 + 1 AS h,
+         L % 5 + 1 AS nf, L % 24 + 1 AS rate
+  FROM b
+),
+d AS (
+  SELECT *,
+         (nf + 1) // 2 AS ns,
+         3 * (h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)) + 3 * w * h
+           AS base
+  FROM c
+)
+SELECT doc_id,
+       CASE WHEN L IS NULL THEN 'none' ELSE 'riff' END AS container,
+       CAST(COALESCE(w, -1) AS INTEGER) AS width,
+       CAST(COALESCE(h, -1) AS INTEGER) AS height,
+       CAST(COALESCE(nf, -1) AS INTEGER) AS n_frames,
+       CAST(COALESCE(rate, -1) AS INTEGER) AS rate,
+       CAST(COALESCE(nf * 1000 // rate, -1) AS BIGINT) AS duration_ms,
+       CAST(COALESCE(ns, -1) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(ns * base + 3 * w * h * ns * (ns - 1), -1) AS BIGINT)
+         AS sampled_pixel_sum
+FROM d
+ORDER BY doc_id
+"""
+
 # Bounded interval join twin: plain key join + BETWEEN range predicate
 # (DuckDB's planner handles the small scale; the Spark side buckets —
 # same result, different physical strategy). COUNT is BIGINT in DuckDB,

@@ -1127,6 +1127,85 @@ def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_output(prof, "doc_id")
 
 
+def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third real-container multimodal round-trip, oracle-checked:
+    documents → genuine AVI blobs (``avi_encode``: RIFF hdrl/movi/idx1,
+    bottom-up padded DIB scanlines) → two composed decode paths:
+    ``decode_videos`` for per-clip metadata, and ``sample_frames`` →
+    ``image_pixel_stats`` for an every-2nd-frame sample whose pixel sums
+    have a closed integer form the oracle reproduces from
+    ``octet_length(text)``.
+
+    A wrong scanline flip, row un-padding, chunk walk, or sampling
+    stride changes ``sampled_pixel_sum`` even when headers parse. The
+    video is decoded twice (metadata pass + frame pass) — each pass is
+    map-only over Arrow batches with no shuffle of media bytes; the only
+    shuffled rows are the per-doc aggregates."""
+    from dask_felleskomponenter_spark.functions.multimodal import (
+        avi_encode,
+        decode_video_avi,
+        decode_videos,
+        fakm_decode,
+        image_pixel_stats,
+        sample_frames,
+        sniff_media_type,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def to_avi(text: pd.Series) -> pd.Series:
+        def enc(t):
+            if t is None:
+                return None
+            n = len(t.encode("utf-8"))
+            w, h, nf, fps = n % 16 + 1, n % 12 + 1, n % 5 + 1, n % 24 + 1
+            frames = [
+                bytes(
+                    (x + y + c + i) & 0xFF  # max 32 — no wraparound
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                for i in range(nf)
+            ]
+            return avi_encode(w, h, fps, frames)
+
+        return text.apply(enc)
+
+    vids = docs.select("doc_id", to_avi("text").alias("vid"))
+    meta = decode_videos(vids, "vid", decoder=decode_video_avi)
+    frames = sample_frames(
+        vids, "vid", ["doc_id"], every_n=2, decoder=decode_video_avi
+    )
+    fstats = image_pixel_stats(frames, "frame", decoder=fakm_decode)
+    fagg = fstats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("pixel_stats.pixel_sum").alias("sampled_pixel_sum"),
+    )
+    prof = (
+        meta.join(fagg, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(sniff_media_type("vid"), F.lit("none")).alias("container"),
+            F.coalesce(F.col("video_meta.width"), F.lit(-1)).alias("width"),
+            F.coalesce(F.col("video_meta.height"), F.lit(-1)).alias("height"),
+            F.coalesce(F.col("video_meta.n_frames"), F.lit(-1)).alias("n_frames"),
+            F.coalesce(F.col("video_meta.rate"), F.lit(-1)).alias("rate"),
+            F.coalesce(
+                F.col("video_meta.duration_ms"), F.lit(-1).cast("long")
+            ).alias("duration_ms"),
+            F.coalesce(F.col("n_sampled"), F.lit(-1).cast("long")).alias(
+                "n_sampled"
+            ),
+            F.coalesce(F.col("sampled_pixel_sum"), F.lit(-1).cast("long")).alias(
+                "sampled_pixel_sum"
+            ),
+        )
+    )
+    return ordered_output(prof, "doc_id")
+
+
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts, status rows × priority columns.
 
@@ -1513,6 +1592,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_decode_profile": multimodal_decode_profile,
     "multimodal_audio_profile": multimodal_audio_profile,
     "multimodal_image_profile": multimodal_image_profile,
+    "multimodal_video_profile": multimodal_video_profile,
     "pivot_status_by_priority": pivot_status_by_priority,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "agg_percentiles_orders": agg_percentiles_orders,

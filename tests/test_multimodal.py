@@ -333,3 +333,130 @@ class TestPngCodec:
         )
         assert got[1]["pixel_sum"] == expect
         assert got[2] is None and got[3] is None
+
+
+class TestAviCodec:
+    """Real AVI container: RIFF hdrl/movi/idx1 walk, bottom-up padded
+    DIB scanlines, spec edge cases (odd widths, top-down biHeight,
+    LIST rec grouping), and the decode_videos / sample_frames contract."""
+
+    @staticmethod
+    def _frames(w, h, n):
+        return [
+            bytes((x + y + c + i) & 0xFF for y in range(h) for x in range(w) for c in range(3))
+            for i in range(n)
+        ]
+
+    def test_roundtrip_padded_and_unpadded_widths(self):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_video_avi,
+        )
+
+        for w in (4, 5, 7):  # stride 12 (no pad), 15 (pad 1), 21 (pad 3)
+            frames = self._frames(w, 3, 4)
+            d = decode_video_avi(avi_encode(w, 3, 25, frames))
+            assert d is not None
+            assert (d["width"], d["height"], d["channels"]) == (w, 3, 3)
+            assert (d["n_frames"], d["rate"], d["scale"]) == (4, 25, 1)
+            assert d["payload"] == b"".join(frames)
+
+    def test_duration_from_rational_rate(self):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_video_avi,
+        )
+
+        d = decode_video_avi(avi_encode(2, 2, 12, self._frames(2, 2, 3)))
+        assert d["duration_ms"] == 3 * 1000 // 12
+
+    def test_topdown_biheight_negative(self):
+        """Spec allows biHeight < 0 = top-down rows; decode must not
+        flip them."""
+        import struct as _s
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_video_avi,
+        )
+
+        frames = self._frames(4, 3, 2)
+        blob = bytearray(avi_encode(4, 3, 10, frames))
+        # patch biHeight to -3 in the strf BITMAPINFOHEADER and flip
+        # each stored frame's row order to top-down (stride 12, no pad)
+        off = blob.find(b"strf") + 8
+        _s.pack_into("<i", blob, off + 8, -3)
+        stride = 12
+        pos = 0
+        while True:
+            pos = blob.find(b"00db", pos)
+            if pos < 0:
+                break
+            body = pos + 8
+            rows = [bytes(blob[body + y * stride : body + (y + 1) * stride]) for y in range(3)]
+            blob[body : body + 3 * stride] = b"".join(reversed(rows))
+            pos = body
+        d = decode_video_avi(bytes(blob))
+        assert d is not None and d["payload"] == b"".join(frames)
+
+    def test_corrupt_inputs_return_none(self):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_video_avi,
+            wav_encode,
+        )
+
+        blob = avi_encode(3, 3, 10, self._frames(3, 3, 2))
+        assert decode_video_avi(None) is None
+        assert decode_video_avi(b"") is None
+        assert decode_video_avi(blob[:20]) is None
+        assert decode_video_avi(b"RIFF" + blob[4:8] + b"WAVE") is None
+        # a WAV is RIFF but not AVI
+        assert decode_video_avi(wav_encode(8000, 1, b"\x00\x00" * 8)) is None
+        # compressed stream (biCompression != 0) is rejected, not mangled
+        import struct as _s
+
+        patched = bytearray(blob)
+        off = patched.find(b"strf") + 8
+        _s.pack_into("<I", patched, off + 16, 0x44495630)  # 'DIV0'
+        assert decode_video_avi(bytes(patched)) is None
+
+    def test_encode_validates_frame_size(self):
+        from dask_felleskomponenter_spark.functions.multimodal import avi_encode
+
+        with pytest.raises(ValueError, match="expected"):
+            avi_encode(4, 4, 10, [b"\x00" * 5])
+
+    def test_decode_videos_operator_and_null_rows(self, spark):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_videos,
+        )
+
+        blob = avi_encode(3, 2, 20, self._frames(3, 2, 3))
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, None), (3, bytearray(b"junk"))],
+            "id int, vid binary",
+        )
+        rows = {r["id"]: r["video_meta"] for r in decode_videos(df, "vid").collect()}
+        assert rows[1]["width"] == 3 and rows[1]["n_frames"] == 3
+        assert rows[1]["rate"] == 20 and rows[1]["duration_ms"] == 150
+        assert rows[2] is None and rows[3] is None
+
+    def test_sample_frames_from_avi(self, spark):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_video_avi,
+            fakm_decode,
+            sample_frames,
+        )
+
+        frames = self._frames(3, 2, 5)
+        df = spark.createDataFrame(
+            [(1, bytearray(avi_encode(3, 2, 10, frames)))], "id int, vid binary"
+        )
+        out = sample_frames(df, "vid", ["id"], every_n=2, decoder=decode_video_avi)
+        got = {r["frame_index"]: bytes(r["frame"]) for r in out.collect()}
+        assert sorted(got) == [0, 2, 4]
+        for i, blob in got.items():
+            assert fakm_decode(blob)["payload"] == frames[i]
