@@ -267,6 +267,35 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+# Native session_window twin. Spark merges an event into the open
+# session iff it arrives strictly inside last-event + gap, so the
+# boundary condition here is >= (contrast window_lag_sessionize's
+# deliberate > semantics); session_end = MAX(ts) + gap = window.end.
+ORACLES["session_window_events"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
 ORACLES["window_running_total"] = """
 SELECT
   o_custkey,

@@ -499,6 +499,38 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (``F.session_window``, 30-minute
+    gap) per user — the batch twin of ``streaming/ops.sessionize_events``
+    and the engine-native counterpart of the manual lag/running-sum
+    sessionization in ``window_lag_sessionize``.
+
+    Semantics pinned by the oracle: a new session starts when the gap
+    from the previous event is >= 30 minutes; ``session_end`` is
+    last-event + gap (Spark's window.end), reproduced in SQL as
+    ``MAX(ts) + INTERVAL 30 MINUTE``. One shuffle on user_id; session
+    merging is per-key sorted state, no cross-key work."""
+    ev = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), fmt).alias("session_start"),
+            F.date_format(F.col("sw.end"), fmt).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 EVENT_PROPS_JSON_SCHEMA = {
     "type": "object",
     "properties": {"k": {"type": "integer", "description": "event payload key"}},
@@ -1571,6 +1603,7 @@ QUERIES: dict[str, QueryFn] = {
     "string_fns_documents": string_fns_documents,
     "date_fns_events": date_fns_events,
     "tumbling_window_events": tumbling_window_events,
+    "session_window_events": session_window_events,
     "json_fns_events": json_fns_events,
     "map_fns_events": map_fns_events,
     "math_fns_lineitem": math_fns_lineitem,
