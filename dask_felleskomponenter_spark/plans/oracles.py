@@ -546,6 +546,75 @@ FROM scored
 ORDER BY doc_id
 """
 
+# TF-IDF twin: same lowercase whitespace tokenization, natural log,
+# ROUND(·,6) scores, and ranking on the ROUNDED score with a term
+# tie-break (the determinism rule). ROW_NUMBER is BIGINT in DuckDB →
+# cast to match Spark's int rank.
+ORACLES["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS t
+  FROM documents WHERE text IS NOT NULL
+), terms AS (
+  SELECT doc_id, UNNEST(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, tf, df, tfidf
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rank
+"""
+
+# Bigram twin: non-distinct shingles (contrast the jaccard oracles'
+# list_distinct), lowercase, with the "whole text as one shingle when
+# shorter than the window" rule — an empty/whitespace doc contributes
+# one '' bigram on both sides.
+ORACLES["ngram_top_bigrams"] = """
+WITH toks AS (
+  SELECT CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS t
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+         END AS g
+  FROM toks
+), b AS (
+  SELECT UNNEST(g) AS bigram FROM grams
+)
+SELECT bigram, COUNT(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+ORACLES["sample_hash_stratified"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          IN ('0', '1') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       ROUND(CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                IN ('0', '1') THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS sample_rate
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
 # Tie rule must match Spark's array_max over (hits, lang) structs: equal
 # hit-counts prefer the lexicographically LARGEST language code.
 ORACLES["lang_id_documents"] = """

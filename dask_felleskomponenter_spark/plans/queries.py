@@ -768,6 +768,83 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LLM-pipeline: similarity search ------------------------------------
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF — the corpus-statistics shape
+    behind tokenizer training and keyword extraction.
+
+    Shape: one explode of lowercase whitespace tokens → (doc, term)
+    counts (one shuffle, map-side combined) → document frequencies as a
+    second aggregate over the *already reduced* (doc, term) pairs (never
+    the raw token stream) → score → per-doc top-3 window. The DF join
+    shuffles on term — co-partitioned with the df aggregate's output, so
+    AQE coalesces it; the per-doc window is bounded by distinct terms
+    per document. Ranking is on the rounded score with a term tie-break
+    (determinism rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    terms = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams (non-distinct shingles, lowercase) —
+    the n-gram frequency table a tokenizer/boilerplate analysis starts
+    from. One explode + one count shuffle + TakeOrdered top-k; ties
+    broken by the bigram itself for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = TX.word_shingles(F.lower(F.col("text")), 2, distinct=False)
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~1/8 of docs): sample membership is
+    ``md5(doc_id) first hex digit ∈ {0,1}`` — the reproducible,
+    engine-independent sampling rule training pipelines need (a re-run,
+    a different engine, or a different partitioning selects the SAME
+    rows; ``df.sample``'s RNG guarantees none of that). Reported as
+    per-language totals so the stratification is visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sampled = bucket.isin("0", "1")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(sampled, 1).otherwise(0)).alias("n_sampled"),
+            F.round(
+                F.sum(F.when(sampled, 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for three query vectors taken from
     the table itself (vec_id 0,1,2): one broadcast-nested-loop pass over
@@ -1616,6 +1693,9 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_documents": simhash_documents,
     "fingerprint_documents": fingerprint_documents,
     "text_quality_profile": text_quality_profile,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ngram_top_bigrams": ngram_top_bigrams,
+    "sample_hash_stratified": sample_hash_stratified,
     "lang_id_documents": lang_id_documents,
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "neardup_embedding_cosine": neardup_embedding_cosine,
