@@ -313,3 +313,40 @@ def _has_aggregate_complete(df: DataFrame) -> bool:
     # windowed aggregates can use complete for exact test comparisons.
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan and "sessionWindow" not in plan and "FlatMapGroupsInPandasWithState" not in plan
+
+
+def stream_to_jdbc_sync(
+    stream_df: DataFrame,
+    manager,
+    checkpoint_dir: str,
+    mode: str = "snapshot",
+    merge_keys: Iterable[str] | None = None,
+):
+    """Continuous publish: every micro-batch is staged over JDBC and
+    published by a ``PostgresSyncManager`` (``sync/postgres.py``) inside
+    ``foreachBatch`` — the streaming tail of the reference's sync
+    contract (its ``sync_df_to_pgdb`` is batch-only; this runs the same
+    staging-write + publish-SQL pair per trigger).
+
+    Delivery semantics: the checkpoint gives at-least-once batch
+    replay; both publish modes are idempotent re-applied (snapshot is
+    TRUNCATE+load, merge is keyed upsert/delete), so the visible effect
+    is effectively exactly-once. Connection fan-in per batch is bounded
+    by the manager's ``max_connections`` coalesce; no state beyond the
+    source offsets is held.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger) —
+    callers ``awaitTermination()`` it.
+    """
+    keys = list(merge_keys) if merge_keys is not None else None
+
+    def _publish(batch_df: DataFrame, _batch_id: int) -> None:
+        manager.sync(batch_df, mode=mode, merge_keys=keys)
+
+    return (
+        stream_df.writeStream.foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

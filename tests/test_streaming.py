@@ -168,3 +168,53 @@ def test_stream_interval_join_matches_batch_operator(spark, events_dir, tmp_path
     b = {(r["event_id"], r["rng_err_id"]) for r in batch.collect()}
     assert g == b
     assert len(g) > 0
+
+
+def test_stream_to_jdbc_sync_lands_rows_in_real_db(spark, events_dir, tmp_path):
+    """Streaming tail of the sync contract, wire-tested: events stream →
+    foreachBatch → JDBC staging write into embedded Derby → publish SQL
+    handed to the executor with staging already queryable."""
+    from dask_felleskomponenter_spark.sources.files import read_jdbc
+    from dask_felleskomponenter_spark.streaming.ops import (
+        stream_events,
+        stream_to_jdbc_sync,
+    )
+    from dask_felleskomponenter_spark.sync import (
+        PostgresSyncManager,
+        PostgresTargetConfig,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/streamdb;create=true"
+    cfg = PostgresTargetConfig(
+        host="unused.invalid",
+        dbname="unused",
+        user="app",
+        password="app",
+        staging_table="staging_events",
+        target_table="target_events",
+        extra_jdbc_options={
+            "url": url,
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        },
+    )
+    staged_counts: list[int] = []
+
+    def executor(sql: str) -> int:
+        n = read_jdbc(
+            spark, url, cfg.staging_table, driver=cfg.extra_jdbc_options["driver"]
+        ).count()
+        staged_counts.append(n)
+        assert "TRUNCATE TABLE" in sql
+        return n
+
+    mgr = PostgresSyncManager(cfg, sql_executor=executor)
+    ev = stream_events(spark, events_dir).select("event_id", "user_id", "value")
+    q = stream_to_jdbc_sync(ev, mgr, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    expected = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(events_dir).count()
+    # staging held every row of its batch at publish time
+    assert sum(staged_counts) == expected and staged_counts
