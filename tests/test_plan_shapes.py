@@ -227,3 +227,69 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_exists_semi_join_shape(spark):
+    # the EXISTS query must plan as a LeftSemi join with the date
+    # residual riding the equi-join, never a nested loop; and the order
+    # window must reach the orders scan
+    plan = plan_of(spark, "exists_late_shipment_orders")
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_scalar_subquery_fully_broadcast(spark):
+    # both the part filter and the per-part threshold are broadcast —
+    # the big lineitem side is never shuffled
+    plan = plan_of(spark, "scalar_subquery_small_qty")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_or_of_and_pushes_factored_predicates(spark):
+    # Catalyst's OR-factoring must derive per-table disjunctions and
+    # push them into BOTH scans
+    plan = plan_of(spark, "filter_or_of_and_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_brand" in p for p in pushed), pushed
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_notexists_is_anti_join_with_pushed_date(spark):
+    plan = plan_of(spark, "notexists_dormant_customers")
+    assert "LeftAnti" in plan, plan[:2000]
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_tfidf_has_no_python_nodes_and_two_aggregates(spark):
+    # TF-IDF is pure built-ins: token explode + two hash aggregates;
+    # a Python node here means someone "simplified" it into a UDF
+    plan = plan_of(spark, "tfidf_top_terms")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × (tf, df)
+
+
+def test_connected_components_rounds_are_bounded(spark):
+    # large-star/small-star on a 2^k-diameter path must converge in
+    # O(k) rounds — count the per-round signature jobs via the Spark UI
+    # listener-free proxy: localCheckpoint caches; just assert the
+    # operator finishes fast on a diameter-1024 chain (naive label
+    # propagation would need 1024 joins and time out the suite)
+    import time
+
+    from dask_felleskomponenter_spark.operators.graph import connected_components
+
+    from pyspark.sql import functions as F
+
+    edges = spark.range(1024).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    t = time.time()
+    out = connected_components(edges)
+    got = out.agg(F.count(F.lit(1)), F.countDistinct("component")).first()
+    assert tuple(got) == (1025, 1)
+    assert time.time() - t < 120, "CC took too long — rounds not logarithmic?"
