@@ -90,6 +90,66 @@ ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DE
 LIMIT 20
 """
 
+ORACLES["join_full_outer_spend_freq"] = """
+WITH spend AS (
+  SELECT o_custkey AS ck_s,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY 1
+  HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) > 2600000
+), freq AS (
+  SELECT o_custkey AS ck_f, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+  HAVING COUNT(*) >= 13
+)
+SELECT COALESCE(ck_s, ck_f) AS custkey,
+       COALESCE(total_spend, -1.0) AS total_spend,
+       COALESCE(n_orders, -1) AS n_orders
+FROM spend FULL OUTER JOIN freq ON ck_s = ck_f
+ORDER BY custkey
+"""
+
+# Salted-join twin: the salt is physical-plan-only, so the oracle is the
+# PLAIN join + rollup — equality IS the correctness statement.
+ORACLES["join_salted_user_events"] = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+ORACLES["embedding_quantize_stats"] = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM base
+), q AS (
+  SELECT vec_id, maxabs,
+         127.0 / maxabs AS scale,
+         list_transform(v, x -> CAST(ROUND(x * (127.0 / maxabs)) AS INTEGER))
+           AS qv
+  FROM m
+)
+SELECT vec_id,
+       CASE WHEN maxabs IS NULL OR maxabs = 0 THEN NULL
+            ELSE ROUND(scale, 6) END AS scale,
+       CASE WHEN maxabs IS NULL OR maxabs = 0 THEN NULL
+            ELSE CAST(list_sum(qv) AS BIGINT) END AS q_sum,
+       CASE WHEN maxabs IS NULL OR maxabs = 0 THEN NULL
+            ELSE CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+            END AS q_l1,
+       CASE WHEN maxabs IS NULL OR maxabs = 0 THEN NULL
+            ELSE list_max(qv) END AS q_max
+FROM q
+ORDER BY vec_id
+"""
+
 ORACLES["exists_late_shipment_orders"] = """
 SELECT o_orderpriority, COUNT(*) AS n_orders
 FROM orders

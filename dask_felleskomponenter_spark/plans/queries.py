@@ -33,6 +33,7 @@ from dask_felleskomponenter_spark.functions.json_schema import (
 from dask_felleskomponenter_spark.operators.joins import (
     anti_join,
     broadcast_dim_join,
+    salted_join,
     semi_join,
 )
 from dask_felleskomponenter_spark.operators.windows import (
@@ -1482,6 +1483,92 @@ def sync_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(target, staging, keys=["o_orderkey"]).orderBy("o_orderkey")
 
 
+def join_full_outer_spend_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type not yet declared: high-spend
+    customers vs frequent buyers, with both-sided, left-only and
+    right-only regions all non-empty at this SF. Sentinel -1 fills the
+    missing side (NULL-free output keeps the hash compare simple)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(dsum(dmoney("o_totalprice")).alias("total_spend"))
+        .filter(F.col("total_spend") > 2_600_000)
+        .select(F.col("o_custkey").alias("ck_s"), "total_spend")
+    )
+    freq = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 13)
+        .select(F.col("o_custkey").alias("ck_f"), "n_orders")
+    )
+    return (
+        spend.join(freq, spend.ck_s == freq.ck_f, "full_outer")
+        .select(
+            F.coalesce("ck_s", "ck_f").alias("custkey"),
+            F.coalesce("total_spend", F.lit(-1.0)).alias("total_spend"),
+            F.coalesce("n_orders", F.lit(-1).cast("long")).alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def join_salted_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join via ``operators/joins.py::salted_join``:
+    events (the skewable fact — one hot user at 100 TB funnels a plain
+    shuffle join) against the customer dimension, then segment rollup.
+    Result is oracle-identical to the plain join; the salt only changes
+    the physical key space (keys × 16)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(ev, cust, on=["user_id"], salt_buckets=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before an ANN index ships to serving. Pure
+    higher-order column expressions (scale = 127/max|v|, q = round(v·s)),
+    all JVM-side; per-vector integer outputs keep the oracle
+    float-rounding-free except the rounded scale itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / maxabs
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    out = emb.select(
+        "vec_id",
+        F.when(
+            F.col("embedding").isNull() | (maxabs == 0), None
+        ).otherwise(F.round(scale, 6)).alias("scale"),
+        F.when(F.col("embedding").isNull() | (maxabs == 0), None)
+        .otherwise(
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
+        )
+        .alias("q_sum"),
+        F.when(F.col("embedding").isNull() | (maxabs == 0), None)
+        .otherwise(
+            F.aggregate(
+                q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+            )
+        )
+        .alias("q_l1"),
+        F.when(F.col("embedding").isNull() | (maxabs == 0), None)
+        .otherwise(F.array_max(q))
+        .alias("q_max"),
+    )
+    return out.orderBy("vec_id")
+
+
 # --- correlated-subquery / complex-predicate relational shapes ----------
 
 def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1658,6 +1745,9 @@ QUERIES: dict[str, QueryFn] = {
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
     "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
+    "join_full_outer_spend_freq": join_full_outer_spend_freq,
+    "join_salted_user_events": join_salted_user_events,
+    "embedding_quantize_stats": embedding_quantize_stats,
     "exists_late_shipment_orders": exists_late_shipment_orders,
     "scalar_subquery_small_qty": scalar_subquery_small_qty,
     "filter_or_of_and_revenue": filter_or_of_and_revenue,

@@ -293,3 +293,30 @@ def test_connected_components_rounds_are_bounded(spark):
     got = out.agg(F.count(F.lit(1)), F.countDistinct("component")).first()
     assert tuple(got) == (1025, 1)
     assert time.time() - t < 120, "CC took too long — rounds not logarithmic?"
+
+
+def test_salted_join_equals_plain_join(spark):
+    # inner and left, with a pathological hot key and unmatched rows on
+    # both sides — the salt must be invisible in the result
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.operators.joins import salted_join
+
+    big = spark.range(3000).select(
+        F.when(F.col("id") < 2000, 7).otherwise(F.col("id") % 40).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim")
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(big, small, ["k"], 8, how).collect()
+        )
+        want = sorted(tuple(r) for r in big.join(small, ["k"], how).collect())
+        assert got == want, how
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full_outer")
