@@ -356,6 +356,31 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
 
+# Distribution-rank twin: identical (balance, custkey) sort key so the
+# ntile/percent_rank/cume_dist values match row-for-row; sums of the
+# rank columns make every row's value feed the hash without emitting
+# 1500 rows.
+ORACLES["window_distribution_ranks"] = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(4)       OVER w AS quartile,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST()    OVER w AS cd
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal ASC, c_custkey ASC)
+)
+SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile,
+       COUNT(*) AS n,
+       ROUND(SUM(pr), 6) AS sum_pr,
+       ROUND(SUM(cd), 6) AS sum_cd,
+       ROUND(MIN(c_acctbal), 2) AS min_bal,
+       ROUND(MAX(c_acctbal), 2) AS max_bal
+FROM ranked
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+"""
+
 ORACLES["window_running_total"] = """
 SELECT
   o_custkey,

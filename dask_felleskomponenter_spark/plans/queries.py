@@ -404,6 +404,36 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sort / limit / set ops ---------------------------------------------
 
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist — over each customer segment's account balances, summarized
+    per (segment, quartile) so the output stays small while every rank
+    value feeds the checksum. Per-segment sort parallelizes across
+    segments; within-segment data is dimension-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("pr"), 6).alias("sum_pr"),
+            F.round(F.sum("cd"), 6).alias("sum_cd"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
 def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by price — TakeOrderedAndProject, no full sort."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1763,6 +1793,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_topn_orders_per_customer": window_topn_orders_per_customer,
     "window_lag_sessionize": window_lag_sessionize,
     "window_running_total": window_running_total,
+    "window_distribution_ranks": window_distribution_ranks,
     "topk_expensive_orders": topk_expensive_orders,
     "set_union_segments": set_union_segments,
     "set_except_inactive": set_except_inactive,

@@ -121,3 +121,39 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Media ingest: the ``binaryFile`` source — one row per file with
+    (path, modificationTime, length, content) — the standard way raw
+    images/audio/video on object storage enter a multimodal pipeline
+    before the ``functions/multimodal`` decode operators.
+
+    Scale posture:
+    - ``glob`` (``pathGlobFilter``) prunes at FILE LISTING time — a
+      ``*.png`` filter never reads a byte of the non-matching files,
+      unlike a post-scan filter on ``path``.
+    - ``max_bytes`` guards the executors: object stores hold the odd
+      100 GB file, and ``binaryFile`` materializes whole files as single
+      row values; the filter is on the ``length`` metadata column, which
+      Spark prunes BEFORE loading content (content is lazily read
+      per-row).
+    - one file = one row = one task slot at minimum granularity; for
+      millions of small files, pack upstream (tar/parquet) — the source
+      never splits or merges files.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(df["length"] <= int(max_bytes))
+    return df

@@ -350,3 +350,25 @@ def stream_to_jdbc_sync(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_dim_join(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: Iterable[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the
+    dimension snapshot — the canonical "attach user/customer attributes
+    to an event stream" shape.
+
+    The static side is explicitly ``broadcast``: stream-static joins
+    re-evaluate the static plan each micro-batch, and without the hint a
+    large-enough dim silently becomes a per-batch shuffle of the stream
+    side. Stateless (no watermark needed): rows join against the dim as
+    of the batch that processes them. ``how`` inner/left only — right/
+    full would need the unmatched-dim side re-emitted per batch, which
+    stream-static joins cannot express (use a stream-stream join)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"stream-static join supports inner/left, got {how!r}")
+    return stream_df.join(F.broadcast(dim_df), on=list(on), how=how)

@@ -104,3 +104,41 @@ def test_read_jdbc_partition_column_requires_bounds():
 
     with pytest.raises(ValueError, match="lower_bound"):
         read_jdbc(MagicMock(), "jdbc:x", "t", partition_column="id")
+
+
+class TestBinaryFileSource:
+    """binaryFile ingest → multimodal decode, end-to-end on real PNG
+    files written to disk."""
+
+    def test_glob_prunes_and_decode_composes(self, spark, tmp_path):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_image_png,
+            image_pixel_stats,
+            png_encode,
+        )
+        from dask_felleskomponenter_spark.sources.files import read_binary_files
+
+        media = tmp_path / "media"
+        (media / "sub").mkdir(parents=True)
+        for i, w in enumerate((3, 5)):
+            payload = bytes((x + y + c) & 0xFF for y in range(4) for x in range(w) for c in range(3))
+            (media / "sub" / f"img{i}.png").write_bytes(png_encode(w, 4, 3, payload))
+        (media / "sub" / "notes.txt").write_bytes(b"not an image")
+
+        df = read_binary_files(spark, str(media), glob="*.png")
+        assert df.count() == 2  # the txt never enters the scan
+        stats = image_pixel_stats(df, "content", decoder=decode_image_png)
+        got = {
+            r["path"].rsplit("/", 1)[-1]: r["pixel_stats"]["width"]
+            for r in stats.collect()
+        }
+        assert got == {"img0.png": 3, "img1.png": 5}
+
+    def test_max_bytes_guard(self, spark, tmp_path):
+        from dask_felleskomponenter_spark.sources.files import read_binary_files
+
+        (tmp_path / "small.bin").write_bytes(b"x" * 10)
+        (tmp_path / "large.bin").write_bytes(b"x" * 10_000)
+        df = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=100)
+        rows = df.select("path", "length").collect()
+        assert len(rows) == 1 and rows[0]["length"] == 10

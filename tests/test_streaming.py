@@ -218,3 +218,33 @@ def test_stream_to_jdbc_sync_lands_rows_in_real_db(spark, events_dir, tmp_path):
     ).parquet(events_dir).count()
     # staging held every row of its batch at publish time
     assert sum(staged_counts) == expected and staged_counts
+
+
+def test_stream_static_dim_join_matches_batch(spark, events_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources import load_table
+    from dask_felleskomponenter_spark.streaming.ops import (
+        run_to_memory_sink,
+        stream_events,
+        stream_static_dim_join,
+    )
+
+    dim = (
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    ev = stream_events(spark, events_dir).select("event_id", "user_id")
+    out = run_to_memory_sink(
+        stream_static_dim_join(ev, dim, on=["user_id"]),
+        "dimjoin",
+        str(tmp_path / "ck"),
+    )
+    got = sorted(tuple(r) for r in out.collect())
+
+    batch_ev = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(events_dir).select("event_id", "user_id")
+    want = sorted(tuple(r) for r in batch_ev.join(dim, ["user_id"]).collect())
+    assert got == want and got
