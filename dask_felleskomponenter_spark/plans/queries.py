@@ -876,6 +876,51 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Portable regexes (same semantics in Java regex and RE2/DuckDB):
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+def pii_redact_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before text ships. The corpus is synthetic and PII-free, so the
+    query first plants deterministic PII (an email and a phone derived
+    from ``doc_id`` — the same construction the oracle repeats), then
+    redacts with the portable regexes above and reports match counts and
+    length deltas.
+
+    All built-in ``regexp_count``/``regexp_replace`` — JVM-side, no
+    Python; the only cost at 100 TB is the regex scan itself, fused into
+    the projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", planted.alias("t")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+            F.length("t").alias("len_before"),
+            F.length(redacted).alias("len_after"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for three query vectors taken from
     the table itself (vec_id 0,1,2): one broadcast-nested-loop pass over
@@ -1817,6 +1862,7 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": tfidf_top_terms,
     "ngram_top_bigrams": ngram_top_bigrams,
     "sample_hash_stratified": sample_hash_stratified,
+    "pii_redact_profile": pii_redact_profile,
     "lang_id_documents": lang_id_documents,
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "neardup_embedding_cosine": neardup_embedding_cosine,
