@@ -1616,30 +1616,50 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     all JVM-side; per-vector integer outputs keep the oracle
     float-rounding-free except the rounded scale itself."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / maxabs
-    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
-    out = emb.select(
-        "vec_id",
-        F.when(
-            F.col("embedding").isNull() | (maxabs == 0), None
-        ).otherwise(F.round(scale, 6)).alias("scale"),
-        F.when(F.col("embedding").isNull() | (maxabs == 0), None)
-        .otherwise(
-            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
+    # Higher-order functions evaluate interpreted: keep every
+    # intermediate a REAL column so no lambda captures another array
+    # expression (a scale embedding array_max(transform(...)) would
+    # re-walk the vector per element — O(dim²) interpreted). Then fold
+    # all three statistics in ONE aggregate walk over the quantized
+    # array instead of three.
+    staged = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
         )
-        .alias("q_sum"),
-        F.when(F.col("embedding").isNull() | (maxabs == 0), None)
-        .otherwise(
+        .withColumn("_ma", F.array_max(F.transform("_v", lambda x: F.abs(x))))
+        .withColumn("_s", F.lit(127.0) / F.col("_ma"))
+        .withColumn(
+            "_q",
+            F.transform("_v", lambda x: F.round(x * F.col("_s")).cast("int")),
+        )
+        .withColumn(
+            "_st",
             F.aggregate(
-                q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
-            )
+                "_q",
+                F.struct(
+                    F.lit(0).cast("long").alias("s"),
+                    F.lit(0).cast("long").alias("l1"),
+                    F.lit(-(2**31)).cast("int").alias("mx"),
+                ),
+                lambda acc, x: F.struct(
+                    (acc["s"] + x).alias("s"),
+                    (acc["l1"] + F.abs(x)).alias("l1"),
+                    F.greatest(acc["mx"], x).alias("mx"),
+                ),
+            ),
         )
-        .alias("q_l1"),
-        F.when(F.col("embedding").isNull() | (maxabs == 0), None)
-        .otherwise(F.array_max(q))
-        .alias("q_max"),
+    )
+    invalid = F.col("embedding").isNull() | (F.col("_ma") == 0)
+    out = staged.select(
+        "vec_id",
+        F.when(invalid, None).otherwise(F.round(F.col("_s"), 6)).alias("scale"),
+        F.when(invalid, None).otherwise(F.col("_st.s")).alias("q_sum"),
+        F.when(invalid, None).otherwise(F.col("_st.l1")).alias("q_l1"),
+        F.when(invalid, None).otherwise(F.col("_st.mx")).alias("q_max"),
     )
     return out.orderBy("vec_id")
 
