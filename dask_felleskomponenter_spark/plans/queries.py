@@ -351,6 +351,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- window family -------------------------------------------------------
 
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (``percentile_approx``, accuracy 10⁴) per
+    order status — the sketch twin of the exact ``agg_percentiles_orders``.
+    Rows-only: quantile-sketch implementations (Spark GK vs DuckDB)
+    legitimately differ; the pytest tolerance test pins the estimates to
+    the exact values instead. Sketches merge map-side, so the shuffle
+    carries one sketch per (partition, status), not the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(pcts.alias("_p"))
+        .select(
+            "o_orderstatus",
+            F.round(F.col("_p")[0], 2).alias("p50"),
+            F.round(F.col("_p")[1], 2).alias("p90"),
+            F.round(F.col("_p")[2], 2).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def window_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price (ranking window)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1987,6 +2009,7 @@ QUERIES: dict[str, QueryFn] = {
     "agg_rollup_status_priority": agg_rollup_status_priority,
     "agg_cube_segment_status": agg_cube_segment_status,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_approx_percentiles": agg_approx_percentiles,
     "window_topn_orders_per_customer": window_topn_orders_per_customer,
     "window_lag_sessionize": window_lag_sessionize,
     "window_running_total": window_running_total,

@@ -320,3 +320,54 @@ def test_salted_join_equals_plain_join(spark):
 
     with _pt.raises(ValueError, match="inner/left"):
         salted_join(big, small, ["k"], how="full_outer")
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    # sketch estimates must track exact interpolated percentiles
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources import load_table
+
+    approx = {
+        r["o_orderstatus"]: r
+        for r in QUERIES["agg_approx_percentiles"](spark, SF).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, e in exact.items():
+        for p in ("p50", "p90", "p99"):
+            assert abs(approx[k][p] - e[p]) <= 0.05 * abs(e[p]) + 1, (k, p)
+
+
+def test_observed_metrics_single_pass(spark):
+    # metrics accumulate on the SAME action that consumes the rows
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.operators.metrics import (
+        with_observed_metrics,
+    )
+    from dask_felleskomponenter_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out, obs = with_observed_metrics(
+        docs,
+        "profile",
+        n_rows=F.count(F.lit(1)),
+        null_texts=F.sum(F.col("text").isNull().cast("long")),
+        max_doc=F.max("doc_id"),
+    )
+    n = out.count()  # the one pass
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_texts"] == docs.filter(F.col("text").isNull()).count()
+    assert got["max_doc"] == docs.agg(F.max("doc_id")).first()[0]
