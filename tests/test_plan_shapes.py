@@ -371,3 +371,13 @@ def test_observed_metrics_single_pass(spark):
     assert got["n_rows"] == n
     assert got["null_texts"] == docs.filter(F.col("text").isNull()).count()
     assert got["max_doc"] == docs.agg(F.max("doc_id")).first()[0]
+
+
+@pytest.mark.parametrize("name", ["q7_volume_shipping", "q8_market_share"])
+def test_multiway_star_joins_broadcast_all_dims(spark, name):
+    # every dimension broadcasts; the only allowed shuffle join is the
+    # lineitem⋈orders fact join
+    plan = plan_of(spark, name)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -284,3 +284,80 @@ class TestJdbcWirePath:
         rowcount = mgr.sync(df, mode="snapshot")
         assert rowcount == 7
         assert 'TRUNCATE TABLE "target_orders"' in seen[0]
+
+
+class TestDefaultExecutorWiring:
+    """The psycopg publish path, exercised via an injected fake module —
+    the sandbox has no psycopg, but the connect kwargs, SSL mapping,
+    execute call, and rowcount return are all real code that must not
+    rot."""
+
+    class _FakePsycopg:
+        class _Cursor:
+            def __init__(self, log):
+                self.log = log
+                self.rowcount = 42
+
+            def execute(self, sql):
+                self.log.append(("execute", sql))
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        class _Conn:
+            def __init__(self, log):
+                self.log = log
+
+            def cursor(self):
+                return TestDefaultExecutorWiring._FakePsycopg._Cursor(self.log)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        def __init__(self):
+            self.log = []
+
+        def connect(self, **kwargs):
+            self.log.append(("connect", kwargs))
+            return self._Conn(self.log)
+
+    def test_executor_connects_and_returns_rowcount(self, monkeypatch):
+        import sys
+
+        from dask_felleskomponenter_spark.sync.postgres import _default_executor
+
+        fake = self._FakePsycopg()
+        monkeypatch.setitem(sys.modules, "psycopg", fake)
+        cfg = _config(ssl_ca="/certs/ca.pem", ssl_cert="/certs/c.pem", ssl_key="/certs/k.pem")
+        run = _default_executor(cfg)
+        assert run("SELECT 1") == 42
+        (op, kwargs), (op2, sql) = fake.log[0], fake.log[1]
+        assert op == "connect"
+        assert kwargs["host"] == "db.example" and kwargs["dbname"] == "geodata"
+        assert kwargs["sslmode"] == "verify-ca"
+        assert kwargs["sslrootcert"] == "/certs/ca.pem"
+        assert (op2, sql) == ("execute", "SELECT 1")
+
+    def test_executor_without_psycopg_raises_cleanly(self, monkeypatch):
+        import builtins
+        import sys
+
+        from dask_felleskomponenter_spark.sync.postgres import _default_executor
+
+        monkeypatch.setitem(sys.modules, "psycopg", None)
+        real_import = builtins.__import__
+
+        def no_psycopg(name, *a, **k):
+            if name == "psycopg":
+                raise ImportError("nope")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_psycopg)
+        with pytest.raises(NotImplementedError, match="psycopg"):
+            _default_executor(_config())("SELECT 1")
