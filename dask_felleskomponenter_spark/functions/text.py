@@ -225,6 +225,31 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# --- PII (compliance pass) -------------------------------------------------
+# Regexes chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB), so the oracle-checked query and any external audit agree.
+
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+?\d[\d-]{7,}\d"
+
+PII_PATTERNS = {"email": PII_EMAIL_PATTERN, "phone": PII_PHONE_PATTERN}
+
+
+def pii_hits(col: str | Column, kind: str) -> Column:
+    """Count of PII matches of ``kind`` (see ``PII_PATTERNS``) in a text
+    column — a plain ``regexp_count`` expression."""
+    return F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(col: str | Column) -> Column:
+    """All known PII kinds replaced with ``[KIND]`` tokens, one regex
+    pass per kind, JVM-side."""
+    out = _c(col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
 def rolling_fingerprint(col: str | Column, window: int = 8, keep: int = 4) -> Column:
     """Winnowing-style document fingerprint: the ``keep`` smallest hashes
     of ``window``-token shingles, as a sorted array<bigint>.

@@ -1,0 +1,71 @@
+"""Data-quality governance: scans over table CONTENT, not metadata.
+
+The reference's governance pack validates metadata only (tags, comment,
+codelists); a training-data platform also needs content gates before a
+table is promoted. This module adds the first one — a PII scan over
+declared text columns — expressed in the same currency as the metadata
+checks (``MetadataError`` findings with executable remedies) so both
+kinds of finding flow through one reporting path.
+
+Scale: ONE aggregate job over the table regardless of how many columns
+are scanned — all per-column hit counts are conditional aggregates in a
+single ``agg`` (map-side combined; the shuffle carries one partial row
+per partition). No sampling: at 100 TB a sampled PII scan is a
+compliance hole, and a full regex pass is scan-bound anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_felleskomponenter_spark.functions.text import PII_PATTERNS, pii_hits
+from dask_felleskomponenter_spark.governance.model import MetadataError
+
+
+def scan_text_pii(
+    df: DataFrame,
+    columns: list[str],
+    table: str | None = None,
+) -> list[MetadataError]:
+    """Scan ``columns`` for PII; one finding per (column, kind) with at
+    least one matching row. The remedy is the executable redaction
+    expression (``functions/text.py::redact_pii``) for that column."""
+    aggs = []
+    for col in columns:
+        for kind in PII_PATTERNS:
+            aggs.append(
+                F.sum((pii_hits(col, kind) > 0).cast("long")).alias(
+                    f"{col} {kind}"
+                )
+            )
+    row = df.agg(*aggs).first()
+
+    parts = (table or "").split(".")
+    if len(parts) == 3:
+        catalog, schema, tbl = parts
+    else:
+        catalog, schema, tbl = None, None, table
+    findings = []
+    for key, n in row.asDict().items():
+        col, kind = key.split(" ")
+        if n and n > 0:
+            findings.append(
+                MetadataError(
+                    catalog=catalog,
+                    schema=schema,
+                    table=tbl,
+                    column=col,
+                    description=(
+                        f"Column '{col}' contains {kind} PII in {n} row(s); "
+                        "redact before promotion."
+                    ),
+                    solution=(
+                        f"SELECT regexp_replace(`{col}`, "
+                        f"'{PII_PATTERNS[kind]}', '[{kind.upper()}]') ..."
+                    ),
+                    for_field=f"pii.{kind}",
+                    valid_values=[],
+                )
+            )
+    return findings

@@ -898,9 +898,10 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Portable regexes (same semantics in Java regex and RE2/DuckDB):
-PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\+?\d[\d-]{7,}\d"
+#: Portable regexes (same semantics in Java regex and RE2/DuckDB);
+#: shared with the governance PII scan (functions/text.py).
+PII_EMAIL_RE = TX.PII_EMAIL_PATTERN
+PII_PHONE_RE = TX.PII_PHONE_PATTERN
 
 
 def pii_redact_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

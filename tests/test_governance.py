@@ -224,3 +224,46 @@ def test_errors_to_df_materializes_findings(spark):
     assert rows["geometri_encoding"]["column"] == "geom"
     # empty finding lists still yield a typed, writable frame
     assert errors_to_df(spark, []).count() == 0
+
+
+class TestPiiDataScan:
+    def test_scan_finds_planted_pii_single_job(self, spark):
+        from dask_felleskomponenter_spark.governance.data_checks import (
+            scan_text_pii,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "clean text here", "also clean"),
+                (2, "mail me at a.b@example.org", "clean"),
+                (3, "call +1-555-123-4567 now", "x@y.io ok"),
+            ],
+            "id int, body string, note string",
+        )
+        findings = scan_text_pii(df, ["body", "note"], table="cat.sch.docs")
+        got = {(f.column, f.for_field): f.description for f in findings}
+        assert ("body", "pii.email") in got and "1 row(s)" in got[("body", "pii.email")]
+        assert ("body", "pii.phone") in got
+        assert ("note", "pii.email") in got
+        assert ("note", "pii.phone") not in got
+        f = findings[0]
+        assert (f.catalog, f.schema, f.table) == ("cat", "sch", "docs")
+        assert "regexp_replace" in f.solution
+
+    def test_clean_table_yields_no_findings(self, spark):
+        from dask_felleskomponenter_spark.governance.data_checks import (
+            scan_text_pii,
+        )
+
+        df = spark.createDataFrame([(1, "nothing here")], "id int, t string")
+        assert scan_text_pii(df, ["t"]) == []
+
+    def test_redact_pii_round_trip(self, spark):
+        from dask_felleskomponenter_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame(
+            [("reach a@b.com or +47-555-1234-999 thanks",)], "t string"
+        )
+        out = df.select(redact_pii("t").alias("r")).first()["r"]
+        assert "[EMAIL]" in out and "[PHONE]" in out
+        assert "@" not in out
