@@ -102,6 +102,35 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "day",
+    partition_col: str = "_pdate",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a fact table partitioned by event-time — the standard
+    warehouse layout for append-mostly streams (one directory per day/
+    month), so every time-bounded query is a PARTITION-PRUNED scan that
+    never lists, let alone reads, out-of-range data.
+
+    The partition value is a derived DATE column (``date_trunc`` to
+    ``granularity``) kept alongside the original timestamp: partition
+    columns are stored in directory names, and truncating the original
+    in place would destroy sub-day precision. Readers filter on
+    ``partition_col`` (or on ``ts_col`` with a matching range — both
+    appear in PartitionFilters once the derived filter is added).
+    (``tests/test_plan_shapes.py`` pins the pruned scan.)
+    """
+    if granularity not in ("day", "month", "year"):
+        raise ValueError(f"unsupported granularity {granularity!r}")
+    out = df.withColumn(
+        partition_col, F.date_trunc(granularity, F.col(ts_col)).cast("date")
+    )
+    out.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> None:
