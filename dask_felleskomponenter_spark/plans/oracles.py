@@ -1074,6 +1074,46 @@ FROM c
 ORDER BY doc_id
 """
 
+# Int16-PCM feature twin: rebuild every sample with character
+# arithmetic. After the printable-ASCII sanitize, byte == character on
+# both engines; samples are little-endian pairs (lo + 256*hi), sign
+# convention u >= 32768 → u - 65536, odd-length payloads zero-padded.
+ORACLES["multimodal_audio_features"] = """
+WITH clean AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+  FROM documents WHERE text IS NOT NULL
+), dims AS (
+  SELECT doc_id, t, length(t) AS n,
+         (length(t) + (length(t) % 2)) // 2 AS ns
+  FROM clean
+), samples AS (
+  -- hi byte = raw byte (0 past end), sign bit flipped on every other
+  -- sample (byte position 2i with 2i % 4 = 2) — XOR 0x80 equals +128
+  -- here because ASCII bytes and pad are < 128
+  SELECT doc_id, ns,
+         [CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+          FOR u IN [ascii(substr(t, 2*i - 1, 1))
+                    + 256 * ((CASE WHEN 2*i > n THEN 0
+                                   ELSE ascii(substr(t, 2*i, 1)) END)
+                             + (CASE WHEN (2*i) % 4 = 2 THEN 128
+                                     ELSE 0 END))
+                    FOR i IN range(1, ns + 1)]] AS s
+  FROM dims
+)
+SELECT doc_id,
+       CAST(ns AS INTEGER) AS n_samples,
+       CAST(COALESCE(list_sum(list_transform(s,
+              x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), 0) AS BIGINT)
+         AS sum_sq,
+       CAST(COALESCE(list_sum([CASE WHEN s[i] * s[i+1] < 0 THEN 1 ELSE 0 END
+                               FOR i IN range(1, len(s))]), 0) AS BIGINT)
+         AS zero_crossings,
+       CAST(COALESCE(list_max(list_transform(s, x -> abs(x))), 0) AS INTEGER)
+         AS peak
+FROM samples
+ORDER BY doc_id
+"""
+
 # Video twin: every derived quantity (dimensions, frame count, rate,
 # sampled-frame pixel sums) has a closed integer form in
 # L = octet_length(text). Sampled frames are i = 0, 2, …, 2(ns-1) with

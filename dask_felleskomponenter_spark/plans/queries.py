@@ -1271,6 +1271,54 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_output(prof, "doc_id")
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int16-PCM signal features, oracle-checked to the byte: documents
+    → printable-ASCII sanitize (both engines agree byte==char after it)
+    → mono WAV (text bytes as little-endian samples, zero-padded to
+    even) → numpy feature extraction (energy, zero crossings, peak) in
+    ``mapInPandas``. The oracle rebuilds every sample with character
+    arithmetic — a wrong endianness, sign convention, or padding rule
+    flips ``sum_sq`` immediately. All-integer outputs."""
+    from dask_felleskomponenter_spark.functions.multimodal import (
+        extract_audio_features,
+        wav_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clean = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.regexp_replace("text", r"[^ -~]", "").alias("t")
+    )
+
+    @F.pandas_udf("binary")
+    def to_wav(t: pd.Series) -> pd.Series:
+        def enc(s):
+            raw = bytearray(s.encode("ascii"))
+            if len(raw) % 2:
+                raw += b"\x00"
+            # Flip the sign bit of every other sample's high byte so the
+            # stream actually alternates sign — otherwise ASCII payloads
+            # are all-positive and the zero-crossing / sign-conversion
+            # paths are never exercised.
+            for i in range(1, len(raw), 4):
+                raw[i] ^= 0x80
+            return wav_encode(8000, 1, bytes(raw))
+
+        return t.apply(enc)
+
+    clips = clean.select("doc_id", to_wav("t").alias("wav"))
+    feats = extract_audio_features(clips, "wav")
+    return (
+        feats.select(
+            "doc_id",
+            F.col("audio_features.n_samples").alias("n_samples"),
+            F.col("audio_features.sum_sq").alias("sum_sq"),
+            F.col("audio_features.zero_crossings").alias("zero_crossings"),
+            F.col("audio_features.peak").alias("peak"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second real-container multimodal round-trip, oracle-checked:
     documents → genuine PNG blobs (``png_encode``: stdlib zlib deflate,
@@ -2047,6 +2095,7 @@ QUERIES: dict[str, QueryFn] = {
     "sync_merge_orders": sync_merge_orders,
     "multimodal_decode_profile": multimodal_decode_profile,
     "multimodal_audio_profile": multimodal_audio_profile,
+    "multimodal_audio_features": multimodal_audio_features,
     "multimodal_image_profile": multimodal_image_profile,
     "multimodal_video_profile": multimodal_video_profile,
     "pivot_status_by_priority": pivot_status_by_priority,

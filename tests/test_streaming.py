@@ -248,3 +248,39 @@ def test_stream_static_dim_join_matches_batch(spark, events_dir, tmp_path):
     ).parquet(events_dir).select("event_id", "user_id")
     want = sorted(tuple(r) for r in batch_ev.join(dim, ["user_id"]).collect())
     assert got == want and got
+
+
+def test_stream_jdbc_sync_checkpoint_replay_is_idempotent(spark, events_dir, tmp_path):
+    """Restarting the sink on the same checkpoint with no new data must
+    publish NOTHING — offsets are committed, so at-least-once batch
+    delivery plus idempotent publish = effectively exactly-once."""
+    from dask_felleskomponenter_spark.streaming.ops import (
+        stream_events,
+        stream_to_jdbc_sync,
+    )
+    from dask_felleskomponenter_spark.sync import (
+        PostgresSyncManager,
+        PostgresTargetConfig,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/replaydb;create=true"
+    cfg = PostgresTargetConfig(
+        host="unused.invalid", dbname="u", user="app", password="app",
+        staging_table="staging_replay", target_table="target_replay",
+        extra_jdbc_options={
+            "url": url, "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        },
+    )
+    publishes = []
+    mgr = PostgresSyncManager(cfg, sql_executor=lambda sql: publishes.append(sql) or 0)
+    ckpt = str(tmp_path / "ck")
+
+    ev = stream_events(spark, events_dir).select("event_id", "user_id")
+    stream_to_jdbc_sync(ev, mgr, ckpt).awaitTermination()
+    n_first = len(publishes)
+    assert n_first >= 1
+
+    # same checkpoint, same source, no new files -> zero new publishes
+    ev2 = stream_events(spark, events_dir).select("event_id", "user_id")
+    stream_to_jdbc_sync(ev2, mgr, ckpt).awaitTermination()
+    assert len(publishes) == n_first
