@@ -782,6 +782,92 @@ FROM planted
 ORDER BY doc_id
 """
 
+# Capstone pipeline twin: the whole corpus pipeline in one CTE chain —
+# quality formula (text_quality_profile's), min-doc_id exact dedup,
+# capped-universe Jaccard pairs over the SURVIVORS, recursive-CTE
+# components, and representative = rows whose doc_id equals their
+# component minimum.
+ORACLES["pipeline_training_corpus"] = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                                  x -> x) END AS toks
+  FROM documents
+  WHERE text IS NOT NULL
+), scored AS (
+  SELECT doc_id, text, lang, n_tokens,
+         ROUND(
+           0.4 * (CASE WHEN n_tokens <= 0 THEN 0.0
+                       ELSE LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                            * LEAST(2000.0 / GREATEST(CAST(n_tokens AS DOUBLE),
+                                                      1.0), 1.0) END)
+           + 0.3 * (1.0 - LEAST((CASE WHEN n_chars > 0
+                                      THEN n_punct / n_chars
+                                      ELSE 0.0 END) * 4.0, 1.0))
+           + 0.3 * LEAST((CASE WHEN len(toks) > 0
+                               THEN CAST(len(list_filter(toks,
+                                      t -> list_contains(['the','and','of','to',
+                                        'a','in','is','that','it','for'], t)))
+                                    AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                               ELSE 0.0 END) * 5.0, 1.0), 6) AS quality
+  FROM base
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.7
+), dedup AS (
+  SELECT doc_id, text, lang, n_tokens, quality
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS _mk FROM kept)
+  WHERE doc_id = _mk
+), toks2 AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM dedup
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+         END AS shs
+  FROM toks2
+), sets AS (
+  SELECT doc_id, list_distinct(shs) AS s FROM shingled
+), inv0 AS (
+  SELECT doc_id, UNNEST(s) AS sh FROM sets
+), hot AS (
+  SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) > 64
+), inv AS (
+  SELECT i.doc_id, i.sh FROM inv0 i ANTI JOIN hot h ON i.sh = h.sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM inv GROUP BY doc_id
+), ipairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jpairs AS (
+  SELECT p.id_a, p.id_b
+  FROM ipairs p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE p.intersection / (sa.set_size + sb.set_size - p.intersection) >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM jpairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM dedup
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id, d.lang, d.n_tokens, d.quality
+FROM dedup d
+JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.component
+ORDER BY d.doc_id
+"""
+
 # Tie rule must match Spark's array_max over (hits, lang) structs: equal
 # hit-counts prefer the lexicographically LARGEST language code.
 ORACLES["lang_id_documents"] = """

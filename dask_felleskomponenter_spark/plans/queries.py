@@ -944,6 +944,39 @@ def pii_redact_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — a Fineweb-style training-corpus
+    pipeline as ONE declared plan: quality filter → exact dedup →
+    near-dup clustering → representative selection, each stage an
+    operator already verified in isolation, here chained end-to-end and
+    oracle-checked as a whole.
+
+    Scale notes per stage: the quality scorer is pure codegen'd column
+    expressions fused into the scan projection; exact dedup shuffles a
+    32-byte hash; the Jaccard join is the capped postings-list shape;
+    clustering is O(log n)-round large-star/small-star; representative
+    selection is a FILTER (``doc_id == component`` — the component id IS
+    the minimum member), not a window, so a pathological giant cluster
+    costs nothing extra."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scored = (
+        docs.where(F.col("text").isNotNull())
+        .withColumn("quality", TX.quality_score("text"))
+        .withColumn("n_tokens", TX.token_count("text"))
+    )
+    kept = scored.where(F.col("quality") >= 0.7)
+    deduped = exact_dedup(kept, "text", order_by=[F.col("doc_id").asc()])
+    pairs = ngram_jaccard_pairs(
+        deduped, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
+    )
+    assigned = assign_components(deduped, "doc_id", pairs)
+    reps = assigned.where(F.col("doc_id") == F.col("component"))
+    return (
+        reps.select("doc_id", "lang", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for three query vectors taken from
     the table itself (vec_id 0,1,2): one broadcast-nested-loop pass over
@@ -2087,6 +2120,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_top_bigrams": ngram_top_bigrams,
     "sample_hash_stratified": sample_hash_stratified,
     "pii_redact_profile": pii_redact_profile,
+    "pipeline_training_corpus": pipeline_training_corpus,
     "lang_id_documents": lang_id_documents,
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "neardup_embedding_cosine": neardup_embedding_cosine,
