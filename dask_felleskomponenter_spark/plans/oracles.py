@@ -1006,6 +1006,24 @@ ORDER BY segment, status
 # Map-functions twin: DuckDB has no map-over-JSON, but every map op in
 # the query reduces to JSON introspection (json_extract for element_at,
 # json_keys for map_keys/size), so the twin checks real values.
+# VARIANT twin: DuckDB extracts from the JSON text directly — the
+# VARIANT type is a storage/execution choice, the values must agree.
+ORACLES["variant_fns_events"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS max_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["map_fns_events"] = """
 SELECT
   event_id,

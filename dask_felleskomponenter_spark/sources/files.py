@@ -123,6 +123,37 @@ def read_jdbc(
     return reader.load()
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | dict[str, Any] | None = None,
+    strict: bool = False,
+    **options: str,
+) -> DataFrame:
+    """XML ingest via the Spark 4 built-in XML source — the remaining
+    classic interchange format next to CSV/JSON (Geonorge feeds and
+    ISO-19139 metadata are XML-first, which is why a Kartverket-shaped
+    component library needs it).
+
+    Same typing/quarantine policy as ``read_csv``/``read_json``: pass a
+    JSON Schema (compiled through Json2Spark) or a ``StructType`` for an
+    explicit read schema; default PERMISSIVE mode keeps corrupt records
+    in ``_corrupt_record`` instead of failing the job.
+    """
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if schema is not None:
+        reader = reader.schema(_resolve_schema(schema, not strict))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

@@ -142,3 +142,51 @@ class TestBinaryFileSource:
         df = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=100)
         rows = df.select("path", "length").collect()
         assert len(rows) == 1 and rows[0]["length"] == 10
+
+
+class TestXmlSource:
+    def test_typed_read_with_json_schema(self, spark, tmp_path):
+        from dask_felleskomponenter_spark.sources.files import read_xml
+
+        (tmp_path / "feed.xml").write_text(
+            "<feed>"
+            "<entry><id>1</id><title>first</title><score>0.5</score></entry>"
+            "<entry><id>2</id><title>second</title><score>1.5</score></entry>"
+            "</feed>"
+        )
+        schema = {
+            "type": "object",
+            "properties": {
+                "id": {"type": "integer"},
+                "title": {"type": "string"},
+                "score": {"type": "number"},
+            },
+            "required": ["id"],
+        }
+        df = read_xml(spark, str(tmp_path), row_tag="entry", schema=schema)
+        rows = {r["id"]: (r["title"], r["score"]) for r in df.collect()}
+        assert rows == {1: ("first", 0.5), 2: ("second", 1.5)}
+        assert dict(df.dtypes)["id"] == "bigint"
+
+    def test_corrupt_rows_quarantined(self, spark, tmp_path):
+        from dask_felleskomponenter_spark.sources.files import (
+            CORRUPT_COL,
+            read_xml,
+        )
+
+        (tmp_path / "bad.xml").write_text(
+            "<feed>"
+            "<entry><id>1</id></entry>"
+            "<entry><id>not-a-number</id></entry>"
+            "</feed>"
+        )
+        schema = {
+            "type": "object",
+            "properties": {"id": {"type": "integer"}},
+            "required": ["id"],
+        }
+        df = read_xml(spark, str(tmp_path), row_tag="entry", schema=schema)
+        rows = df.collect()
+        assert len(rows) == 2
+        bad = [r for r in rows if r[CORRUPT_COL] is not None]
+        assert len(bad) == 1 and bad[0]["id"] is None
