@@ -782,6 +782,24 @@ FROM planted
 ORDER BY doc_id
 """
 
+# Blocked fuzzy-join twin: same blocking key, same prefix, same metric
+# (levenshtein is levenshtein in both engines).
+ORACLES["fuzzy_blocked_match"] = """
+WITH b AS (
+  SELECT doc_id,
+         string_split_regex(TRIM(text), '\\s+')[1] AS blk,
+         substr(TRIM(text), 1, 40) AS pfx
+  FROM documents
+  WHERE text IS NOT NULL AND TRIM(text) != ''
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(levenshtein(x.pfx, y.pfx) AS INTEGER) AS distance
+FROM b x
+JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+WHERE levenshtein(x.pfx, y.pfx) <= 10
+ORDER BY id_a, id_b
+"""
+
 # Capstone pipeline twin: the whole corpus pipeline in one CTE chain —
 # quality formula (text_quality_profile's), min-doc_id exact dedup,
 # capped-universe Jaccard pairs over the SURVIVORS, recursive-CTE

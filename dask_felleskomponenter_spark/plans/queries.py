@@ -970,6 +970,44 @@ def pii_redact_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance join — the entity-resolution shape: a cheap
+    blocking key (first token) turns the quadratic all-pairs comparison
+    into per-block candidate sets joined by ONE equi-shuffle, then
+    ``levenshtein`` scores a fixed 40-char prefix within each block.
+
+    Blocking-key selectivity is the scale lever: a hot key degrades to
+    quadratic within its block, so production blocking uses multiple
+    redundant keys (first-token ∪ length-band ∪ minhash band) and unions
+    candidates — the single-key form here keeps the oracle exact. (A
+    recursive-CTE transitive closure over these matches is NOT declared:
+    Spark 4 recursion supports UNION ALL only, so cyclic closure is the
+    connected-components operator's job — ``operators/graph.py``.)"""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    b = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), TX.WS_PATTERN)[0].alias("blk"),
+        F.substring(F.trim("text"), 1, 40).alias("pfx"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .where(F.levenshtein(F.col("x.pfx"), F.col("y.pfx")) <= 10)
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.levenshtein(F.col("x.pfx"), F.col("y.pfx")).alias("distance"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition — a Fineweb-style training-corpus
     pipeline as ONE declared plan: quality filter → exact dedup →
@@ -2148,6 +2186,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_hash_stratified": sample_hash_stratified,
     "pii_redact_profile": pii_redact_profile,
     "pipeline_training_corpus": pipeline_training_corpus,
+    "fuzzy_blocked_match": fuzzy_blocked_match,
     "lang_id_documents": lang_id_documents,
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "neardup_embedding_cosine": neardup_embedding_cosine,
