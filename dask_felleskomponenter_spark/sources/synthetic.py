@@ -1,0 +1,77 @@
+"""Custom Python data source (Spark 4 DataSource API): deterministic
+synthetic document corpora at any scale, no files.
+
+The extension-surface exemplar: where the reference is limited to
+catalog tables and JDBC, the open engine can register pure-Python
+sources that Spark schedules like any other scan — partition-parallel,
+executor-side generation, zero driver data movement. Used for scale
+testing (generate a 10 TB corpus by raising two options) and for
+fixture corpora with EXACTLY reproducible content: rows depend only on
+``(seed, partition, row)``, never on scheduling, so two reads — or two
+clusters — produce identical tables.
+
+Register once per session, then it is a normal format::
+
+    spark.dataSource.register(SyntheticDocuments)
+    df = (spark.read.format("synthetic_documents")
+          .option("n_partitions", 64)
+          .option("rows_per_partition", 100_000)
+          .option("seed", 7)
+          .load())
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_VOCAB = (
+    "key value table row scan merge sort hash join filter agg window "
+    "batch stream part spark fast slow line the a of to and in is"
+).split()
+
+_LANGS = ("en", "de", "es", "fr", "und")
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, options):
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.rows = int(options.get("rows_per_partition", 100))
+        self.seed = int(options.get("seed", 0))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_partitions)]
+
+    def read(self, partition):
+        p = partition.value
+        for i in range(self.rows):
+            # one generator per ROW, keyed by (seed, partition, row):
+            # content is independent of iteration order and retries
+            rng = random.Random(f"{self.seed}:{p}:{i}")
+            n_words = rng.randint(5, 60)
+            text = " ".join(rng.choice(_VOCAB) for _ in range(n_words))
+            yield (
+                p * self.rows + i,
+                rng.choice(_LANGS),
+                text,
+            )
+
+
+class SyntheticDocuments(DataSource):
+    """``synthetic_documents`` format: (doc_id, lang, text) rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_documents"
+
+    def schema(self) -> str:
+        return "doc_id bigint, lang string, text string"
+
+    def reader(self, schema):
+        return _Reader(self.options)
+
+
+def register_synthetic_sources(spark) -> None:
+    """Idempotent registration of all custom Python sources."""
+    spark.dataSource.register(SyntheticDocuments)

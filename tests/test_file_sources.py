@@ -190,3 +190,62 @@ class TestXmlSource:
         assert len(rows) == 2
         bad = [r for r in rows if r[CORRUPT_COL] is not None]
         assert len(bad) == 1 and bad[0]["id"] is None
+
+
+class TestSyntheticDataSource:
+    """Custom Python DataSource: partition-parallel deterministic corpus."""
+
+    def test_deterministic_and_partitioned(self, spark):
+        from dask_felleskomponenter_spark.sources.synthetic import (
+            register_synthetic_sources,
+        )
+
+        register_synthetic_sources(spark)
+
+        def load():
+            return (
+                spark.read.format("synthetic_documents")
+                .option("n_partitions", 3)
+                .option("rows_per_partition", 40)
+                .option("seed", 7)
+                .load()
+            )
+
+        a = load()
+        assert a.count() == 120
+        assert a.rdd.getNumPartitions() == 3
+        assert dict(a.dtypes) == {
+            "doc_id": "bigint", "lang": "string", "text": "string"
+        }
+        rows_a = sorted(tuple(r) for r in a.collect())
+        rows_b = sorted(tuple(r) for r in load().collect())
+        assert rows_a == rows_b  # same seed -> identical corpus
+        ids = [r[0] for r in rows_a]
+        assert ids == list(range(120))  # dense, partition-offset ids
+
+        different = (
+            spark.read.format("synthetic_documents")
+            .option("n_partitions", 3)
+            .option("rows_per_partition", 40)
+            .option("seed", 8)
+            .load()
+        )
+        assert sorted(tuple(r) for r in different.collect()) != rows_a
+
+    def test_composes_with_text_operators(self, spark):
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions import text as TX
+        from dask_felleskomponenter_spark.sources.synthetic import (
+            register_synthetic_sources,
+        )
+
+        register_synthetic_sources(spark)
+        df = (
+            spark.read.format("synthetic_documents")
+            .option("n_partitions", 2)
+            .option("rows_per_partition", 25)
+            .load()
+        )
+        out = df.select("doc_id", TX.quality_score("text").alias("q")).collect()
+        assert len(out) == 50 and all(0.0 <= r["q"] <= 1.0 for r in out)
