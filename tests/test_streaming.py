@@ -284,3 +284,83 @@ def test_stream_jdbc_sync_checkpoint_replay_is_idempotent(spark, events_dir, tmp
     ev2 = stream_events(spark, events_dir).select("event_id", "user_id")
     stream_to_jdbc_sync(ev2, mgr, ckpt).awaitTermination()
     assert len(publishes) == n_first
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """The late-data contract, actually exercised: a second availableNow
+    run on the same checkpoint carries a row OLDER than the committed
+    watermark; in append mode that row must be dropped — its window must
+    never be emitted — while on-time rows keep finalizing windows."""
+    import pandas as pd
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        stream_events,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, times):
+        import glob
+        import shutil
+
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(times)),
+                "ts": [pd.Timestamp(t) for t in times],
+                "user_id": [1] * len(times),
+                "event_type": ["click"] * len(times),
+                "value": [1.0] * len(times),
+                "props": ["{}"] * len(times),
+            }
+        )
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(stage))
+        # the file stream source lists top-level files only
+        for i, f in enumerate(glob.glob(str(stage / "part-*.parquet"))):
+            shutil.move(f, str(src / f"{name}_{i}.parquet"))
+
+    ckpt = str(tmp_path / "ck")
+
+    def run(qname):
+        agg = windowed_event_counts(
+            stream_events(spark, str(src)),
+            window_duration="1 hour",
+            watermark="30 minutes",
+        )
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["window_start"].hour, r["event_type"]): r["n_events"]
+            for r in rows
+        }
+
+    # batch 1: 10:00, 11:00, 12:00 -> watermark commits at 11:30 and
+    # availableNow's closing no-data batch emits the finalized [10,11)
+    # window; 11 and 12 stay in state.
+    write_batch("b1", ["2024-03-01 10:00", "2024-03-01 11:00", "2024-03-01 12:00"])
+    first = run("wm_run1")
+    assert first == {(10, "click"): 1}
+
+    # run 2 restores watermark 11:30 from the checkpoint: the 09:30 row
+    # is behind it -> dropped; 14:00 advances the watermark to 13:30,
+    # finalizing the 11 and 12 windows. If the late row leaked, a
+    # (9, click) window would appear — and (10, click) must NOT re-emit.
+    write_batch("b2", ["2024-03-01 09:30", "2024-03-01 14:00"])
+    second = run("wm_run2")
+    assert (9, "click") not in second, "late row leaked past the watermark"
+    assert second.get((11, "click")) == 1
+    assert second.get((12, "click")) == 1
+    assert (10, "click") not in second  # finalized windows emit exactly once
