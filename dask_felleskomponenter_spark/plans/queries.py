@@ -998,12 +998,16 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x.blk") == F.col("y.blk"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .where(F.levenshtein(F.col("x.pfx"), F.col("y.pfx")) <= 10)
+        # threshold-bounded levenshtein: banded O(len·k) DP that abandons
+        # early and returns -1 past the bound — computed ONCE per pair
+        # (the scored column is reused by the filter), vs a full
+        # O(len²) DP evaluated twice in the naive filter+project form.
         .select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
-            F.levenshtein(F.col("x.pfx"), F.col("y.pfx")).alias("distance"),
+            F.levenshtein(F.col("x.pfx"), F.col("y.pfx"), 10).alias("distance"),
         )
+        .where(F.col("distance") >= 0)
         .orderBy("id_a", "id_b")
     )
 
