@@ -984,6 +984,37 @@ WHERE c9 >= 0.4
 ORDER BY id_a, id_b
 """
 
+# Semantic-dedup twin: the exact all-pairs cosine CTE from
+# neardup_embedding_cosine (same round-9-then-threshold decision rule)
+# feeding the same recursive-CTE min-label propagation used by
+# neardup_cluster_assign. Spark's component ids are longs.
+ORACLES["semantic_cluster_assign"] = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), jpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) >= 0.4
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM jpairs
+), reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS vec_id, MIN(lbl) AS component FROM reach GROUP BY node
+)
+SELECT c.vec_id, CAST(c.component AS BIGINT) AS component, s.cluster_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component) s
+  ON c.component = s.component
+ORDER BY c.vec_id
+"""
+
 ORACLES["asof_last_error_before_click"] = """
 WITH errors_dedup AS (
   SELECT user_id, ts AS err_ts, event_id, value

@@ -1097,6 +1097,38 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-
+    cosine near-dup pairs collapsed into duplicate clusters, every
+    vector assigned its cluster id (= min vec_id in the cluster, own id
+    for singletons) plus the cluster size.
+
+    The composition of two already-verified operators: blocked-GEMM
+    all-pairs cosine (``operators/similarity.py::cosine_neardup_pairs``,
+    O(n·√P) movement) feeding large-star/small-star connected
+    components (``operators/graph.py``, O(log n) rounds). Same
+    pairs→clusters→representatives shape as the text-Jaccard pipeline
+    (``neardup_cluster_assign``) with the candidate generator swapped —
+    the point of keeping pair generation and clustering as separate
+    operators. Cluster sizes via map-side-combinable groupBy +
+    broadcast join, never a window over the cluster."""
+    from dask_felleskomponenter_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+    assigned = assign_components(emb.select("vec_id"), "vec_id", pairs)
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        assigned.join(F.broadcast(sizes), on="component")
+        .select("vec_id", "component", "cluster_size")
+        .orderBy("vec_id")
+    )
+
+
 #: Embedding dimensionality of the driver's `embeddings` table
 #: (array<float> x 64, constant across scale factors). A schema-level
 #: constant, read once here instead of probing rows at query time — an
@@ -2194,6 +2226,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_documents": lang_id_documents,
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "neardup_embedding_cosine": neardup_embedding_cosine,
+    "semantic_cluster_assign": semantic_cluster_assign,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "sync_merge_orders": sync_merge_orders,

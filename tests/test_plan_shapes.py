@@ -413,3 +413,59 @@ def test_time_partitioned_write_prunes_scan(spark, tmp_path):
     # and the pruned read returns exactly the matching rows
     want = ev.filter(F.to_date("ts") == "2024-01-05").count()
     assert got.count() == want and want > 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    # At 100 TB the cheapest row is the one the shuffle never carries:
+    # when a selective dim filter exists, Spark's InjectRuntimeFilter
+    # should plant a bloom-filter semi-filter on the fact side so
+    # non-matching lineitem rows die at the scan stage, not after the
+    # exchange. Local thresholds hide this (the scan is tiny and the
+    # join broadcasts), so the test pins the behavior under the
+    # cluster-shaped confs: no broadcast, no application-side size gate.
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan, plan[:2500]
+        assert "might_contain" in plan, plan[:2500]
+        # the semi-filter must sit on the fact (application) side scan
+        # column, keyed by the join key
+        assert "might_contain" in plan and "l_orderkey" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
