@@ -37,3 +37,59 @@ def with_observed_metrics(
     obs = Observation(name)
     aliased = [c.alias(n) for n, c in metrics.items()]
     return df.observe(obs, *aliased), obs
+
+
+def profile_numeric_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style numeric profile — one row per column with count /
+    null / distinct / min / max / mean — computed in ONE scan of ``df``.
+
+    Shape: a single global aggregate (map-side partials, one merged
+    row) followed by a driver-free ``stack`` unpivot of that row into
+    per-column rows; the table is never read per column. The only
+    scale caveat is ``count_distinct``: N exact distinct aggregates in
+    one agg make Catalyst plan an Expand (each input row replicated N
+    ways before the shuffle). That is the exact-answer price; swap in
+    ``approx_count_distinct`` for the 100 TB profile where a 2% HLL
+    error is acceptable and the Expand collapses back to plain
+    partials.
+
+    Everything is profiled as DOUBLE so decimal/int columns share one
+    output schema (min/max/mean rounded to 6)."""
+    from pyspark.sql import functions as F
+
+    v = {c: F.col(c).cast("double") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(v[c]).alias(f"{c}__nn"),
+            F.count_distinct(v[c]).alias(f"{c}__nd"),
+            F.round(F.min(v[c]), 6).alias(f"{c}__mn"),
+            F.round(F.max(v[c]), 6).alias(f"{c}__mx"),
+            F.round(F.avg(v[c]), 6).alias(f"{c}__av"),
+        ]
+    row = df.agg(*aggs)
+    per_col = []
+    for c in cols:
+        per_col += [
+            F.lit(c),
+            F.col(f"{c}__nn"),
+            F.col(f"{c}__nd"),
+            F.col(f"{c}__mn"),
+            F.col(f"{c}__mx"),
+            F.col(f"{c}__av"),
+        ]
+    return row.select(
+        F.col("_n_rows").alias("n_rows"),
+        F.stack(F.lit(len(cols)), *per_col).alias(
+            "col_name", "n_nonnull", "n_distinct", "min_val", "max_val", "avg_val"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nonnull",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "avg_val",
+    )

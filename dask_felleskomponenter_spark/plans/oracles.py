@@ -984,6 +984,40 @@ WHERE c9 >= 0.4
 ORDER BY id_a, id_b
 """
 
+# Profile twin: one UNION ALL branch per column (DuckDB may scan per
+# branch — the single-scan property is the Spark side's plan shape, the
+# oracle only has to agree on values). Profiled as DOUBLE both sides.
+ORACLES["profile_lineitem_columns"] = """
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS q,
+         CAST(l_extendedprice AS DOUBLE) AS ep,
+         CAST(l_discount AS DOUBLE) AS d,
+         CAST(l_tax AS DOUBLE) AS t
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows, COUNT(q) AS n_nonnull,
+       COUNT(*) - COUNT(q) AS n_null, COUNT(DISTINCT q) AS n_distinct,
+       ROUND(MIN(q), 6) AS min_val, ROUND(MAX(q), 6) AS max_val,
+       ROUND(AVG(q), 6) AS avg_val
+FROM src
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(ep), COUNT(*) - COUNT(ep),
+       COUNT(DISTINCT ep), ROUND(MIN(ep), 6), ROUND(MAX(ep), 6),
+       ROUND(AVG(ep), 6)
+FROM src
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(d), COUNT(*) - COUNT(d),
+       COUNT(DISTINCT d), ROUND(MIN(d), 6), ROUND(MAX(d), 6),
+       ROUND(AVG(d), 6)
+FROM src
+UNION ALL
+SELECT 'l_tax', COUNT(*), COUNT(t), COUNT(*) - COUNT(t),
+       COUNT(DISTINCT t), ROUND(MIN(t), 6), ROUND(MAX(t), 6),
+       ROUND(AVG(t), 6)
+FROM src
+ORDER BY col_name
+"""
+
 # Semantic-dedup twin: the exact all-pairs cosine CTE from
 # neardup_embedding_cosine (same round-9-then-threshold decision rule)
 # feeding the same recursive-CTE min-label propagation used by

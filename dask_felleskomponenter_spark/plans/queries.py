@@ -1097,6 +1097,24 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style numeric data profile of four lineitem measures in
+    ONE scan (``operators/metrics.py::profile_numeric_columns``): a
+    single global aggregate computes count/nulls/distinct/min/max/mean
+    for every column, then a ``stack`` unpivot turns the one merged row
+    into per-column rows — the table is read once no matter how many
+    columns are profiled, vs the reference's count-then-inspect double
+    scans (``sync_df_to_pgdb.py:174``)."""
+    from dask_felleskomponenter_spark.operators.metrics import (
+        profile_numeric_columns,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_name")
+
+
 def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-
     cosine near-dup pairs collapsed into duplicate clusters, every
@@ -2227,6 +2245,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "neardup_embedding_cosine": neardup_embedding_cosine,
     "semantic_cluster_assign": semantic_cluster_assign,
+    "profile_lineitem_columns": profile_lineitem_columns,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "sync_merge_orders": sync_merge_orders,

@@ -469,3 +469,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_column_profile_is_single_scan(spark):
+    # profiling N columns must not become N table scans — one scan, one
+    # global aggregate, stack-unpivot of the merged row
+    plan = plan_of(spark, "profile_lineitem_columns")
+    # formatted explain prints each node once in the tree and once in
+    # the detail list — count detail headers "(n) Scan parquet"
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan[:2000]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
