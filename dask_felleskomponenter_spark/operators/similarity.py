@@ -480,3 +480,244 @@ def lsh_bucketed_cosine_topk(
         "_lsh_bucket"
     )
     return cosine_topk(in_bucket, query_vec, k, id_col, vec_col, score_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid — "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011). The third ANN family: LSH
+# partitions space by fixed hyperplanes, IVF by learned density; PQ
+# COMPRESSES — each L2-normalized vector becomes m sub-codes (one per
+# dim/m-dim subspace, k centroids each), so the search structure is
+# m log2(k) bits per vector (64 dims × float → 8 bytes at m=8, k=16, a
+# 32× reduction) and query time is a table lookup per subspace
+# (asymmetric distance computation), never a float dot product against
+# raw vectors. At 100 TB the codes table for a trillion vectors fits in
+# the page cache of a modest cluster — that is the point.
+#
+# Hot-path discipline: encode and ADC scoring are per-dimension UNROLLED
+# arithmetic expressions (element_at + multiply-add), never zip_with /
+# aggregate higher-order functions — HOFs evaluate interpreted and
+# re-walk inner arrays (see tests/test_plan_shapes.py and the round-2
+# fingerprint rewrite). Codebooks ride the plan as literals (m×k×d
+# doubles ≈ 8 KB — broadcast-by-construction).
+
+
+def _norm_expr(vec_col: Column, dim: int) -> Column:
+    """Codegen'd L2 norm: an unrolled sum of squares, zero-guarded."""
+    s = None
+    for i in range(dim):
+        e = F.element_at(vec_col, i + 1).cast("double")
+        term = e * e
+        s = term if s is None else s + term
+    return F.greatest(F.sqrt(s), F.lit(1e-12))
+
+
+def _pq_argmin_cols(
+    vec_col: Column, nrm: Column, codebooks: list[list[list[float]]], dim: int
+) -> list[Column]:
+    """Per-subspace nearest-code columns over the NORMALIZED vector.
+
+    Uses the expanded objective ``||c||²·||v|| − 2⟨v,c⟩`` — the squared
+    distance ``d²(v/||v||, c)`` scaled by the positive ``||v||`` and
+    shifted by a constant, so the argmin (and its ties) is identical
+    while ``nrm`` appears ONCE per centroid as an attribute reference
+    instead of a duplicated 64-term tree. Expression size is what keeps
+    plan construction fast and the whole thing inside one codegen'd
+    projection; ties take the smaller code via struct-ordered
+    array_min."""
+    m = len(codebooks)
+    d = dim // m
+    out = []
+    for j, cb in enumerate(codebooks):
+        scored = []
+        for code, c in enumerate(cb):
+            dot_jk = None
+            for i in range(d):
+                term = F.element_at(vec_col, j * d + i + 1).cast(
+                    "double"
+                ) * F.lit(float(c[i]))
+                dot_jk = term if dot_jk is None else dot_jk + term
+            c2 = sum(float(x) * float(x) for x in c)
+            obj = F.lit(c2) * nrm - F.lit(2.0) * dot_jk
+            scored.append(
+                F.struct(obj.alias("obj"), F.lit(code).alias("code"))
+            )
+        out.append(F.array_min(F.array(*scored))["code"])
+    return out
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach the PQ code array — the encode step a store materializes
+    once at write time (``sources/ann_store.py``); queries then scan
+    only (id, codes). The norm is staged as a real column so the
+    centroid expressions reference an attribute, not copies of the
+    norm's expression tree."""
+    staged = df.withColumn("_pq_nrm", _norm_expr(F.col(vec_col), dim))
+    codes = F.array(
+        *_pq_argmin_cols(
+            F.col(vec_col), F.col("_pq_nrm"), codebooks, dim
+        )
+    )
+    return staged.withColumn(out_col, codes).drop("_pq_nrm")
+
+
+def build_pq_codebooks(
+    emb_df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks over L2-normalized vectors.
+
+    INDEX-BUILD step (runs Spark jobs — never call in a query path).
+    Deterministic seeding: subvectors of the ``k`` lowest-id rows. Each
+    Lloyd iteration is ONE distributed pass for all m subspaces:
+    assignment reuses the encoder's per-subspace argmin columns
+    (staged-norm, small expression trees), the assigned subvectors
+    explode into (subspace, code, dim, value) and the means reduce via
+    a map-side-combinable avg, so only m×k×d numbers reach the driver
+    per iteration. Empty clusters keep their previous centroid.
+    Production note: PQ training conventionally runs on a bounded
+    sample (FAISS trains on ≲256·k points per subquantizer); pass
+    ``emb_df.orderBy(id).limit(n)`` for that — the encode step is the
+    part that must scale, and does."""
+    d = dim // m
+    if d * m != dim:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    v = F.col(vec_col)
+
+    staged = emb_df.withColumn("_pq_nrm", _norm_expr(v, dim))
+    nrm = F.col("_pq_nrm")
+    unit = F.array(
+        *[
+            F.element_at(v, i + 1).cast("double") / nrm
+            for i in range(dim)
+        ]
+    )
+    seed_rows = (
+        staged.orderBy(id_col).limit(k).select(unit.alias("_u")).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows to seed codebooks")
+    codebooks = [
+        [list(r["_u"][j * d : (j + 1) * d]) for r in seed_rows]
+        for j in range(m)
+    ]
+
+    for _ in range(max(0, iters)):
+        argmins = _pq_argmin_cols(v, nrm, codebooks, dim)
+        sub_structs = [
+            F.struct(
+                F.lit(j).alias("_j"),
+                argmins[j].alias("_c"),
+                F.array(
+                    *[
+                        F.element_at(v, j * d + i + 1).cast("double") / nrm
+                        for i in range(d)
+                    ]
+                ).alias("_sv"),
+            )
+            for j in range(m)
+        ]
+        assign = staged.select(
+            F.explode(F.array(*sub_structs)).alias("_e")
+        ).select(
+            F.col("_e._j").alias("_j"),
+            F.col("_e._c").alias("_c"),
+            F.col("_e._sv").alias("_sv"),
+        )
+        means = (
+            assign.select("_j", "_c", F.posexplode("_sv").alias("_i", "_x"))
+            .groupBy("_j", "_c", "_i")
+            .agg(F.avg("_x").alias("_mu"))
+            .collect()
+        )
+        new_cb = [[list(c) for c in cb] for cb in codebooks]
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["_j"], r["_c"]), {})[r["_i"]] = r["_mu"]
+        for (j, c), dims in got.items():
+            new_cb[j][c] = [dims[i] for i in range(d)]
+        codebooks = new_cb
+    return codebooks
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    score_col: str = "approx_cosine",
+) -> DataFrame:
+    """Asymmetric distance computation: the query stays un-quantized;
+    per subspace the m×|codebook| table of squared distances to every
+    centroid is computed DRIVER-SIDE (tiny arithmetic, no Spark
+    actions), rides the plan as literals, and each stored vector's
+    approximate distance is m table lookups — no per-row float dot
+    products anywhere. Scores convert to the cosine estimate
+    1 − d²/2 (vectors were encoded normalized) so the ANN family shares
+    one output convention; top-k runs as TakeOrderedAndProject."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1e-12
+    q = [float(x) / qn for x in query_vec]
+    m = len(codebooks)
+    d = len(q) // m
+    d2 = None
+    for j, cb in enumerate(codebooks):
+        dtab = [
+            sum((q[j * d + i] - float(c[i])) ** 2 for i in range(d))
+            for c in cb
+        ]
+        term = F.element_at(
+            literal_vector(dtab), F.element_at(F.col(codes_col), j + 1) + 1
+        )
+        d2 = term if d2 is None else d2 + term
+    scored = codes_df.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) - d2 / F.lit(2.0), 9).alias(score_col),
+    )
+    return scored.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(k)
+
+
+def pq_topk_reranked(
+    codes_df: DataFrame,
+    emb_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Two-stage PQ search — the production shape (FAISS's refine step):
+    the compressed codes table produces an ADC shortlist of
+    ``shortlist`` candidates (full scan, but of 16-byte codes, not
+    256-byte vectors), then ONLY those ids fetch their raw vectors via
+    a broadcast semi-join and re-rank by exact cosine. Recall is the
+    shortlist's containment probability — at 16×16 codebooks the exact
+    top-10 sits in a 100-deep shortlist essentially always — while the
+    raw-vector I/O is k-scale, not corpus-scale."""
+    cand = pq_adc_topk(
+        codes_df,
+        codebooks,
+        query_vec,
+        k=shortlist,
+        id_col=id_col,
+        codes_col=codes_col,
+    ).select(id_col)
+    hits = emb_df.join(F.broadcast(cand), on=id_col)
+    return cosine_topk(
+        hits, query_vec, k=k, id_col=id_col, vec_col=vec_col, score_col=score_col
+    )

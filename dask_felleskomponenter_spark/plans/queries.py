@@ -1224,6 +1224,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours via product quantization
+    (rows-only): the COMPRESSION member of the ANN family — LSH prunes
+    by fixed hyperplanes, IVF by learned cells, PQ shrinks every vector
+    to m=16 sub-codes (16 bytes vs 256 of raw floats) so the scan a
+    query pays is 16× smaller and scoring is m table lookups
+    (asymmetric distance computation), never a per-row dot product.
+    The declared shape is the production two-stage search
+    (``pq_topk_reranked``): ADC shortlist over the codes table, then
+    exact cosine re-rank of only the shortlisted ids fetched via
+    broadcast semi-join — corpus-scale I/O on compressed codes,
+    k-scale I/O on raw vectors.
+
+    Steady state is pure plan: the codes-only parquet and the persisted
+    codebooks come from ``sources/ann_store.py`` (no training, no
+    collects — same contract as the other ANN queries,
+    monkeypatch-enforced); the per-subspace distance tables are driver
+    arithmetic on m×k tiny centroids riding the plan as literals. Only
+    a never-indexed dataset triggers the one-time explicit index
+    build."""
+    from dask_felleskomponenter_spark.operators.similarity import (
+        pq_topk_reranked,
+    )
+    from dask_felleskomponenter_spark.sources.ann_store import (
+        ensure_ann_store,
+        load_ann_store,
+    )
+
+    query = [1.0 if i % 7 == 0 else 0.1 for i in range(EMBEDDING_DIM)]
+    store = load_ann_store(sf_dir) or ensure_ann_store(spark, sf_dir)
+    codes = spark.read.parquet(store.pq_path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        pq_topk_reranked(codes, emb, store.pq_codebooks, query, k=10)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    )
+
+
 # --- as-of join ----------------------------------------------------------
 
 def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2248,6 +2287,7 @@ QUERIES: dict[str, QueryFn] = {
     "profile_lineitem_columns": profile_lineitem_columns,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "sync_merge_orders": sync_merge_orders,
     "multimodal_decode_profile": multimodal_decode_profile,
     "multimodal_audio_profile": multimodal_audio_profile,

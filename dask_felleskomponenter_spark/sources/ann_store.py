@@ -12,7 +12,11 @@ a bucketed table — ``sources/tables.py::write_bucketed``):
   scan — plan-tested);
 - IVF layout: embeddings written ``partitionBy(ivf_cell)`` with the
   k-means centroids persisted as JSON next to the data, so a query
-  probes ``nprobe`` directories and never re-runs Lloyd iterations.
+  probes ``nprobe`` directories and never re-runs Lloyd iterations;
+- PQ layout: a codes-only parquet (vec_id + m sub-codes, 32× smaller
+  than the raw vectors) with the per-subspace codebooks persisted in
+  ``meta.json``, so an ADC query scans compressed codes and scores via
+  table lookups — no raw-vector I/O at all.
 
 Query-path contract: ``load_ann_store`` is PURE FILESYSTEM (os.stat +
 json) — no SparkSession, no actions — so declared queries can resolve
@@ -36,6 +40,8 @@ from pyspark.sql import SparkSession
 DEFAULT_BITS = 6
 DEFAULT_N_CELLS = 16
 DEFAULT_IVF_ITERS = 2
+DEFAULT_PQ_M = 16
+DEFAULT_PQ_K = 16
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -57,9 +63,13 @@ class AnnStore:
     path: str
     lsh_path: str
     ivf_path: str
+    pq_path: str
     bits: int
     n_cells: int
     centroids: list[list[float]]
+    pq_m: int
+    pq_k: int
+    pq_codebooks: list[list[list[float]]]
     seed: int
 
 
@@ -81,7 +91,10 @@ def _source_size(sf_dir: str) -> int:
 def _store_dir(
     sf_dir: str, bits: int, n_cells: int, iters: int, root: str | None
 ) -> str:
-    key = f"{os.path.abspath(sf_dir)}|bits={bits}|cells={n_cells}|iters={iters}"
+    key = (
+        f"{os.path.abspath(sf_dir)}|bits={bits}|cells={n_cells}"
+        f"|iters={iters}|pq={DEFAULT_PQ_M}x{DEFAULT_PQ_K}"
+    )
     digest = hashlib.sha256(key.encode()).hexdigest()[:16]
     return os.path.join(root or ann_root(), digest)
 
@@ -105,13 +118,19 @@ def load_ann_store(
         return None
     if meta.get("source_size") != _source_size(sf_dir):
         return None
+    if "pq_codebooks" not in meta:  # pre-PQ store layout — treat as stale
+        return None
     return AnnStore(
         path=path,
         lsh_path=os.path.join(path, "lsh"),
         ivf_path=os.path.join(path, "ivf"),
+        pq_path=os.path.join(path, "pq"),
         bits=meta["bits"],
         n_cells=meta["n_cells"],
         centroids=meta["centroids"],
+        pq_m=meta["pq_m"],
+        pq_k=meta["pq_k"],
+        pq_codebooks=meta["pq_codebooks"],
         seed=meta["seed"],
     )
 
@@ -142,8 +161,10 @@ def build_ann_store(
     """
     from dask_felleskomponenter_spark.operators.similarity import (
         build_ivf_centroids,
+        build_pq_codebooks,
         with_ivf_cell,
         with_lsh_bucket,
+        with_pq_codes,
     )
     from dask_felleskomponenter_spark.sources.tables import load_table
 
@@ -168,6 +189,20 @@ def build_ann_store(
         .parquet(ivf_path)
     )
 
+    # PQ layout: codes-only table — the 32x-compressed search structure
+    # an ADC query scans instead of raw vectors (codebooks persist in
+    # meta.json; they are m*k*(dim/m) doubles, plan-literal sized)
+    codebooks = build_pq_codebooks(
+        emb, dim=dim, m=DEFAULT_PQ_M, k=DEFAULT_PQ_K, iters=2
+    )
+    pq_path = os.path.join(path, "pq")
+    (
+        with_pq_codes(emb, codebooks, dim=dim)
+        .select("vec_id", "pq_codes")
+        .write.mode("overwrite")
+        .parquet(pq_path)
+    )
+
     meta = {
         "source_size": _source_size(sf_dir),
         "bits": bits,
@@ -175,6 +210,9 @@ def build_ann_store(
         "iters": iters,
         "seed": seed,
         "centroids": centroids,
+        "pq_m": DEFAULT_PQ_M,
+        "pq_k": DEFAULT_PQ_K,
+        "pq_codebooks": codebooks,
     }
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -184,9 +222,13 @@ def build_ann_store(
         path=path,
         lsh_path=lsh_path,
         ivf_path=ivf_path,
+        pq_path=pq_path,
         bits=bits,
         n_cells=n_cells,
         centroids=centroids,
+        pq_m=DEFAULT_PQ_M,
+        pq_k=DEFAULT_PQ_K,
+        pq_codebooks=codebooks,
         seed=seed,
     )
 

@@ -87,6 +87,7 @@ def test_ann_query_construction_runs_no_driver_actions(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "take", boom)
     QUERIES["ann_lsh_bucketed"](spark, SF)  # construction only
     QUERIES["ann_ivf_topk"](spark, SF)  # construction only
+    QUERIES["ann_pq_topk"](spark, SF)  # construction only
 
 
 def test_ann_store_scan_is_partition_pruned(spark):

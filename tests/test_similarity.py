@@ -222,3 +222,71 @@ class TestIvf:
         b = build_ivf_centroids(emb, n_cells=4, iters=2)
         assert len(a) == 4 and all(len(c) == 64 for c in a)
         assert a == b
+
+
+class TestProductQuantization:
+    """PQ codebook/encode/ADC — pinned by the lossless case: when every
+    distinct subvector is a codebook centroid, quantization loses
+    nothing and ADC scores EQUAL exact cosine, so top-k must match the
+    brute-force scan row for row."""
+
+    @staticmethod
+    def _vocab_corpus(n=80):
+        # unit-norm vectors built from a 16-word subvector vocabulary
+        # (one-hot ±1 per 8-dim subspace); rows 0..15 enumerate the full
+        # vocabulary in every subspace so the deterministic lowest-id
+        # seeding starts with exactly the 16 distinct subvectors
+        rnd = random.Random(7)
+        rows = []
+        for vid in range(n):
+            vec = []
+            for _j in range(8):
+                if vid < 16:
+                    pos, sign = vid % 8, (1.0 if vid < 8 else -1.0)
+                else:
+                    pos, sign = rnd.randrange(8), rnd.choice([1.0, -1.0])
+                sub = [0.0] * 8
+                sub[pos] = sign
+                vec += sub
+            rows.append(Row(vec_id=vid, embedding=vec))
+        return rows
+
+    def test_adc_equals_exact_cosine_when_lossless(self, spark):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_pq_codebooks,
+            cosine_topk,
+            pq_adc_topk,
+            with_pq_codes,
+        )
+
+        df = spark.createDataFrame(self._vocab_corpus())
+        cbs = build_pq_codebooks(df, dim=64, m=8, k=16, iters=2)
+        assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+        coded = with_pq_codes(df, cbs, dim=64).select("vec_id", "pq_codes")
+
+        query = self._vocab_corpus()[23]["embedding"]
+        approx = [
+            (r["vec_id"], round(r["approx_cosine"], 6))
+            for r in pq_adc_topk(coded, cbs, query, k=10).collect()
+        ]
+        exact = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in cosine_topk(df, query, k=10).collect()
+        ]
+        assert approx == exact
+
+    def test_codes_are_bounded_and_stable(self, spark):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_pq_codebooks,
+            with_pq_codes,
+        )
+
+        df = spark.createDataFrame(self._vocab_corpus(40))
+        cbs = build_pq_codebooks(df, dim=64, m=8, k=16, iters=1)
+        codes = with_pq_codes(df, cbs, dim=64).select("pq_codes").collect()
+        for r in codes:
+            assert len(r["pq_codes"]) == 8
+            assert all(0 <= c < 16 for c in r["pq_codes"])
+        # encoding is deterministic: a second pass produces the same codes
+        again = with_pq_codes(df, cbs, dim=64).select("pq_codes").collect()
+        assert [r["pq_codes"] for r in codes] == [r["pq_codes"] for r in again]
