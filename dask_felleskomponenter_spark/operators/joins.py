@@ -104,8 +104,11 @@ def interval_join(
         raise ValueError("upper_seconds must be >= lower_seconds")
     width_us = max(hi_us - lo_us, 1)
 
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    # cast("timestamp") is a no-op for LTZ input but keeps NTZ-typed
+    # columns legal for unix_micros (identical wall-clock under a UTC
+    # session; see session.py's inferTimestampNTZ note).
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
     probe = left.withColumn(
         "_rng_bkt",
@@ -126,11 +129,9 @@ def interval_join(
     cond = probe["_rng_bkt"] == build["_rng_bkt"]
     for k in key_cols:
         cond = cond & (probe[k] == build[f"_rng_{k}"])
-    in_range = (
-        F.unix_micros(F.col("_rng_ts")) >= F.unix_micros(F.col(left_ts)) + F.lit(lo_us)
-    ) & (
-        F.unix_micros(F.col("_rng_ts")) <= F.unix_micros(F.col(left_ts)) + F.lit(hi_us)
-    )
+    m_ts = F.unix_micros(F.col("_rng_ts").cast("timestamp"))
+    m_left = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    in_range = (m_ts >= m_left + F.lit(lo_us)) & (m_ts <= m_left + F.lit(hi_us))
     joined = probe.join(build, cond, "inner").filter(in_range)
     return joined.select(
         *[probe[c] for c in left.columns],

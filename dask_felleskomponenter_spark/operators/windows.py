@@ -72,7 +72,12 @@ def lag_sessionize(
     # oracle computing on full-precision timestamps.
     gap_us = F.lit(int(gap_seconds) * 1_000_000).cast("long")
     is_new = F.when(
-        prev_ts.isNull() | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+            > gap_us
+        ),
         F.lit(1),
     ).otherwise(F.lit(0))
     run_w = (

@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # Read parquet naive timestamps as session-TZ TIMESTAMP (LTZ), not
+        # TIMESTAMP_NTZ: with the session pinned to UTC the wall-clock values
+        # are identical, but NTZ is rejected by unix_micros & friends and
+        # DuckDB oracles compare as naive-in-UTC either way.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
         .config("spark.driver.maxResultSize", "2g")
@@ -100,6 +105,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(key, value)

@@ -280,8 +280,8 @@ def stream_interval_join(
     for k in on:
         clause = F.col(f"l.{k}") == F.col(f"r.{k}")
         cond = clause if cond is None else cond & clause
-    l_us = F.unix_micros(F.col(f"l.{left_ts}"))
-    r_us = F.unix_micros(F.col(f"r.{right_ts}"))
+    l_us = F.unix_micros(F.col(f"l.{left_ts}").cast("timestamp"))
+    r_us = F.unix_micros(F.col(f"r.{right_ts}").cast("timestamp"))
     cond = cond & (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
 
     return lhs.join(rhs, cond, "inner").select(
