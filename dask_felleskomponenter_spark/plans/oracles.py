@@ -147,6 +147,97 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 100
 """
 
+ORACLES["q6_forecast_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q13_customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.r = (SELECT MAX(r) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+ORACLES["q2_min_cost_supplier"] = """
+WITH pf AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'SMALL' AND p_size BETWEEN 10 AND 20
+), li AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(l.l_extendedprice AS DECIMAL(12,2)) AS cost,
+         pf.p_partkey, pf.p_name
+  FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+), mc AS (
+  SELECT l_partkey, MIN(cost) AS min_cost FROM li GROUP BY l_partkey
+)
+SELECT DISTINCT li.p_partkey, li.p_name, s.s_suppkey, s.s_name,
+       CAST(mc.min_cost AS DOUBLE) AS min_cost
+FROM li
+JOIN mc ON li.l_partkey = mc.l_partkey AND li.cost = mc.min_cost
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+ORDER BY li.p_partkey, s.s_suppkey
+"""
+
+ORACLES["q11_important_parts"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,1))) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN (0, 1, 2)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) FROM per_part) * 0.001
+ORDER BY part_value DESC, l_partkey
+"""
+
+ORACLES["q21_single_blame_supplier"] = """
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 100
+"""
+
 ORACLES["join_full_outer_spend_freq"] = """
 WITH spend AS (
   SELECT o_custkey AS ck_s,

@@ -2219,6 +2219,219 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue delta (TPC-H Q6 shape): pure scan-side predicate
+    aggregation — the canonical pushdown showcase.
+
+    Scale: every predicate (shipdate range, discount band, quantity cap)
+    pushes to the parquet scan; the aggregate is a single partial-sum per
+    partition plus a one-row final reduce, so the query is I/O-bound at
+    any scale factor. ReadSchema prunes to 4 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(dmoney("l_extendedprice") * drate("l_discount")).alias("revenue"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram (TPC-H Q13 shape): left outer join
+    with a build-side-only filter, then a two-level aggregation (count
+    per customer → distribution of counts).
+
+    Scale: the first aggregation shuffles on c_custkey (high cardinality,
+    well spread); the second groups the tiny (custkey, count) set by
+    count — a few dozen distinct values, one cheap shuffle. The priority
+    filter stays below the left join (it's build-side-only, so outer-join
+    semantics are unaffected and the filter pushes to the scan)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips NULLs
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): aggregate
+    "view" joined against its own MAX — the scalar-subquery-over-a-view
+    pattern.
+
+    Scale: revenue-per-supplier is one shuffle on l_suppkey; the MAX is
+    a one-row aggregate broadcast back via crossJoin, so the comparison
+    happens without a second scan of lineitem. The equality compares
+    exact decimals (order-independent sums), never doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        # Explicit, so BOTH references to `rev` below canonicalize to the
+        # same subtree: the supplier join would add isnotnull(l_suppkey)
+        # to only one branch, defeating ReuseExchange and scanning
+        # lineitem twice.
+        & F.col("l_suppkey").isNotNull()
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dmoney("l_extendedprice") * (1 - drate("l_discount"))).alias("_rev")
+    )
+    max_rev = rev.agg(F.max("_rev").alias("_max_rev"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .where(F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape, adapted: the
+    testdata has no partsupp table, so lineitem serves as the
+    part↔supplier link and extended price as the cost).
+
+    The correlated MIN subquery decorrelates into: filter part →
+    broadcast-reduce lineitem → per-part MIN as a tiny aggregate
+    broadcast back onto the same reduced set — one scan of the fact
+    table, equality on exact decimals.
+
+    Scale: identical to ``scalar_subquery_small_qty``'s decorrelation;
+    the only shuffle is the per-part aggregate over the part-pruned
+    lineitem subset."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "SMALL") & F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    li_sel = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+    min_cost = li_sel.groupBy("l_partkey").agg(
+        F.min(dmoney("l_extendedprice")).alias("_min_cost")
+    ).withColumnRenamed("l_partkey", "_mc_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li_sel.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("_mc_partkey"))
+            & (dmoney("l_extendedprice") == F.col("_min_cost")),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("_min_cost").cast("double").alias("min_cost"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration scan (TPC-H Q11 shape, adapted to the
+    lineitem link): per-part inventory value for suppliers of a nation
+    group, kept only where the part's value exceeds a fixed fraction of
+    the group total — GROUP BY ... HAVING <scalar subquery>.
+
+    Scale: supplier is broadcast (nation filter applied first); the
+    per-part aggregate is the one real shuffle; the global total is a
+    one-row re-aggregate of the *already aggregated* per-part set (tiny)
+    broadcast back via crossJoin — the fact table is scanned once."""
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(0, 1, 2))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    # value = price × quantity in exact decimal: (12,2)×(4,1) stays well
+    # under precision 38 through the SUM.
+    value = dmoney("l_extendedprice") * F.col("l_quantity").cast("decimal(4,1)")
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("_value"))
+    )
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("_value").cast("double")
+            > F.col("_total").cast("double") * 0.001
+        )
+        .select("l_partkey", F.col("_value").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+    )
+
+
+def q21_single_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for an order's returns (TPC-H Q21
+    shape, adapted: no receipt/commit dates in the testdata, so
+    ``l_returnflag = 'R'`` marks the fault): EXISTS + NOT EXISTS
+    correlated on the same fact table → LEFT SEMI + LEFT ANTI joins
+    whose conditions mix the orderkey equi-key with a supplier
+    inequality residual.
+
+    Scale: all three lineitem legs shuffle on l_orderkey (one
+    partitioning reused across both joins — co-located by AQE), supplier
+    is broadcast. The semi/anti forms short-circuit per key, so the
+    probe side never fans out."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    returned = li.filter(F.col("l_returnflag") == "R")
+    others = li.select(
+        F.col("l_orderkey").alias("_o2"), F.col("l_suppkey").alias("_s2")
+    )
+    other_returns = returned.select(
+        F.col("l_orderkey").alias("_o3"), F.col("l_suppkey").alias("_s3")
+    )
+    blamed = (
+        returned.join(
+            others,
+            (F.col("l_orderkey") == F.col("_o2"))
+            & (F.col("l_suppkey") != F.col("_s2")),
+            "left_semi",
+        )
+        .join(
+            other_returns,
+            (F.col("l_orderkey") == F.col("_o3"))
+            & (F.col("l_suppkey") != F.col("_s3")),
+            "left_anti",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(100)
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -2229,6 +2442,12 @@ QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q11_important_parts": q11_important_parts,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_single_blame_supplier": q21_single_blame_supplier,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
