@@ -238,6 +238,147 @@ ORDER BY numwait DESC, s.s_suppkey
 LIMIT 100
 """
 
+ORACLES["q9_product_type_profit"] = """
+SELECT n_name,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       - CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+ORACLES["q12_late_lines_by_status"] = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLES["q16_supplier_count_by_part"] = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+ORACLES["q20_heavy_part_suppliers"] = """
+WITH per_sup AS (
+  SELECT l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_sup
+  WHERE qty > (SELECT AVG(qty) FROM per_sup) * 1.5
+)
+ORDER BY s_suppkey
+"""
+
+# Same word-3-gram shingle derivation as neardup_jaccard_pairs; eval
+# set = doc_id % 97 == 0, train = the rest; per-train-doc distinct
+# shingle count and eval-overlap count.
+ORACLES["contamination_ngram_screen"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+         END AS shs
+  FROM toks
+), sets AS (
+  SELECT doc_id, UNNEST(list_distinct(shs)) AS sh FROM shingled
+), eval_sh AS (
+  SELECT DISTINCT sh FROM sets WHERE doc_id % 97 = 0
+), train AS (
+  SELECT doc_id, sh FROM sets WHERE doc_id % 97 <> 0
+), counted AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM train t LEFT JOIN eval_sh e ON t.sh = e.sh
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       ROUND(n_hits / n_shingles, 6) AS hit_ratio
+FROM counted
+WHERE n_hits > 0
+ORDER BY doc_id
+"""
+
+ORACLES["pack_sequences_offsets"] = """
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % 8 AS shard,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM toks
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_start,
+       CAST(cum_before % 2048 AS BIGINT) AS seq_offset,
+       CAST(FLOOR((cum_before + n_tokens - 1) / 2048.0) AS BIGINT)
+         - CAST(FLOOR(cum_before / 2048.0) AS BIGINT) + 1 AS n_seqs_spanned
+FROM placed
+ORDER BY doc_id
+"""
+
+ORACLES["mixture_temperature_sample"] = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), mx AS (
+  SELECT MAX(n) AS mxn FROM counts
+), rates AS (
+  SELECT lang, POWER(CAST(n AS DOUBLE) / CAST(mxn AS DOUBLE), 0.5) AS rate
+  FROM counts, mx
+)
+SELECT d.lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 1000 / 1000.0 < r.rate
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(ANY_VALUE(r.rate), 6) AS target_rate,
+       ROUND(SUM(CASE WHEN (d.doc_id * 2654435761) % 1000 / 1000.0 < r.rate
+                      THEN 1 ELSE 0 END) / COUNT(*), 6) AS achieved_rate
+FROM documents d JOIN rates r ON d.lang = r.lang
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
 ORACLES["join_full_outer_spend_freq"] = """
 WITH spend AS (
   SELECT o_custkey AS ck_s,

@@ -2432,6 +2432,282 @@ def q21_single_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by nation and order year for a part-name family (TPC-H Q9
+    shape, adapted: the testdata has no partsupp, so cost is
+    ``p_retailprice × l_quantity``).
+
+    Scale: part (name-filtered), supplier, and nation are broadcast;
+    lineitem⋈orders on orderkey is the one real shuffle. Revenue and
+    cost are separate exact-decimal SUMs subtracted after the cast to
+    double, so the result is order-independent on both engines."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    revenue = F.sum(dmoney("l_extendedprice") * (1 - drate("l_discount")))
+    cost = F.sum(dmoney("p_retailprice") * F.col("l_quantity").cast("decimal(4,1)"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((revenue.cast("double") - cost.cast("double")).alias("profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority mix of late 1997 shipments by line status (TPC-H Q12
+    shape, adapted: no l_shipmode column, so l_linestatus is the
+    grouping axis and "late" means shipped >30 days after the order).
+
+    Scale: one orders⋈lineitem shuffle on orderkey; both conditional
+    counts fold into the same hash aggregate (map-side partials), so
+    adding CASE branches costs nothing extra at any scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per part brand/size outside an excluded
+    supplier set (TPC-H Q16 shape, adapted: supplier relationships come
+    from lineitem instead of partsupp, and the NOT IN excludes
+    negative-balance suppliers).
+
+    Scale: the NOT IN subquery is a broadcast LEFT ANTI join (the
+    excluded set is tiny by construction); part is broadcast; the only
+    shuffle is the count-distinct aggregate, which Spark expands to a
+    two-stage distinct-then-count — partials on (brand, size, suppkey)
+    first, so the wide fact join never funnels raw rows to one node."""
+    bad_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
+    )
+
+
+def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that moved significantly more of a part-name family in
+    1997 than the average supplier did (TPC-H Q20 shape, adapted: no
+    partsupp availability, so the threshold is 1.5× the mean per-supplier
+    shipped quantity, a nested aggregate-of-aggregate subquery).
+
+    Scale: the per-supplier quantity aggregate is the one shuffle over
+    the (part-filtered) fact table; the mean-of-means is a one-row
+    re-aggregate of that already-small result, broadcast back via
+    crossJoin; supplier joins the qualifying keys with a broadcast semi
+    join. l_quantity is integral, so its double SUM is exact and the
+    1.5× threshold compares identically on both engines."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_sup = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    mean_qty = per_sup.agg(F.avg("_qty").alias("_mean"))
+    heavy = (
+        per_sup.crossJoin(F.broadcast(mean_qty))
+        .filter(F.col("_qty") > F.col("_mean") * 1.5)
+        .select("l_suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- LLM-pipeline additions: contamination / packing / mixture ----------
+
+def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag training documents sharing
+    word-3-gram shingles with a held-out eval set (here: ``doc_id % 97
+    == 0`` — a deterministic stand-in for a benchmark suite).
+
+    The decontamination pass every pretraining pipeline runs before
+    training (e.g. GPT-3 appendix C / PaLM's 13-gram screen; 3-grams
+    here so the tiny corpus overlaps at all).
+
+    Scale: the eval side is *small by nature* (benchmarks are KBs, the
+    corpus is TBs), so its distinct shingle set is broadcast and the
+    training corpus is never shuffled raw — each training shingle probes
+    the broadcast hash set map-side, and the only shuffle is the per-doc
+    counting aggregate over (doc_id, hit) rows. Both the hit count and
+    the shingle count come from ONE explode pass (left-join marker), so
+    the corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = docs.select(
+        "doc_id", F.explode(TX.word_shingles("text", 3)).alias("sh")
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = (
+        shingled.filter(is_eval)
+        .select(F.col("sh").alias("_eval_sh"))
+        .distinct()
+    )
+    train = shingled.filter(~is_eval)
+    return (
+        train.join(
+            F.broadcast(eval_sh), F.col("sh") == F.col("_eval_sh"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_eval_sh").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .withColumn(
+            "hit_ratio",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing layout: concatenate each shard's token
+    stream in doc_id order and chunk it into fixed 2048-token training
+    sequences; emit every document's placement (starting sequence,
+    offset within it, number of sequences spanned).
+
+    This is the "concatenate-then-chunk" packing step between a tokenized
+    corpus and a pretraining dataloader. All arithmetic is integral, so
+    the layout is bit-identical on any engine.
+
+    Scale: packing is per-shard (``doc_id % 8`` here; a real pipeline
+    uses O(cluster-parallelism) shards), so the running-sum window sorts
+    only within a shard partition — no global sort, no single-reducer
+    funnel, shards scale out with executors."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        TX.bpe_ish_token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = 2048
+    return (
+        docs.withColumn(
+            "_cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("_cum_before") / budget).cast("bigint").alias("seq_start"),
+            (F.col("_cum_before") % budget).cast("bigint").alias("seq_offset"),
+            (
+                F.floor((F.col("_cum_before") + F.col("n_tokens") - 1) / budget)
+                - F.floor(F.col("_cum_before") / budget)
+                + 1
+            ).cast("bigint").alias("n_seqs_spanned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (multilingual-pretraining shape):
+    per-language keep rates ∝ count^α relative to the largest language
+    (α = 0.5 — rare languages upweighted), applied with a deterministic
+    per-row hash so any engine / re-run keeps the SAME rows.
+
+    The row rule is a Knuth multiplicative hash (``doc_id × 2654435761
+    mod 1000``) — pure int64 arithmetic, portable to any engine; a
+    production run would swap in xxhash64(content) with identical plan
+    shape.
+
+    Scale: language counts are a tiny aggregate (|langs| rows) broadcast
+    back onto the corpus, the keep decision is a map-side filter, and
+    the final per-language report re-aggregates the filtered corpus —
+    two scans of documents, zero wide shuffles of raw text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    max_n = counts.agg(F.max("_n").alias("_max_n"))
+    rates = (
+        counts.crossJoin(F.broadcast(max_n))
+        .select(
+            F.col("lang").alias("_rl"),
+            F.pow(F.col("_n") / F.col("_max_n"), 0.5).alias("_rate"),
+        )
+    )
+    frac = (F.col("doc_id") * F.lit(2654435761).cast("bigint")) % 1000 / 1000.0
+    return (
+        docs.join(F.broadcast(rates), F.col("lang") == F.col("_rl"))
+        .withColumn("_keep", frac < F.col("_rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.round(F.first("_rate"), 6).alias("target_rate"),
+        )
+        .withColumn(
+            "achieved_rate", F.round(F.col("n_kept") / F.col("n_total"), 6)
+        )
+        .orderBy("lang")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -2448,6 +2724,13 @@ QUERIES: dict[str, QueryFn] = {
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q21_single_blame_supplier": q21_single_blame_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q12_late_lines_by_status": q12_late_lines_by_status,
+    "q16_supplier_count_by_part": q16_supplier_count_by_part,
+    "q20_heavy_part_suppliers": q20_heavy_part_suppliers,
+    "contamination_ngram_screen": contamination_ngram_screen,
+    "pack_sequences_offsets": pack_sequences_offsets,
+    "mixture_temperature_sample": mixture_temperature_sample,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
