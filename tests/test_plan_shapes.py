@@ -482,3 +482,51 @@ def test_column_profile_is_single_scan(spark):
     assert len(scans) == 1, plan[:2000]
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_contamination_screen_broadcasts_eval_side(spark):
+    # The benchmark side is small by nature; it must reach the training
+    # corpus as a broadcast hash join — a shuffle of the raw exploded
+    # corpus against the eval set would be the 100 TB killer.
+    plan = plan_of(spark, "contamination_ngram_screen")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_pack_sequences_windows_only_within_shards(spark):
+    # Packing must never global-sort the corpus: the running-sum window
+    # partitions by shard, so the only global ordering is the final
+    # report ORDER BY over the (already small per-partition) output.
+    from dask_felleskomponenter_spark.plans.queries import QUERIES as _Q
+
+    df = _Q["pack_sequences_offsets"](spark, SF)
+    plan = plan_of(spark, "pack_sequences_offsets")
+    # window spec carries the shard partition key
+    assert re.search(r"windowspecdefinition\(shard", plan), plan[:2000]
+    # per-shard running sums are integral and non-negative
+    rows = df.collect()
+    assert all(r.seq_offset >= 0 and r.seq_offset < 2048 for r in rows)
+    assert all(r.n_seqs_spanned >= 1 for r in rows)
+
+
+def test_mixture_sample_rates_are_monotone_in_counts(spark):
+    # Temperature reweighting must upweight rare languages: the keep
+    # rate ordering is the inverse of nothing — larger corpus → rate
+    # closer to 1, and the largest language has rate exactly 1.0.
+    from dask_felleskomponenter_spark.plans.queries import QUERIES as _Q
+
+    rows = _Q["mixture_temperature_sample"](spark, SF).collect()
+    by_total = sorted(rows, key=lambda r: r.n_total)
+    rates = [r.target_rate for r in by_total]
+    assert rates == sorted(rates), rates
+    assert by_total[-1].target_rate == 1.0
+    plan = plan_of(spark, "mixture_temperature_sample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_count_by_part")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan[:3000]
+    assert "SortMergeJoin" not in plan
