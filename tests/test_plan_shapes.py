@@ -530,3 +530,50 @@ def test_q16_not_in_is_broadcast_anti_join(spark):
     plan = plan_of(spark, "q16_supplier_count_by_part")
     assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan[:3000]
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Hot-key joins must not serialize on one reducer: with AQE skew
+    handling on (session.py sets skewJoin.enabled), a runtime-detected
+    skewed partition is split across tasks. Thresholds are lowered here
+    so the behavior is observable at test scale; the assertion is on the
+    *executed* (final adaptive) plan, not the static one."""
+    from pyspark.sql import functions as F
+
+    lowered = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        hot = spark.range(300_000).select(
+            F.lit(0).cast("long").alias("k"),
+            (F.xxhash64("id") % 1000).alias("v"),
+        )
+        cold = spark.range(4_000).select(
+            (F.col("id") % 40 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(41).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        joined = hot.union(cold).join(right, "k")
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+        [row] = agg.collect()
+        assert row.n == 304_000
+        final_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+        assert "AQEShuffleRead skewed" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
