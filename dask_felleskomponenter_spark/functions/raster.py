@@ -50,9 +50,9 @@ def generate_contours_wkb(
     if not raster_binary:
         return None
     if not HAS_GDAL:
-        raise NotImplementedError(
-            "generate_contours_wkb requires GDAL (install the [gdal] extra)"
-        )
+        # GDAL-free executable path: FAKM/PNG grid tiles via marching
+        # squares; GeoTIFF raises the documented NotImplementedError
+        return generate_contours_py(raster_binary, interval, base)
 
     mem_path = f"/vsimem/{uuid.uuid4().hex}"
     ds = None
@@ -88,6 +88,188 @@ def generate_contours_wkb(
         vec = None
         if gdal.VSIStatL(mem_path):
             gdal.Unlink(mem_path)
+
+
+# --- pure-Python contour engine (marching squares) -----------------------
+#
+# The GDAL-free U3 executable path: ContourGenerate re-expressed as the
+# textbook marching-squares algorithm (public domain; Lorensen-style
+# case table) over a numpy grid, with linear interpolation of crossing
+# positions and segment chaining into polylines. Rasters arrive as FAKM
+# or PNG tiles (1 byte/sample grids via the in-repo codecs); GeoTIFF
+# still requires GDAL and raises the documented NotImplementedError.
+
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _ms_segments(grid, level: float):
+    """Marching-squares crossing segments for one level, in pixel-center
+    coordinates ((col, row) floats). Linear interpolation along edges."""
+    import numpy as np
+
+    h, w = grid.shape
+    segs = []
+
+    def interp(pa, va, pb, vb):
+        t = (level - va) / (vb - va)
+        return (pa[0] + t * (pb[0] - pa[0]), pa[1] + t * (pb[1] - pa[1]))
+
+    for r in range(h - 1):
+        for c in range(w - 1):
+            v = (
+                float(grid[r, c]),
+                float(grid[r, c + 1]),
+                float(grid[r + 1, c + 1]),
+                float(grid[r + 1, c]),
+            )  # tl, tr, br, bl
+            p = ((c, r), (c + 1, r), (c + 1, r + 1), (c, r + 1))
+            case = sum(1 << i for i in range(4) if v[i] >= level)
+            if case in (0, 15):
+                continue
+            # edge k joins corner k and corner (k+1)%4
+            crossings = {}
+            for k in range(4):
+                a, b = k, (k + 1) % 4
+                if (v[a] >= level) != (v[b] >= level):
+                    crossings[k] = interp(p[a], v[a], p[b], v[b])
+            ks = sorted(crossings)
+            if len(ks) == 2:
+                segs.append((crossings[ks[0]], crossings[ks[1]]))
+            elif len(ks) == 4:
+                # saddle: resolve by the cell-center average
+                center_above = sum(v) / 4.0 >= level
+                hi_tl = v[0] >= level
+                if center_above == hi_tl:
+                    segs.append((crossings[0], crossings[3]))
+                    segs.append((crossings[1], crossings[2]))
+                else:
+                    segs.append((crossings[0], crossings[1]))
+                    segs.append((crossings[2], crossings[3]))
+    return segs
+
+
+def _chain_segments(segs):
+    """Join crossing segments into polylines (endpoint matching on
+    rounded coordinates)."""
+    def key(pt):
+        return (round(pt[0], 9), round(pt[1], 9))
+
+    # a level hitting a grid value exactly yields zero-length segments
+    # at that corner; they carry no geometry and break endpoint chaining
+    segs = [(a, b) for a, b in segs if key(a) != key(b)]
+    adj: dict = {}
+    for i, (a, b) in enumerate(segs):
+        adj.setdefault(key(a), []).append((i, b))
+        adj.setdefault(key(b), []).append((i, a))
+    used = [False] * len(segs)
+    lines = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        a, b = segs[start]
+        used[start] = True
+        line = [a, b]
+        # extend forward then backward
+        for flip in (False, True):
+            while True:
+                end = line[-1]
+                nxt = None
+                for i, other in adj.get(key(end), ()):  # pragma: no branch
+                    if not used[i]:
+                        nxt = (i, other)
+                        break
+                if nxt is None:
+                    break
+                used[nxt[0]] = True
+                line.append(nxt[1])
+            line.reverse()
+        lines.append(line)
+    return lines
+
+
+def contours_from_grid(
+    grid,
+    interval: float = 10.0,
+    base: float = 0.0,
+    geotransform: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+) -> bytes | None:
+    """Contour polylines of a 2-D numpy grid as MultiLineString WKB
+    (GDAL ``ContourGenerate`` semantics: levels at base + k·interval
+    strictly inside the value range; None when no contour exists).
+
+    Coordinates map through the standard 6-term geotransform evaluated
+    at pixel centers."""
+    import math as _math
+    import struct as _struct
+
+    import numpy as np
+
+    g = np.asarray(grid, dtype="float64")
+    if g.ndim != 2 or g.shape[0] < 2 or g.shape[1] < 2 or interval <= 0:
+        return None
+    lo, hi = float(g.min()), float(g.max())
+    k0 = int(_math.floor((lo - base) / interval)) + 1
+    k1 = int(_math.ceil((hi - base) / interval)) - 1
+    gt = geotransform
+    lines_wkb = []
+    for k in range(k0, k1 + 1):
+        level = base + k * interval
+        if not (lo < level < hi):
+            continue
+        for line in _chain_segments(_ms_segments(g, level)):
+            coords = [
+                (
+                    gt[0] + (c + 0.5) * gt[1] + (r + 0.5) * gt[2],
+                    gt[3] + (c + 0.5) * gt[4] + (r + 0.5) * gt[5],
+                )
+                for c, r in line
+            ]
+            lines_wkb.append(
+                b"\x01"
+                + _struct.pack("<II", 2, len(coords))
+                + b"".join(_struct.pack("<dd", x, y) for x, y in coords)
+            )
+    if not lines_wkb:
+        return None
+    return (
+        b"\x01" + _struct.pack("<II", 5, len(lines_wkb)) + b"".join(lines_wkb)
+    )
+
+
+def generate_contours_py(
+    raster_binary: bytes | None, interval: float = 10.0, base: float = 0.0
+) -> bytes | None:
+    """GDAL-free per-tile contour core: decodes FAKM or PNG grid tiles
+    via the in-repo codecs (first channel = elevation sample) and runs
+    marching squares. GeoTIFF input raises the documented
+    NotImplementedError unless GDAL is installed."""
+    if not raster_binary:
+        return None
+    data = bytes(raster_binary)
+    if data[:4] in _TIFF_MAGICS:
+        raise NotImplementedError(
+            "GeoTIFF contours require GDAL (install the [gdal] extra); "
+            "FAKM/PNG grid tiles decode without it"
+        )
+    import numpy as np
+
+    from dask_felleskomponenter_spark.functions.multimodal import (
+        decode_image_png,
+        fakm_decode,
+    )
+
+    meta = decode_image_png(data) or fakm_decode(data)
+    if meta is None or not meta["payload"]:
+        return None
+    w, h, c = meta["width"], meta["height"], meta["channels"]
+    if w * h * c != len(meta["payload"]):
+        return None
+    grid = (
+        np.frombuffer(meta["payload"], dtype="uint8")
+        .reshape(h, w, c)[:, :, 0]
+        .astype("float64")
+    )
+    return contours_from_grid(grid, interval, base)
 
 
 def make_contours_udf(

@@ -221,17 +221,222 @@ def strip_ewkb_srid(values: pd.Series) -> pd.Series:
     return values.apply(strip_ewkb_srid_bytes)
 
 
-def curved_to_linear_bytes(
+# --- pure-Python arc linearization engine --------------------------------
+#
+# OGR's GetLinearGeometry re-expressed from the public ISO/OGC WKB spec:
+# curved types (8 CircularString, 9 CompoundCurve, 10 CurvePolygon,
+# 11 MultiCurve, 12 MultiSurface) are parsed, every three-point circular
+# arc is sampled at a maximum angular step, and the result is written
+# back as the linear counterpart (2/2/3/5/6). 2-D only: Z/M curved
+# input returns None (documented limitation; the OGR engine, when
+# installed, handles those). Endpoints are preserved exactly.
+
+_DEFAULT_ARC_STEP_DEG = 4.0  # OGR's documented default when 0 is passed
+
+
+def _arc_points(
+    p0: tuple[float, float],
+    p1: tuple[float, float],
+    p2: tuple[float, float],
+    step_rad: float,
+) -> list[tuple[float, float]]:
+    """Sample the circular arc p0→p1→p2 (inclusive of both endpoints)."""
+    import math
+
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    if (ax, ay) == (cx, cy) and (ax, ay) != (bx, by):
+        # closed arc (PostGIS full-circle convention: p1 is the
+        # antipode, p0–p1 a diameter) — traversed counter-clockwise
+        ux, uy = (ax + bx) / 2.0, (ay + by) / 2.0
+        r = math.hypot(ax - ux, ay - uy)
+        t0 = math.atan2(ay - uy, ax - ux)
+        n = max(2, int(math.ceil(2.0 * math.pi / step_rad)))
+        pts = [p0]
+        for i in range(1, n):
+            t = t0 + 2.0 * math.pi * i / n
+            pts.append((ux + r * math.cos(t), uy + r * math.sin(t)))
+        pts.append(p2)
+        return pts
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(cx), abs(cy), 1.0)
+    if abs(d) <= 1e-12 * scale * scale:
+        # collinear (or repeated) control points: straight segments
+        return [p0, p1, p2]
+    ux = (
+        (ax * ax + ay * ay) * (by - cy)
+        + (bx * bx + by * by) * (cy - ay)
+        + (cx * cx + cy * cy) * (ay - by)
+    ) / d
+    uy = (
+        (ax * ax + ay * ay) * (cx - bx)
+        + (bx * bx + by * by) * (ax - cx)
+        + (cx * cx + cy * cy) * (bx - ax)
+    ) / d
+    r = math.hypot(ax - ux, ay - uy)
+    t0 = math.atan2(ay - uy, ax - ux)
+    t1 = math.atan2(by - uy, bx - ux)
+    t2 = math.atan2(cy - uy, cx - ux)
+    two_pi = 2.0 * math.pi
+    d01 = (t1 - t0) % two_pi
+    d02 = (t2 - t0) % two_pi
+    if ax == cx and ay == cy:
+        # closed arc: a full circle traversed via p1
+        sweep, ccw = two_pi, True
+    elif d01 <= d02:
+        sweep, ccw = d02, True
+    else:
+        sweep, ccw = two_pi - d02, False
+    n = max(2, int(math.ceil(sweep / step_rad)))
+    pts = [p0]
+    for i in range(1, n):
+        t = t0 + (sweep * i / n if ccw else -sweep * i / n)
+        pts.append((ux + r * math.cos(t), uy + r * math.sin(t)))
+    pts.append(p2)
+    return pts
+
+
+class _WkbReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u8(self) -> int:
+        v = self.data[self.pos]
+        self.pos += 1
+        return v
+
+    def u32(self, fmt: str) -> int:
+        v = struct.unpack_from(fmt + "I", self.data, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def xy(self, fmt: str) -> tuple[float, float]:
+        v = struct.unpack_from(fmt + "dd", self.data, self.pos)
+        self.pos += 16
+        return v
+
+
+def _read_geom(r: _WkbReader) -> tuple[int, object]:
+    """Parse one WKB geometry → (base_type, payload). Payloads:
+    Point → (x, y); LineString/CircularString → [points];
+    Polygon/CurvePolygon → [rings] (each ring a parsed (type, payload));
+    Compound/Multi/Collection → [parsed children]."""
+    order = r.u8()
+    fmt = "<" if order == 1 else ">"
+    code = r.u32(fmt)
+    if code & (EWKB_Z_FLAG | EWKB_M_FLAG):
+        raise ValueError("Z/M not supported by the pure-Python engine")
+    if code & EWKB_SRID_FLAG:
+        code &= ~EWKB_FLAG_MASK
+        r.u32(fmt)  # skip SRID
+    if code >= 1000:
+        raise ValueError("Z/M not supported by the pure-Python engine")
+    if code == 1:
+        return 1, r.xy(fmt)
+    if code in (2, 8):
+        return code, [r.xy(fmt) for _ in range(r.u32(fmt))]
+    if code == 3:
+        nrings = r.u32(fmt)
+        return 3, [(2, [r.xy(fmt) for _ in range(r.u32(fmt))]) for _ in range(nrings)]
+    if code in (4, 5, 6, 7, 9, 10, 11, 12):
+        return code, [_read_geom(r) for _ in range(r.u32(fmt))]
+    raise ValueError(f"unsupported WKB type {code}")
+
+
+def _curve_to_points(
+    geom: tuple[int, object], step_rad: float
+) -> list[tuple[float, float]]:
+    """Any curve payload (LineString / CircularString / CompoundCurve)
+    → one linear point sequence."""
+    code, payload = geom
+    if code == 2:
+        return list(payload)
+    if code == 8:
+        pts_in = list(payload)
+        if len(pts_in) < 3 or len(pts_in) % 2 == 0:
+            raise ValueError("CircularString needs an odd point count >= 3")
+        out: list[tuple[float, float]] = []
+        for i in range(0, len(pts_in) - 2, 2):
+            seg = _arc_points(pts_in[i], pts_in[i + 1], pts_in[i + 2], step_rad)
+            out.extend(seg if not out else seg[1:])
+        return out
+    if code == 9:
+        out = []
+        for comp in payload:
+            seg = _curve_to_points(comp, step_rad)
+            if out and seg and seg[0] == out[-1]:
+                seg = seg[1:]
+            out.extend(seg)
+        return out
+    raise ValueError(f"not a curve type: {code}")
+
+
+def _w_header(code: int, n: int) -> bytes:
+    return b"\x01" + struct.pack("<II", code, n)
+
+
+def _w_points(pts: list[tuple[float, float]]) -> bytes:
+    return b"".join(struct.pack("<dd", x, y) for x, y in pts)
+
+
+def _write_linearized(geom: tuple[int, object], step_rad: float) -> bytes:
+    code, payload = geom
+    if code == 1:
+        return b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", *payload)
+    if code in (2, 8, 9):
+        pts = _curve_to_points(geom, step_rad)
+        return _w_header(2, len(pts)) + _w_points(pts)
+    if code in (3, 10):
+        rings = [_curve_to_points(ring, step_rad) for ring in payload]
+        body = b"".join(
+            struct.pack("<I", len(p)) + _w_points(p) for p in rings
+        )
+        return _w_header(3, len(rings)) + body
+    if code in (4, 5, 6, 7, 11, 12):
+        out_code = {4: 4, 5: 5, 6: 6, 7: 7, 11: 5, 12: 6}[code]
+        children = [_write_linearized(child, step_rad) for child in payload]
+        return _w_header(out_code, len(children)) + b"".join(children)
+    raise ValueError(f"unsupported WKB type {code}")
+
+
+def linearize_wkb_py(
     data: bytes | bytearray | None, max_angle_step_deg: float = 0.0
 ) -> bytes | None:
-    """Linearize curved geometry via OGR after SRID stripping
-    (``udf_conversions.py:12-59`` semantics: None on non-bytes or parse
-    failure). Requires the GDAL extra."""
+    """Pure-Python curved→linear WKB (the OGR-free U2 engine). None on
+    unparsable input, exactly like the OGR path's failure semantics."""
     if not isinstance(data, (bytes, bytearray)):
         return None
+    import math
+
+    step_deg = float(max_angle_step_deg) if max_angle_step_deg else 0.0
+    if step_deg <= 0.0:
+        step_deg = _DEFAULT_ARC_STEP_DEG
+    try:
+        r = _WkbReader(bytes(strip_ewkb_srid_bytes(data)))
+        geom = _read_geom(r)
+        return _write_linearized(geom, math.radians(step_deg))
+    except Exception:
+        return None
+
+
+def curved_to_linear_bytes(
+    data: bytes | bytearray | None,
+    max_angle_step_deg: float = 0.0,
+    engine: str = "auto",
+) -> bytes | None:
+    """Linearize curved geometry after SRID stripping
+    (``udf_conversions.py:12-59`` semantics: None on non-bytes or parse
+    failure). Engine: OGR when installed (full Z/M support), else the
+    pure-Python 2-D engine — so U2 executes on bare installs too."""
+    if not isinstance(data, (bytes, bytearray)):
+        return None
+    if engine == "python" or (engine == "auto" and not HAS_OGR):
+        return linearize_wkb_py(data, max_angle_step_deg)
     if not HAS_OGR:
         raise NotImplementedError(
-            "curved_to_linear_wkb requires GDAL/OGR (install the [gdal] extra)"
+            "curved_to_linear_wkb engine='ogr' requires GDAL/OGR"
         )
     wkb = strip_ewkb_srid_bytes(data)
     try:

@@ -177,14 +177,263 @@ def test_contours_plumbing_with_injected_core(spark):
     assert geom_type_of_wkb(out) == "MultiLineString"
 
 
-def test_contours_without_gdal_raises_cleanly():
+def test_contours_without_gdal_handles_each_container():
+    # GDAL-free contract: GeoTIFF (GDAL-only) raises the documented
+    # error, FAKM/PNG tiles execute via marching squares, undecodable
+    # bytes mirror GDAL's unopenable-raster None
     from dask_felleskomponenter_spark.functions.raster import (
         HAS_GDAL,
         generate_contours_wkb,
     )
 
     if HAS_GDAL:
-        pytest.skip("GDAL present; stub path not reachable")
+        pytest.skip("GDAL present; fallback path not reachable")
     with pytest.raises(NotImplementedError, match="GDAL"):
-        generate_contours_wkb(b"\x00\x01", 10, 0)
+        generate_contours_wkb(b"II*\x00rest-of-a-tiff", 10, 0)
+    assert generate_contours_wkb(b"\x00\x01", 10, 0) is None  # undecodable
     assert generate_contours_wkb(b"", 10, 0) is None  # empty short-circuits first
+
+
+# --- pure-Python linearization engine (U2 executes without OGR) ----------
+
+def _wkb_curve(code: int, pts) -> bytes:
+    return b"\x01" + struct.pack("<II", code, len(pts)) + b"".join(
+        struct.pack("<dd", *p) for p in pts
+    )
+
+
+def _parse_linestring_pts(wkb: bytes):
+    n = struct.unpack_from("<I", wkb, 5)[0]
+    return [struct.unpack_from("<dd", wkb, 9 + 16 * i) for i in range(n)]
+
+
+class TestPurePythonLinearize:
+    def test_semicircle_points_lie_on_circle(self):
+        import math
+
+        from dask_felleskomponenter_spark.functions.wkb import linearize_wkb_py
+
+        cs = _wkb_curve(8, [(1, 0), (0, 1), (-1, 0)])
+        out = linearize_wkb_py(cs, 10.0)
+        assert geom_type_of_wkb(out) == "LineString"
+        pts = _parse_linestring_pts(out)
+        assert pts[0] == (1.0, 0.0) and pts[-1] == (-1.0, 0.0)
+        assert len(pts) - 1 == 18  # 180° / 10°
+        assert all(abs(math.hypot(x, y) - 1.0) < 1e-9 for x, y in pts)
+        assert pts[len(pts) // 2][1] > 0  # passes through the via point
+
+    def test_orientation_follows_via_point(self):
+        from dask_felleskomponenter_spark.functions.wkb import linearize_wkb_py
+
+        cw = _wkb_curve(8, [(1, 0), (0, -1), (-1, 0)])
+        pts = _parse_linestring_pts(linearize_wkb_py(cw, 30.0))
+        assert pts[len(pts) // 2][1] < 0
+
+    def test_full_circle_postgis_convention(self):
+        import math
+
+        from dask_felleskomponenter_spark.functions.wkb import linearize_wkb_py
+
+        circle = _wkb_curve(8, [(1, 0), (-1, 0), (1, 0)])
+        pts = _parse_linestring_pts(linearize_wkb_py(circle, 45.0))
+        assert pts[0] == pts[-1]
+        assert len(pts) == 9  # 360/45 segments + closing point
+        assert all(abs(math.hypot(x, y) - 1.0) < 1e-9 for x, y in pts)
+
+    def test_collinear_arc_degrades_to_line(self):
+        from dask_felleskomponenter_spark.functions.wkb import linearize_wkb_py
+
+        cs = _wkb_curve(8, [(0, 0), (1, 1), (2, 2)])
+        assert _parse_linestring_pts(linearize_wkb_py(cs, 5.0)) == [
+            (0.0, 0.0),
+            (1.0, 1.0),
+            (2.0, 2.0),
+        ]
+
+    def test_compound_curve_joins_without_duplicate_junctions(self):
+        from dask_felleskomponenter_spark.functions.wkb import linearize_wkb_py
+
+        cc = (
+            b"\x01"
+            + struct.pack("<II", 9, 2)
+            + _wkb_curve(2, [(0, 0), (1, 0)])
+            + _wkb_curve(8, [(1, 0), (2, 1), (3, 0)])
+        )
+        pts = _parse_linestring_pts(linearize_wkb_py(cc, 15.0))
+        assert pts[0] == (0.0, 0.0) and pts[-1] == (3.0, 0.0)
+        assert len(pts) == len(set(pts)), "junction point duplicated"
+
+    def test_curvepolygon_and_multis_map_to_linear_types(self):
+        from dask_felleskomponenter_spark.functions.wkb import linearize_wkb_py
+
+        ring = _wkb_curve(8, [(1, 0), (-1, 0), (1, 0)])
+        cp = b"\x01" + struct.pack("<II", 10, 1) + ring
+        assert geom_type_of_wkb(linearize_wkb_py(cp, 45.0)) == "Polygon"
+        mc = b"\x01" + struct.pack("<II", 11, 1) + ring
+        assert geom_type_of_wkb(linearize_wkb_py(mc, 45.0)) == "MultiLineString"
+        ms = b"\x01" + struct.pack("<II", 12, 1) + cp
+        assert geom_type_of_wkb(linearize_wkb_py(ms, 45.0)) == "MultiPolygon"
+
+    def test_linear_input_passes_through_byte_identical(self):
+        from dask_felleskomponenter_spark.functions.wkb import linearize_wkb_py
+
+        line = _wkb_curve(2, [(0, 0), (1, 0), (2, 5)])
+        assert linearize_wkb_py(line, 4.0) == line
+
+    def test_ewkb_srid_and_failure_semantics(self):
+        from dask_felleskomponenter_spark.functions.wkb import (
+            curved_to_linear_bytes,
+            linearize_wkb_py,
+        )
+
+        # EWKB CircularString with SRID flag (PostGIS header)
+        body = struct.pack("<I", 4326) + struct.pack(
+            "<I", 3
+        ) + b"".join(
+            struct.pack("<dd", *p) for p in [(1, 0), (0, 1), (-1, 0)]
+        )
+        ewkb = b"\x01" + struct.pack("<I", 8 | 0x20000000) + body
+        assert geom_type_of_wkb(linearize_wkb_py(ewkb, 30.0)) == "LineString"
+        # Z/M input → None (documented 2-D limitation), garbage → None
+        zcs = b"\x01" + struct.pack("<I", 1008) + struct.pack("<I", 3)
+        assert linearize_wkb_py(zcs, 30.0) is None
+        assert linearize_wkb_py(b"\x05junk", 30.0) is None
+        assert curved_to_linear_bytes(None) is None
+
+    def test_udf_engine_auto_runs_without_ogr(self, spark):
+        import pandas as pd
+
+        from dask_felleskomponenter_spark.functions.wkb import (
+            curved_to_linear_wkb,
+        )
+        from pyspark.sql import functions as F
+
+        cs = _wkb_curve(8, [(1, 0), (0, 1), (-1, 0)])
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": [cs, None]})
+        ).select(
+            curved_to_linear_wkb(F.col("g"), F.lit(30.0)).alias("lin")
+        )
+        got = [r.lin for r in df.collect()]
+        assert geom_type_of_wkb(got[0]) == "LineString"
+        assert got[1] is None
+
+
+# --- marching-squares contour engine (U3 executes without GDAL) ----------
+
+class TestMarchingSquaresContours:
+    def _cone(self, n=32):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:n, 0:n]
+        c = (n - 1) / 2.0
+        return np.clip(100 - 4 * np.hypot(xx - c, yy - c), 0, None).astype(
+            "uint8"
+        )
+
+    def test_cone_contours_are_closed_rings_at_right_radii(self):
+        import math
+
+        from dask_felleskomponenter_spark.functions.raster import (
+            contours_from_grid,
+        )
+
+        grid = self._cone()
+        wkb = contours_from_grid(grid, interval=20.0, base=0.0)
+        assert geom_type_of_wkb(wkb) == "MultiLineString"
+        n = struct.unpack_from("<I", wkb, 5)[0]
+        off = 9
+        rings = []
+        for _ in range(n):
+            m = struct.unpack_from("<I", wkb, off + 5)[0]
+            pts = [
+                struct.unpack_from("<dd", wkb, off + 9 + 16 * i)
+                for i in range(m)
+            ]
+            off += 9 + 16 * m
+            if pts[0] == pts[-1] and m > 10:
+                rings.append(pts)
+        # interior levels 40/60/80 close inside the tile; their radii
+        # must match level = 100 - 4·r within interpolation error
+        assert len(rings) == 3
+        for pts in rings:
+            rads = [math.hypot(x - 15.5, y - 15.5) for x, y in pts]
+            r_avg = sum(rads) / len(rads)
+            level = 100 - 4 * r_avg
+            assert abs(level - round(level / 20) * 20) < 4.0, level
+
+    def test_contour_vertices_interpolate_to_level(self):
+        import numpy as np
+
+        from dask_felleskomponenter_spark.functions.raster import (
+            contours_from_grid,
+        )
+
+        # smooth saddle-free ramp: value = x + 2y; contours are straight
+        yy, xx = np.mgrid[0:16, 0:16]
+        grid = (xx + 2.0 * yy).astype("float64")
+        wkb = contours_from_grid(grid, interval=7.0, base=0.0)
+        n = struct.unpack_from("<I", wkb, 5)[0]
+        off = 9
+        checked = 0
+        for _ in range(n):
+            m = struct.unpack_from("<I", wkb, off + 5)[0]
+            for i in range(m):
+                x, y = struct.unpack_from("<dd", wkb, off + 9 + 16 * i)
+                # pixel-center geotransform → grid coords are (x-.5, y-.5)
+                val = (x - 0.5) + 2.0 * (y - 0.5)
+                assert abs(val / 7.0 - round(val / 7.0)) < 1e-9
+                checked += 1
+            off += 9 + 16 * m
+        assert checked > 20
+
+    def test_geotransform_maps_coordinates(self):
+        from dask_felleskomponenter_spark.functions.raster import (
+            contours_from_grid,
+        )
+        import numpy as np
+
+        yy, xx = np.mgrid[0:8, 0:8]
+        grid = (xx * 10.0).astype("float64")
+        gt = (1000.0, 5.0, 0.0, 2000.0, 0.0, -5.0)
+        wkb = contours_from_grid(grid, interval=25.0, base=0.0, geotransform=gt)
+        n = struct.unpack_from("<I", wkb, 5)[0]
+        off = 9
+        for _ in range(n):
+            m = struct.unpack_from("<I", wkb, off + 5)[0]
+            for i in range(m):
+                x, y = struct.unpack_from("<dd", wkb, off + 9 + 16 * i)
+                assert 1000.0 <= x <= 1000.0 + 8 * 5.0
+                assert 2000.0 - 8 * 5.0 <= y <= 2000.0
+            off += 9 + 16 * m
+
+    def test_flat_grid_yields_none(self):
+        import numpy as np
+
+        from dask_felleskomponenter_spark.functions.raster import (
+            contours_from_grid,
+        )
+
+        assert contours_from_grid(np.zeros((8, 8)), 10.0) is None
+
+    def test_default_udf_runs_gdal_free_over_fakm_tiles(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions.multimodal import fakm_encode
+        from dask_felleskomponenter_spark.functions.raster import (
+            generate_contours_udf,
+        )
+
+        grid = self._cone()
+        blob = fakm_encode("i", 32, 32, 1, grid.tobytes())
+        df = spark.createDataFrame(
+            pd.DataFrame({"tile": [blob, None]})
+        ).select(
+            generate_contours_udf(
+                F.col("tile"), F.lit(20.0), F.lit(0.0)
+            ).alias("contours")
+        )
+        got = [r.contours for r in df.collect()]
+        assert geom_type_of_wkb(got[0]) == "MultiLineString"
+        assert got[1] is None
