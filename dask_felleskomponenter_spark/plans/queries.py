@@ -2724,6 +2724,82 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→contours end-to-end (reference U3, GDAL-free engine):
+    embeddings reshaped into 8×8 DEM tiles (per-vector min-max scaled to
+    uint8, FAKM-encoded), contoured by the marching-squares core at
+    interval 64, profiled relationally. Rows-only: marching squares has
+    no SQL twin.
+
+    Scale: both Python stages are Arrow-batched pandas UDFs (encode,
+    contour) — one tile per row, tile-keyed partitioning, no media
+    shuffle; the profile columns (geometry type, polyline count, size)
+    are pure codegen'd Column expressions over the WKB header, so only
+    tile bytes ever cross the Python boundary."""
+    from pyspark.sql.types import BinaryType
+
+    from dask_felleskomponenter_spark.functions.raster import (
+        generate_contours_udf,
+    )
+    from dask_felleskomponenter_spark.functions.wkb import wkb_geom_type_col
+
+    @F.pandas_udf(BinaryType())
+    def to_tile(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            fakm_encode,
+        )
+
+        def enc(v):
+            if v is None:
+                return None
+            a = np.asarray(v, dtype="float64")
+            lo, hi = float(a.min()), float(a.max())
+            g = (
+                np.zeros_like(a)
+                if hi == lo
+                else (a - lo) / (hi - lo) * 255.0
+            )
+            return fakm_encode("i", 8, 8, 1, g.astype("uint8").tobytes())
+
+        return vecs.apply(enc)
+
+    # tile-keyed repartition ahead of the Python stages: the contour
+    # work parallelizes per tile, not per input split (locally the
+    # one-row-group scan would otherwise serialize the whole UDF chain)
+    emb = load_table(spark, sf_dir, "embeddings").repartition("vec_id")
+    contoured = emb.select(
+        "vec_id",
+        "label",
+        generate_contours_udf(
+            to_tile("embedding"), F.lit(64.0), F.lit(0.0)
+        ).alias("cwkb"),
+    )
+    # polyline count = WKB bytes 6..9 as little-endian u32, JVM-side
+    nl_hex = F.hex(F.substring(F.col("cwkb"), 6, 4))
+    n_lines = F.conv(
+        F.concat(
+            F.substring(nl_hex, 7, 2),
+            F.substring(nl_hex, 5, 2),
+            F.substring(nl_hex, 3, 2),
+            F.substring(nl_hex, 1, 2),
+        ),
+        16,
+        10,
+    ).cast("long")
+    profiled = contoured.select(
+        "vec_id",
+        "label",
+        wkb_geom_type_col("cwkb").alias("geom_type"),
+        F.when(F.col("cwkb").isNotNull(), n_lines).alias("n_polylines"),
+        F.length("cwkb").alias("n_wkb_bytes"),
+    )
+    # ordered_output, not bare orderBy: the range sampler would re-run
+    # the whole two-UDF contour lineage to pick partition bounds
+    return ordered_output(profiled, "vec_id")
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -2747,6 +2823,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_ngram_screen": contamination_ngram_screen,
     "pack_sequences_offsets": pack_sequences_offsets,
     "mixture_temperature_sample": mixture_temperature_sample,
+    "raster_contours_tiles": raster_contours_tiles,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
