@@ -379,6 +379,22 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["recursive_cte_customer_tree"] = """
+WITH RECURSIVE tree AS (
+  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+  FROM customer
+  WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, t.root, t.depth + 1
+  FROM customer c
+  JOIN tree t ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = t.node
+  WHERE c.c_custkey >= 10
+)
+SELECT node, root, CAST(depth AS INT) AS depth
+FROM tree
+ORDER BY node
+"""
+
 ORACLES["join_full_outer_spend_freq"] = """
 WITH spend AS (
   SELECT o_custkey AS ck_s,

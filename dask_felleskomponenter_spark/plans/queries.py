@@ -2724,6 +2724,41 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recursive_cte_customer_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): traverse the implicit
+    customer hierarchy ``parent(k) = floor(k / 10)`` from the sub-10
+    roots, emitting every node's root and depth — the org-chart /
+    BOM-traversal query shape, expressed in portable ANSI recursion.
+
+    Scale: each recursion level is one equi-join of the frontier against
+    the (broadcastable) customer dim on the derived parent key; depth is
+    log₁₀(max key), so the plan is a handful of join stages, not a
+    row-at-a-time loop. The engine-level iterative twin (explicit loop +
+    checkpointing, for graphs too cyclic for UNION-ALL recursion) is
+    ``operators/graph.py::connected_components``."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_rcte"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+          FROM customer_rcte
+          WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, t.root, t.depth + 1
+          FROM customer_rcte c
+          JOIN tree t
+            ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = t.node
+          WHERE c.c_custkey >= 10
+        )
+        SELECT node, root, CAST(depth AS INT) AS depth
+        FROM tree
+        ORDER BY node
+        """
+    )
+
+
 def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→contours end-to-end (reference U3, GDAL-free engine):
     embeddings reshaped into 8×8 DEM tiles (per-vector min-max scaled to
@@ -2824,6 +2859,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences_offsets": pack_sequences_offsets,
     "mixture_temperature_sample": mixture_temperature_sample,
     "raster_contours_tiles": raster_contours_tiles,
+    "recursive_cte_customer_tree": recursive_cte_customer_tree,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
