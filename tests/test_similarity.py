@@ -290,3 +290,46 @@ class TestProductQuantization:
         # encoding is deterministic: a second pass produces the same codes
         again = with_pq_codes(df, cbs, dim=64).select("pq_codes").collect()
         assert [r["pq_codes"] for r in codes] == [r["pq_codes"] for r in again]
+
+
+class TestPQRecallOnRealEmbeddings:
+    """Statistical ground-truth pin for the PQ family (the sketch-rows
+    counterpart of the MinHash/SimHash S-curve tests): on the real
+    embeddings table, the two-stage reranked search must recover most
+    of the exact cosine top-10, and every score it returns must BE an
+    exact cosine (the rerank stage recomputes on raw vectors)."""
+
+    def test_reranked_recall_at_10(self, spark, sf_dir):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_pq_codebooks,
+            cosine_topk,
+            pq_topk_reranked,
+            with_pq_codes,
+        )
+        from dask_felleskomponenter_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        cbs = build_pq_codebooks(emb, dim=64, m=8, k=16, iters=3)
+        codes = with_pq_codes(emb, cbs, dim=64).select("vec_id", "pq_codes")
+
+        queries = {r.vec_id: r.embedding for r in emb.limit(3).collect()}
+        recalls = []
+        for qid, qvec in queries.items():
+            exact = {
+                r.vec_id: r.cosine
+                for r in cosine_topk(emb, qvec, k=10).collect()
+            }
+            got = {
+                r.vec_id: r.cosine
+                for r in pq_topk_reranked(
+                    codes, emb, cbs, qvec, k=10, shortlist=100
+                ).collect()
+            }
+            recalls.append(len(exact.keys() & got.keys()) / 10.0)
+            # reranked scores are exact cosines for the ids both agree on
+            for vid in exact.keys() & got.keys():
+                assert abs(exact[vid] - got[vid]) < 1e-9
+        avg = sum(recalls) / len(recalls)
+        assert avg >= 0.7, f"PQ reranked recall@10 too low: {recalls}"
