@@ -379,6 +379,22 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["date_arith_orders"] = """
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       CAST(QUARTER(o_orderdate) AS INTEGER) AS o_quarter,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT WEEK(o_orderdate)) AS n_iso_weeks,
+       STRFTIME(MAX(LAST_DAY(CAST(o_orderdate AS DATE))), '%Y-%m-%d')
+         AS latest_month_end,
+       STRFTIME(MIN(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH), '%Y-%m-%d')
+         AS earliest_plus3m,
+       ROUND(AVG(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')), 6)
+         AS avg_days_to_close
+FROM orders
+GROUP BY o_year, o_quarter
+ORDER BY o_year, o_quarter
+"""
+
 ORACLES["recursive_cte_customer_tree"] = """
 WITH RECURSIVE tree AS (
   SELECT c_custkey AS node, c_custkey AS root, 0 AS depth

@@ -2724,6 +2724,40 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic function family over orders: month shifting
+    with end-of-month clamping (``add_months``), ``last_day``, quarter /
+    ISO week extraction, and day-count differences — the date surface
+    beyond ``date_trunc`` (covered by date_fns_events).
+
+    Scale: pure codegen'd expressions folded into the scan projection;
+    the aggregate groups on the derived quarter — one map-side-combined
+    shuffle of 8-byte keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        orders.groupBy(
+            F.year(od).cast("int").alias("o_year"),
+            F.quarter(od).cast("int").alias("o_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct(F.weekofyear(od)).alias("n_iso_weeks"),
+            F.max(F.date_format(F.last_day(od), "yyyy-MM-dd")).alias(
+                "latest_month_end"
+            ),
+            F.min(F.date_format(F.add_months(od, 3), "yyyy-MM-dd")).alias(
+                "earliest_plus3m"
+            ),
+            F.avg(F.datediff(F.lit("1998-12-31").cast("date"), od)).alias(
+                "avg_days_to_close"
+            ),
+        )
+        .withColumn("avg_days_to_close", F.round("avg_days_to_close", 6))
+        .orderBy("o_year", "o_quarter")
+    )
+
+
 def recursive_cte_customer_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 ``WITH RECURSIVE``): traverse the implicit
     customer hierarchy ``parent(k) = floor(k / 10)`` from the sub-10
@@ -2860,6 +2894,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_temperature_sample": mixture_temperature_sample,
     "raster_contours_tiles": raster_contours_tiles,
     "recursive_cte_customer_tree": recursive_cte_customer_tree,
+    "date_arith_orders": date_arith_orders,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,

@@ -188,3 +188,39 @@ def read_binary_files(
     if max_bytes is not None:
         df = df.filter(df["length"] <= int(max_bytes))
     return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar interchange format beside Parquet. Same
+    pushdown/pruning story (stripe-level min/max + bloom indexes); use
+    it when a downstream Hive/Trino estate standardizes on ORC."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | dict[str, Any] | None = None
+) -> DataFrame:
+    """ORC scan. Schema optional (ORC files embed one); when given (a
+    StructType or a JSON Schema dict, compiled via Json2Spark) it is
+    enforced instead of trusted-from-file, matching the CSV/JSON policy."""
+    reader = spark.read
+    if schema is not None:
+        if isinstance(schema, dict):
+            schema = convert_json_schema_to_spark(schema)
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: StructType | dict[str, Any] | None = None
+) -> DataFrame:
+    """Avro scan (row-oriented interchange). The ``spark-avro`` module is
+    external since Spark 2.4; environments without it (this sandbox) get
+    a clear error from the format lookup rather than an import crash —
+    call sites should treat Avro as an optional extra like GDAL."""
+    reader = spark.read.format("avro")
+    if schema is not None:
+        if isinstance(schema, dict):
+            schema = convert_json_schema_to_spark(schema)
+        reader = reader.schema(schema)
+    return reader.load(path)

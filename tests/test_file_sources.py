@@ -249,3 +249,45 @@ class TestSyntheticDataSource:
         )
         out = df.select("doc_id", TX.quality_score("text").alias("q")).collect()
         assert len(out) == 50 and all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    # ORC write → read roundtrip, schema enforced via the Json2Spark
+    # path, and a filter that reaches the ORC scan as a pushed predicate
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.files import read_orc, write_orc
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 1.5).alias("x")
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert {f.name for f in back.schema.fields} == {"id", "grp", "x"}
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.filter(F.col("grp") == 3).select("id").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "grp" in plan
+
+
+def test_avro_is_a_gated_extra(spark, tmp_path):
+    # without the external spark-avro module the reader must fail with
+    # the format-lookup error, not an import crash
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.sources.files import read_avro
+
+    try:
+        df = read_avro(spark, str(tmp_path / "nope"))
+        df.count()
+    except Exception as ex:  # noqa: BLE001 - asserting the error class text
+        assert "avro" in str(ex).lower()
+    else:
+        _pytest.skip("spark-avro present in this environment")
