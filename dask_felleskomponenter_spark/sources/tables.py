@@ -102,6 +102,33 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_sorted_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str,
+    n_shards: int,
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-shard export layout: range-partition into ``n_shards``
+    on ``shard_col``, sort within each shard, and cap rows per file —
+    the parquet layout an ML dataloader consumes (sequential reads per
+    shard, deterministic order, bounded file sizes for work stealing).
+
+    Scale: ``repartitionByRange`` samples shard bounds once (one small
+    job) and performs ONE range exchange; ``sortWithinPartitions`` is a
+    per-partition sort with no extra shuffle; ``maxRecordsPerFile``
+    splits oversized shards at write time without changing
+    partitioning. Nothing here funnels through a global sort."""
+    out = df.repartitionByRange(n_shards, shard_col)
+    out = out.sortWithinPartitions(*(sort_cols or [shard_col]))
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(path)
+
+
 def write_time_partitioned(
     df: DataFrame,
     path: str,

@@ -291,3 +291,38 @@ def test_avro_is_a_gated_extra(spark, tmp_path):
         assert "avro" in str(ex).lower()
     else:
         _pytest.skip("spark-avro present in this environment")
+
+
+def test_sorted_shards_layout(spark, tmp_path):
+    # dataloader export contract: files respect the row cap, rows within
+    # every file are sorted, and shard ranges do not interleave
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.tables import write_sorted_shards
+
+    df = spark.range(10_000).select(
+        F.col("id"), F.xxhash64("id").alias("h")
+    )
+    path = str(tmp_path / "shards")
+    write_sorted_shards(
+        df, path, shard_col="id", n_shards=8,
+        sort_cols=["id"], max_records_per_file=700,
+    )
+    files = sorted(_glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 8  # 8 shards, split further by the row cap
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["id"])
+        ids = t.column("id").to_pylist()
+        assert len(ids) <= 700
+        assert ids == sorted(ids), f"unsorted rows in {f}"
+        ranges.append((min(ids), max(ids)))
+    # a range-partitioned layout never interleaves across files
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2 or hi1 <= lo2, (hi1, lo2)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
