@@ -249,3 +249,62 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("long"))
     joined = big_s.join(small_s, keys + ["_salt"], how)
     return joined.drop("_salt")
+
+
+def grid_box_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_xy: tuple[str, str],
+    right_xy: tuple[str, str],
+    radius: int | float,
+    prefix: str = "nb_",
+) -> DataFrame:
+    """Spatial box join: every (left, right) pair whose coordinates
+    differ by at most ``radius`` on BOTH axes (Chebyshev / bounding-box
+    proximity) — the proximity-join primitive behind point-in-radius
+    lookups, geofencing, and spatial dedup.
+
+    Scale shape (the 2-D analogue of ``interval_join``): a naive
+    cross-join-plus-filter is O(|L|·|R|). Instead both sides hash into
+    square grid cells of side ``radius``; a right row lands in exactly
+    ONE home cell, a left row probes its own cell plus the 8 neighbours
+    (a 9-way explode of cell ids — constant-factor replication of the
+    probe side only), and the join is an equi-join on the cell id with
+    the exact box predicate as a residual. Candidates are bounded by
+    true spatial locality, the shuffle key is hashable, and no pair is
+    emitted twice (one home cell per right row). Skewed cells (urban
+    hot spots) split further via AQE skew handling.
+
+    Matched right columns land as ``{prefix}{col}``.
+    """
+    lx, ly = left_xy
+    rx, ry = right_xy
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    cell = float(radius)
+
+    l_cx = F.floor(F.col(lx) / cell)
+    l_cy = F.floor(F.col(ly) / cell)
+    offsets = F.expr(
+        "array(-1L, 0L, 1L)"
+    )
+    probe = (
+        left.withColumn("_dx", F.explode(offsets))
+        .withColumn("_dy", F.explode(offsets))
+        .withColumn("_cell_x", l_cx + F.col("_dx"))
+        .withColumn("_cell_y", l_cy + F.col("_dy"))
+        .drop("_dx", "_dy")
+    )
+    build = right.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in right.columns]
+    ).withColumn(
+        "_cell_x", F.floor(F.col(f"{prefix}{rx}") / cell)
+    ).withColumn(
+        "_cell_y", F.floor(F.col(f"{prefix}{ry}") / cell)
+    )
+    joined = probe.join(build, ["_cell_x", "_cell_y"])
+    box = (
+        (F.abs(F.col(lx) - F.col(f"{prefix}{rx}")) <= radius)
+        & (F.abs(F.col(ly) - F.col(f"{prefix}{ry}")) <= radius)
+    )
+    return joined.filter(box).drop("_cell_x", "_cell_y")

@@ -379,6 +379,27 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["spatial_box_join_counts"] = """
+WITH sup AS (
+  SELECT s_suppkey,
+         (s_suppkey * 2654435761) % 100000 AS x,
+         (s_suppkey * 97610309) % 100000 AS y
+  FROM supplier
+), cust AS (
+  SELECT c_custkey,
+         (c_custkey * 2654435761) % 100000 AS x,
+         (c_custkey * 97610309) % 100000 AS y
+  FROM customer
+)
+SELECT s.s_suppkey,
+       COUNT(*) AS n_nearby,
+       MIN(c.c_custkey) AS nearest_custkey_min
+FROM sup s JOIN cust c
+  ON ABS(s.x - c.x) <= 2500 AND ABS(s.y - c.y) <= 2500
+GROUP BY s.s_suppkey
+ORDER BY s.s_suppkey
+"""
+
 ORACLES["date_arith_orders"] = """
 SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
        CAST(QUARTER(o_orderdate) AS INTEGER) AS o_quarter,

@@ -2724,6 +2724,46 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spatial_box_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity join (grid-bucketed box join,
+    ``operators/joins.py::grid_box_join``): suppliers and customers get
+    deterministic integer coordinates on a 100k×100k grid (multiplicative
+    hashes of their keys — a stand-in for projected easting/northing),
+    and each supplier counts the customers within Chebyshev radius 2500.
+
+    All coordinates and the radius are integers, so the box predicate
+    compares exactly on any engine; the oracle is the naive cross join +
+    filter, which the grid shape must reproduce pair-for-pair.
+
+    Scale: the build side lands in one home cell each; the probe side
+    replicates ×9 into neighbour cells; the join is an equi-shuffle on
+    cell ids — never a cross product. The declared aggregate then
+    reduces pairs per supplier with a map-side combine."""
+    from dask_felleskomponenter_spark.operators.joins import grid_box_join
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 2654435761) % 100000).alias("x"),
+        ((F.col("s_suppkey") * 97610309) % 100000).alias("y"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 100000).alias("x"),
+        ((F.col("c_custkey") * 97610309) % 100000).alias("y"),
+    )
+    pairs = grid_box_join(
+        sup, cust, ("x", "y"), ("x", "y"), radius=2500
+    )
+    return (
+        pairs.groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.min("nb_c_custkey").alias("nearest_custkey_min"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-arithmetic function family over orders: month shifting
     with end-of-month clamping (``add_months``), ``last_day``, quarter /
@@ -2895,6 +2935,7 @@ QUERIES: dict[str, QueryFn] = {
     "raster_contours_tiles": raster_contours_tiles,
     "recursive_cte_customer_tree": recursive_cte_customer_tree,
     "date_arith_orders": date_arith_orders,
+    "spatial_box_join_counts": spatial_box_join_counts,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,

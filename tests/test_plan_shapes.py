@@ -577,3 +577,45 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_grid_box_join_equals_naive_and_never_cross_joins(spark):
+    # pair-for-pair equivalence with the naive cross join + filter on a
+    # deterministic point cloud, plus: the physical plan must be an
+    # equi-join on cell ids, never a cartesian product
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.operators.joins import grid_box_join
+
+    a = spark.range(300).select(
+        F.col("id").alias("aid"),
+        ((F.col("id") * 48271) % 1000).alias("x"),
+        ((F.col("id") * 69621) % 1000).alias("y"),
+    )
+    b = spark.range(400).select(
+        F.col("id").alias("bid"),
+        ((F.col("id") * 16807) % 1000).alias("x"),
+        ((F.col("id") * 30269) % 1000).alias("y"),
+    )
+    got = {
+        (r.aid, r.nb_bid)
+        for r in grid_box_join(a, b, ("x", "y"), ("x", "y"), radius=40).collect()
+    }
+    naive = {
+        (r.aid, r.bid)
+        for r in a.alias("a")
+        .crossJoin(b.selectExpr("bid", "x as bx", "y as by"))
+        .where(
+            (F.abs(F.col("x") - F.col("bx")) <= 40)
+            & (F.abs(F.col("y") - F.col("by")) <= 40)
+        )
+        .collect()
+    }
+    assert got == naive and got, f"{len(got)} vs {len(naive)}"
+
+    plan_buf = io.StringIO()
+    with redirect_stdout(plan_buf):
+        grid_box_join(a, b, ("x", "y"), ("x", "y"), radius=40).explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
