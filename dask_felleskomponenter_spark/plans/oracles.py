@@ -379,6 +379,29 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["resample_ffill_events"] = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 6)
+           AS hour_avg
+  FROM events GROUP BY user_id, h
+), spans AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT s.user_id, UNNEST(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+  FROM spans s
+)
+SELECT g.user_id,
+       STRFTIME(g.h, '%Y-%m-%d %H:00') AS hour,
+       last_value(hy.hour_avg IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       hy.hour_avg IS NULL AS is_gap
+FROM grid g
+LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+ORDER BY g.user_id, hour
+"""
+
 ORACLES["spatial_box_join_counts"] = """
 WITH sup AS (
   SELECT s_suppkey,

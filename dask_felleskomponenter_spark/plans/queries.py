@@ -2724,6 +2724,55 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: each user's event stream becomes
+    a dense hourly grid over their own active span (per-user
+    ``sequence`` + explode — no global calendar materialized), hours
+    with no events are forward-filled from the last observed hourly
+    average, and flagged. The upsample/ffill shape sensor and telemetry
+    pipelines run before feature extraction.
+
+    Scale: the hourly pre-aggregate reduces the raw stream before any
+    widening; the grid explode is bounded per user by their span; both
+    the left join and the fill window partition on user_id, so one hash
+    partitioning serves the join AND the window (no second shuffle)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)), 6
+        ).alias("hour_avg")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.last("hour_avg", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("hour_avg").isNull().alias("is_gap"),
+        )
+    )
+    # ordered_output: the range sampler would re-run the join+window
+    return ordered_output(filled, "user_id", "hour")
+
+
 def spatial_box_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial proximity join (grid-bucketed box join,
     ``operators/joins.py::grid_box_join``): suppliers and customers get
@@ -2936,6 +2985,7 @@ QUERIES: dict[str, QueryFn] = {
     "recursive_cte_customer_tree": recursive_cte_customer_tree,
     "date_arith_orders": date_arith_orders,
     "spatial_box_join_counts": spatial_box_join_counts,
+    "resample_ffill_events": resample_ffill_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
