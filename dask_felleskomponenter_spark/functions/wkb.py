@@ -31,7 +31,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StringType
+from pyspark.sql.types import BinaryType, BooleanType, StringType
 
 try:  # optional extra: linearization/contours need GDAL/OGR
     from osgeo import ogr  # type: ignore
@@ -478,3 +478,64 @@ def register_all_udfs(spark: SparkSession) -> list[str]:
     spark.udf.register("generate_contours_udf", generate_contours_udf)
     registered.append("generate_contours_udf")
     return registered
+
+
+# --- point-in-polygon (ray casting over linear WKB) -----------------------
+
+def _ring_crossings(ring: list[tuple[float, float]], x: float, y: float) -> int:
+    n = 0
+    for i in range(len(ring) - 1):
+        (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+        if (y1 > y) != (y2 > y):
+            xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if xs > x:
+                n += 1
+    return n
+
+
+def point_in_polygon_bytes(
+    data: bytes | bytearray | None, x: float, y: float
+) -> bool | None:
+    """Even-odd ray-cast containment of (x, y) in a WKB Polygon /
+    MultiPolygon (holes handled by parity; curved input: linearize with
+    ``linearize_wkb_py`` first). None on null/unparsable input — the
+    same failure contract as the other WKB functions."""
+    if not isinstance(data, (bytes, bytearray)):
+        return None
+    try:
+        geom = _read_geom(_WkbReader(bytes(strip_ewkb_srid_bytes(data))))
+    except Exception:
+        return None
+
+    def poly_hit(payload) -> int:
+        crossings = 0
+        for ring in payload:
+            pts = list(ring[1])
+            if pts and pts[0] != pts[-1]:
+                pts = pts + [pts[0]]
+            crossings += _ring_crossings(pts, float(x), float(y))
+        return crossings
+
+    code, payload = geom
+    if code == 3:
+        return poly_hit(payload) % 2 == 1
+    if code == 6:
+        return any(
+            poly_hit(child[1]) % 2 == 1 for child in payload if child[0] == 3
+        )
+    return None
+
+
+@F.pandas_udf(BooleanType())
+def point_in_polygon(
+    polygons: pd.Series, xs: pd.Series, ys: pd.Series
+) -> pd.Series:
+    """Vectorized PIP over Arrow batches; pairs with ``grid_box_join``
+    (bbox cells prune candidates, this predicate decides exactly)."""
+    return pd.Series(
+        [
+            point_in_polygon_bytes(g, x, y)
+            for g, x, y in zip(polygons, xs, ys)
+        ],
+        dtype="object",
+    )

@@ -437,3 +437,81 @@ class TestMarchingSquaresContours:
         got = [r.contours for r in df.collect()]
         assert geom_type_of_wkb(got[0]) == "MultiLineString"
         assert got[1] is None
+
+
+class TestPointInPolygon:
+    @staticmethod
+    def _poly(rings):
+        body = struct.pack("<I", len(rings))
+        for r in rings:
+            body += struct.pack("<I", len(r)) + b"".join(
+                struct.pack("<dd", *p) for p in r
+            )
+        return b"\x01" + struct.pack("<I", 3) + body
+
+    def test_square_with_hole(self):
+        from dask_felleskomponenter_spark.functions.wkb import (
+            point_in_polygon_bytes,
+        )
+
+        outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+        hole = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+        poly = self._poly([outer, hole])
+        assert point_in_polygon_bytes(poly, 2, 2) is True
+        assert point_in_polygon_bytes(poly, 5, 5) is False  # in the hole
+        assert point_in_polygon_bytes(poly, 11, 5) is False
+        assert point_in_polygon_bytes(poly, -1, -1) is False
+
+    def test_multipolygon_any_part(self):
+        from dask_felleskomponenter_spark.functions.wkb import (
+            point_in_polygon_bytes,
+        )
+
+        a = self._poly([[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]])
+        b = self._poly([[(10, 10), (12, 10), (12, 12), (10, 12), (10, 10)]])
+        mp = b"\x01" + struct.pack("<II", 6, 2) + a + b
+        assert point_in_polygon_bytes(mp, 1, 1) is True
+        assert point_in_polygon_bytes(mp, 11, 11) is True
+        assert point_in_polygon_bytes(mp, 5, 5) is False
+
+    def test_composes_with_linearized_curvepolygon(self):
+        import math
+
+        from dask_felleskomponenter_spark.functions.wkb import (
+            linearize_wkb_py,
+            point_in_polygon_bytes,
+        )
+
+        # unit circle as a CurvePolygon ring, linearized at 10°
+        ring = b"\x01" + struct.pack("<II", 8, 3) + b"".join(
+            struct.pack("<dd", *p) for p in [(1, 0), (-1, 0), (1, 0)]
+        )
+        cp = b"\x01" + struct.pack("<II", 10, 1) + ring
+        poly = linearize_wkb_py(cp, 10.0)
+        assert point_in_polygon_bytes(poly, 0, 0) is True
+        assert point_in_polygon_bytes(poly, 0.9, 0.0) is True
+        assert point_in_polygon_bytes(poly, 1.1, 0.0) is False
+        # near the sampled boundary the polygon is slightly inside the
+        # true circle: a point at r=0.999 between vertices may fall out,
+        # but r <= cos(5°)≈0.9962 is always inside
+        r = math.cos(math.radians(5.0)) - 1e-6
+        assert point_in_polygon_bytes(poly, r, 0) is True
+
+    def test_failure_contract_and_spark_udf(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions.wkb import (
+            point_in_polygon,
+            point_in_polygon_bytes,
+        )
+
+        assert point_in_polygon_bytes(None, 0, 0) is None
+        assert point_in_polygon_bytes(b"\x09junk", 0, 0) is None
+        poly = self._poly([[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]])
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"g": [poly, poly, None], "x": [1.0, 9.0, 0.0], "y": [1.0, 9.0, 0.0]}
+            )
+        ).select(point_in_polygon("g", "x", "y").alias("hit"))
+        assert [r.hit for r in df.collect()] == [True, False, None]
