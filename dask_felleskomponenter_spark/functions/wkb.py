@@ -477,6 +477,8 @@ def register_all_udfs(spark: SparkSession) -> list[str]:
 
     spark.udf.register("generate_contours_udf", generate_contours_udf)
     registered.append("generate_contours_udf")
+    spark.udf.register("point_in_polygon", point_in_polygon)
+    registered.append("point_in_polygon")
     return registered
 
 

@@ -115,6 +115,7 @@ def test_sql_registration_and_nested_calls(spark):
         "strip_ewkb_srid",
         "curved_to_linear_wkb",
         "generate_contours_udf",
+        "point_in_polygon",
     }
     fn_names = {f.name for f in spark.catalog.listFunctions()}
     assert "get_wkb_geom_type" in fn_names
@@ -131,6 +132,25 @@ def test_sql_registration_and_nested_calls(spark):
         "FROM wkb_test_data WHERE name = 'point_2d_ewkb'"
     ).collect()
     assert nested[0]["t"] == "Point"
+    # the full GDAL-free chain in SQL: curved EWKB → linearize → PIP
+    import struct as _struct
+
+    circle_ring = b"\x01" + _struct.pack("<II", 8, 3) + b"".join(
+        _struct.pack("<dd", *p) for p in [(1.0, 0.0), (-1.0, 0.0), (1.0, 0.0)]
+    )
+    curvepoly = b"\x01" + _struct.pack("<II", 10, 1) + circle_ring
+    import pandas as _pd
+
+    spark.createDataFrame(
+        _pd.DataFrame({"g": [curvepoly]})
+    ).createOrReplaceTempView("curved_poly")
+    hit = spark.sql(
+        "SELECT point_in_polygon(curved_to_linear_wkb(g, 10.0), 0.0D, 0.0D) AS c,"
+        "       point_in_polygon(curved_to_linear_wkb(g, 10.0), 2.0D, 0.0D) AS o "
+        "FROM curved_poly"
+    ).collect()[0]
+    assert hit["c"] is True and hit["o"] is False
+    spark.catalog.dropTempView("curved_poly")
     spark.catalog.dropTempView("wkb_test_data")
 
 
