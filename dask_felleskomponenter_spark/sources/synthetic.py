@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _VOCAB = (
     "key value table row scan merge sort hash join filter agg window "
@@ -58,8 +63,60 @@ class _Reader(DataSourceReader):
             )
 
 
+def _doc_row(seed: int, partition: int, row: int) -> tuple:
+    """One deterministic document row, keyed by (seed, partition, row):
+    content is independent of iteration order and retries."""
+    rng = random.Random(f"{seed}:{partition}:{row}")
+    n_words = rng.randint(5, 60)
+    return rng.choice(_LANGS), " ".join(
+        rng.choice(_VOCAB) for _ in range(n_words)
+    )
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Micro-batch twin of the batch reader: offsets count whole
+    batches, each batch fans out ``n_partitions`` executor-side
+    generator partitions, and ``(seed, batch, partition, row)`` keys the
+    content — replays after failure produce byte-identical batches
+    (the property exactly-once sinks rely on).
+
+    ``max_batches`` bounds the stream so ``availableNow`` terminates;
+    production sources would return the real upstream high-watermark
+    from ``latestOffset`` instead."""
+
+    def __init__(self, options):
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.rows = int(options.get("rows_per_partition", 100))
+        self.seed = int(options.get("seed", 0))
+        self.max_batches = int(options.get("max_batches", 3))
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def latestOffset(self) -> dict:
+        return {"batch": self.max_batches}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            InputPartition((b, p))
+            for b in range(int(start["batch"]), int(end["batch"]))
+            for p in range(self.n_partitions)
+        ]
+
+    def read(self, partition):
+        b, p = partition.value
+        base = (b * self.n_partitions + p) * self.rows
+        for i in range(self.rows):
+            lang, text = _doc_row(self.seed, b * self.n_partitions + p, i)
+            yield (base + i, lang, text)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — generation is stateless
+
+
 class SyntheticDocuments(DataSource):
-    """``synthetic_documents`` format: (doc_id, lang, text) rows."""
+    """``synthetic_documents`` format: (doc_id, lang, text) rows,
+    batch and micro-batch stream (doc_id encodes the batch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -70,6 +127,9 @@ class SyntheticDocuments(DataSource):
 
     def reader(self, schema):
         return _Reader(self.options)
+
+    def streamReader(self, schema):
+        return _StreamReader(self.options)
 
 
 def register_synthetic_sources(spark) -> None:

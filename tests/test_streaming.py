@@ -364,3 +364,46 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     assert second.get((11, "click")) == 1
     assert second.get((12, "click")) == 1
     assert (10, "click") not in second  # finalized windows emit exactly once
+
+
+def test_python_stream_source_is_deterministic_and_bounded(spark, tmp_path):
+    """Spark 4 streaming Python DataSource: the synthetic corpus as a
+    micro-batch stream. availableNow must drain exactly max_batches
+    batches (bounded latestOffset), and a second run must produce
+    byte-identical rows (deterministic (seed, batch, partition, row)
+    generation — the replay property exactly-once sinks rely on)."""
+    from dask_felleskomponenter_spark.sources.synthetic import (
+        register_synthetic_sources,
+    )
+
+    register_synthetic_sources(spark)
+
+    def run_once(name):
+        stream = (
+            spark.readStream.format("synthetic_documents")
+            .option("n_partitions", 3)
+            .option("rows_per_partition", 20)
+            .option("seed", 11)
+            .option("max_batches", 2)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    first = run_once("syn_stream_a")
+    second = run_once("syn_stream_b")
+    assert len(first) == 2 * 3 * 20
+    assert first == second
+    ids = [r[0] for r in first]
+    assert ids == sorted(set(ids)), "doc_ids must be unique and dense-ordered"
