@@ -164,3 +164,51 @@ def register_views(
     """Register each table as a temp view for ``spark.sql`` use (S4)."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> "Column":
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    integer column into one long — points close in ALL dimensions get
+    close keys, so range-partitioning on the key co-locates
+    multi-dimensional neighbourhoods in the same files.
+
+    Pure codegen'd bit arithmetic (shift/and/or terms); inputs must be
+    non-negative ints (pre-bucket floats via ``floor(x / cell)``)."""
+    from pyspark.sql import functions as _F
+
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError("zorder_key supports 1-4 columns")
+    key = _F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        col = _F.col(c).cast("long")
+        for i in range(bits):
+            bit = _F.shiftright(col, i).bitwiseAND(_F.lit(1))
+            key = key.bitwiseOR(_F.shiftleft(bit, i * n + d))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: range-partition + sort on the
+    Morton key of ``zorder_cols``, so every file covers a compact
+    hyper-rectangle and a predicate on ANY of the dimensions prunes
+    most files via parquet min/max stats — the open-source equivalent
+    of Delta's OPTIMIZE ZORDER BY.
+
+    Scale: one range exchange on an 8-byte key plus per-partition
+    sorts; no global single-reducer sort."""
+    key = zorder_key(zorder_cols, bits=bits)
+    out = (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    out.write.mode(mode).parquet(path)

@@ -326,3 +326,67 @@ def test_sorted_shards_layout(spark, tmp_path):
         assert hi1 < lo2 or hi1 <= lo2, (hi1, lo2)
     back = spark.read.parquet(path)
     assert back.count() == 10_000
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.tables import zorder_key
+
+    df = spark.range(1).select(
+        F.lit(0b1010).alias("x"), F.lit(0b0110).alias("y")
+    )
+    [row] = df.select(zorder_key(["x", "y"], bits=4).alias("z")).collect()
+    # interleave x=1010, y=0110 (x gets even bit positions, y odd):
+    expected = 0
+    for i in range(4):
+        expected |= ((0b1010 >> i) & 1) << (2 * i)
+        expected |= ((0b0110 >> i) & 1) << (2 * i + 1)
+    assert row.z == expected
+
+
+def test_zorder_layout_prunes_better_than_linear(spark, tmp_path):
+    # a y-axis predicate must overlap fewer files in the z-ordered
+    # layout than in an x-sorted one — the whole point of the layout
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.tables import write_zordered
+
+    pts = spark.range(20_000).select(
+        ((F.col("id") * 48271) % 256).alias("x"),
+        ((F.col("id") * 16807) % 256).alias("y"),
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    write_zordered(pts, zpath, ["x", "y"], n_files=16, bits=8)
+    (
+        pts.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def overlapping_files(path, lo, hi):
+        n = 0
+        for f in _glob.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            y_idx = md.schema.names.index("y")
+            fmin = min(
+                md.row_group(g).column(y_idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(y_idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                n += 1
+        return n
+
+    z_touch = overlapping_files(zpath, 0, 31)
+    l_touch = overlapping_files(lpath, 0, 31)
+    assert z_touch < l_touch, (z_touch, l_touch)
+    # both layouts hold the same rows
+    assert spark.read.parquet(zpath).count() == 20_000
