@@ -379,6 +379,48 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["funnel_conversion_events"] = """
+WITH t_view AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), t_click AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN t_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), t_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t_click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_viewed,
+       COUNT(c.t_click) AS n_clicked_after_view,
+       COUNT(p.t_purchase) AS n_purchased_after_click,
+       ROUND(COUNT(p.t_purchase) / COUNT(*), 6) AS view_to_purchase_rate
+FROM t_view v
+LEFT JOIN t_click c ON v.user_id = c.user_id
+LEFT JOIN t_purchase p ON v.user_id = p.user_id
+WHERE v.t_view IS NOT NULL
+"""
+
+ORACLES["cohort_retention_events"] = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+              AS INTEGER) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id
+)
+SELECT c.cohort_week,
+       a.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
 ORACLES["resample_ffill_events"] = """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS h,

@@ -2724,6 +2724,85 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: view → click → purchase, each stage's first
+    event strictly after the previous stage's — the product-analytics
+    staple (match_recognize-lite).
+
+    Shape: ONE conditional aggregate per user computes the first view;
+    the later stages re-aggregate over the same user partitioning
+    (Catalyst reuses the hash partitioning across the three aggregates
+    and the joins — no extra exchanges), so the funnel costs one wide
+    shuffle of (user_id, ts, type) regardless of stage count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    t_view = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").join(
+        t_view, "user_id"
+    )
+    t_click = (
+        clicks.filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").join(
+        t_click, "user_id"
+    )
+    t_purchase = (
+        purchases.filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    # assemble counts declaratively (no driver actions): left joins
+    funnel = (
+        t_view.filter(F.col("t_view").isNotNull())
+        .join(t_click, "user_id", "left")
+        .join(t_purchase, "user_id", "left")
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+        F.round(
+            F.count("t_purchase") / F.count(F.lit(1)), 6
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    as retained in each later week they were active — the triangle
+    matrix behind every retention dashboard.
+
+    Shape: the distinct (user, week) activity set is the one reduction
+    of the raw stream; cohorts are a per-user min over it (same user
+    partitioning, no second wide shuffle); the final count groups by
+    (cohort_week, week_offset) — integer keys, map-side combined."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        ).cast("int").alias("week"),
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap fill: each user's event stream becomes
     a dense hourly grid over their own active span (per-user
@@ -2986,6 +3065,8 @@ QUERIES: dict[str, QueryFn] = {
     "date_arith_orders": date_arith_orders,
     "spatial_box_join_counts": spatial_box_join_counts,
     "resample_ffill_events": resample_ffill_events,
+    "funnel_conversion_events": funnel_conversion_events,
+    "cohort_retention_events": cohort_retention_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
     "join_anti_customers": join_anti_customers,
