@@ -2729,42 +2729,50 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event strictly after the previous stage's — the product-analytics
     staple (match_recognize-lite).
 
-    Shape: ONE conditional aggregate per user computes the first view;
-    the later stages re-aggregate over the same user partitioning
-    (Catalyst reuses the hash partitioning across the three aggregates
-    and the joins — no extra exchanges), so the funnel costs one wide
-    shuffle of (user_id, ts, type) regardless of stage count."""
+    Shape: ONE scan, ONE shuffle. The three stage timestamps are
+    chained window minima over the SAME user partitioning — each
+    stage's condition references the previous stage's window column, so
+    Catalyst stacks three Window nodes on one exchange instead of
+    re-scanning and re-joining the stream per stage (the naive
+    aggregate-join-aggregate funnel scans the fact table once per
+    stage). The final reduce is a single-row aggregate over per-user
+    flags."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
-    t_view = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "t_view"
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
     )
-    clicks = ev.filter(F.col("event_type") == "click").join(
-        t_view, "user_id"
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
     )
-    t_click = (
-        clicks.filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").join(
-        t_click, "user_id"
-    )
-    t_purchase = (
-        purchases.filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    # assemble counts declaratively (no driver actions): left joins
-    funnel = (
-        t_view.filter(F.col("t_view").isNotNull())
-        .join(t_click, "user_id", "left")
-        .join(t_purchase, "user_id", "left")
-    )
-    return funnel.agg(
+    return per_user.filter(F.col("t_view").isNotNull()).agg(
         F.count(F.lit(1)).alias("n_viewed"),
         F.count("t_click").alias("n_clicked_after_view"),
         F.count("t_purchase").alias("n_purchased_after_click"),

@@ -619,3 +619,13 @@ def test_grid_box_join_equals_naive_and_never_cross_joins(spark):
     plan = plan_buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_is_single_scan_single_wide_shuffle(spark):
+    # the staged-window funnel must not re-scan the event stream per
+    # stage: one parquet scan, stacked Window nodes on one user_id
+    # partitioning (plus only the final single-row aggregate exchange)
+    plan = plan_of(spark, "funnel_conversion_events")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
