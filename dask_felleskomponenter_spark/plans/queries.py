@@ -2724,6 +2724,34 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Spark 4 DataSketches HLL): per-event-type
+    user sketches, PLUS an ALL row computed by ``hll_union_agg`` over
+    the five sketches — never by re-scanning the stream. Rows-only
+    (DataSketches binary format has no DuckDB twin); a 5%-tolerance
+    pytest pins the estimates to exact distinct counts.
+
+    This is the pattern that makes distinct-count rollups cheap at
+    100 TB: materialize small per-segment sketches once, then answer
+    any segment-combination query by unioning kilobyte sketches."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+    total = (
+        sk.agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("u").cast("bigint").alias("est_users"),
+        )
+    )
+    return per.unionByName(total).orderBy("event_type")
+
+
 def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: view → click → purchase, each stage's first
     event strictly after the previous stage's — the product-analytics
@@ -3074,6 +3102,7 @@ QUERIES: dict[str, QueryFn] = {
     "spatial_box_join_counts": spatial_box_join_counts,
     "resample_ffill_events": resample_ffill_events,
     "funnel_conversion_events": funnel_conversion_events,
+    "sketch_rollup_users": sketch_rollup_users,
     "cohort_retention_events": cohort_retention_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,

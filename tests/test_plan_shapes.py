@@ -629,3 +629,27 @@ def test_funnel_is_single_scan_single_wide_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 3
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_sketch_rollup_tracks_exact_counts(spark):
+    # DataSketches HLL estimates (per segment AND the sketch-union ALL
+    # row) must track exact distinct counts within 5% + small slack
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources import load_table
+
+    got = {
+        r.event_type: r.est_users
+        for r in QUERIES["sketch_rollup_users"](spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert got.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= max(2, 0.05 * e), (k, got[k], e)
