@@ -379,6 +379,21 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["stats_regression_lineitem"] = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
+       ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 3) AS covar_pq,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 3) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(MEDIAN(l_extendedprice), 6) AS median_price,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 ORACLES["funnel_conversion_events"] = """
 WITH t_view AS (
   SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view

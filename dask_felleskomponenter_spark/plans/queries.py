@@ -2724,6 +2724,37 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: per return-flag correlation,
+    sample covariance, least-squares slope/intercept/R², and exact
+    median — the ANSI ``regr_*`` surface analysts expect from a
+    warehouse.
+
+    Determinism: these are one-pass co-moment aggregates over doubles,
+    so parallel summation differs from a serial engine only in the last
+    ulps; results are rounded well above that noise floor (and the
+    parity harness re-rounds at 1e-9)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").cast("double").alias("p"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.corr("p", "q"), 6).alias("corr_pq"),
+            F.round(F.covar_samp("p", "q"), 3).alias("covar_pq"),
+            F.round(F.regr_slope("p", "q"), 4).alias("slope"),
+            F.round(F.regr_intercept("p", "q"), 3).alias("intercept"),
+            F.round(F.regr_r2("p", "q"), 6).alias("r2"),
+            F.round(F.median("p"), 6).alias("median_price"),
+            F.round(F.stddev_samp("q"), 6).alias("stddev_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Spark 4 DataSketches HLL): per-event-type
     user sketches, PLUS an ALL row computed by ``hll_union_agg`` over
@@ -3103,6 +3134,7 @@ QUERIES: dict[str, QueryFn] = {
     "resample_ffill_events": resample_ffill_events,
     "funnel_conversion_events": funnel_conversion_events,
     "sketch_rollup_users": sketch_rollup_users,
+    "stats_regression_lineitem": stats_regression_lineitem,
     "cohort_retention_events": cohort_retention_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
