@@ -379,6 +379,20 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["nullsafe_join_segments"] = """
+WITH cust AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg FROM customer
+), dim AS (
+  SELECT DISTINCT NULLIF(c_mktsegment, 'MACHINERY') AS d_seg,
+         COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'UNKNOWN') AS seg_label
+  FROM customer
+)
+SELECT d.seg_label, COUNT(*) AS n_customers
+FROM cust c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.d_seg
+GROUP BY d.seg_label
+ORDER BY d.seg_label
+"""
+
 ORACLES["stats_regression_lineitem"] = """
 SELECT l_returnflag,
        COUNT(*) AS n_rows,

@@ -2724,6 +2724,36 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): customers
+    whose segment is masked to NULL (the 'unknown' bucket) must STILL
+    match the dimension's NULL row — the semantics plain ``=`` silently
+    drops, a classic silent-data-loss bug in dim joins with unknown
+    members.
+
+    Scale: eqNullSafe keys hash like any equi-key (NULL gets a bucket),
+    so the join stays a broadcast/hash join — no null-handling
+    fallback to nested loops."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("d_seg")
+        )
+        .distinct()
+        .withColumn("seg_label", F.coalesce(F.col("d_seg"), F.lit("UNKNOWN")))
+    )
+    return (
+        cust.join(F.broadcast(dim), F.col("seg").eqNullSafe(F.col("d_seg")))
+        .groupBy("seg_label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("seg_label")
+    )
+
+
 def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: per return-flag correlation,
     sample covariance, least-squares slope/intercept/R², and exact
@@ -3135,6 +3165,7 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion_events": funnel_conversion_events,
     "sketch_rollup_users": sketch_rollup_users,
     "stats_regression_lineitem": stats_regression_lineitem,
+    "nullsafe_join_segments": nullsafe_join_segments,
     "cohort_retention_events": cohort_retention_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
