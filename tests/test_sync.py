@@ -361,3 +361,75 @@ class TestDefaultExecutorWiring:
         monkeypatch.setattr(builtins, "__import__", no_psycopg)
         with pytest.raises(NotImplementedError, match="psycopg"):
             _default_executor(_config())("SELECT 1")
+
+
+class TestIncrementalSummary:
+    def test_batched_refresh_equals_full_recompute(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.sync.incremental import (
+            COUNT_COL,
+            refresh_incremental_summary,
+            summary_with_avg,
+        )
+
+        path = str(tmp_path / "summary")
+        full = spark.range(3000).select(
+            (F.col("id") % 13).alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        batches = [
+            full.filter((F.col("id") >= i * 1000) & (F.col("id") < (i + 1) * 1000))
+            for i in range(3)
+        ]
+        for b in batches:
+            summary = refresh_incremental_summary(
+                spark, path, b, keys=["k"], sum_cols=["v"]
+            )
+        got = {
+            r.k: (r[COUNT_COL], round(r.v, 6))
+            for r in summary.collect()
+        }
+        expect = {
+            r.k: (r.n, round(r.s, 6))
+            for r in full.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        assert got == expect
+        avg = summary_with_avg(summary, ["v"]).collect()
+        for r in avg:
+            assert abs(r.avg_v - r.v / r[COUNT_COL]) < 1e-12
+
+    def test_crash_safety_old_summary_survives(self, spark, tmp_path, monkeypatch):
+        # a refresh that dies mid-write must leave the previous summary
+        # readable (the staging+swap contract)
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.sync import incremental as inc
+
+        path = str(tmp_path / "summary")
+        b0 = spark.range(100).select(
+            (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+        )
+        inc.refresh_incremental_summary(spark, path, b0, ["k"], ["v"])
+        before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+        def boom(*a, **k):
+            raise OSError("disk died mid-swap")
+
+        monkeypatch.setattr(inc.shutil, "move", boom)
+        try:
+            inc.refresh_incremental_summary(spark, path, b0, ["k"], ["v"])
+        except OSError:
+            pass
+        monkeypatch.undo()
+        # old summary must still be present — either in place or via the
+        # .old backup the swap keeps until the new one lands
+        import os as _os
+
+        live = path if _os.path.exists(path) else path + ".old"
+        after = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+        assert after == before
