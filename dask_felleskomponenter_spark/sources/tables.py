@@ -212,3 +212,50 @@ def write_zordered(
         .drop("_zkey")
     )
     out.write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files (optionally re-sorted), via a
+    staging directory and swap so readers never see a partial rewrite.
+    Returns the new file count.
+
+    The operational fix for streaming/append workloads that accrete
+    thousands of KB-scale files (each file costs a task, a footer read,
+    and an object-store request at 100 TB). Coalesce, not repartition:
+    when shrinking the file count no shuffle is needed."""
+    import math
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    total = sum(
+        _os.path.getsize(_os.path.join(dp, f))
+        for dp, _dn, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.coalesce(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    staging = _os.path.join(
+        _tempfile.gettempdir(), f"compact_staging_{_uuid.uuid4().hex}"
+    )
+    out.write.mode("overwrite").parquet(staging)
+    old_dir = path + ".old"
+    if _os.path.exists(old_dir):
+        _shutil.rmtree(old_dir)
+    _os.rename(path, old_dir)
+    _shutil.move(staging, path)
+    _shutil.rmtree(old_dir)
+    return len(
+        [f for f in _os.listdir(path) if f.endswith(".parquet")]
+    )

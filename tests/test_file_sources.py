@@ -390,3 +390,22 @@ def test_zorder_layout_prunes_better_than_linear(spark, tmp_path):
     assert z_touch < l_touch, (z_touch, l_touch)
     # both layouts hold the same rows
     assert spark.read.parquet(zpath).count() == 20_000
+
+
+def test_compact_parquet_shrinks_file_count_preserving_rows(spark, tmp_path):
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "many")
+    spark.range(50_000).select(
+        "id", F.xxhash64("id").alias("h")
+    ).repartition(64).write.parquet(path)
+    assert len(_glob.glob(path + "/part-*.parquet")) == 64
+    before = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+    n = compact_parquet(spark, path, target_file_bytes=512 * 1024)
+    files = _glob.glob(path + "/part-*.parquet")
+    assert len(files) == n and n < 64
+    assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == before
