@@ -379,6 +379,23 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["window_range_7day_spend"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+         CAST(FLOOR(EPOCH(o_orderdate) / 86400.0) AS BIGINT) AS d,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, order_date,
+       CAST(SUM(price) OVER (
+         PARTITION BY o_custkey ORDER BY d
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_7d
+FROM o
+ORDER BY o_custkey, order_date, o_orderkey
+"""
+
 ORACLES["nullsafe_join_segments"] = """
 WITH cust AS (
   SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg FROM customer

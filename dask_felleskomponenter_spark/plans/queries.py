@@ -2724,6 +2724,38 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): each order's
+    trailing-7-day customer spend — the moving-window-by-time shape
+    ROWS frames cannot express when order counts per day vary.
+
+    Scale: one hash partitioning on custkey; the range frame is
+    evaluated with a sliding aggregate over the sorted run (linear, not
+    quadratic, per partition)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        dmoney("o_totalprice").alias("_price"),
+    )
+    day = F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(
+        86_400_000_000
+    )
+    w = (
+        Window.partitionBy("o_custkey").orderBy("_day").rangeBetween(-6, 0)
+    )
+    return (
+        orders.withColumn("_day", F.floor(day).cast("long"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.sum("_price").over(w).cast("double").alias("spend_7d"),
+        )
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    )
+
+
 def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): customers
     whose segment is masked to NULL (the 'unknown' bucket) must STILL
@@ -3166,6 +3198,7 @@ QUERIES: dict[str, QueryFn] = {
     "sketch_rollup_users": sketch_rollup_users,
     "stats_regression_lineitem": stats_regression_lineitem,
     "nullsafe_join_segments": nullsafe_join_segments,
+    "window_range_7day_spend": window_range_7day_spend,
     "cohort_retention_events": cohort_retention_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
