@@ -224,3 +224,52 @@ def read_avro(
             schema = convert_json_schema_to_spark(schema)
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema: StructType | dict[str, Any],
+    extras: str = "ignore",
+) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: batches written months
+    apart rarely share an identical schema (columns added and
+    dropped). Reads with ``mergeSchema`` and conforms the result to
+    ``target_schema`` (a StructType or a JSON Schema dict via
+    Json2Spark). Cross-file type conflicts (int32 vs int64 in different
+    files) are a mergeSchema error by Spark design — rewrite the old
+    batch; within one consistent on-disk type, the conforming cast
+    below still normalizes to the target (long → int, decimal scale):
+
+    - missing columns materialize as typed NULLs,
+    - present columns are cast to the target type,
+    - unknown extra columns are dropped (``extras='ignore'``) or kept
+      under an ``_extras`` struct (``extras='keep'``) for quarantine.
+
+    Scale: ``mergeSchema`` unions footer schemas at planning time (one
+    small metadata job); the conforming projection is codegen'd into
+    the scan, and column pruning still applies — only target (and
+    kept-extra) columns are read."""
+    if isinstance(target_schema, dict):
+        target_schema = convert_json_schema_to_spark(target_schema)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    present = {f.name for f in df.schema.fields}
+    cols = []
+    from pyspark.sql import functions as F
+
+    for field in target_schema.fields:
+        if field.name in present:
+            cols.append(df[field.name].cast(field.dataType).alias(field.name))
+        else:
+            cols.append(
+                F.lit(None).cast(field.dataType).alias(field.name)
+            )
+    if extras == "keep":
+        unknown = sorted(present - {f.name for f in target_schema.fields})
+        if unknown:
+            cols.append(
+                F.struct(*[df[c] for c in unknown]).alias("_extras")
+            )
+    elif extras != "ignore":
+        raise ValueError(f"extras must be 'ignore' or 'keep', got {extras!r}")
+    return df.select(*cols)

@@ -409,3 +409,47 @@ def test_compact_parquet_shrinks_file_count_preserving_rows(spark, tmp_path):
     files = _glob.glob(path + "/part-*.parquet")
     assert len(files) == n and n < 64
     assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == before
+
+
+def test_parquet_schema_evolution_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dask_felleskomponenter_spark.sources.files import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    # batch 1: (id, name) — old layout without the score column
+    spark.range(5).select(
+        "id", F.lit("old").alias("name")
+    ).write.parquet(path)
+    # batch 2: (id, name, score, legacy_debug) — added columns
+    spark.range(5, 10).select(
+        "id", F.lit("new").alias("name"), F.lit(1.5).alias("score"),
+        F.lit("junk").alias("legacy_debug"),
+    ).write.mode("append").parquet(path)
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    out = read_parquet_evolved(spark, path, target)
+    assert [f.name for f in out.schema.fields] == ["id", "name", "score"]
+    assert dict(out.dtypes)["id"] == "bigint"
+    rows = {r.id: (r.name, r.score) for r in out.collect()}
+    assert rows[0] == ("old", None)  # missing column -> typed NULL
+    assert rows[7] == ("new", 1.5)
+    assert len(rows) == 10
+
+    kept = read_parquet_evolved(spark, path, target, extras="keep")
+    assert "_extras" in kept.columns
+    legacy = {r.id: r._extras.legacy_debug for r in kept.collect()}
+    assert legacy[7] == "junk" and legacy[0] is None
