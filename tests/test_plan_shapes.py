@@ -653,3 +653,48 @@ def test_sketch_rollup_tracks_exact_counts(spark):
     assert got.keys() == exact.keys()
     for k, e in exact.items():
         assert abs(got[k] - e) <= max(2, 0.05 * e), (k, got[k], e)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q9_product_type_profit",
+        "q12_late_lines_by_status",
+        "q20_heavy_part_suppliers",
+        "q2_min_cost_supplier",
+        "q15_top_supplier",
+        "q21_single_blame_supplier",
+    ],
+)
+def test_round3_tpch_shapes_broadcast_dims_and_push_filters(spark, name):
+    # every round-3 TPC-H shape: dimension sides broadcast (never a
+    # sort-merge of a dim), at least one predicate pushed into a scan
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, name
+    pushed = [
+        p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()
+    ]
+    assert pushed or name == "q21_single_blame_supplier", name
+
+
+def test_resample_shares_one_user_partitioning(spark):
+    # the grid join and the ffill window must ride the same user_id
+    # hash partitioning — exchanges on anything else would mean the
+    # query re-shuffles the widened grid
+    plan = plan_of(spark, "resample_ffill_events")
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys and all(k == "user_id" for k in keys), keys
+
+
+def test_mixture_sample_broadcasts_rate_map(spark):
+    plan = plan_of(spark, "mixture_temperature_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_date_arith_scan_prunes_to_one_column(spark):
+    plan = plan_of(spark, "date_arith_orders")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and [c.split(":")[0] for c in m.group(1).split(",") if c] == [
+        "o_orderdate"
+    ], m.group(1) if m else plan[:500]
