@@ -379,6 +379,33 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["repetition_profile_documents"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+  FROM documents
+), bigrams AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct,
+         UNNEST(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                     ELSE [array_to_string(t[i:i+1], ' ')
+                           FOR i IN range(1, len(t))]
+                END) AS bg
+  FROM toks
+), per_bigram AS (
+  SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS c
+  FROM bigrams GROUP BY doc_id, n_tokens, n_distinct, bg
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_distinct / n_tokens, 6) AS distinct_token_ratio,
+       MAX(c) AS top_bigram_count,
+       ROUND(MAX(c) / SUM(c), 6) AS top_bigram_fraction
+FROM per_bigram
+GROUP BY doc_id, n_tokens, n_distinct
+ORDER BY doc_id
+"""
+
 ORACLES["window_range_7day_spend"] = """
 WITH o AS (
   SELECT o_orderkey, o_custkey,

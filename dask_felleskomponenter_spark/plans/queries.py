@@ -2724,6 +2724,48 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metrics (the Gopher/FineWeb filter family):
+    distinct-token ratio and the most-frequent-bigram mass per document
+    — the signals that catch boilerplate and degenerate/templated text
+    that length and punctuation ratios miss.
+
+    Shape: one explode of the (non-distinct) bigram stream → per
+    (doc, bigram) counts (map-side combined) → per-doc max via a second
+    aggregate over the already-reduced pairs (never a window over the
+    raw stream); token stats ride the same scan as column expressions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim("text"), TX.WS_PATTERN)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.explode(TX.word_shingles("text", 2, distinct=False)).alias("bg"),
+    )
+    per_bigram = base.groupBy("doc_id", "n_tokens", "n_distinct", "bg").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_bigram.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(
+            F.max("_c").alias("top_bigram_count"),
+            F.sum("_c").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_token_ratio"
+            ),
+            "top_bigram_count",
+            F.round(
+                F.col("top_bigram_count") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (value-based, not row-based): each order's
     trailing-7-day customer spend — the moving-window-by-time shape
@@ -3199,6 +3241,7 @@ QUERIES: dict[str, QueryFn] = {
     "stats_regression_lineitem": stats_regression_lineitem,
     "nullsafe_join_segments": nullsafe_join_segments,
     "window_range_7day_spend": window_range_7day_spend,
+    "repetition_profile_documents": repetition_profile_documents,
     "cohort_retention_events": cohort_retention_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
