@@ -379,6 +379,20 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["robust_stats_lineitem"] = """
+WITH med AS (
+  SELECT l_returnflag, MEDIAN(l_quantity) AS m
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(ANY_VALUE(med.m), 6) AS median_qty,
+       ROUND(MEDIAN(ABS(l.l_quantity - med.m)), 6) AS mad_qty
+FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
 ORACLES["repetition_profile_documents"] = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t

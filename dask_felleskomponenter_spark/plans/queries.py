@@ -2724,6 +2724,35 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robust_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion statistics: per-group median and MAD (median
+    absolute deviation) — the outlier-resistant pair used for anomaly
+    thresholds where mean/stddev are poisoned by the outliers
+    themselves.
+
+    Shape: inherently two-pass (the deviation needs the group median
+    first): group medians are a tiny aggregate broadcast back onto the
+    fact rows, then the second median runs over the same group
+    partitioning — the fact table is scanned once per pass, never
+    row-joined to itself."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("q")
+    )
+    med = li.groupBy("l_returnflag").agg(F.median("q").alias("_med"))
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first("_med"), 6).alias("median_qty"),
+            F.round(
+                F.median(F.abs(F.col("q") - F.col("_med"))), 6
+            ).alias("mad_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality metrics (the Gopher/FineWeb filter family):
     distinct-token ratio and the most-frequent-bigram mass per document
@@ -3242,6 +3271,7 @@ QUERIES: dict[str, QueryFn] = {
     "nullsafe_join_segments": nullsafe_join_segments,
     "window_range_7day_spend": window_range_7day_spend,
     "repetition_profile_documents": repetition_profile_documents,
+    "robust_stats_lineitem": robust_stats_lineitem,
     "cohort_retention_events": cohort_retention_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
