@@ -372,3 +372,64 @@ def stream_static_dim_join(
     if how not in ("inner", "left"):
         raise ValueError(f"stream-static join supports inner/left, got {how!r}")
     return stream_df.join(F.broadcast(dim_df), on=list(on), how=how)
+
+
+def _has_protobuf() -> bool:
+    """``transformWithStateInPandas`` serializes state via protobuf on
+    the Python workers; without the library the query fails at runtime
+    (ImportError in the state server), so gate like the GDAL extra."""
+    try:  # pragma: no cover - trivial
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+HAS_TWS = _has_protobuf()
+
+
+def running_totals_stateful(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per-key running totals on Spark 4's ``transformWithState`` API —
+    the successor to ``applyInPandasWithState`` with named state
+    variables, TTL, and timers. Emits the updated (count, sum) for each
+    key every micro-batch.
+
+    Requires the ``protobuf`` Python package at runtime (state
+    serialization); absent it, raises the documented
+    NotImplementedError — ``sessionize_stateful`` remains the
+    executable custom-stateful path in bare environments."""
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "use sessionize_stateful (applyInPandasWithState) instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

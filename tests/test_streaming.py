@@ -407,3 +407,57 @@ def test_python_stream_source_is_deterministic_and_bounded(spark, tmp_path):
     assert first == second
     ids = [r[0] for r in first]
     assert ids == sorted(set(ids)), "doc_ids must be unique and dense-ordered"
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithState running totals; the final emission per
+    user must equal the batch count/sum. Skipped while the sandbox
+    lacks protobuf (state-server dependency) — lights up unchanged the
+    moment the extra is installed, like the OGR suite."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        HAS_TWS,
+        running_totals_stateful,
+    )
+
+    from pyspark.sql import functions as F
+
+    if not HAS_TWS:
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            running_totals_stateful(
+                spark.readStream.schema("user_id bigint, value double").parquet(
+                    str(tmp_path)
+                )
+            )
+        _pytest.skip("protobuf not installed; gate contract verified")
+
+    d = str(tmp_path / "data")
+    spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"), (F.col("id") * 1.0).alias("value")
+    ).write.parquet(d)
+    stream = spark.readStream.schema("user_id bigint, value double").parquet(d)
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("tws_totals")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events, MAX(total_value) AS total_value "
+            "FROM tws_totals GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in spark.read.parquet(d)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == batch
