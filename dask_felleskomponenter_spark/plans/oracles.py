@@ -379,6 +379,27 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
 
+ORACLES["unigram_logprob_score"] = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS term
+  FROM documents
+), doc_term AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), vocab AS (
+  SELECT term, SUM(tf) AS cf FROM doc_term GROUP BY term
+), total AS (
+  SELECT SUM(cf) AS n FROM vocab
+)
+SELECT dt.doc_id,
+       CAST(SUM(dt.tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(dt.tf * LN(v.cf / t.n)) / SUM(dt.tf), 6) AS avg_logprob
+FROM doc_term dt
+JOIN vocab v ON dt.term = v.term
+CROSS JOIN total t
+GROUP BY dt.doc_id
+ORDER BY dt.doc_id
+"""
+
 ORACLES["robust_stats_lineitem"] = """
 WITH med AS (
   SELECT l_returnflag, MEDIAN(l_quantity) AS m

@@ -2724,6 +2724,49 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy (the CCNet/KenLM-filter shape with
+    the corpus itself as the LM): per-document mean unigram
+    log-probability under corpus frequencies — documents full of rare
+    junk score low, fluent ones high.
+
+    Shape: ONE token explode feeds both the corpus unigram counts and
+    the per-(doc, term) counts; the model join is on the term key,
+    co-partitioned with the count aggregate's output (at web scale the
+    vocabulary is far too large to broadcast — this stays a shuffle
+    join on term by design); the per-doc reduce then re-shuffles only
+    (doc, logprob-partial) pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), TX.WS_PATTERN)).alias("term"),
+    )
+    doc_term = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    vocab = doc_term.groupBy("term").agg(F.sum("_tf").alias("_cf"))
+    total = vocab.agg(F.sum("_cf").alias("_n"))
+    scored = (
+        doc_term.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("_tf") * F.log(F.col("_cf") / F.col("_n"))
+                )
+                / F.sum("_tf")
+            ).alias("_alp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_alp", 6).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
 def robust_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust dispersion statistics: per-group median and MAD (median
     absolute deviation) — the outlier-resistant pair used for anomaly
@@ -3272,6 +3315,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_7day_spend": window_range_7day_spend,
     "repetition_profile_documents": repetition_profile_documents,
     "robust_stats_lineitem": robust_stats_lineitem,
+    "unigram_logprob_score": unigram_logprob_score,
     "cohort_retention_events": cohort_retention_events,
     "join_left_outer_counts": join_left_outer_counts,
     "join_semi_customers": join_semi_customers,
