@@ -2817,7 +2817,7 @@ def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bigram = base.groupBy("doc_id", "n_tokens", "n_distinct", "bg").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    return (
+    return _repetition_ordered(
         per_bigram.groupBy("doc_id", "n_tokens", "n_distinct")
         .agg(
             F.max("_c").alias("top_bigram_count"),
@@ -2834,8 +2834,13 @@ def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("top_bigram_count") / F.col("n_bigrams"), 6
             ).alias("top_bigram_fraction"),
         )
-        .orderBy("doc_id")
     )
+
+
+def _repetition_ordered(df: DataFrame) -> DataFrame:
+    # ordered_output: a bare orderBy's range sampler re-runs the
+    # two-level bigram aggregation to pick partition bounds
+    return ordered_output(df, "doc_id")
 
 
 def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
