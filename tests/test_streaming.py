@@ -461,3 +461,55 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_foreachbatch_maintains_incremental_summary(spark, tmp_path):
+    """Composition: a micro-batch stream folds each batch into the
+    incremental summary (sync/incremental.py) via foreachBatch; after
+    the stream drains, the summary equals the batch aggregate of all
+    data — the streaming materialized-view pattern end to end."""
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sync.incremental import (
+        COUNT_COL,
+        refresh_incremental_summary,
+    )
+
+    data_dir = str(tmp_path / "in")
+    spark.range(2000).select(
+        (F.col("id") % 11).alias("k"), (F.col("id") % 83).cast("double").alias("v")
+    ).repartition(4).write.parquet(data_dir)
+
+    summary_path = str(tmp_path / "summary")
+
+    def fold(batch_df, _batch_id):
+        refresh_incremental_summary(
+            batch_df.sparkSession, summary_path, batch_df,
+            keys=["k"], sum_cols=["v"],
+        )
+
+    stream = (
+        spark.readStream.schema("k bigint, v double")
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(data_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.k: (r[COUNT_COL], round(r.v, 6))
+        for r in spark.read.parquet(summary_path).collect()
+    }
+    expect = {
+        r.k: (r.n, round(r.s, 6))
+        for r in spark.read.parquet(data_dir)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == expect
