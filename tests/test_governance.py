@@ -267,3 +267,60 @@ class TestPiiDataScan:
         out = df.select(redact_pii("t").alias("r")).first()["r"]
         assert "[EMAIL]" in out and "[PHONE]" in out
         assert "@" not in out
+
+
+class TestErasure:
+    def test_erase_touches_only_files_containing_subjects(self, spark, tmp_path):
+        import glob as _glob
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.governance.erasure import (
+            erase_keys_parquet,
+        )
+        from dask_felleskomponenter_spark.sources.tables import (
+            write_sorted_shards,
+        )
+
+        path = str(tmp_path / "subjects")
+        df = spark.range(10_000).select(
+            F.col("id").alias("subject_id"), F.xxhash64("id").alias("payload")
+        )
+        # key-sorted shard layout: file stats partition the key space
+        write_sorted_shards(df, path, "subject_id", n_shards=8, sort_cols=["subject_id"])
+
+        def digests():
+            return {
+                f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in _glob.glob(path + "/part-*.parquet")
+            }
+
+        before = digests()
+        # subjects clustered in one shard's key range
+        report = erase_keys_parquet(path, "subject_id", [100, 101, 205])
+        after = digests()
+
+        assert report["rows_deleted"] == 3
+        assert 1 <= report["files_rewritten"] <= 2
+        changed = {f for f in before if before[f] != after.get(f)}
+        assert len(changed) == report["files_rewritten"]
+        # the rest of the store is byte-identical — the pruning contract
+        assert all(before[f] == after[f] for f in before if f not in changed)
+
+        out = spark.read.parquet(path)
+        assert out.count() == 10_000 - 3
+        assert out.filter(F.col("subject_id").isin(100, 101, 205)).count() == 0
+
+    def test_erase_absent_keys_rewrites_nothing(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.governance.erasure import (
+            erase_keys_parquet,
+        )
+
+        path = str(tmp_path / "s2")
+        spark.range(100).select(F.col("id").alias("subject_id")).write.parquet(path)
+        report = erase_keys_parquet(path, "subject_id", [10_000, 20_000])
+        assert report["files_rewritten"] == 0 and report["rows_deleted"] == 0
+        assert erase_keys_parquet(path, "subject_id", [])["files_total"] == 0
