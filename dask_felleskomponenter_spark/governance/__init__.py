@@ -1,3 +1,4 @@
+from dask_felleskomponenter_spark.governance.erasure import erase_keys_parquet
 from dask_felleskomponenter_spark.governance.model import (
     MEDALJONGNIVAA,
     CodelistEntry,
@@ -27,6 +28,7 @@ from dask_felleskomponenter_spark.governance.store import (
 )
 
 __all__ = [
+    "erase_keys_parquet",
     "MEDALJONGNIVAA",
     "CodelistEntry",
     "MetadataError",

@@ -5,6 +5,10 @@ from dask_felleskomponenter_spark.sync.merge import (
     merge_upsert,
     snapshot_overwrite,
 )
+from dask_felleskomponenter_spark.sync.incremental import (
+    refresh_incremental_summary,
+    summary_with_avg,
+)
 from dask_felleskomponenter_spark.sync.postgres import (
     PostgresSyncManager,
     PostgresTargetConfig,
@@ -20,6 +24,8 @@ __all__ = [
     "merge_upsert",
     "merge_sql",
     "quote_ident",
+    "refresh_incremental_summary",
+    "summary_with_avg",
     "snapshot_overwrite",
     "snapshot_sql",
 ]
