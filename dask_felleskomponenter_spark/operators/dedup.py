@@ -219,17 +219,16 @@ def ngram_jaccard_pairs(
         )
         inv = inv.join(F.broadcast(hot), on="_s", how="left_anti")
         # Set sizes over the capped universe (singletons still count —
-        # they are part of every union they appear in). One groupBy-doc
-        # that re-emits the shingles alongside the recount, instead of
-        # an aggregate PLUS a big-big join back onto the index — saves a
-        # full shuffle of the inverted index. The collect_list buffer is
-        # bounded by per-document shingle count, same bound as the
-        # postings stage below.
-        per_doc = inv.groupBy("_id").agg(
-            F.count(F.lit(1)).alias("_set_size"),
-            F.collect_list("_s").alias("_shs"),
+        # they are part of every union they appear in). A count window
+        # partitioned by document re-derives the size in the SAME
+        # exchange a groupBy would need, but streams the rows through —
+        # no collect_list array buffer, no re-explode, no second
+        # materialization of the inverted index.
+        from pyspark.sql import Window as _W
+
+        inv = inv.withColumn(
+            "_set_size", F.count(F.lit(1)).over(_W.partitionBy("_id"))
         )
-        inv = per_doc.select("_id", "_set_size", F.explode("_shs").alias("_s"))
 
     postings = inv.groupBy("_s").agg(
         F.collect_list(F.struct("_id", "_set_size")).alias("_ps")

@@ -225,15 +225,29 @@ def compact_parquet(
     staging directory and swap so readers never see a partial rewrite.
     Returns the new file count.
 
+    Hive-partitioned layouts (``key=value`` subdirectories) are
+    preserved: partition columns are re-written with ``partitionBy`` so
+    downstream partition pruning keeps working and the values stay in
+    the directory names, not the data files.
+
     The operational fix for streaming/append workloads that accrete
     thousands of KB-scale files (each file costs a task, a footer read,
     and an object-store request at 100 TB). Coalesce, not repartition:
-    when shrinking the file count no shuffle is needed."""
+    when shrinking the file count no shuffle is needed.
+
+    The swap is all sibling-directory ``os.rename`` steps (atomic on a
+    single filesystem); a crash between renaming the live directory
+    away and renaming the staging in is recovered on the next call from
+    the ``.old`` backup."""
     import math
     import os as _os
+    import re as _re
     import shutil as _shutil
-    import tempfile as _tempfile
     import uuid as _uuid
+
+    old_dir = path + ".old"
+    if not _os.path.exists(path) and _os.path.exists(old_dir):
+        _os.rename(old_dir, path)  # recover an interrupted swap
 
     total = sum(
         _os.path.getsize(_os.path.join(dp, f))
@@ -242,20 +256,49 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
+    # hive-partitioned layout? (key=value subdirectories at top level)
+    part_cols: list[str] = []
+    probe = path
+    while True:
+        subdirs = [
+            d
+            for d in _os.listdir(probe)
+            if _os.path.isdir(_os.path.join(probe, d))
+            and _re.match(r"^[^=]+=", d)
+        ]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].split("=", 1)[0])
+        probe = _os.path.join(probe, subdirs[0])
     df = spark.read.parquet(path)
-    out = df.coalesce(n_files)
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    staging = _os.path.join(
-        _tempfile.gettempdir(), f"compact_staging_{_uuid.uuid4().hex}"
-    )
-    out.write.mode("overwrite").parquet(staging)
-    old_dir = path + ".old"
-    if _os.path.exists(old_dir):
+    staging = f"{path}.staging-{_uuid.uuid4().hex}"
+    try:
+        if part_cols:
+            # per-partition compaction: one output file per partition
+            # value-combination per target chunk; partition pruning and
+            # the key=value layout survive the rewrite
+            out = df.repartition(n_files, *part_cols)
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+        else:
+            out = df.coalesce(n_files)
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            out.write.mode("overwrite").parquet(staging)
+        if _os.path.exists(old_dir):
+            _shutil.rmtree(old_dir)
+        _os.rename(path, old_dir)
+        _os.rename(staging, path)
         _shutil.rmtree(old_dir)
-    _os.rename(path, old_dir)
-    _shutil.move(staging, path)
-    _shutil.rmtree(old_dir)
+    finally:
+        if _os.path.exists(staging):
+            _shutil.rmtree(staging, ignore_errors=True)
     return len(
-        [f for f in _os.listdir(path) if f.endswith(".parquet")]
+        [
+            f
+            for _dp, _dn, fs in _os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
     )

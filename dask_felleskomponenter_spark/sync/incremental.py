@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 from collections.abc import Sequence
 
@@ -32,10 +31,17 @@ from pyspark.sql import functions as F
 COUNT_COL = "_n_rows"
 
 
+def _nn_col(c: str) -> str:
+    """Per-column non-null count column name (SQL AVG divides by this,
+    not by the group row count)."""
+    return f"_nn_{c}"
+
+
 def _aggregate(df: DataFrame, keys: Sequence[str], sum_cols: Sequence[str]) -> DataFrame:
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias(COUNT_COL),
         *[F.sum(c).alias(c) for c in sum_cols],
+        *[F.count(F.col(c)).alias(_nn_col(c)) for c in sum_cols],
     )
 
 
@@ -52,44 +58,78 @@ def refresh_incremental_summary(
 
     The merge is a union + re-aggregate of two per-key tables — one
     shuffle of summary-sized data. The new summary is written to a
-    staging directory first and swapped in, so readers never observe a
-    partial refresh and a crashed job leaves the old summary intact."""
+    staging directory that is a *sibling* of ``summary_path`` (same
+    filesystem, so every step of the swap is an atomic ``os.rename``):
+
+        1. write staging            (crash → old summary untouched)
+        2. rename summary → .old    (crash → recovered on next entry)
+        3. rename staging → summary (atomic)
+        4. remove .old
+
+    A crash between 2 and 3 leaves the history in ``.old``; entry
+    recovery renames it back before reading, so accumulated state is
+    never silently dropped."""
+    _recover_interrupted_swap(summary_path)
     delta = _aggregate(batch_df, keys, sum_cols)
     if _exists(summary_path):
         old = spark.read.parquet(summary_path)
+        merge_cols = [COUNT_COL, *sum_cols, *[_nn_col(c) for c in sum_cols]]
+        # tolerate summaries written before per-column non-null counts
+        # existed: synthesize _nn_<c> = _n_rows (the old avg semantics)
+        for c in sum_cols:
+            if _nn_col(c) not in old.columns:
+                old = old.withColumn(_nn_col(c), F.col(COUNT_COL))
         combined = (
             old.unionByName(delta)
             .groupBy(*keys)
-            .agg(
-                F.sum(COUNT_COL).alias(COUNT_COL),
-                *[F.sum(c).alias(c) for c in sum_cols],
-            )
+            .agg(*[F.sum(c).alias(c) for c in merge_cols])
         )
     else:
         combined = delta
 
-    staging = os.path.join(
-        tempfile.gettempdir(), f"summary_staging_{uuid.uuid4().hex}"
-    )
-    combined.write.mode("overwrite").parquet(staging)
-    old_dir = summary_path + ".old"
-    if os.path.exists(old_dir):
-        shutil.rmtree(old_dir)
-    if os.path.exists(summary_path):
-        os.rename(summary_path, old_dir)
-    shutil.move(staging, summary_path)
-    if os.path.exists(old_dir):
-        shutil.rmtree(old_dir)
+    staging = f"{summary_path}.staging-{uuid.uuid4().hex}"
+    try:
+        combined.write.mode("overwrite").parquet(staging)
+        old_dir = summary_path + ".old"
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        if os.path.exists(summary_path):
+            os.rename(summary_path, old_dir)
+        os.rename(staging, summary_path)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+    finally:
+        if os.path.exists(staging):
+            shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(summary_path)
+
+
+def _recover_interrupted_swap(summary_path: str) -> None:
+    """If a prior refresh died between renaming the summary away and
+    renaming the staging in, the accumulated history sits in ``.old``
+    while ``summary_path`` is missing — restore it."""
+    old_dir = summary_path + ".old"
+    if not os.path.exists(summary_path) and os.path.exists(old_dir):
+        os.rename(old_dir, summary_path)
 
 
 def summary_with_avg(
     summary: DataFrame, sum_cols: Sequence[str]
 ) -> DataFrame:
-    """Read-time AVG derivation from the maintained partials."""
+    """Read-time AVG derivation from the maintained partials.
+
+    Divides each sum by the per-column *non-null* count (SQL AVG
+    semantics — a NULL-bearing column must not be averaged over the
+    group row count). All-NULL groups yield NULL, matching ``AVG()``;
+    summaries from before the non-null counts existed fall back to the
+    group row count."""
     out = summary
     for c in sum_cols:
-        out = out.withColumn(f"avg_{c}", F.col(c) / F.col(COUNT_COL))
+        nn = _nn_col(c) if _nn_col(c) in summary.columns else COUNT_COL
+        out = out.withColumn(
+            f"avg_{c}",
+            F.when(F.col(nn) > 0, F.col(c) / F.col(nn)),
+        )
     return out
 
 

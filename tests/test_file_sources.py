@@ -411,6 +411,47 @@ def test_compact_parquet_shrinks_file_count_preserving_rows(spark, tmp_path):
     assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == before
 
 
+def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
+    # a key=value layout must come back partitioned: same subdirs, the
+    # partition column in directory names (not data files), pruning alive
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "bydate")
+    (
+        spark.range(20_000)
+        .select(
+            "id",
+            (F.col("id") % 4).alias("day"),
+            F.xxhash64("id").alias("h"),
+        )
+        .repartition(32)
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    files_before = len(_glob.glob(path + "/day=*/part-*.parquet"))
+    before = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+
+    n = compact_parquet(spark, path, target_file_bytes=256 * 1024)
+
+    # layout survived: four day= dirs, fewer files, no flat files on top
+    assert sorted(
+        d for d in _os.listdir(path) if d.startswith("day=")
+    ) == ["day=0", "day=1", "day=2", "day=3"]
+    assert not _glob.glob(path + "/part-*.parquet")
+    files_after = _glob.glob(path + "/day=*/part-*.parquet")
+    assert len(files_after) == n and n < files_before
+    after_df = spark.read.parquet(path)
+    assert after_df.agg(F.sum("id")).collect()[0][0] == before
+    # partition pruning still works on the compacted layout
+    plan = after_df.filter(F.col("day") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan
+
+
 def test_parquet_schema_evolution_read(spark, tmp_path):
     from pyspark.sql import functions as F
     from pyspark.sql.types import (

@@ -402,9 +402,10 @@ class TestIncrementalSummary:
             assert abs(r.avg_v - r.v / r[COUNT_COL]) < 1e-12
 
     def test_crash_safety_old_summary_survives(self, spark, tmp_path, monkeypatch):
-        # a refresh that dies mid-write must leave the previous summary
-        # readable (the staging+swap contract)
-        import shutil as _shutil
+        # a refresh that dies in the dangerous window — after the live
+        # summary is renamed away, before the staging lands — must not
+        # lose history: the next refresh recovers from the .old backup
+        import os as _os
 
         from pyspark.sql import functions as F
 
@@ -417,19 +418,52 @@ class TestIncrementalSummary:
         inc.refresh_incremental_summary(spark, path, b0, ["k"], ["v"])
         before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
 
-        def boom(*a, **k):
-            raise OSError("disk died mid-swap")
+        real_rename = _os.rename
 
-        monkeypatch.setattr(inc.shutil, "move", boom)
-        try:
+        def boom(src, dst):
+            if dst == path:  # the final staging→summary swap
+                raise OSError("disk died mid-swap")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(inc.os, "rename", boom)
+        with pytest.raises(OSError, match="mid-swap"):
             inc.refresh_incremental_summary(spark, path, b0, ["k"], ["v"])
-        except OSError:
-            pass
         monkeypatch.undo()
-        # old summary must still be present — either in place or via the
-        # .old backup the swap keeps until the new one lands
-        import os as _os
-
-        live = path if _os.path.exists(path) else path + ".old"
-        after = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+        # the summary path is gone but the history is in .old
+        assert not _os.path.exists(path) and _os.path.exists(path + ".old")
+        after = sorted(tuple(r) for r in spark.read.parquet(path + ".old").collect())
         assert after == before
+
+        # next refresh recovers the history and folds the new batch in:
+        # result must equal a from-scratch summary of b0 twice
+        summary = inc.refresh_incremental_summary(spark, path, b0, ["k"], ["v"])
+        got = {r.k: (r[inc.COUNT_COL], r.v) for r in summary.collect()}
+        expect = {
+            r.k: (2 * r.n, 2.0 * r.s)
+            for r in b0.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        assert got == expect
+        assert not _os.path.exists(path + ".old")
+
+    def test_avg_uses_per_column_nonnull_counts(self, spark, tmp_path):
+        # SQL AVG divides by the non-null count, not the group row count
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.sync import incremental as inc
+
+        path = str(tmp_path / "summary_nulls")
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", None), ("a", 20.0), ("b", None), ("b", None)],
+            "k string, v double",
+        )
+        summary = inc.refresh_incremental_summary(spark, path, df, ["k"], ["v"])
+        avg = {r.k: r.avg_v for r in inc.summary_with_avg(summary, ["v"]).collect()}
+        oracle = {
+            r.k: r.a
+            for r in df.groupBy("k").agg(F.avg("v").alias("a")).collect()
+        }
+        assert avg["a"] == pytest.approx(15.0)  # not 30/3 = 10
+        assert avg["b"] is None  # all-NULL group, like AVG()
+        assert avg == oracle
