@@ -308,3 +308,66 @@ def grid_box_join(
         & (F.abs(F.col(ly) - F.col(f"{prefix}{ry}")) <= radius)
     )
     return joined.filter(box).drop("_cell_x", "_cell_y")
+
+
+def multikey_blocking_candidates(
+    df: DataFrame,
+    id_col: str,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str] = (),
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Candidate-pair generation for blocked entity resolution with
+    MULTIPLE redundant blocking keys and a per-block size guard.
+
+    Each row carries several cheap blocking keys (``key_cols``); a pair
+    is a candidate iff the two rows share at least one key whose block
+    (the set of rows carrying that key value) has at most
+    ``max_block_size`` members. Redundant keys are the standard ER
+    answer to hot blocks: when one key family degenerates (every English
+    document starts with "the"), its oversized blocks are *excluded*
+    rather than compared quadratically, and true matches still surface
+    through the other families (a length band, a minhash band). Result:
+    per-block work is capped at ``max_block_size²`` comparisons and no
+    single key value can turn the join quadratic.
+
+    Dataflow: union the per-key streams via one ``explode`` (no
+    shuffle), derive block sizes with a count window (one hash exchange
+    on the key), self-equi-join the guarded stream on the key (reuses
+    the same exchange), then ``distinct`` on the pair ids (one
+    pair-keyed exchange) so a pair sharing several keys is scored once.
+    Three shuffles total, all on bounded keys — contrast with a
+    single-key design where one hot key concentrates O(block²) rows in
+    one task.
+
+    Returns ``id_a < id_b`` pairs with the payload columns of both
+    sides as ``a_<col>`` / ``b_<col>``.
+    """
+    from pyspark.sql import Window as _W
+
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(c) for c in payload_cols],
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(f"k{i}"), F.col(k).cast("string"))
+                    for i, k in enumerate(key_cols)
+                ]
+            )
+        ).alias("_k"),
+    )
+    sized = tagged.withColumn(
+        "_bs", F.count(F.lit(1)).over(_W.partitionBy("_k"))
+    ).filter(F.col("_bs") <= int(max_block_size))
+    a, b = sized.alias("a"), sized.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a._k") == F.col("b._k")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in payload_cols],
+    )
+    return pair.distinct()

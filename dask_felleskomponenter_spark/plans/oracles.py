@@ -1240,21 +1240,65 @@ FROM planted
 ORDER BY doc_id
 """
 
-# Blocked fuzzy-join twin: same blocking key, same prefix, same metric
-# (levenshtein is levenshtein in both engines).
+# Blocked fuzzy-join twin: the SAME three staged blocking-key families
+# (first token / (first, second token) escalation / salted minhash
+# band), the SAME per-block size guards, the SAME prefix and metric.
+# The band keys are deliberately engine-portable (md5 + substr produce
+# identical strings in Spark and DuckDB) so candidate sets match
+# exactly; family C carries the same residual excluding family-A pairs.
 ORACLES["fuzzy_blocked_match"] = """
 WITH b AS (
   SELECT doc_id,
          string_split_regex(TRIM(text), '\\s+')[1] AS blk,
+         COALESCE(string_split_regex(TRIM(text), '\\s+')[2], '') AS tok2,
          substr(TRIM(text), 1, 40) AS pfx
   FROM documents
   WHERE text IS NOT NULL AND TRIM(text) != ''
+), s AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY blk) AS bs0 FROM b
+), fam_a AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.pfx AS px, y.pfx AS py
+  FROM s x JOIN s y
+    ON x.blk = y.blk AND x.doc_id < y.doc_id
+  WHERE x.bs0 <= 1000
+), hot AS (
+  SELECT *, blk || '|' || tok2 AS k2 FROM s WHERE bs0 > 1000
+), hot2 AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY k2) AS bs2 FROM hot
+), fam_b AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.pfx AS px, y.pfx AS py
+  FROM hot2 x JOIN hot2 y
+    ON x.k2 = y.k2 AND x.doc_id < y.doc_id
+  WHERE x.bs2 <= 1000 AND y.bs2 <= 1000
+), banded AS (
+  SELECT *,
+         list_min(list_transform(
+             range(1, GREATEST(LEN(pfx) - 4, 1) + 1),
+             i -> md5('A' || substr(pfx, i, 5))))
+         || '_'
+         || list_min(list_transform(
+             range(1, GREATEST(LEN(pfx) - 4, 1) + 1),
+             i -> md5('B' || substr(pfx, i, 5)))) AS k3
+  FROM s
+), banded2 AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY k3) AS bs3 FROM banded
+), fam_c AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.pfx AS px, y.pfx AS py
+  FROM banded2 x JOIN banded2 y
+    ON x.k3 = y.k3 AND x.doc_id < y.doc_id
+  WHERE x.bs3 <= 1000 AND y.bs3 <= 1000
+    AND (x.blk != y.blk OR x.bs0 > 1000)
+), extras AS (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM fam_b UNION ALL SELECT * FROM fam_c
+  )
+), cand AS (
+  SELECT * FROM fam_a UNION ALL SELECT * FROM extras
 )
-SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-       CAST(levenshtein(x.pfx, y.pfx) AS INTEGER) AS distance
-FROM b x
-JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
-WHERE levenshtein(x.pfx, y.pfx) <= 10
+SELECT id_a, id_b,
+       CAST(levenshtein(px, py) AS INTEGER) AS distance
+FROM cand
+WHERE levenshtein(px, py) <= 10
 ORDER BY id_a, id_b
 """
 

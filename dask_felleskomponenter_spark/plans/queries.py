@@ -970,61 +970,146 @@ def pii_redact_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked edit-distance join — the entity-resolution shape: a cheap
-    blocking key (first token) turns the quadratic all-pairs comparison
-    into per-block candidate sets joined by ONE equi-shuffle, then
-    ``levenshtein`` scores a fixed 40-char prefix within each block.
+#: Per-block size guard for the fuzzy-join blocking keys: a key value
+#: carried by more rows than this contributes no candidate pairs from
+#: that key family (its matches must surface through the redundant
+#: families). Bounds per-block work at cap² comparisons — the difference
+#: between a blocked join and a hidden quadratic when one token ("the")
+#: heads millions of documents.
+FUZZY_MAX_BLOCK = 1000
 
-    Blocking-key selectivity is the scale lever: a hot key degrades to
-    quadratic within its block, so production blocking uses multiple
-    redundant keys (first-token ∪ length-band ∪ minhash band) and unions
-    candidates — the single-key form here keeps the oracle exact. (A
-    recursive-CTE transitive closure over these matches is NOT declared:
-    Spark 4 recursion supports UNION ALL only, so cyclic closure is the
-    connected-components operator's job — ``operators/graph.py``.)"""
+
+def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance join — the entity-resolution shape: cheap
+    blocking keys turn the quadratic all-pairs comparison into per-block
+    candidate sets joined by ONE equi-shuffle, then ``levenshtein``
+    scores a fixed 40-char prefix per candidate pair.
+
+    Staged multi-key blocking (the production ER layout), three
+    families with the ``FUZZY_MAX_BLOCK`` per-block size guard on each:
+
+    - **A — first token**: blocks at or under the cap self-join and
+      score directly; over-cap blocks ("the") are never compared
+      quadratically — they escalate.
+    - **B — (first, second token)**: emitted ONLY by rows whose family-A
+      block is over the cap, subdividing the hot block by a sharper key.
+    - **C — minhash band**: two salted min-md5-over-5-gram hashes of the
+      prefix concatenated (band collision probability J², which keeps
+      shared-vocabulary corpora from forming giant bands the way one
+      min-gram does — measured 1159-row hot band → 94 max). md5 +
+      substr are deterministic and engine-portable, so the DuckDB
+      oracle computes the identical key. Family C restores recall
+      ACROSS first tokens and INSIDE over-cap blocks; a residual
+      predicate excludes pairs family A already covers.
+
+    Family A pairs are disjoint from the B/C extras by construction, so
+    only the (small) extras pass through a ``distinct`` — the bulk of
+    the candidates never pays a dedup shuffle. No key value can
+    concentrate more than cap² comparisons in one task, which is the
+    difference between a blocked join and a hidden quadratic at 100 TB.
+    The declared semantics — union of guarded families, then
+    distance ≤ 10 on the 40-char prefix — are mirrored key-for-key and
+    guard-for-guard by the SQL oracle, the same contract as the Jaccard
+    df-cap. (A recursive-CTE transitive closure over these matches is
+    NOT declared: Spark 4 recursion supports UNION ALL only, so cyclic
+    closure is the connected-components operator's job —
+    ``operators/graph.py``.)"""
+    from pyspark.sql import Window as _W
+
+    cap = FUZZY_MAX_BLOCK
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     b = docs.select(
         "doc_id",
-        # first token via an anchored regex — it stops at the first
-        # whitespace run instead of tokenizing the whole document the
-        # way split()[0] would (measured 2× on this query)
+        # first/second token via anchored regexes — they stop at the
+        # relevant whitespace run instead of tokenizing the whole
+        # document the way split() would (measured 2× on this query)
         F.regexp_extract(F.col("text"), r"^\s*(\S+)", 1).alias("blk"),
+        F.regexp_extract(F.col("text"), r"^\s*\S+\s+(\S+)", 1).alias("tok2"),
         F.substring(F.trim("text"), 1, 40).alias("pfx"),
     )
-    # hash-partition the probe side by blocking key — the canonical
-    # blocked-ER layout (each block's comparisons land on one executor);
-    # locally it also breaks the one-row-group scan's 1-task ceiling so
-    # the levenshtein work actually fans out
-    x, y = b.repartition("blk").alias("x"), b.alias("y")
-    matched = (
-        x.join(
+    s = b.withColumn("bs0", F.count(F.lit(1)).over(_W.partitionBy("blk")))
+
+    def pairs(df, key_col):
+        x, y = df.alias("x"), df.alias("y")
+        return x.join(
             y,
-            (F.col("x.blk") == F.col("y.blk"))
-            & (F.col("x.doc_id") < F.col("y.doc_id"))
-            # length-band prune: |len(a)−len(b)| > k forces distance > k,
-            # so the bound eliminates the pair before any DP runs — a
-            # one-subtraction filter inside the joined block
-            & (
-                F.abs(F.length(F.col("x.pfx")) - F.length(F.col("y.pfx")))
-                <= 10
-            ),
+            (F.col(f"x.{key_col}") == F.col(f"y.{key_col}"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        # threshold-bounded levenshtein: banded O(len·k) DP that abandons
-        # early and returns -1 past the bound — computed ONCE per pair
-        # (the scored column is reused by the filter), vs a full
-        # O(len²) DP evaluated twice in the naive filter+project form.
+
+    # A: classic token blocking, guarded — scored directly, no distinct
+    fam_a = pairs(s.filter(F.col("bs0") <= cap), "blk").select(
+        F.col("x.doc_id").alias("id_a"),
+        F.col("y.doc_id").alias("id_b"),
+        F.col("x.pfx").alias("px"),
+        F.col("y.pfx").alias("py"),
+    )
+
+    # B: escalation inside over-cap token blocks via (first, second token)
+    hot = s.filter(F.col("bs0") > cap).withColumn(
+        "k2", F.concat_ws("|", "blk", "tok2")
+    )
+    hot = hot.withColumn("bs2", F.count(F.lit(1)).over(_W.partitionBy("k2")))
+    fam_b = pairs(hot.filter(F.col("bs2") <= cap), "k2").select(
+        F.col("x.doc_id").alias("id_a"),
+        F.col("y.doc_id").alias("id_b"),
+        F.col("x.pfx").alias("px"),
+        F.col("y.pfx").alias("py"),
+    )
+
+    # C: content band (two salted min-of-md5(5-gram) walks — tiny HOFs,
+    # ≤ 37 elements each, identical in DuckDB as
+    # list_min(list_transform(...)) over the same salted grams), with a
+    # residual excluding pairs family A already emitted
+    banded = s.withColumn(
+        "k3",
+        F.concat_ws(
+            "_",
+            F.expr(
+                "array_min(transform(sequence(1, greatest(length(pfx) - 4, 1)),"
+                " i -> md5(concat('A', substring(pfx, i, 5)))))"
+            ),
+            F.expr(
+                "array_min(transform(sequence(1, greatest(length(pfx) - 4, 1)),"
+                " i -> md5(concat('B', substring(pfx, i, 5)))))"
+            ),
+        ),
+    )
+    banded = banded.withColumn(
+        "bs3", F.count(F.lit(1)).over(_W.partitionBy("k3"))
+    )
+    fam_c = (
+        pairs(banded.filter(F.col("bs3") <= cap), "k3")
+        # same under-cap token block → family A's pair, not ours
+        .filter(
+            (F.col("x.blk") != F.col("y.blk")) | (F.col("x.bs0") > cap)
+        )
         .select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
-            F.levenshtein(F.col("x.pfx"), F.col("y.pfx"), 10).alias("distance"),
+            F.col("x.pfx").alias("px"),
+            F.col("y.pfx").alias("py"),
         )
-        .where(F.col("distance") >= 0)
     )
+
+    extras = fam_b.unionByName(fam_c).distinct()
+
+    # threshold-bounded levenshtein: banded O(len·k) DP that abandons
+    # early and returns -1 past the bound — computed ONCE per candidate
+    # pair (the scored column is reused by the filter), vs a full
+    # O(len²) DP evaluated twice in the naive filter+project form.
+    def score(cand):
+        return cand.select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("px"), F.col("py"), 10).alias("distance"),
+        ).where(F.col("distance") >= 0)
+
+    matched = score(fam_a).unionByName(score(extras))
     # ordered_output, not bare orderBy: the range sampler would re-run
-    # the whole quadratic block join to pick partition bounds
+    # the whole block join to pick partition bounds
     return ordered_output(matched, "id_a", "id_b")
 
 

@@ -361,3 +361,127 @@ def test_salted_agg_matches_plain_groupby_on_skew(spark):
 
     with _pytest.raises(ValueError, match="non-decomposable"):
         two_phase_salted_agg(df, ["k"], {"bad": ("avg", "v")})
+
+
+def test_multikey_blocking_hot_block_bounded_and_recall_via_redundancy(spark):
+    """The per-block size guard must exclude an oversized block from its
+    own family WITHOUT losing pairs that a redundant key family still
+    covers, and the candidate count must stay bounded (no hidden
+    quadratic) when one key value goes hot."""
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.operators.joins import (
+        multikey_blocking_candidates,
+    )
+
+    # 600 rows share one hot primary key; their secondary key fans them
+    # out into 60 blocks of 10. 40 more rows are fully distinct.
+    rows = [(i, "hot", f"sub{i % 60}") for i in range(600)]
+    rows += [(1000 + i, f"cold{i}", f"csub{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, k1 string, k2 string")
+
+    cands = multikey_blocking_candidates(
+        df, id_col="id", key_cols=["k1", "k2"], max_block_size=100
+    )
+    n = cands.count()
+    # primary family is over-cap (600 > 100) → contributes nothing;
+    # secondary blocks of 10 contribute C(10,2) pairs each
+    assert n == 60 * 45, n
+    # sanity: without the guard the hot block alone is C(600,2) pairs
+    uncapped = multikey_blocking_candidates(
+        df, id_col="id", key_cols=["k1", "k2"], max_block_size=10**9
+    ).count()
+    assert uncapped == 600 * 599 // 2
+
+    # redundancy recall: a pair split across two families survives the
+    # other family's guard
+    df2 = spark.createDataFrame(
+        [(1, "hot", "a"), (2, "hot", "a"), (3, "hot", "b")],
+        "id long, k1 string, k2 string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in multikey_blocking_candidates(
+            df2, id_col="id", key_cols=["k1", "k2"], max_block_size=2
+        ).collect()
+    }
+    # k1 block 'hot' is size 3 > 2 → guarded out; (1,2) survives via k2
+    assert got == {(1, 2)}
+
+
+def test_fuzzy_blocked_match_finds_cross_token_near_duplicates(spark, tmp_path):
+    """The minhash-band family must surface near-identical prefixes that
+    single first-token blocking can never pair (different first word)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "alpha the quick brown fox jumps over it",
+        "clpha the quick brown fox jumps over it",  # 1 edit, new 1st token
+        "completely unrelated content about parquet files",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "url": pa.array([f"u{i}" for i in range(len(texts))]),
+            "fetch_ts": pa.array([0] * len(texts), pa.int64()),
+            "quality_hint": pa.array([0.5] * len(texts)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from dask_felleskomponenter_spark.plans.queries import fuzzy_blocked_match
+
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_blocked_match(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 1
+
+
+def test_fuzzy_blocked_match_escalates_hot_first_token_block(
+    spark, tmp_path, monkeypatch
+):
+    """A first-token block bigger than the cap must not go quadratic OR
+    silently lose its matches: family B re-blocks it on (first, second
+    token) and every within-subgroup near-duplicate still surfaces."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_felleskomponenter_spark.plans import queries as Q
+
+    monkeypatch.setattr(Q, "FUZZY_MAX_BLOCK", 50)
+
+    # 200 docs all sharing first token "hot" (block of 200 > cap 50);
+    # second token partitions them into 50 groups of 4 near-identical
+    # prefixes; cross-group prefixes differ in ~32 hex chars (> 10 edits)
+    texts = []
+    for i in range(200):
+        g = hashlib.md5(f"group{i // 4}".encode()).hexdigest()
+        texts.append(f"hot {g} t{i % 4}")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "url": pa.array([f"u{i}" for i in range(len(texts))]),
+            "fetch_ts": pa.array([0] * len(texts), pa.int64()),
+            "quality_hint": pa.array([0.5] * len(texts)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = Q.fuzzy_blocked_match(spark, str(tmp_path)).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    want = {
+        (4 * g + a, 4 * g + b)
+        for g in range(50)
+        for a in range(4)
+        for b in range(a + 1, 4)
+    }
+    assert got == want  # all within-group pairs, nothing cross-group
+    assert all(r.distance == 1 for r in rows)
