@@ -11,6 +11,10 @@ Config via env:
 Each query is materialized through the noop sink so every output column
 is computed but nothing is collected to the driver.
 
+Output: the full result JSON line (also written to bench_result.json),
+followed by a compact summary JSON line as the FINAL line — sized to
+fit a bounded tail capture, carrying the total and the slowest queries.
+
 Why min-of-N: the bench box is multi-tenant and a single pass can catch
 a transient I/O/CPU spike that inflates one query 5-20× (measured 45s ↔
 300s full-set swings with identical plans). Two-rounds-in-one-session
@@ -90,23 +94,48 @@ def main() -> None:
             if rnd == 0 or elapsed < timings[name]:
                 timings[name] = elapsed
         # Drop any cached state between passes so every pass measures
-        # cold plans. (Shuffle-file reclamation is left to the periodic
-        # cleaner configured in session.py — forcing a JVM GC here would
-        # perturb the very timings we are isolating.)
+        # cold plans.
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-            }
-        )
+    result = {
+        "metric": "declared_query_set_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    # Full result: one line to stdout AND a file — the harness that
+    # invokes this script captures only a bounded TAIL of the output,
+    # and with 100+ queries the full line exceeds it (the head, with
+    # the total, gets cut). The file is the durable record.
+    full_line = json.dumps(result)
+    print(full_line)
+    try:
+        with open(os.path.join(REPO_ROOT, "bench_result.json"), "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError:
+        pass
+    # LAST line: a compact summary sized to survive a ~2000-char tail
+    # capture — the headline total plus the slowest queries (the ones
+    # perf work cares about) and a pointer to the complete map.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:30]
     )
+    summary = {
+        "metric": "declared_query_set_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf_num,
+        "n_queries": len(timings),
+        "queries_note": "30 slowest shown; full map in bench_result.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1800:  # belt and braces for very long query names
+        summary["queries"] = dict(list(slowest.items())[:15])
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -9,10 +9,12 @@ byte-identical — so on a key-sorted / z-ordered layout
 rewrite cost is O(files actually containing the subjects), not O(table).
 
 This driver-side implementation rewrites the few affected files with
-pyarrow (one footer read per file, one rewrite per hit). At cluster
-scale the same selection predicate drives a distributed variant
-(binaryFile listing → per-file rewrite tasks); the statistics-pruning
-contract — untouched files stay byte-identical — is what the tests pin.
+pyarrow (one footer read per file, one streamed rewrite per hit);
+memory is bounded by one record batch, not the file size, so a single
+multi-GB file cannot exhaust the driver. At cluster scale the same
+selection predicate drives a distributed variant (binaryFile listing →
+per-file rewrite tasks); the statistics-pruning contract — untouched
+files stay byte-identical — is what the tests pin.
 """
 
 from __future__ import annotations
@@ -66,15 +68,35 @@ def erase_keys_parquet(
                 break
         if not overlap:
             continue
-        table = pq.read_table(f)
-        mask = pc.is_in(table[key_col], value_set=pa.array(sorted(key_set)))
-        n_hit = pc.sum(mask).as_py() or 0
-        if n_hit == 0:
-            continue  # range overlapped but no exact key present
-        kept = table.filter(pc.invert(mask))
+        # Stream batch-by-batch: never materialize the whole file on
+        # the driver. The tmp file is only swapped in when a key was
+        # actually present, preserving the byte-identical guarantee for
+        # files whose stats range overlapped but held no subject key.
+        value_set = pa.array(sorted(key_set))
+        pf = pq.ParquetFile(f)
         tmp = f + ".rewrite.tmp"
-        pq.write_table(kept, tmp)
-        os.replace(tmp, f)
+        n_hit = 0
+        try:
+            with pq.ParquetWriter(tmp, pf.schema_arrow) as writer:
+                # 64k-row batches: driver memory is bounded by one batch
+                # regardless of file size; each batch lands as its own
+                # row group in the rewrite
+                for batch in pf.iter_batches(batch_size=65536):
+                    mask = pc.is_in(batch[key_col], value_set=value_set)
+                    hits = pc.sum(mask).as_py() or 0
+                    n_hit += hits
+                    if hits:
+                        batch = batch.filter(pc.invert(mask))
+                    if batch.num_rows:
+                        writer.write_batch(batch)
+            pf.close()
+            if n_hit == 0:
+                os.remove(tmp)
+                continue  # range overlapped but no exact key present
+            os.replace(tmp, f)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         # Hadoop's local FS keeps .<name>.crc sidecars; a stale one
         # fails the next read with ChecksumException
         crc = os.path.join(
@@ -84,6 +106,13 @@ def erase_keys_parquet(
             os.remove(crc)
         rewritten += 1
         deleted += n_hit
+    # parquet summary sidecars (written by some writers) would advertise
+    # pre-erasure statistics/row counts — stale after any rewrite
+    if rewritten:
+        for side in ("_metadata", "_common_metadata"):
+            p = os.path.join(path, side)
+            if os.path.exists(p):
+                os.remove(p)
     return {
         "files_total": len(files),
         "files_rewritten": rewritten,

@@ -389,11 +389,16 @@ def _has_protobuf() -> bool:
 HAS_TWS = _has_protobuf()
 
 
-def running_totals_stateful(events: DataFrame, value_col: str = "value") -> DataFrame:
+def running_totals_stateful(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+) -> DataFrame:
     """Per-key running totals on Spark 4's ``transformWithState`` API —
     the successor to ``applyInPandasWithState`` with named state
-    variables, TTL, and timers. Emits the updated (count, sum) for each
-    key every micro-batch.
+    variables, TTL, and timers. Groups by ``key_col`` and emits the
+    updated (count, sum) for each key every micro-batch; the key's
+    column type is preserved in the output schema.
 
     Requires the ``protobuf`` Python package at runtime (state
     serialization); absent it, raises the documented
@@ -421,15 +426,18 @@ def running_totals_stateful(events: DataFrame, value_col: str = "value") -> Data
                 total += float(pdf[value_col].sum())
             self._state.update((n, total))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {key_col: [key[0]], "n_events": [n], "total_value": [total]}
             )
 
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
+    key_type = dict(events.dtypes)[key_col]
+    return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_RunningTotals(),
-        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputStructType=(
+            f"{key_col} {key_type}, n_events bigint, total_value double"
+        ),
         outputMode="Update",
         timeMode="None",
     )

@@ -312,6 +312,44 @@ class TestErasure:
         assert out.count() == 10_000 - 3
         assert out.filter(F.col("subject_id").isin(100, 101, 205)).count() == 0
 
+    def test_erase_streams_batches_and_drops_stale_summary_files(
+        self, spark, tmp_path
+    ):
+        # multi-row-group file (several batches streamed, not one big
+        # table) + parquet summary sidecars that would advertise stale
+        # stats after the rewrite
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dask_felleskomponenter_spark.governance.erasure import (
+            erase_keys_parquet,
+        )
+
+        path = str(tmp_path / "s3")
+        _os.makedirs(path)
+        n = 200_000  # > one 64k iter batch → several streamed batches
+        tbl = pa.table(
+            {
+                "subject_id": pa.array(range(n), pa.int64()),
+                "payload": pa.array([i * 7 for i in range(n)], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, f"{path}/part-0.parquet", row_group_size=50_000)
+        for side in ("_metadata", "_common_metadata"):
+            with open(f"{path}/{side}", "wb") as fh:
+                fh.write(b"stale")
+
+        report = erase_keys_parquet(path, "subject_id", [3, n - 1, 2500])
+        assert report["rows_deleted"] == 3 and report["files_rewritten"] == 1
+        assert not _os.path.exists(f"{path}/_metadata")
+        assert not _os.path.exists(f"{path}/_common_metadata")
+        out = spark.read.parquet(path)
+        assert out.count() == n - 3
+        # row-group structure from streaming: still multiple groups
+        assert pq.read_metadata(f"{path}/part-0.parquet").num_row_groups > 1
+
     def test_erase_absent_keys_rewrites_nothing(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
