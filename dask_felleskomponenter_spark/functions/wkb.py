@@ -227,28 +227,53 @@ def strip_ewkb_srid(values: pd.Series) -> pd.Series:
 # curved types (8 CircularString, 9 CompoundCurve, 10 CurvePolygon,
 # 11 MultiCurve, 12 MultiSurface) are parsed, every three-point circular
 # arc is sampled at a maximum angular step, and the result is written
-# back as the linear counterpart (2/2/3/5/6). 2-D only: Z/M curved
-# input returns None (documented limitation; the OGR engine, when
-# installed, handles those). Endpoints are preserved exactly.
+# back as the linear counterpart (2/2/3/5/6). Z/M input (EWKB flag bits
+# or ISO +1000/+2000/+3000 codes) is supported: the circle is solved on
+# XY and Z/M interpolate linearly along the swept angle, written out
+# with ISO codes. Endpoints are preserved exactly.
 
 _DEFAULT_ARC_STEP_DEG = 4.0  # OGR's documented default when 0 is passed
 
 
+def _lerp_extras(e0: tuple, e1: tuple, u: float) -> tuple:
+    """Linear interpolation of the non-XY coordinates (Z and/or M)."""
+    return tuple(a + (b - a) * u for a, b in zip(e0, e1))
+
+
 def _arc_points(
-    p0: tuple[float, float],
-    p1: tuple[float, float],
-    p2: tuple[float, float],
+    p0: tuple,
+    p1: tuple,
+    p2: tuple,
     step_rad: float,
-) -> list[tuple[float, float]]:
-    """Sample the circular arc p0→p1→p2 (inclusive of both endpoints)."""
+) -> list[tuple]:
+    """Sample the circular arc p0→p1→p2 (inclusive of both endpoints).
+
+    Points may carry extra coordinates beyond (x, y) — Z and/or M. The
+    circle is computed on XY; extras are interpolated linearly in swept
+    angle, piecewise through the via point (the OGR linearization
+    convention: Z varies linearly along the curve parameter)."""
     import math
 
-    ax, ay = p0
-    bx, by = p1
-    cx, cy = p2
+    ax, ay = p0[0], p0[1]
+    bx, by = p1[0], p1[1]
+    cx, cy = p2[0], p2[1]
+    e0, e1, e2 = p0[2:], p1[2:], p2[2:]
+
+    def sample_extras(frac: float) -> tuple:
+        # frac ∈ [0, 1] of the total sweep; via point at frac_b
+        if not e0:
+            return ()
+        if frac <= frac_b:
+            u = frac / frac_b if frac_b > 0.0 else 1.0
+            return _lerp_extras(e0, e1, u)
+        span = 1.0 - frac_b
+        u = (frac - frac_b) / span if span > 0.0 else 1.0
+        return _lerp_extras(e1, e2, u)
+
     if (ax, ay) == (cx, cy) and (ax, ay) != (bx, by):
         # closed arc (PostGIS full-circle convention: p1 is the
         # antipode, p0–p1 a diameter) — traversed counter-clockwise
+        frac_b = 0.5
         ux, uy = (ax + bx) / 2.0, (ay + by) / 2.0
         r = math.hypot(ax - ux, ay - uy)
         t0 = math.atan2(ay - uy, ax - ux)
@@ -256,7 +281,10 @@ def _arc_points(
         pts = [p0]
         for i in range(1, n):
             t = t0 + 2.0 * math.pi * i / n
-            pts.append((ux + r * math.cos(t), uy + r * math.sin(t)))
+            pts.append(
+                (ux + r * math.cos(t), uy + r * math.sin(t))
+                + sample_extras(i / n)
+            )
         pts.append(p2)
         return pts
     d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
@@ -288,11 +316,16 @@ def _arc_points(
         sweep, ccw = d02, True
     else:
         sweep, ccw = two_pi - d02, False
+    sweep_to_b = d01 if ccw else (two_pi - d01) % two_pi
+    frac_b = sweep_to_b / sweep if sweep > 0.0 else 1.0
     n = max(2, int(math.ceil(sweep / step_rad)))
     pts = [p0]
     for i in range(1, n):
         t = t0 + (sweep * i / n if ccw else -sweep * i / n)
-        pts.append((ux + r * math.cos(t), uy + r * math.sin(t)))
+        pts.append(
+            (ux + r * math.cos(t), uy + r * math.sin(t))
+            + sample_extras(i / n)
+        )
     pts.append(p2)
     return pts
 
@@ -317,47 +350,73 @@ class _WkbReader:
         self.pos += 16
         return v
 
+    def pt(self, fmt: str, ndims: int) -> tuple:
+        v = struct.unpack_from(fmt + "d" * ndims, self.data, self.pos)
+        self.pos += 8 * ndims
+        return v
 
-def _read_geom(r: _WkbReader) -> tuple[int, object]:
-    """Parse one WKB geometry → (base_type, payload). Payloads:
-    Point → (x, y); LineString/CircularString → [points];
-    Polygon/CurvePolygon → [rings] (each ring a parsed (type, payload));
-    Compound/Multi/Collection → [parsed children]."""
+
+def _decode_dims(code: int) -> tuple[int, bool, bool]:
+    """EWKB flag bits AND ISO +1000/+2000/+3000 offsets → (base, z, m)."""
+    z = bool(code & EWKB_Z_FLAG)
+    m = bool(code & EWKB_M_FLAG)
+    base = code & ~EWKB_FLAG_MASK
+    k, base = divmod(base, 1000)
+    if k == 1:
+        z = True
+    elif k == 2:
+        m = True
+    elif k == 3:
+        z = m = True
+    elif k != 0:
+        raise ValueError(f"unsupported WKB type {code}")
+    return base, z, m
+
+
+def _read_geom(r: _WkbReader) -> tuple[int, tuple[bool, bool], object]:
+    """Parse one WKB geometry → (base_type, (z, m), payload). Payloads:
+    Point → coord tuple (2 + z + m doubles); LineString/CircularString →
+    [points]; Polygon/CurvePolygon → [rings] (each ring a parsed
+    geometry); Compound/Multi/Collection → [parsed children]. Z/M
+    dimensions (EWKB flag or ISO offset encoding) ride along as extra
+    coordinates per point."""
     order = r.u8()
     fmt = "<" if order == 1 else ">"
     code = r.u32(fmt)
-    if code & (EWKB_Z_FLAG | EWKB_M_FLAG):
-        raise ValueError("Z/M not supported by the pure-Python engine")
-    if code & EWKB_SRID_FLAG:
-        code &= ~EWKB_FLAG_MASK
+    has_srid = bool(code & EWKB_SRID_FLAG)
+    base, z, m = _decode_dims(code & ~EWKB_SRID_FLAG)
+    if has_srid:
         r.u32(fmt)  # skip SRID
-    if code >= 1000:
-        raise ValueError("Z/M not supported by the pure-Python engine")
-    if code == 1:
-        return 1, r.xy(fmt)
-    if code in (2, 8):
-        return code, [r.xy(fmt) for _ in range(r.u32(fmt))]
-    if code == 3:
+    dims = (z, m)
+    nd = 2 + int(z) + int(m)
+    if base == 1:
+        return 1, dims, r.pt(fmt, nd)
+    if base in (2, 8):
+        return base, dims, [r.pt(fmt, nd) for _ in range(r.u32(fmt))]
+    if base == 3:
         nrings = r.u32(fmt)
-        return 3, [(2, [r.xy(fmt) for _ in range(r.u32(fmt))]) for _ in range(nrings)]
-    if code in (4, 5, 6, 7, 9, 10, 11, 12):
-        return code, [_read_geom(r) for _ in range(r.u32(fmt))]
-    raise ValueError(f"unsupported WKB type {code}")
+        return 3, dims, [
+            (2, dims, [r.pt(fmt, nd) for _ in range(r.u32(fmt))])
+            for _ in range(nrings)
+        ]
+    if base in (4, 5, 6, 7, 9, 10, 11, 12):
+        return base, dims, [_read_geom(r) for _ in range(r.u32(fmt))]
+    raise ValueError(f"unsupported WKB type {base}")
 
 
 def _curve_to_points(
-    geom: tuple[int, object], step_rad: float
-) -> list[tuple[float, float]]:
+    geom: tuple[int, tuple[bool, bool], object], step_rad: float
+) -> list[tuple]:
     """Any curve payload (LineString / CircularString / CompoundCurve)
-    → one linear point sequence."""
-    code, payload = geom
+    → one linear point sequence (Z/M extras interpolated along arcs)."""
+    code, _dims, payload = geom
     if code == 2:
         return list(payload)
     if code == 8:
         pts_in = list(payload)
         if len(pts_in) < 3 or len(pts_in) % 2 == 0:
             raise ValueError("CircularString needs an odd point count >= 3")
-        out: list[tuple[float, float]] = []
+        out: list[tuple] = []
         for i in range(0, len(pts_in) - 2, 2):
             seg = _arc_points(pts_in[i], pts_in[i + 1], pts_in[i + 2], step_rad)
             out.extend(seg if not out else seg[1:])
@@ -373,39 +432,58 @@ def _curve_to_points(
     raise ValueError(f"not a curve type: {code}")
 
 
+def _iso_code(base: int, dims: tuple[bool, bool]) -> int:
+    """Output type code in ISO WKB encoding (+1000 Z, +2000 M)."""
+    z, m = dims
+    return base + (1000 if z else 0) + (2000 if m else 0)
+
+
 def _w_header(code: int, n: int) -> bytes:
     return b"\x01" + struct.pack("<II", code, n)
 
 
-def _w_points(pts: list[tuple[float, float]]) -> bytes:
-    return b"".join(struct.pack("<dd", x, y) for x, y in pts)
+def _w_points(pts: list[tuple]) -> bytes:
+    return b"".join(struct.pack("<" + "d" * len(p), *p) for p in pts)
 
 
-def _write_linearized(geom: tuple[int, object], step_rad: float) -> bytes:
-    code, payload = geom
+def _write_linearized(
+    geom: tuple[int, tuple[bool, bool], object], step_rad: float
+) -> bytes:
+    code, dims, payload = geom
     if code == 1:
-        return b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", *payload)
+        return (
+            b"\x01"
+            + struct.pack("<I", _iso_code(1, dims))
+            + struct.pack("<" + "d" * len(payload), *payload)
+        )
     if code in (2, 8, 9):
         pts = _curve_to_points(geom, step_rad)
-        return _w_header(2, len(pts)) + _w_points(pts)
+        return _w_header(_iso_code(2, dims), len(pts)) + _w_points(pts)
     if code in (3, 10):
         rings = [_curve_to_points(ring, step_rad) for ring in payload]
         body = b"".join(
             struct.pack("<I", len(p)) + _w_points(p) for p in rings
         )
-        return _w_header(3, len(rings)) + body
+        return _w_header(_iso_code(3, dims), len(rings)) + body
     if code in (4, 5, 6, 7, 11, 12):
         out_code = {4: 4, 5: 5, 6: 6, 7: 7, 11: 5, 12: 6}[code]
         children = [_write_linearized(child, step_rad) for child in payload]
-        return _w_header(out_code, len(children)) + b"".join(children)
+        return _w_header(_iso_code(out_code, dims), len(children)) + b"".join(
+            children
+        )
     raise ValueError(f"unsupported WKB type {code}")
 
 
 def linearize_wkb_py(
     data: bytes | bytearray | None, max_angle_step_deg: float = 0.0
 ) -> bytes | None:
-    """Pure-Python curved→linear WKB (the OGR-free U2 engine). None on
-    unparsable input, exactly like the OGR path's failure semantics."""
+    """Pure-Python curved→linear WKB (the OGR-free U2 engine), including
+    Z/M geometries: the circle is solved on XY and the extra coordinates
+    interpolate linearly along the swept angle (OGR's convention for
+    ``GetLinearGeometry`` on 3-D curves —
+    ``udf_conversions.py:47-57``). Output uses ISO type codes (+1000 Z /
+    +2000 M). None on unparsable input, exactly like the OGR path's
+    failure semantics."""
     if not isinstance(data, (bytes, bytearray)):
         return None
     import math
@@ -428,8 +506,8 @@ def curved_to_linear_bytes(
 ) -> bytes | None:
     """Linearize curved geometry after SRID stripping
     (``udf_conversions.py:12-59`` semantics: None on non-bytes or parse
-    failure). Engine: OGR when installed (full Z/M support), else the
-    pure-Python 2-D engine — so U2 executes on bare installs too."""
+    failure). Engine: OGR when installed, else the pure-Python engine
+    (2-D and Z/M) — so U2 executes on bare installs too."""
     if not isinstance(data, (bytes, bytearray)):
         return None
     if engine == "python" or (engine == "auto" and not HAS_OGR):
@@ -484,10 +562,11 @@ def register_all_udfs(spark: SparkSession) -> list[str]:
 
 # --- point-in-polygon (ray casting over linear WKB) -----------------------
 
-def _ring_crossings(ring: list[tuple[float, float]], x: float, y: float) -> int:
+def _ring_crossings(ring: list[tuple], x: float, y: float) -> int:
     n = 0
     for i in range(len(ring) - 1):
-        (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+        # points may carry Z/M extras beyond (x, y)
+        (x1, y1), (x2, y2) = ring[i][:2], ring[i + 1][:2]
         if (y1 > y) != (y2 > y):
             xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
             if xs > x:
@@ -512,18 +591,18 @@ def point_in_polygon_bytes(
     def poly_hit(payload) -> int:
         crossings = 0
         for ring in payload:
-            pts = list(ring[1])
+            pts = list(ring[2])  # ring = (type, dims, points)
             if pts and pts[0] != pts[-1]:
                 pts = pts + [pts[0]]
             crossings += _ring_crossings(pts, float(x), float(y))
         return crossings
 
-    code, payload = geom
+    code, _dims, payload = geom
     if code == 3:
         return poly_hit(payload) % 2 == 1
     if code == 6:
         return any(
-            poly_hit(child[1]) % 2 == 1 for child in payload if child[0] == 3
+            poly_hit(child[2]) % 2 == 1 for child in payload if child[0] == 3
         )
     return None
 

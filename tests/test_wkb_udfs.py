@@ -314,11 +314,83 @@ class TestPurePythonLinearize:
         )
         ewkb = b"\x01" + struct.pack("<I", 8 | 0x20000000) + body
         assert geom_type_of_wkb(linearize_wkb_py(ewkb, 30.0)) == "LineString"
-        # Z/M input → None (documented 2-D limitation), garbage → None
+        # truncated input → None, garbage → None
         zcs = b"\x01" + struct.pack("<I", 1008) + struct.pack("<I", 3)
         assert linearize_wkb_py(zcs, 30.0) is None
         assert linearize_wkb_py(b"\x05junk", 30.0) is None
         assert curved_to_linear_bytes(None) is None
+
+    def test_z_circularstring_interpolates_z_along_arc(self):
+        # half circle radius 1, Z climbing 0 → 10 → 20 through the via
+        # point; every sample must sit on the XY circle with Z linear in
+        # swept angle (the OGR convention for 3-D curves)
+        import math
+
+        from dask_felleskomponenter_spark.functions.wkb import (
+            geom_type_of_wkb,
+            linearize_wkb_py,
+        )
+
+        def wkb_zm(code, pts):
+            nd = len(pts[0])
+            return b"\x01" + struct.pack("<II", code, len(pts)) + b"".join(
+                struct.pack("<" + "d" * nd, *p) for p in pts
+            )
+
+        cs_z = wkb_zm(1008, [(1, 0, 0.0), (0, 1, 10.0), (-1, 0, 20.0)])
+        out = linearize_wkb_py(cs_z, 10.0)
+        assert geom_type_of_wkb(out) == "LineString Z"
+        n = struct.unpack_from("<I", out, 5)[0]
+        pts = [struct.unpack_from("<ddd", out, 9 + 24 * i) for i in range(n)]
+        # endpoints exact
+        assert pts[0] == (1.0, 0.0, 0.0) and pts[-1] == (-1.0, 0.0, 20.0)
+        for x, y, z in pts:
+            assert math.hypot(x, y) == pytest.approx(1.0, abs=1e-9)
+            # z is linear in the swept angle from (1,0): θ/π · 20
+            theta = math.atan2(y, x) % (2 * math.pi)
+            assert z == pytest.approx(theta / math.pi * 20.0, abs=1e-9)
+        zs = [p[2] for p in pts]
+        assert zs == sorted(zs)  # monotone along the traversal
+        assert n >= 18  # 180° at 10° steps
+
+        # EWKB Z flag (PostGIS encoding) must behave identically
+        ewkb_z = b"\x01" + struct.pack(
+            "<I", 8 | 0x80000000
+        ) + struct.pack("<I", 3) + b"".join(
+            struct.pack("<ddd", *p)
+            for p in [(1, 0, 0.0), (0, 1, 10.0), (-1, 0, 20.0)]
+        )
+        assert linearize_wkb_py(ewkb_z, 10.0) == out
+
+    def test_zm_dimensions_roundtrip_and_pass_through(self):
+        from dask_felleskomponenter_spark.functions.wkb import (
+            geom_type_of_wkb,
+            linearize_wkb_py,
+        )
+
+        def wkb_zm(code, pts):
+            nd = len(pts[0])
+            return b"\x01" + struct.pack("<II", code, len(pts)) + b"".join(
+                struct.pack("<" + "d" * nd, *p) for p in pts
+            )
+
+        # M-only CircularString → LineString M
+        cs_m = wkb_zm(2008, [(1, 0, 5.0), (0, 1, 6.0), (-1, 0, 7.0)])
+        assert geom_type_of_wkb(linearize_wkb_py(cs_m, 30.0)) == "LineString M"
+        # ZM CircularString → LineString ZM, 4 doubles per point
+        cs_zm = wkb_zm(
+            3008, [(1, 0, 0.0, 5.0), (0, 1, 10.0, 6.0), (-1, 0, 20.0, 7.0)]
+        )
+        out = linearize_wkb_py(cs_zm, 30.0)
+        assert geom_type_of_wkb(out) == "LineString ZM"
+        n = struct.unpack_from("<I", out, 5)[0]
+        last = struct.unpack_from("<dddd", out, 9 + 32 * (n - 1))
+        assert last == (-1.0, 0.0, 20.0, 7.0)
+        # already-linear Z input passes through byte-identical
+        line_z = wkb_zm(1002, [(0, 0, 1.0), (1, 0, 2.0), (2, 5, 3.0)])
+        assert linearize_wkb_py(line_z, 4.0) == line_z
+        # linearize is idempotent on its own Z output
+        assert linearize_wkb_py(out, 30.0) == out
 
     def test_udf_engine_auto_runs_without_ogr(self, spark):
         import pandas as pd
