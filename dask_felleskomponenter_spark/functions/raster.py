@@ -100,6 +100,148 @@ def generate_contours_wkb(
 # still requires GDAL and raises the documented NotImplementedError.
 
 _TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+_BIGTIFF_MAGICS = (b"II+\x00", b"MM\x00+")
+
+
+# --- minimal GeoTIFF strip reader ----------------------------------------
+#
+# Enough of the public TIFF 6.0 + GeoTIFF specs to feed the marching-
+# squares engine without GDAL: strip-organized, single-plane rasters,
+# uncompressed or deflate, predictor none/horizontal, integer or float
+# samples. The geotransform comes from ModelPixelScale + ModelTiepoint
+# (the north-up case the reference's DTM tiles use). Anything outside
+# that envelope (tiles, LZW/JPEG, BigTIFF, float predictor) raises the
+# documented NotImplementedError naming the GDAL upgrade path.
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                    10: 8, 11: 4, 12: 8}
+
+
+def _tiff_read_entries(data: bytes, bo: str):
+    import struct as _struct
+
+    ifd_off = _struct.unpack_from(bo + "I", data, 4)[0]
+    n = _struct.unpack_from(bo + "H", data, ifd_off)[0]
+    tags: dict[int, list] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = _struct.unpack_from(bo + "HHI", data, base)
+        size = _TIFF_TYPE_SIZES.get(typ)
+        if size is None:
+            continue
+        total = size * count
+        off = base + 8 if total <= 4 else _struct.unpack_from(
+            bo + "I", data, base + 8
+        )[0]
+        fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
+               11: "f", 12: "d"}.get(typ)
+        if fmt is None:
+            if typ == 5:  # RATIONAL
+                vals = []
+                for j in range(count):
+                    nu, de = _struct.unpack_from(bo + "II", data, off + 8 * j)
+                    vals.append(nu / de if de else float("nan"))
+                tags[tag] = vals
+            continue
+        tags[tag] = list(
+            _struct.unpack_from(bo + fmt * count, data, off)
+        )
+    return tags
+
+
+def decode_geotiff_grid(data: bytes):
+    """Decode a strip-organized single-band GeoTIFF →
+    ``(grid ndarray [h, w] float64, geotransform 6-tuple)``; None when
+    the bytes are not TIFF at all. Unsupported-but-real TIFF features
+    raise NotImplementedError (install GDAL for full coverage)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 8:
+        return None
+    head = bytes(data[:4])
+    if head in _BIGTIFF_MAGICS:
+        raise NotImplementedError(
+            "BigTIFF requires GDAL (install the [gdal] extra)"
+        )
+    if head not in _TIFF_MAGICS:
+        return None
+    bo = "<" if head[:2] == b"II" else ">"
+    try:
+        tags = _tiff_read_entries(bytes(data), bo)
+    except Exception:
+        return None  # malformed TIFF = GDAL's unopenable-raster None
+
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError(
+            "tiled TIFF requires GDAL (install the [gdal] extra); "
+            "strip-organized tiles decode without it"
+        )
+    w = tags.get(256, [None])[0]
+    h = tags.get(257, [None])[0]
+    if not w or not h:
+        return None
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 8, 32946):
+        raise NotImplementedError(
+            f"TIFF compression {comp} requires GDAL; "
+            "uncompressed (1) and deflate (8/32946) decode without it"
+        )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} requires GDAL"
+        )
+    spp = tags.get(277, [1])[0]
+    if tags.get(284, [1])[0] != 1 and spp > 1:
+        raise NotImplementedError("planar TIFF layout requires GDAL")
+    bits = tags.get(258, [8])[0]
+    sfmt = tags.get(339, [1])[0]
+    dt = {
+        (8, 1): "u1", (16, 1): "u2", (32, 1): "u4",
+        (8, 2): "i1", (16, 2): "i2", (32, 2): "i4",
+        (32, 3): "f4", (64, 3): "f8",
+    }.get((bits, sfmt))
+    if dt is None:
+        raise NotImplementedError(
+            f"TIFF sample format {sfmt}/{bits}-bit requires GDAL"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        return None
+
+    try:
+        raw = bytearray()
+        for off, cnt in zip(offsets, counts):
+            chunk = bytes(data[off : off + cnt])
+            if comp in (8, 32946):
+                chunk = _zlib.decompress(chunk)
+            raw.extend(chunk)
+        dtype = np.dtype(dt).newbyteorder(bo)
+        if len(raw) < h * w * spp * dtype.itemsize:
+            return None  # truncated strips
+        arr = np.frombuffer(bytes(raw), dtype=dtype, count=h * w * spp)
+        arr = arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w, 1)
+        if predictor == 2:
+            # horizontal differencing: undo with a per-row cumulative
+            # sum in the sample's own integer width (matches the TIFF
+            # spec's modulo arithmetic)
+            arr = np.cumsum(arr, axis=1, dtype=np.int64).astype(dtype)
+        grid = arr[:, :, 0].astype("float64")
+    except Exception:
+        return None
+
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    scale = tags.get(33550)
+    tie = tags.get(33922)
+    if scale and tie and len(scale) >= 2 and len(tie) >= 6:
+        sx, sy = float(scale[0]), float(scale[1])
+        i, j, _k, x, y, _z = (float(v) for v in tie[:6])
+        gt = (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
+    return grid, gt
 
 
 def _ms_segments(grid, level: float):
@@ -318,18 +460,22 @@ def contours_from_grid(
 def generate_contours_py(
     raster_binary: bytes | None, interval: float = 10.0, base: float = 0.0
 ) -> bytes | None:
-    """GDAL-free per-tile contour core: decodes FAKM or PNG grid tiles
-    via the in-repo codecs (first channel = elevation sample) and runs
-    marching squares. GeoTIFF input raises the documented
-    NotImplementedError unless GDAL is installed."""
+    """GDAL-free per-tile contour core: decodes GeoTIFF (strip-organized
+    uncompressed/deflate — ``decode_geotiff_grid``), FAKM, or PNG grid
+    tiles and runs marching squares; GeoTIFF coordinates map through the
+    tile's ModelPixelScale/ModelTiepoint geotransform, matching
+    ``gdal.ContourGenerate`` on the same input
+    (``udf_tools.py:127-213``). TIFF features outside the minimal
+    reader's envelope raise the documented NotImplementedError."""
     if not raster_binary:
         return None
     data = bytes(raster_binary)
-    if data[:4] in _TIFF_MAGICS:
-        raise NotImplementedError(
-            "GeoTIFF contours require GDAL (install the [gdal] extra); "
-            "FAKM/PNG grid tiles decode without it"
-        )
+    if data[:4] in _TIFF_MAGICS or data[:4] in _BIGTIFF_MAGICS:
+        decoded = decode_geotiff_grid(data)
+        if decoded is None:
+            return None
+        grid, gt = decoded
+        return contours_from_grid(grid, interval, base, gt)
     import numpy as np
 
     from dask_felleskomponenter_spark.functions.multimodal import (
