@@ -276,14 +276,54 @@ def png_encode(
         raise ValueError(
             f"payload is {len(payload)} bytes; expected {stride * height}"
         )
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = payload[y * stride : (y + 1) * stride]
-        ft = (y % 5) if filter_mode == "mixed" else 0
-        raw.append(ft)
-        raw += _png_filter_line(ft, line, prev, channels)
-        prev = line
+    # Encode-direction filtering is fully vectorizable (unlike decode):
+    # every predictor reads the RAW image, so a/b/c are just shifted
+    # views of the input rows — no sequential recurrence.
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is a hard dep of pyspark
+        np = None
+    if np is not None:
+        img = np.frombuffer(payload, dtype=np.uint8).reshape(height, stride)
+        img16 = img.astype(np.int16)
+        zero_row = np.zeros(stride, dtype=np.int16)
+        raw = bytearray()
+        for y in range(height):
+            line = img16[y]
+            prev_l = img16[y - 1] if y else zero_row
+            ft = (y % 5) if filter_mode == "mixed" else 0
+            if ft == 0:
+                filtered = img[y]
+            else:
+                a = np.concatenate([zero_row[:channels], line[:-channels]])
+                b = prev_l
+                c = np.concatenate(
+                    [zero_row[:channels], prev_l[:-channels]]
+                )
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                filtered = ((line - pred) & 0xFF).astype(np.uint8)
+            raw.append(ft)
+            raw += filtered.tobytes()
+    else:
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            line = payload[y * stride : (y + 1) * stride]
+            ft = (y % 5) if filter_mode == "mixed" else 0
+            raw.append(ft)
+            raw += _png_filter_line(ft, line, prev, channels)
+            prev = line
     ihdr = _IHDR.pack(width, height, 8, _PNG_COLOR_OF_CHANNELS[channels], 0, 0, 0)
     return (
         _PNG_SIG
@@ -340,23 +380,63 @@ def decode_image_png(data: bytes | None) -> dict | None:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         return None
-    payload = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        base = y * (stride + 1)
-        ft = raw[base]
-        if ft > 4:
+    # Row-at-a-time numpy unfiltering: None/Up are whole-row adds and
+    # Sub is a per-channel-lane cumulative sum, so three of the five
+    # filter types never touch a Python byte loop; Average/Paeth keep
+    # the scalar reference path (their left-neighbour recurrence is
+    # inherently sequential). Falls back wholesale to the scalar core
+    # when numpy is unavailable.
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is a hard dep of pyspark
+        np = None
+    if np is not None:
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+        fts = arr[:, 0]
+        if (fts > 4).any():
             return None
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        _png_unfilter_line(ft, line, prev, channels)
-        payload += line
-        prev = bytes(line)
+        out = np.empty((height, stride), dtype=np.uint8)
+        prev_row = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            ft = int(fts[y])
+            line = arr[y, 1:]
+            if ft == 0:
+                cur = line.copy()
+            elif ft == 2:
+                cur = line + prev_row  # uint8 wraps mod 256 per spec
+            elif ft == 1:
+                lanes = line.reshape(width, channels).astype(np.uint32)
+                cur = (
+                    np.cumsum(lanes, axis=0, dtype=np.uint32)
+                    .astype(np.uint8)
+                    .reshape(stride)
+                )
+            else:  # Average / Paeth: scalar reference path
+                buf = bytearray(line.tobytes())
+                _png_unfilter_line(ft, buf, prev_row.tobytes(), channels)
+                cur = np.frombuffer(bytes(buf), dtype=np.uint8)
+            out[y] = cur
+            prev_row = cur
+        payload_b = out.tobytes()
+    else:
+        payload = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            base = y * (stride + 1)
+            ft = raw[base]
+            if ft > 4:
+                return None
+            line = bytearray(raw[base + 1 : base + 1 + stride])
+            _png_unfilter_line(ft, line, prev, channels)
+            payload += line
+            prev = bytes(line)
+        payload_b = bytes(payload)
     return {
         "media_type": "i",
         "width": width,
         "height": height,
         "channels": channels,
-        "payload": bytes(payload),
+        "payload": payload_b,
     }
 
 
@@ -504,15 +584,23 @@ def decode_video_avi(data: bytes | None) -> dict | None:
         return None
     height, top_down = (bh, False) if bh > 0 else (-bh, True)
     stride = bw * 3
-    padded = (stride + ((-stride) % 4)) * height
+    row_stride = stride + ((-stride) % 4)
+    padded = row_stride * height
+    # un-pad + flip as one numpy slice per frame (no per-row byte loop):
+    # view the DIB as (height, row_stride), drop the pad columns,
+    # reverse rows for bottom-up frames
+    import numpy as np
+
     payload = bytearray()
     for dib in dibs:
         if len(dib) != padded:
             return None
-        rows = range(height) if top_down else reversed(range(height))
-        row_stride = stride + ((-stride) % 4)
-        for y in rows:
-            payload += dib[y * row_stride : y * row_stride + stride]
+        frame = np.frombuffer(dib, dtype=np.uint8).reshape(
+            height, row_stride
+        )[:, :stride]
+        if not top_down:
+            frame = frame[::-1]
+        payload += frame.tobytes()
     if rate == 0 or scale == 0:
         return None
     n_frames = len(dibs)

@@ -1634,17 +1634,19 @@ def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("binary")
     def to_png(text: pd.Series) -> pd.Series:
+        import numpy as np
+
         def enc(t):
             if t is None:
                 return None
             n = len(t.encode("utf-8"))
             w, h, ch = n % 32 + 1, n % 24 + 1, 3
-            payload = bytes(
-                (x + y + c) & 0xFF
-                for y in range(h)
-                for x in range(w)
-                for c in range(ch)
-            )
+            # gradient (x + y + c) via broadcasting (< 256, no wrap)
+            payload = (
+                np.arange(h)[:, None, None]
+                + np.arange(w)[None, :, None]
+                + np.arange(ch)[None, None, :]
+            ).astype(np.uint8).tobytes()
             return png_encode(w, h, ch, payload, filter_mode="mixed")
 
         return text.apply(enc)
@@ -1702,19 +1704,21 @@ def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("binary")
     def to_avi(text: pd.Series) -> pd.Series:
+        import numpy as np
+
         def enc(t):
             if t is None:
                 return None
             n = len(t.encode("utf-8"))
             w, h, nf, fps = n % 16 + 1, n % 12 + 1, n % 5 + 1, n % 24 + 1
+            # gradient (x + y + c + i) via broadcasting — max 32, no wrap
+            base = (
+                np.arange(h)[:, None, None]
+                + np.arange(w)[None, :, None]
+                + np.arange(3)[None, None, :]
+            )
             frames = [
-                bytes(
-                    (x + y + c + i) & 0xFF  # max 32 — no wraparound
-                    for y in range(h)
-                    for x in range(w)
-                    for c in range(3)
-                )
-                for i in range(nf)
+                (base + i).astype(np.uint8).tobytes() for i in range(nf)
             ]
             return avi_encode(w, h, fps, frames)
 
