@@ -1,0 +1,155 @@
+"""Headroom stress: the dedup/CC/fuzzy family at ~10× the bench scale
+with PLANTED adversarial hot keys.
+
+The 100 TB risk in this family is never the average document — it is
+the one boilerplate shingle shared by half the corpus and the one first
+token that heads a million documents. This suite builds a 50k-doc table
+(10× the sf0.1 bench corpus) whose skew is deliberately hostile:
+
+- a boilerplate sentence planted in 15 000 documents — over the default
+  Jaccard df-cap, so the uncapped path would enqueue C(15k, 2) ≈ 112M
+  candidate pairs from those shingles alone;
+- a first-token block of 2 000 documents — over FUZZY_MAX_BLOCK, so
+  single-key blocking would do 2M levenshtein comparisons in one task;
+- 100 planted true near-duplicate pairs and 500 planted 4-cliques whose
+  recovery proves the guards cut the BLOWUP, not the RECALL.
+
+Everything is generated with Spark column expressions (no driver-side
+row building) and asserted exactly — completion on the test box's
+memory budget plus exact planted-structure recovery is the contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+N_DOCS = 50_000
+N_PAIRS = 100  # planted near-dup pairs (i, i + N_PAIRS)
+BOILER_LO, BOILER_HI = 200, 15_200  # 15k docs share the boilerplate tail
+FUZZY_LO, FUZZY_HI = 20_000, 22_000  # 2k docs share one first token
+BOILER = " the quick brown fox jumps over the lazy dog"
+
+
+@pytest.fixture(scope="module")
+def stress_docs(spark, tmp_path_factory):
+    i = F.col("id")
+    pair_group = (i % (2 * N_PAIRS)) % N_PAIRS  # doc i pairs with i+N_PAIRS
+    # group bodies must be FAR apart under edit distance on the 40-char
+    # prefix (md5 makes ~26 of the first 40 chars group-unique), while
+    # the paired docs stay identical — otherwise "pair4..."/"pair40..."
+    # style numbering lands unrelated groups within the fuzzy threshold
+    pair_body = F.concat_ws(
+        " ",
+        F.concat(F.lit("pair"), pair_group.cast("string")),
+        F.md5(pair_group.cast("string")),
+        *[
+            F.concat(F.lit(t), pair_group.cast("string"))
+            for t in (
+                "alpha", "beta", "gamma", "delta",
+                "epsilon", "zeta", "eta", "theta", "iota",
+            )
+        ],
+    )
+    # filler must be pairwise FAR under edit distance on the 40-char
+    # prefix (structured "u<i>a u<i>b" fillers put docs with similar ids
+    # genuinely within the fuzzy threshold) — md5 tokens are ~30 edits
+    # apart; doc-unique tokens also give Jaccard df=1 shingles
+    filler = F.concat_ws(
+        " ",
+        F.md5(i.cast("string")),
+        F.md5((i + 1_000_000).cast("string")),
+        F.md5((i + 2_000_000).cast("string")),
+        F.md5((i + 3_000_000).cast("string")),
+    )
+    fuzzy_group = F.floor((i - FUZZY_LO) / 4)
+    fuzzy_body = F.concat(
+        F.lit("commonstart "),
+        F.md5(fuzzy_group.cast("string")),
+        F.lit(" t"),
+        (i % 4).cast("string"),
+    )
+    text = (
+        F.when(i < 2 * N_PAIRS, pair_body)
+        .when((i >= FUZZY_LO) & (i < FUZZY_HI), fuzzy_body)
+        .when(
+            (i >= BOILER_LO) & (i < BOILER_HI),
+            F.concat(filler, F.lit(BOILER)),
+        )
+        .otherwise(filler)
+    )
+    df = spark.range(N_DOCS).select(
+        i.alias("doc_id"), text.alias("text"), F.lit("en").alias("lang")
+    )
+    path = str(tmp_path_factory.mktemp("stress") / "docs")
+    df.write.parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_capped_jaccard_survives_planted_boilerplate(spark, stress_docs):
+    """15k docs sharing a sentence must produce ZERO pairs from it (the
+    df-cap removes those shingles from the universe) while every planted
+    distinctive-content pair survives with its exact score."""
+    from dask_felleskomponenter_spark.operators.dedup import (
+        DEFAULT_MAX_SHINGLE_DF,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{stress_docs}/documents.parquet")
+    assert BOILER_HI - BOILER_LO > DEFAULT_MAX_SHINGLE_DF  # planted > cap
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    want = {(g, g + N_PAIRS) for g in range(N_PAIRS)}
+    assert set(got) == want
+    assert all(j == pytest.approx(1.0) for j in got.values())
+
+
+def test_fuzzy_match_survives_planted_hot_token_block(spark, stress_docs):
+    """A 2000-doc first-token block (2× the cap) must escalate, not go
+    quadratic or vanish: all 500 planted 4-cliques and the 100 pair-doc
+    matches come back, and nothing else."""
+    from dask_felleskomponenter_spark.plans.queries import (
+        FUZZY_MAX_BLOCK,
+        fuzzy_blocked_match,
+    )
+
+    assert FUZZY_HI - FUZZY_LO > FUZZY_MAX_BLOCK  # planted > cap
+    rows = fuzzy_blocked_match(spark, stress_docs).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    want = {(g, g + N_PAIRS) for g in range(N_PAIRS)}
+    for g in range((FUZZY_HI - FUZZY_LO) // 4):
+        members = [FUZZY_LO + 4 * g + k for k in range(4)]
+        want |= {
+            (a, b) for ai, a in enumerate(members) for b in members[ai + 1 :]
+        }
+    assert got == want
+    assert all(r.distance == 0 for r in rows)  # planted texts identical
+
+
+def test_connected_components_on_recovered_structure(spark, stress_docs):
+    """CC over the fuzzy matches: 500 4-cliques + 100 2-chains must
+    resolve to exactly 600 components keyed by their minimum member."""
+    from dask_felleskomponenter_spark.operators.graph import (
+        connected_components,
+    )
+    from dask_felleskomponenter_spark.plans.queries import (
+        fuzzy_blocked_match,
+    )
+
+    edges = fuzzy_blocked_match(spark, stress_docs)
+    comp = connected_components(edges)
+    sizes = {
+        r.component: r.n
+        for r in comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(sizes) == 500 + N_PAIRS
+    quads = [c for c, n in sizes.items() if n == 4]
+    pairs = [c for c, n in sizes.items() if n == 2]
+    assert len(quads) == 500 and len(pairs) == N_PAIRS
+    # component id is the minimum member
+    assert all(FUZZY_LO <= c < FUZZY_HI and (c - FUZZY_LO) % 4 == 0 for c in quads)
+    assert sorted(pairs) == list(range(N_PAIRS))
