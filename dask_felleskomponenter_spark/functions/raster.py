@@ -149,6 +149,76 @@ def _tiff_read_entries(data: bytes, bo: str):
     return tags
 
 
+def geotiff_encode(
+    grid,
+    geotransform: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+    compress: bool = True,
+) -> bytes:
+    """Single-band GeoTIFF sink for a 2-D grid (the writer twin of
+    ``decode_geotiff_grid``): little-endian, one strip, deflate by
+    default, dtype preserved for uint8/16/32, int16/32, float32/64.
+    ModelPixelScale/ModelTiepoint carry the (north-up) geotransform so
+    GDAL and the in-repo reader agree on coordinates."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    g = np.ascontiguousarray(grid)
+    if g.ndim != 2:
+        raise ValueError("grid must be 2-D")
+    dt = np.dtype(g.dtype).newbyteorder("<")
+    sfmt = {"u": 1, "i": 2, "f": 3}.get(dt.kind)
+    if sfmt is None or dt.itemsize not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported grid dtype {g.dtype}")
+    h, w = g.shape
+    pixels = g.astype(dt).tobytes()
+    if compress:
+        pixels = _zlib.compress(pixels, 6)
+
+    ox, sx, _rx, oy, _ry, nsy = geotransform
+    sy = -float(nsy)
+    entries = [
+        (256, 3, 1, _struct.pack("<H", w)),
+        (257, 3, 1, _struct.pack("<H", h)),
+        (258, 3, 1, _struct.pack("<H", dt.itemsize * 8)),
+        (259, 3, 1, _struct.pack("<H", 8 if compress else 1)),
+        (262, 3, 1, _struct.pack("<H", 1)),
+        (273, 4, 1, None),  # strip offset, patched below
+        (277, 3, 1, _struct.pack("<H", 1)),
+        (278, 3, 1, _struct.pack("<H", h)),
+        (279, 4, 1, _struct.pack("<I", len(pixels))),
+        (339, 3, 1, _struct.pack("<H", sfmt)),
+        (33550, 12, 3, _struct.pack("<3d", float(sx), sy, 0.0)),
+        (33922, 12, 6, _struct.pack(
+            "<6d", 0.0, 0.0, 0.0, float(ox), float(oy), 0.0
+        )),
+    ]
+    pixels_off = 8
+    ext_off = pixels_off + len(pixels)
+    ext = bytearray()
+    ifd = bytearray()
+    for tag, typ, count, packed in entries:
+        if packed is None:
+            packed = _struct.pack("<I", pixels_off)
+        if len(packed) <= 4:
+            val = packed + b"\x00" * (4 - len(packed))
+        else:
+            val = _struct.pack("<I", ext_off + len(ext))
+            ext.extend(packed)
+        ifd += _struct.pack("<HHI", tag, typ, count) + val
+    ifd_off = ext_off + len(ext)
+    return (
+        b"II*\x00"
+        + _struct.pack("<I", ifd_off)
+        + pixels
+        + bytes(ext)
+        + _struct.pack("<H", len(entries))
+        + bytes(ifd)
+        + _struct.pack("<I", 0)
+    )
+
+
 def decode_geotiff_grid(data: bytes):
     """Decode a strip-organized single-band GeoTIFF →
     ``(grid ndarray [h, w] float64, geotransform 6-tuple)``; None when

@@ -3301,9 +3301,12 @@ def recursive_cte_customer_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→contours end-to-end (reference U3, GDAL-free engine):
     embeddings reshaped into 8×8 DEM tiles (per-vector min-max scaled to
-    uint8, FAKM-encoded), contoured by the marching-squares core at
-    interval 64, profiled relationally. Rows-only: marching squares has
-    no SQL twin.
+    uint8), contoured by the marching-squares core at interval 64,
+    profiled relationally. Tiles alternate CONTAINER by row — even
+    vec_ids FAKM, odd vec_ids real GeoTIFF (deflate strip,
+    ``geotiff_encode``) — so the driver-checked query exercises both
+    decode paths; identical grids yield identical contours either way
+    (pinned by pytest). Rows-only: marching squares has no SQL twin.
 
     Scale: both Python stages are Arrow-batched pandas UDFs (encode,
     contour) — one tile per row, tile-keyed partitioning, no media
@@ -3318,14 +3321,17 @@ def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_felleskomponenter_spark.functions.wkb import wkb_geom_type_col
 
     @F.pandas_udf(BinaryType())
-    def to_tile(vecs: pd.Series) -> pd.Series:
+    def to_tile(vec_ids: pd.Series, vecs: pd.Series) -> pd.Series:
         import numpy as np
 
         from dask_felleskomponenter_spark.functions.multimodal import (
             fakm_encode,
         )
+        from dask_felleskomponenter_spark.functions.raster import (
+            geotiff_encode,
+        )
 
-        def enc(v):
+        def enc(vid, v):
             if v is None:
                 return None
             a = np.asarray(v, dtype="float64")
@@ -3335,9 +3341,14 @@ def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if hi == lo
                 else (a - lo) / (hi - lo) * 255.0
             )
-            return fakm_encode("i", 8, 8, 1, g.astype("uint8").tobytes())
+            g8 = g.astype("uint8")
+            if vid is not None and int(vid) % 2:
+                return geotiff_encode(g8.reshape(8, 8))
+            return fakm_encode("i", 8, 8, 1, g8.tobytes())
 
-        return vecs.apply(enc)
+        return pd.Series(
+            [enc(vid, v) for vid, v in zip(vec_ids, vecs)], dtype="object"
+        )
 
     # tile-keyed repartition ahead of the Python stages: the contour
     # work parallelizes per tile, not per input split (locally the
@@ -3347,7 +3358,7 @@ def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         generate_contours_udf(
-            to_tile("embedding"), F.lit(64.0), F.lit(0.0)
+            to_tile("vec_id", "embedding"), F.lit(64.0), F.lit(0.0)
         ).alias("cwkb"),
     )
     # polyline count = WKB bytes 6..9 as little-endian u32, JVM-side

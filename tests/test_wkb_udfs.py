@@ -847,3 +847,47 @@ class TestGeoTiffReader:
         assert len(out) == 6
         for r in out:
             assert geom_type_of_wkb(r.contours) == "MultiLineString"
+
+
+class TestGeoTiffWriter:
+    def test_roundtrip_preserves_grid_and_geotransform(self):
+        import numpy as np
+
+        from dask_felleskomponenter_spark.functions.raster import (
+            decode_geotiff_grid,
+            geotiff_encode,
+        )
+
+        rng = np.random.RandomState(3)
+        gt = (500.0, 2.5, 0.0, 900.0, 0.0, -2.5)
+        for dt in ("u1", "u2", "i2", "f4", "f8"):
+            grid = (rng.rand(9, 13) * 200).astype(dt)
+            for compress in (True, False):
+                out = decode_geotiff_grid(
+                    geotiff_encode(grid, gt, compress=compress)
+                )
+                assert out is not None, (dt, compress)
+                dec, dec_gt = out
+                assert dec_gt == gt, (dt, compress)
+                assert (dec == grid.astype("float64")).all(), (dt, compress)
+
+    def test_fakm_and_geotiff_containers_contour_identically(self):
+        # the container must not change the answer: same uint8 grid in
+        # FAKM and in GeoTIFF → byte-identical MultiLineString WKB
+        import numpy as np
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            fakm_encode,
+        )
+        from dask_felleskomponenter_spark.functions.raster import (
+            generate_contours_py,
+            geotiff_encode,
+        )
+
+        rng = np.random.RandomState(11)
+        for _ in range(5):
+            g8 = (rng.rand(8, 8) * 255).astype("uint8")
+            fakm = fakm_encode("i", 8, 8, 1, g8.tobytes())
+            tiff = geotiff_encode(g8)
+            assert generate_contours_py(fakm, 64.0, 0.0) == \
+                generate_contours_py(tiff, 64.0, 0.0)
