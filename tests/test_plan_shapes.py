@@ -698,3 +698,15 @@ def test_date_arith_scan_prunes_to_one_column(spark):
     assert m and [c.split(":")[0] for c in m.group(1).split(",") if c] == [
         "o_orderdate"
     ], m.group(1) if m else plan[:500]
+
+
+def test_fuzzy_multikey_blocking_has_no_cartesian_hazard(spark):
+    # every candidate family is an equi-join on a bounded blocking key;
+    # a CartesianProduct/BroadcastNestedLoop here would mean a residual
+    # turned into a non-equi join and the 100 TB posture is gone
+    plan = plan_of(spark, "fuzzy_blocked_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the per-block guards ride count windows, not separate aggregations
+    # joined back (one exchange per key family, reused by its self-join)
+    assert plan.count("window") >= 3 or plan.count("Window") >= 3
