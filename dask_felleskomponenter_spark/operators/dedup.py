@@ -208,24 +208,27 @@ def ngram_jaccard_pairs(
     inv = base.select("_id", "_set_size", F.explode("_sh").alias("_s"))
 
     if max_shingle_df is not None:
-        # Hot shingles are rare by construction (few shingles exceed any
-        # sane cap), so the blacklist broadcasts and the anti-join is
-        # map-side — no extra shuffle of the index.
-        hot = (
-            inv.groupBy("_s")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > int(max_shingle_df))
-            .select("_s")
-        )
-        inv = inv.join(F.broadcast(hot), on="_s", how="left_anti")
-        # Set sizes over the capped universe (singletons still count —
-        # they are part of every union they appear in). A count window
-        # partitioned by document re-derives the size in the SAME
-        # exchange a groupBy would need, but streams the rows through —
-        # no collect_list array buffer, no re-explode, no second
-        # materialization of the inverted index.
+        # Document frequency as a count window over the shingle key —
+        # computed in the SAME pass as the index itself. The earlier
+        # aggregate-then-anti-join formulation re-evaluated the whole
+        # scan+shingle lineage for the blacklist branch (shingling is
+        # the CPU-dominant stage, so the cap doubled it); the window
+        # derives df from the one materialized index. A df=10M hot
+        # shingle is one big window partition, but count needs no
+        # buffer — rows stream through and die at the filter.
         from pyspark.sql import Window as _W
 
+        inv = (
+            inv.withColumn(
+                "_df", F.count(F.lit(1)).over(_W.partitionBy("_s"))
+            )
+            .filter(F.col("_df") <= int(max_shingle_df))
+            .drop("_df")
+        )
+        # Set sizes over the capped universe (singletons still count —
+        # they are part of every union they appear in), again as a
+        # streaming count window — no collect_list array buffer, no
+        # re-explode.
         inv = inv.withColumn(
             "_set_size", F.count(F.lit(1)).over(_W.partitionBy("_id"))
         )
