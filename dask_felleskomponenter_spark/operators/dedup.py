@@ -218,8 +218,12 @@ def ngram_jaccard_pairs(
         # buffer — rows stream through and die at the filter.
         from pyspark.sql import Window as _W
 
+        from dask_felleskomponenter_spark.operators.shuffle import (
+            pinned_repartition,
+        )
+
         inv = (
-            inv.withColumn(
+            pinned_repartition(inv, "_s").withColumn(
                 "_df", F.count(F.lit(1)).over(_W.partitionBy("_s"))
             )
             .filter(F.col("_df") <= int(max_shingle_df))
@@ -228,12 +232,17 @@ def ngram_jaccard_pairs(
         # Set sizes over the capped universe (singletons still count —
         # they are part of every union they appear in), again as a
         # streaming count window — no collect_list array buffer, no
-        # re-explode.
-        inv = inv.withColumn(
+        # re-explode. The pinned repartitions keep these CPU-fan-out
+        # stages at full parallelism (see operators/shuffle.py).
+        inv = pinned_repartition(inv, "_id").withColumn(
             "_set_size", F.count(F.lit(1)).over(_W.partitionBy("_id"))
         )
 
-    postings = inv.groupBy("_s").agg(
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        pinned_repartition as _pin,
+    )
+
+    postings = _pin(inv, "_s").groupBy("_s").agg(
         F.collect_list(F.struct("_id", "_set_size")).alias("_ps")
     )
 

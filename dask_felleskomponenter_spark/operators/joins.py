@@ -345,6 +345,10 @@ def multikey_blocking_candidates(
     """
     from pyspark.sql import Window as _W
 
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        pinned_repartition,
+    )
+
     tagged = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(c).alias(c) for c in payload_cols],
@@ -357,7 +361,9 @@ def multikey_blocking_candidates(
             )
         ).alias("_k"),
     )
-    sized = tagged.withColumn(
+    # pinned: the self-join's comparison fan-out, not the shuffled
+    # bytes, is the cost — keep AQE from coalescing it to one task
+    sized = pinned_repartition(tagged, "_k").withColumn(
         "_bs", F.count(F.lit(1)).over(_W.partitionBy("_k"))
     ).filter(F.col("_bs") <= int(max_block_size))
     a, b = sized.alias("a"), sized.alias("b")

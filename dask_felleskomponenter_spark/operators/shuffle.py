@@ -1,0 +1,29 @@
+"""Shuffle-layout helpers shared by the blocking/dedup operators.
+
+AQE's partition coalescing sizes post-shuffle partitions by BYTES. That
+is the right call for scan/agg pipelines at scale, but wrong for
+blocked self-joins: a few thousand short rows (kilobytes) can fan out
+into hundreds of thousands of comparison pairs, and byte-based
+coalescing funnels that CPU-bound work into ONE task (measured 7× on
+the blocked edit-distance join at sf0.1). A user-specified
+``repartition(n, key)`` compiles to REPARTITION_BY_NUM, which AQE is
+contractually not allowed to coalesce — so the window/join stages that
+ride it keep their parallelism while the rest of the plan stays under
+AQE control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+
+def pinned_repartition(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Hash-repartition by ``cols`` with an EXPLICIT partition count
+    (the session's ``spark.sql.shuffle.partitions``), exempting the
+    exchange from AQE byte-based coalescing. Use ahead of count windows
+    and self-joins whose per-row fan-out, not byte size, is the cost."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" or unset → physical cores
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)

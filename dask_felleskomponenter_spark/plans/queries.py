@@ -1016,6 +1016,10 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/graph.py``.)"""
     from pyspark.sql import Window as _W
 
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        pinned_repartition,
+    )
+
     cap = FUZZY_MAX_BLOCK
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.trim("text") != "")
@@ -1029,7 +1033,13 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("text"), r"^\s*\S+\s+(\S+)", 1).alias("tok2"),
         F.substring(F.trim("text"), 1, 40).alias("pfx"),
     )
-    s = b.withColumn("bs0", F.count(F.lit(1)).over(_W.partitionBy("blk")))
+    # pinned repartitions ahead of each family's window+self-join keep
+    # the comparison fan-out at full parallelism: AQE would coalesce
+    # these kilobyte shuffles to one task and serialize the levenshtein
+    # work (measured 7× — operators/shuffle.py)
+    s = pinned_repartition(b, "blk").withColumn(
+        "bs0", F.count(F.lit(1)).over(_W.partitionBy("blk"))
+    )
 
     def pairs(df, key_col):
         x, y = df.alias("x"), df.alias("y")
@@ -1051,7 +1061,9 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = s.filter(F.col("bs0") > cap).withColumn(
         "k2", F.concat_ws("|", "blk", "tok2")
     )
-    hot = hot.withColumn("bs2", F.count(F.lit(1)).over(_W.partitionBy("k2")))
+    hot = pinned_repartition(hot, "k2").withColumn(
+        "bs2", F.count(F.lit(1)).over(_W.partitionBy("k2"))
+    )
     fam_b = pairs(hot.filter(F.col("bs2") <= cap), "k2").select(
         F.col("x.doc_id").alias("id_a"),
         F.col("y.doc_id").alias("id_b"),
@@ -1077,7 +1089,7 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    banded = banded.withColumn(
+    banded = pinned_repartition(banded, "k3").withColumn(
         "bs3", F.count(F.lit(1)).over(_W.partitionBy("k3"))
     )
     fam_c = (
