@@ -93,8 +93,48 @@ def ordered_output(df: DataFrame, *sort_cols: str) -> DataFrame:
     stage once (AQE stage boundary), so the range sampler reads shuffle
     output instead of recomputing. At scale this is also the shape you
     want: materialize expensive map work before a range exchange.
+
+    The repartition is PINNED (explicit partition count) so AQE's
+    byte-based coalescing can't collapse the expensive map stage to one
+    task — the bytes are small exactly when the per-row compute
+    (decode, interpreted HOFs) is the cost (operators/shuffle.py).
     """
-    return df.repartition(sort_cols[0]).orderBy(*sort_cols)
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        pinned_repartition,
+    )
+
+    return pinned_repartition(df, sort_cols[0]).orderBy(*sort_cols)
+
+
+
+def scan_fanout(df: DataFrame, key: str) -> DataFrame:
+    """Decouple per-row CPU parallelism from file layout.
+
+    Upstream writers routinely produce one-row-group parquet (this
+    repo's testdata does; so do many real pipelines), which caps the
+    scan at one task per file no matter what
+    ``spark.sql.files.maxPartitionBytes`` says. When the stage after
+    the scan is CPU-dominant per row — interpreted higher-order
+    functions, codec decodes in pandas UDFs, hash walks — that one task
+    serializes the whole query (measured 8× on the repetition profile
+    at sf0.1). One pinned hash exchange right after the scan fans the
+    rows across the cluster; pinned, because the shuffled BYTES are
+    small exactly when the per-row compute is the cost and AQE would
+    coalesce the exchange right back (``operators/shuffle.py``).
+
+    NOT applied to the multi-stage pandas-UDF queries (multimodal,
+    embedding HOFs): with ``spark.python.worker.reuse=false`` (required
+    — see session.py) every task of every Python stage pays a fresh
+    worker spawn + numpy/pandas import, and at small per-row decode
+    cost 32 tasks × N stages of spawns cost more than the decode
+    itself (measured 2.6× against on the video profile). JVM-side
+    per-row compute has no such floor, so the fan-out is pure win
+    there."""
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        pinned_repartition,
+    )
+
+    return pinned_repartition(df, key)
 
 
 # --- TPC-H-style relational core ----------------------------------------
@@ -641,7 +681,7 @@ def map_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed as ``map<string,bigint>``, then ``element_at`` / ``map_keys``
     / ``size`` / ``transform_values`` — sentinel-coalesced so the output
     is NULL-free for the driver comparator."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = scan_fanout(load_table(spark, sf_dir, "events"), "event_id")
     m = F.from_json("props", "map<string,bigint>")
     doubled = F.transform_values(m, lambda k, v: v * 2)
     return (
@@ -776,7 +816,7 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (rows-only: xxhash64 has no DuckDB
     twin). Banding 16×4 over 64 hashes targets Jaccard ≳ 0.5."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_fanout(load_table(spark, sf_dir, "documents"), "doc_id")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_size=3)
     return lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=4).orderBy(
         "id_a", "id_b"
@@ -789,7 +829,7 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the explode+bit-vote-aggregate shape (``TX.simhash_signatures``)
     rather than the per-bit higher-order ``F.aggregate`` column form —
     one hash per token, codegen'd votes, 64-long-wide shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_fanout(load_table(spark, sf_dir, "documents"), "doc_id")
     return TX.simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -805,7 +845,7 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape because the driver's row comparator totally orders cell
     values (arrays are unhashable there).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_fanout(load_table(spark, sf_dir, "documents"), "doc_id")
     fp = TX.rolling_fingerprint_df(
         docs, "doc_id", "text", out_col="_fp"
     )
@@ -824,7 +864,7 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics (token count, BPE-ish token estimate,
     punctuation ratio, stopword ratio, composite score)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_fanout(load_table(spark, sf_dir, "documents"), "doc_id")
     prof = docs.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
@@ -838,7 +878,7 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language identification per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_fanout(load_table(spark, sf_dir, "documents"), "doc_id")
     return ordered_output(
         docs.select("doc_id", "lang", TX.language_id("text").alias("lang_pred")),
         "doc_id",
@@ -941,7 +981,7 @@ def pii_redact_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     All built-in ``regexp_count``/``regexp_replace`` — JVM-side, no
     Python; the only cost at 100 TB is the regex scan itself, fused into
     the projection."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = scan_fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     planted = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -2707,7 +2747,7 @@ def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting aggregate over (doc_id, hit) rows. Both the hit count and
     the shingle count come from ONE explode pass (left-join marker), so
     the corpus is scanned once."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = scan_fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     shingled = docs.select(
         "doc_id", F.explode(TX.word_shingles("text", 3)).alias("sh")
     )
@@ -2907,7 +2947,7 @@ def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bigram) counts (map-side combined) → per-doc max via a second
     aggregate over the already-reduced pairs (never a window over the
     raw stream); token stats ride the same scan as column expressions."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = scan_fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = F.split(F.trim("text"), TX.WS_PATTERN)
     base = docs.select(
         "doc_id",
@@ -3365,7 +3405,7 @@ def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tile-keyed repartition ahead of the Python stages: the contour
     # work parallelizes per tile, not per input split (locally the
     # one-row-group scan would otherwise serialize the whole UDF chain)
-    emb = load_table(spark, sf_dir, "embeddings").repartition("vec_id")
+    emb = scan_fanout(load_table(spark, sf_dir, "embeddings"), "vec_id")
     contoured = emb.select(
         "vec_id",
         "label",
