@@ -188,10 +188,9 @@ def ngram_jaccard_pairs(
     per-document set sizes, so the result is the exact Jaccard over the
     capped shingle universe (pairs that are similar on distinctive
     content keep their score; pairs related only through boilerplate
-    drop out). The blacklist is computed with a count aggregate and
-    applied as a broadcast anti-join *before* any postings list
+    drop out). The df filter runs *before* any postings list
     materializes, so a df=10M shingle never reaches a ``collect_list``
-    buffer.
+    buffer — it streams through one count window and dies.
 
     The cap is ON by default (``DEFAULT_MAX_SHINGLE_DF``) because the
     uncapped path is an OOM/skew hazard at scale. Pass
@@ -207,44 +206,62 @@ def ngram_jaccard_pairs(
 
     inv = base.select("_id", "_set_size", F.explode("_sh").alias("_s"))
 
-    if max_shingle_df is not None:
-        # Document frequency as a count window over the shingle key —
-        # computed in the SAME pass as the index itself. The earlier
-        # aggregate-then-anti-join formulation re-evaluated the whole
-        # scan+shingle lineage for the blacklist branch (shingling is
-        # the CPU-dominant stage, so the cap doubled it); the window
-        # derives df from the one materialized index. A df=10M hot
-        # shingle is one big window partition, but count needs no
-        # buffer — rows stream through and die at the filter.
-        from pyspark.sql import Window as _W
-
-        from dask_felleskomponenter_spark.operators.shuffle import (
-            pinned_repartition,
-        )
-
-        inv = (
-            pinned_repartition(inv, "_s").withColumn(
-                "_df", F.count(F.lit(1)).over(_W.partitionBy("_s"))
-            )
-            .filter(F.col("_df") <= int(max_shingle_df))
-            .drop("_df")
-        )
-        # Set sizes over the capped universe (singletons still count —
-        # they are part of every union they appear in), again as a
-        # streaming count window — no collect_list array buffer, no
-        # re-explode. The pinned repartitions keep these CPU-fan-out
-        # stages at full parallelism (see operators/shuffle.py).
-        inv = pinned_repartition(inv, "_id").withColumn(
-            "_set_size", F.count(F.lit(1)).over(_W.partitionBy("_id"))
-        )
-
     from dask_felleskomponenter_spark.operators.shuffle import (
         pinned_repartition as _pin,
     )
 
-    postings = _pin(inv, "_s").groupBy("_s").agg(
-        F.collect_list(F.struct("_id", "_set_size")).alias("_ps")
-    )
+    if max_shingle_df is not None:
+        # ONE exchange of the inverted index, shared by everything the
+        # cap needs. Document frequency is a count window over the
+        # shingle key in that exchange's partitioning; the filter, the
+        # per-document size correction, and the postings groupBy all
+        # ride the SAME hash(_s) layout, so Catalyst inserts no further
+        # index-sized exchange (the earlier formulation shuffled the
+        # full index three times: by _s for df, by _id for the size
+        # recount, by _s again for postings — measured ~60% overhead
+        # over the uncapped path with the cap not even biting).
+        #
+        # Capped set sizes: |capped(A)| = |A| − (# hot shingles in A).
+        # The dropped rows (df > cap) aggregate to one (doc, n_dropped)
+        # row per document that touches a hot shingle — map-side
+        # combinable, and its input subtree shares the index exchange
+        # (Spark's ReuseExchange collapses the two reads into one
+        # shuffle). The correction joins back map-side as a broadcast:
+        # its size is bounded by the number of documents containing at
+        # least one over-cap shingle. In a boilerplate-saturated corpus
+        # that can approach the corpus row count — the planted-hot
+        # stress test (tests/test_scale_stress.py) drives exactly that
+        # regime — but each row is 12 bytes of (id, count), so even a
+        # 10M-hot-doc correction broadcasts ~120 MB; beyond that scale,
+        # raise the cap or pre-strip boilerplate upstream.
+        from pyspark.sql import Window as _W
+
+        tagged = _pin(inv, "_s").withColumn(
+            "_df", F.count(F.lit(1)).over(_W.partitionBy("_s"))
+        )
+        kept = tagged.filter(F.col("_df") <= int(max_shingle_df)).drop("_df")
+        drops = (
+            tagged.filter(F.col("_df") > int(max_shingle_df))
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_n_dropped"))
+        )
+        inv = (
+            kept.join(F.broadcast(drops), "_id", "left")
+            .withColumn(
+                "_set_size",
+                F.col("_set_size")
+                - F.coalesce(F.col("_n_dropped"), F.lit(0)),
+            )
+            .drop("_n_dropped")
+        )
+        # Already hash-partitioned by _s — no exchange below this agg.
+        postings = inv.groupBy("_s").agg(
+            F.collect_list(F.struct("_id", "_set_size")).alias("_ps")
+        )
+    else:
+        postings = _pin(inv, "_s").groupBy("_s").agg(
+            F.collect_list(F.struct("_id", "_set_size")).alias("_ps")
+        )
 
     t = float(threshold)
     cands = (

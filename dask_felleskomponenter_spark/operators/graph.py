@@ -15,9 +15,11 @@ the difference between 20 rounds and a job that never finishes.
 
 Scale shape per round: one groupBy (map-side-combinable ``min``) and
 one shuffle join back to the neighbor list — all JVM-side columnar ops,
-no UDFs. The convergence check is one count+hash aggregate per round;
-driver-side loop control is inherent to iterative algorithms (GraphX /
-GraphFrames use the same model) and moves O(1) bytes per round.
+no UDFs. The convergence check is one short-circuiting star-forest
+probe per round (a semi-join ``isEmpty``, exact one round earlier than
+output-stability comparison); driver-side loop control is inherent to
+iterative algorithms (GraphX / GraphFrames use the same model) and
+moves O(1) bytes per round.
 
 Lineage: every round ends in ``localCheckpoint(eager=True)`` — without
 it the iterated self-joins grow the logical plan exponentially and
@@ -88,20 +90,25 @@ def connected_components(
     practice; a hit means pathological input like id overflow).
     """
     cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
-    prev_sig = None
     for _ in range(max_iter):
         stars = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # Order-independent set signature; XOR cannot overflow under ANSI.
-        sig = tuple(
-            stars.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64("a", "b")).alias("h"),
-            ).first()
+        cur = stars
+        # Convergence = the output is already a star forest: no root
+        # (b side) appears as a child (a side). A star forest is a
+        # fixpoint of both star operations and both ops preserve
+        # connectivity, so stopping here is exact — and it fires one
+        # round EARLIER than comparing round r to round r-1 (the old
+        # signature check needed a confirmation round that recomputed
+        # both stars just to observe no change). The semi-join runs on
+        # checkpointed kilobyte-scale data and isEmpty short-circuits
+        # at the first witness row.
+        non_root_parents = stars.join(
+            stars.select(F.col("a").alias("_child")),
+            F.col("b") == F.col("_child"),
+            "left_semi",
         )
-        if sig == prev_sig:
-            cur = stars
+        if non_root_parents.isEmpty():
             break
-        prev_sig, cur = sig, stars
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
