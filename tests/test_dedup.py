@@ -243,3 +243,37 @@ class TestSketchSCurve:
         # well below. The two distributions must be cleanly separated.
         assert mean_high < mean_low - 8, (mean_high, mean_low)
         assert max(high) < 64 / 2, f"a 0.74-Jaccard pair hashed {max(high)} bits apart"
+
+    def test_simhash_signatures_match_column_form(self, spark):
+        """The DataFrame-op scale path and the per-bit column expression
+        must produce identical 64-bit fingerprints — including the
+        degenerate rows (empty text, whitespace-only text, one token)
+        where the vote count is 0 or ties are possible."""
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions.text import (
+            simhash64,
+            simhash_signatures,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, ""),
+            (4, "   "),
+            (5, "single"),
+            (6, "a b a b"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        fast = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, "doc_id", "text").collect()
+        }
+        slow = {
+            r["doc_id"]: r["s"]
+            for r in docs.select(
+                "doc_id", simhash64("text").alias("s")
+            ).collect()
+        }
+        assert fast == slow
+        assert fast[3] == 0 and fast[4] == 0
