@@ -635,6 +635,20 @@ GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
 
+ORACLES["skew_profile_event_keys"] = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+), t AS (
+  SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM per_key
+)
+SELECT p.user_id, p.n_rows,
+       ROUND(p.n_rows / t.total, 9) AS share,
+       ROUND(CAST(p.n_rows AS DOUBLE) * t.n_keys / t.total, 6) AS skew_x
+FROM per_key p, t
+ORDER BY p.n_rows DESC, p.user_id
+LIMIT 20
+"""
+
 ORACLES["embedding_quantize_stats"] = """
 WITH base AS (
   SELECT vec_id,

@@ -2156,6 +2156,44 @@ def join_salted_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_profile_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the measurement that picks a join
+    strategy (plain shuffle, broadcast, or salted —
+    ``operators/joins.py::salted_join``) before committing a 100 TB
+    fact join: per-key row counts for the events fact's ``user_id``,
+    each key's share of the stream, and its ratio to the uniform-key
+    expectation. The 20 heaviest keys surface the salting candidates.
+
+    Scale: one map-side-combinable groupBy(count) over the fact; the
+    totals are a one-row aggregate over the *profile* (one row per
+    distinct key — never a second fact scan) broadcast back via
+    crossJoin; top-k is TakeOrdered, no global sort. The multiply is
+    forced to double before the divide — ``n_rows × n_keys`` overflows
+    a long at fact×key cardinalities that are routine at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 9).alias("share"),
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.col("_n_keys")
+                / F.col("_total"),
+                6,
+            ).alias("skew_x"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
 def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the
     compression step before an ANN index ships to serving. Pure
@@ -3480,6 +3518,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
     "join_full_outer_spend_freq": join_full_outer_spend_freq,
     "join_salted_user_events": join_salted_user_events,
+    "skew_profile_event_keys": skew_profile_event_keys,
     "embedding_quantize_stats": embedding_quantize_stats,
     "exists_late_shipment_orders": exists_late_shipment_orders,
     "scalar_subquery_small_qty": scalar_subquery_small_qty,
