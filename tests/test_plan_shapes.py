@@ -274,6 +274,26 @@ def test_tfidf_has_no_python_nodes_and_two_aggregates(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final × (tf, df)
 
 
+def test_capped_jaccard_shuffles_index_once(spark):
+    # The df-cap must ride the ONE hash(_s) exchange of the inverted
+    # index: the per-doc size correction comes from the dropped rows
+    # (broadcast back map-side), never from a second full-index window
+    # over _id (the r3 shape — a 60% overhead) nor from a
+    # collect_list re-explode recount (the r2→r3 ADVICE regression).
+    plan = plan_of(spark, "neardup_jaccard_pairs")
+    id_windows = re.findall(r"windowspecdefinition\(_id", plan)
+    assert not id_windows, "capped Jaccard re-grew a full-index _id window"
+    s_windows = re.findall(r"windowspecdefinition\(_s", plan)
+    assert len(s_windows) >= 1, "df-cap count window over _s missing"
+    # one logical collect_list aggregate = one partial-mode rendering
+    # (the formatted plan repeats the expression in partial/final nodes
+    # and their detail sections, so count the partial marker)
+    assert len(re.findall(r"partial_collect_list", plan)) == 1, (
+        "exactly one postings collect_list expected — a second one is "
+        "the array-buffer recount regression"
+    )
+
+
 def test_connected_components_rounds_are_bounded(spark):
     # large-star/small-star on a 2^k-diameter path must converge in
     # O(k) rounds — count the per-round signature jobs via the Spark UI
