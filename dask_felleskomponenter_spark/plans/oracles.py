@@ -635,6 +635,21 @@ GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
 
+ORACLES["theta_cohort_overlap"] = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 200
+), b AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'error' AND value > 200
+)
+SELECT (SELECT COUNT(*) FROM a) AS big_buyers,
+       (SELECT COUNT(*) FROM b) AS error_reporters,
+       (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS both,
+       (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS either,
+       (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS buyers_only
+"""
+
 ORACLES["skew_profile_event_keys"] = """
 WITH per_key AS (
   SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id

@@ -3143,6 +3143,93 @@ def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total).orderBy("event_type")
 
 
+def kll_quantile_rollup_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup (Spark 4 DataSketches KLL): per
+    return-flag KLL sketches of the extended price, read out as
+    p50/p90/p99, PLUS an ALL row via ``kll_merge_agg_double`` over the
+    three group sketches — never a re-scan. The quantile twin of
+    ``sketch_rollup_users``: at 100 TB you materialize kilobyte
+    sketches per segment once and answer any segment-combination
+    percentile question by merging them, instead of re-running an
+    exact-percentile pass (which buffers every value per group — see
+    ``stats_regression_lineitem``'s median for the exact-mode cost).
+
+    Rows-only by design (KLL estimates carry ~1.65% rank error at the
+    default k and the binary sketch has no DuckDB twin); a pytest pins
+    every estimate's true *rank* within the published error bound."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("p").alias("_sk")
+    )
+
+    def readout(df: DataFrame, label_col: Column, sk_col: str) -> DataFrame:
+        return df.select(
+            label_col.alias("l_returnflag"),
+            F.kll_sketch_get_n_double(sk_col).alias("n_rows"),
+            *[
+                F.round(
+                    F.kll_sketch_get_quantile_double(sk_col, F.lit(q)), 2
+                ).alias(name)
+                for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+            ],
+        )
+
+    per = readout(sk, F.col("l_returnflag"), "_sk")
+    total = readout(
+        sk.agg(F.kll_merge_agg_double("_sk").alias("_m")),
+        F.lit("ALL"),
+        "_m",
+    )
+    return per.unionByName(total).orderBy("l_returnflag")
+
+
+def theta_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort set-algebra via Theta sketches (Spark 4 DataSketches):
+    distinct-user intersection / union / difference between two
+    behavioral cohorts (high-value purchasers vs high-value error
+    reporters) computed from TWO kilobyte sketches built in ONE scan —
+    the audience-overlap question HLL cannot answer (HLL unions but
+    never intersects).
+
+    Scale: one pass over the fact builds both sketches as conditional
+    aggregates (map-side partial merge); every set operation after that
+    touches only sketch bytes. Oracle note: a Theta sketch is EXACT
+    below its nominal capacity (2^12 entries at the default lgK), which
+    these cohorts are at every tested SF, so the DuckDB twin compares
+    exact set algebra; at 100 TB the same query degrades gracefully to
+    ±2% estimates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    row = ev.agg(
+        F.theta_sketch_agg(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                F.col("user_id"),
+            )
+        ).alias("_a"),
+        F.theta_sketch_agg(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("value") > 200),
+                F.col("user_id"),
+            )
+        ).alias("_b"),
+    )
+    return row.select(
+        F.theta_sketch_estimate("_a").alias("big_buyers"),
+        F.theta_sketch_estimate("_b").alias("error_reporters"),
+        F.theta_sketch_estimate(F.theta_intersection("_a", "_b")).alias(
+            "both"
+        ),
+        F.theta_sketch_estimate(F.theta_union("_a", "_b")).alias("either"),
+        F.theta_sketch_estimate(F.theta_difference("_a", "_b")).alias(
+            "buyers_only"
+        ),
+    )
+
+
 def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: view → click → purchase, each stage's first
     event strictly after the previous stage's — the product-analytics
@@ -3505,6 +3592,8 @@ QUERIES: dict[str, QueryFn] = {
     "resample_ffill_events": resample_ffill_events,
     "funnel_conversion_events": funnel_conversion_events,
     "sketch_rollup_users": sketch_rollup_users,
+    "kll_quantile_rollup_prices": kll_quantile_rollup_prices,
+    "theta_cohort_overlap": theta_cohort_overlap,
     "stats_regression_lineitem": stats_regression_lineitem,
     "nullsafe_join_segments": nullsafe_join_segments,
     "window_range_7day_spend": window_range_7day_spend,

@@ -675,6 +675,40 @@ def test_sketch_rollup_tracks_exact_counts(spark):
         assert abs(got[k] - e) <= max(2, 0.05 * e), (k, got[k], e)
 
 
+def test_kll_rollup_ranks_within_error_bound(spark):
+    # KLL quantile estimates (per group AND the merged ALL row) must
+    # land at a true rank within the published ~1.65% bound (we allow
+    # 2x slack); the sketch's n is the exact stream length.
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources import load_table
+
+    rows = QUERIES["kll_quantile_rollup_prices"](spark, SF).collect()
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+    )
+    by_flag = {
+        r.l_returnflag: sorted(x.p for x in g)
+        for r in rows
+        if r.l_returnflag != "ALL"
+        for g in [li.where(F.col("l_returnflag") == r.l_returnflag).collect()]
+    }
+    by_flag["ALL"] = sorted(x.p for x in li.collect())
+    import bisect
+
+    for r in rows:
+        vals = by_flag[r.l_returnflag]
+        assert r.n_rows == len(vals), (r.l_returnflag, r.n_rows, len(vals))
+        for q, est in [(0.5, r.p50), (0.9, r.p90), (0.99, r.p99)]:
+            true_rank = bisect.bisect_right(vals, est) / len(vals)
+            assert abs(true_rank - q) <= 0.033, (
+                r.l_returnflag,
+                q,
+                est,
+                true_rank,
+            )
+
+
 @pytest.mark.parametrize(
     "name",
     [
