@@ -288,3 +288,91 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplicated-span detection (the ExactSubstr pass of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): maximal token spans of length >= ``k`` that appear verbatim
+    in at least two *distinct* documents. Unlike document-level Jaccard or
+    MinHash, this finds the boilerplate passage *inside* otherwise-unique
+    documents — the license header, the navigation chrome, the quoted
+    reply — which is what actually gets memorized at pretraining scale.
+
+    Returns one row per maximal span: ``(id, span_start, span_end,
+    span_tokens)`` with token-index bounds (``span_end`` exclusive).
+    Overlapping and adjacent duplicated ``k``-grams are merged into
+    maximal islands, so a 40-token duplicated passage is one row, not 33.
+
+    Shape (no suffix array needed — the postings formulation distributes):
+    1. positional ``k``-gram shingles via ``posexplode`` (start index =
+       array position, one pass, JVM-side);
+    2. cross-document duplication flag per shingle hash as
+       ``min(id) != max(id)`` over one hash-partitioned window — a
+       purely-internal repeat (same doc twice) does NOT flag, and the
+       check keeps no distinct-id set — WindowExec's group buffer is
+       12-byte rows and disk-spillable, so a boilerplate shingle in 10M
+       documents costs a spill, never an OOM;
+    3. flagged start positions merge into maximal spans with the
+       classic gaps-and-islands window per document (running max of
+       span ends over preceding rows).
+
+    Exactly two shuffles at any scale: hash(shingle) for the dup flag,
+    hash(id) for the island merge — both on fixed-width keys. Documents
+    shorter than ``k`` tokens are excluded (a whole-doc duplicate of a
+    tiny document is exact-dedup's job, not span detection's).
+
+    ``hash_family='md5'`` swaps the 8-byte ``xxhash64`` shingle key for
+    DuckDB-portable md5 hex (32 bytes through the shuffle) so the result
+    is oracle-checkable; selection semantics are identical modulo hash
+    collisions (~2^-64 per pair vs ~2^-128).
+    """
+    from pyspark.sql import Window as _W
+
+    from dask_felleskomponenter_spark.functions.text import token_count
+
+    hasher = F.md5 if hash_family == "md5" else F.xxhash64
+    shingled = (
+        df.filter(token_count(text_col) >= k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(word_shingles(text_col, k, distinct=False)).alias(
+                "_pos", "_sh"
+            ),
+        )
+        .select("_id", "_pos", hasher(F.col("_sh")).alias("_h"))
+    )
+    wh = _W.partitionBy("_h")
+    flagged = (
+        shingled.withColumn(
+            "_dup",
+            F.min("_id").over(wh) != F.max("_id").over(wh),
+        )
+        .filter(F.col("_dup"))
+        .select("_id", "_pos")
+    )
+    wd = _W.partitionBy("_id").orderBy("_pos")
+    prev_end = F.max(F.col("_pos") + k).over(
+        wd.rowsBetween(_W.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("_pos") > prev_end), 1).otherwise(0)
+        ).over(wd),
+    )
+    return (
+        islands.groupBy(F.col("_id").alias(id_col), "_island")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + k).alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start"))
+        .drop("_island")
+    )

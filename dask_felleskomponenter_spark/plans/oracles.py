@@ -1930,3 +1930,56 @@ FROM fp, (SELECT unnest(generate_series(1, 4)) AS i) r
 WHERE r.i <= len(fp.f)
 ORDER BY doc_id, pos
 """
+
+# ExactSubstr span dedup (Lee et al. 2022 shape): positional 8-gram
+# shingles → cross-doc dup flag (min≠max doc over the shingle hash) →
+# gaps-and-islands merge into maximal spans → per-doc profile. The md5
+# hash family and the 1-based list_slice bounds mirror
+# ``operators/dedup.py::duplicated_spans(hash_family='md5')`` exactly;
+# generate_series yields start i in 1..len-7 ⇒ pos = i-1 in 0..len-8,
+# the same 0-based positions Spark's posexplode emits.
+ORACLES["dedup_substring_spans"] = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, g.i - 1 AS pos,
+         md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')) AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) g
+  WHERE len(toks) >= 8
+),
+flg AS (
+  SELECT doc_id, pos,
+         MIN(doc_id) OVER (PARTITION BY h)
+           <> MAX(doc_id) OVER (PARTITION BY h) AS dup
+  FROM sh
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN MAX(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > MAX(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM flg WHERE dup
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+       CAST(MAX(e - s) AS BIGINT) AS max_span_tokens
+FROM spans
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -42,6 +42,7 @@ from dask_felleskomponenter_spark.operators.windows import (
     running_total,
 )
 from dask_felleskomponenter_spark.operators.dedup import (
+    duplicated_spans,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -3562,6 +3563,30 @@ def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_output(profiled, "vec_id")
 
 
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup profile (Lee et al. 2022 ExactSubstr
+    shape): per document, the maximal 8-token-or-longer passages shared
+    verbatim with at least one *other* document — the pass that catches
+    boilerplate headers and quoted blocks document-level dedup misses.
+
+    Scale: two fixed-width-key shuffles total (shingle-hash dup flag,
+    doc-id island merge) — see ``operators/dedup.py::duplicated_spans``.
+    The md5 hash family here is the oracle-portable twin; production
+    uses xxhash64 (8-byte shuffle key), semantics identical modulo
+    ~2^-128 collisions."""
+    docs = scan_fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    spans = duplicated_spans(docs, "doc_id", "text", k=8, hash_family="md5")
+    prof = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
+    )
+    return ordered_output(prof, "doc_id")
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -3583,6 +3608,7 @@ QUERIES: dict[str, QueryFn] = {
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_heavy_part_suppliers": q20_heavy_part_suppliers,
     "contamination_ngram_screen": contamination_ngram_screen,
+    "dedup_substring_spans": dedup_substring_spans,
     "pack_sequences_offsets": pack_sequences_offsets,
     "mixture_temperature_sample": mixture_temperature_sample,
     "raster_contours_tiles": raster_contours_tiles,

@@ -277,3 +277,74 @@ class TestSketchSCurve:
         }
         assert fast == slow
         assert fast[3] == 0 and fast[4] == 0
+
+
+class TestDuplicatedSpans:
+    """ExactSubstr-style duplicated-span detection
+    (``operators/dedup.py::duplicated_spans``)."""
+
+    def _spans(self, spark, rows, **kw):
+        from dask_felleskomponenter_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = duplicated_spans(df, "doc_id", "text", **kw)
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
+            for r in out.collect()
+        }
+
+    def test_shared_passage_merges_to_one_maximal_span(self, spark):
+        """A 12-token passage shared by two docs yields 5 overlapping
+        8-gram hits per doc that must merge into ONE maximal span
+        covering exactly the passage."""
+        passage = "a b c d e f g h i j k l"  # 12 tokens
+        rows = [
+            (1, f"x1 x2 x3 {passage} y1 y2 y3"),
+            (2, f"z1 {passage} z2 z3 z4 z5 z6"),
+        ]
+        spans = self._spans(spark, rows, k=8)
+        # doc 1: passage at token offsets 3..15; doc 2: 1..13
+        assert spans == {(1, 3, 15): 12, (2, 1, 13): 12}
+
+    def test_internal_repeat_does_not_flag(self, spark):
+        """A doc repeating its own 8-gram (no other doc shares it) must
+        produce no span — duplication is cross-document only."""
+        rep = "p q r s t u v w"
+        rows = [
+            (1, f"{rep} filler1 filler2 {rep}"),
+            (2, "totally unrelated words nothing shared here at all ok"),
+        ]
+        assert self._spans(spark, rows, k=8) == {}
+
+    def test_short_docs_excluded(self, spark):
+        """Documents under k tokens never participate (whole-doc dups
+        are exact-dedup's job)."""
+        rows = [(1, "tiny doc"), (2, "tiny doc")]
+        assert self._spans(spark, rows, k=8) == {}
+
+    def test_disjoint_passages_stay_separate_spans(self, spark):
+        """Two shared passages split by unshared filler must NOT merge."""
+        p1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+        p2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+        rows = [
+            (1, f"{p1} mid1 mid2 mid3 {p2}"),
+            (2, f"{p1} other filler words here {p2}"),
+        ]
+        spans = self._spans(spark, rows, k=8)
+        assert {key for key in spans if key[0] == 1} == {(1, 0, 8), (1, 11, 19)}
+
+    def test_md5_twin_matches_xxhash64(self, spark, sf_dir):
+        """The oracle-portable md5 family selects identical spans to the
+        production xxhash64 family on real data."""
+        from dask_felleskomponenter_spark.operators.dedup import duplicated_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        a = duplicated_spans(docs, "doc_id", "text", k=8).collect()
+        b = duplicated_spans(
+            docs, "doc_id", "text", k=8, hash_family="md5"
+        ).collect()
+        key = lambda r: (r["doc_id"], r["span_start"], r["span_end"])
+        assert sorted(map(key, a)) == sorted(map(key, b))
+        assert a, "sf testdata plants shared passages; expected spans"
