@@ -1983,3 +1983,61 @@ FROM spans
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# Ensemble quality + token-budget selection twin: the quality formula is
+# text_quality_profile's verbatim; the repetition leg is
+# len(list_distinct)/len; 20 fixed score bins, cumulative token budget
+# from the top bin down, selected while cum <= 50% of corpus tokens.
+ORACLES["quality_ensemble_buckets"] = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS ltoks,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN len(ltoks) > 0
+              THEN CAST(len(list_filter(ltoks,
+                     t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE)
+                   / CAST(len(ltoks) AS DOUBLE)
+              ELSE 0.0 END AS sr,
+         len(list_distinct(toks)) AS n_distinct
+  FROM base
+), ens AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROUND(
+           0.6 * ROUND(
+             0.4 * (CASE WHEN n_tokens <= 0 THEN 0.0
+                         ELSE LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                              * LEAST(2000.0 / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 1.0) END)
+             + 0.3 * (1.0 - LEAST(pr * 4.0, 1.0))
+             + 0.3 * LEAST(sr * 5.0, 1.0), 6)
+           + 0.4 * (CAST(n_distinct AS DOUBLE) / GREATEST(n_tokens, 1)),
+           6) AS ensemble
+  FROM scored
+), hist AS (
+  SELECT CAST(LEAST(FLOOR(ensemble * 20), 19) AS INTEGER) AS score_bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(ensemble), 6) AS avg_ensemble,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+  FROM ens GROUP BY 1
+), cum AS (
+  SELECT *,
+         CAST(SUM(sum_tokens) OVER (ORDER BY score_bin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         (SELECT SUM(n_tokens) FROM ens) AS total_tokens
+  FROM hist
+)
+SELECT score_bin, n_docs, avg_ensemble, sum_tokens, cum_tokens,
+       cum_tokens <= 0.5 * total_tokens AS selected
+FROM cum
+ORDER BY score_bin DESC
+"""

@@ -3587,6 +3587,62 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_output(prof, "doc_id")
 
 
+def quality_ensemble_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality scoring + token-budget selection (the DCLM /
+    FineWeb shape): blend the heuristic quality score with the
+    distinct-token repetition signal, histogram the corpus into 20
+    fixed score bins, and mark the top bins that fit a 50%-of-tokens
+    training budget.
+
+    Scale: deliberately NOT ntile/percent_rank — rank deciles need a
+    global sort. Fixed-width score bins are map-side combinable (one
+    20-row aggregate from any corpus size); the cumulative-token budget
+    walk is a window over those 20 rows, and the total is a one-row
+    broadcast. Per-doc work never leaves the scan stage."""
+    docs = scan_fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    toks = F.split(F.trim("text"), TX.WS_PATTERN)
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            0.6 * TX.quality_score("text", "en")
+            + 0.4
+            * (
+                F.size(F.array_distinct(toks))
+                / F.greatest(F.size(toks), F.lit(1))
+            ),
+            6,
+        ).alias("ensemble"),
+    )
+    hist = per_doc.groupBy(
+        F.least(F.floor(F.col("ensemble") * 20), F.lit(19))
+        .cast("int")
+        .alias("score_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ensemble"), 6).alias("avg_ensemble"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    from pyspark.sql import Window as _W
+
+    wbin = _W.orderBy(F.col("score_bin").desc()).rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    total = per_doc.agg(F.sum("n_tokens").alias("_total_tokens"))
+    return (
+        hist.withColumn("cum_tokens", F.sum("sum_tokens").over(wbin))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "selected", F.col("cum_tokens") <= 0.5 * F.col("_total_tokens")
+        )
+        .drop("_total_tokens")
+        .orderBy(F.col("score_bin").desc())
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -3609,6 +3665,7 @@ QUERIES: dict[str, QueryFn] = {
     "q20_heavy_part_suppliers": q20_heavy_part_suppliers,
     "contamination_ngram_screen": contamination_ngram_screen,
     "dedup_substring_spans": dedup_substring_spans,
+    "quality_ensemble_buckets": quality_ensemble_buckets,
     "pack_sequences_offsets": pack_sequences_offsets,
     "mixture_temperature_sample": mixture_temperature_sample,
     "raster_contours_tiles": raster_contours_tiles,

@@ -764,3 +764,19 @@ def test_fuzzy_multikey_blocking_has_no_cartesian_hazard(spark):
     # the per-block guards ride count windows, not separate aggregations
     # joined back (one exchange per key family, reused by its self-join)
     assert plan.count("window") >= 3 or plan.count("Window") >= 3
+
+
+def test_substring_spans_two_fixed_width_shuffles(spark):
+    # ExactSubstr span detection must stay at exactly: the scan_fanout
+    # pin, one hash(shingle-hash) exchange for the dup-flag window, one
+    # hash(doc-id) exchange shared by the island windows AND both
+    # aggregates (clustering on _id satisfies the (_id, _island) and
+    # doc_id groupings), and the final ordered-output range exchange.
+    # A third hash exchange means a grouping stopped reusing the window
+    # partitioning; a Python node means the shingling left the JVM.
+    plan = plan_of(spark, "dedup_substring_spans")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"rangepartitioning", plan)) == 1
