@@ -18,9 +18,18 @@ from dask_felleskomponenter_spark.sources.ann_store import (
     load_ann_store,
 )
 
+from dask_felleskomponenter_spark.sources.dedup_store import (
+    dedup_against_history,
+    history_exists,
+    history_stats,
+)
+
 __all__ = [
     "TABLE_NAMES",
     "build_ann_store",
+    "dedup_against_history",
+    "history_exists",
+    "history_stats",
     "ensure_ann_store",
     "load_ann_store",
     "load_table",

@@ -1,0 +1,113 @@
+"""Cross-batch dedup history store — "is this document already in the
+corpus?" against an accumulated 100 TB history.
+
+Within-batch dedup (``operators/dedup.py``) answers duplication *inside*
+one load; a crawl pipeline also has to screen every incoming batch
+against everything previously ingested. Doing that as a plain join would
+re-shuffle the entire history per batch — the history side dwarfs every
+batch, so the layout must amortize its shuffle once at write time:
+
+- The history is a **bucketed managed table** of content hashes
+  (``bucketBy(n_buckets, hash)``, sorted) — 32 bytes + provenance per
+  distinct document ever seen, pre-partitioned on the join key.
+- Screening is a **left-anti join on the bucket column**: Spark shuffles
+  only the incoming batch into the matching bucket layout; the history
+  scan carries NO Exchange (plan-pinned in ``tests/test_dedup_store.py``)
+  and, with both sides sorted, merges bucket-to-bucket.
+- Novel hashes **append** into the same bucket spec, so the invariant
+  ("history is bucketed on hash") survives every ingest cycle and the
+  next batch pays the same batch-sized cost, not a history-sized one.
+
+The reference has no cross-batch story (its sync is snapshot/merge into
+Postgres, ``sync_df_to_pgdb.py``); this is the LLM-pipeline extension of
+the same "publish incrementally, never recompute the world" idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_felleskomponenter_spark.operators.dedup import content_hash
+from dask_felleskomponenter_spark.operators.windows import keep_first
+
+#: Column names of the history table (fixed schema, versioned by name).
+HASH_COL = "content_sha"
+SEEN_ID_COL = "first_seen_id"
+BATCH_COL = "ingest_batch"
+
+
+def history_exists(spark: SparkSession, table_name: str) -> bool:
+    """Whether the dedup history table has been created yet."""
+    return spark.catalog.tableExists(table_name)
+
+
+def dedup_against_history(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    id_col: str,
+    content_col: str,
+    table_name: str,
+    batch_label: str = "batch-0",
+    n_buckets: int = 16,
+    update: bool = True,
+) -> DataFrame:
+    """Screen an incoming batch against the dedup history and (by
+    default) record its novel documents.
+
+    Returns the batch rows that are novel: not seen in any prior batch,
+    and first-per-hash inside this batch (ties broken by ``id_col``, so
+    re-running the same batch is deterministic). When ``update=True``
+    the novel hashes are appended to the history under the same bucket
+    spec, making the call idempotent: a re-ingested batch yields zero
+    novel rows.
+
+    Scale: the within-batch keep-first and the anti-join both key on the
+    32-byte hash, and the history side is read bucket-aligned — one
+    batch-sized exchange total, nothing history-sized moves. The append
+    writes only novel hashes (bounded by batch size).
+
+    Deployment note: Spark only reads the bucketed side shuffle-free
+    when ``spark.sql.shuffle.partitions`` equals ``n_buckets`` (with a
+    mismatch it re-shuffles BOTH sides to its preferred partition
+    count) — size ``n_buckets`` to the cluster's shuffle parallelism at
+    ingest time. ``tests/test_dedup_store.py`` pins the single-exchange
+    plan under that recipe.
+    """
+    hashed = keep_first(
+        batch_df.withColumn(HASH_COL, content_hash(content_col)),
+        partition_by=[HASH_COL],
+        order_by=[F.col(id_col)],
+    )
+    if history_exists(spark, table_name):
+        history = spark.table(table_name)
+        novel = hashed.join(history, on=HASH_COL, how="left_anti")
+    else:
+        novel = hashed
+    if update:
+        # Materialize before the append: saveAsTable would otherwise
+        # re-evaluate `novel` against a history it is itself mutating.
+        novel = novel.localCheckpoint(eager=True)
+        entries = novel.select(
+            F.col(HASH_COL),
+            F.col(id_col).cast("long").alias(SEEN_ID_COL),
+            F.lit(batch_label).alias(BATCH_COL),
+        )
+        (
+            entries.write.mode("append")
+            .bucketBy(n_buckets, HASH_COL)
+            .sortBy(HASH_COL)
+            .saveAsTable(table_name)
+        )
+    return novel
+
+
+def history_stats(spark: SparkSession, table_name: str) -> DataFrame:
+    """Per-ingest-batch history profile: documents first seen per batch
+    (one map-side-combinable aggregate over the hash store)."""
+    return (
+        spark.table(table_name)
+        .groupBy(BATCH_COL)
+        .agg(F.count(F.lit(1)).alias("n_first_seen"))
+        .orderBy(BATCH_COL)
+    )
