@@ -4,6 +4,8 @@ the hot-shingle document-frequency cut."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from dask_felleskomponenter_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -348,3 +350,58 @@ class TestDuplicatedSpans:
         key = lambda r: (r["doc_id"], r["span_start"], r["span_end"])
         assert sorted(map(key, a)) == sorted(map(key, b))
         assert a, "sf testdata plants shared passages; expected spans"
+
+
+def _model_spans(rows, k):
+    """Driver-side reference for duplicated_spans: brute-force shingle
+    ownership + island merge over token lists."""
+    from collections import defaultdict
+
+    toks = {i: t.split() for i, t in rows}
+    owners = defaultdict(set)
+    for i, ts in toks.items():
+        if len(ts) < k:
+            continue
+        for p in range(len(ts) - k + 1):
+            owners[tuple(ts[p : p + k])].add(i)
+    spans = set()
+    for i, ts in toks.items():
+        if len(ts) < k:
+            continue
+        cur = None
+        for p in range(len(ts) - k + 1):
+            if len(owners[tuple(ts[p : p + k])]) < 2:
+                continue
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], p + k)
+            else:
+                if cur is not None:
+                    spans.add((i, *cur))
+                cur = (p, p + k)
+        if cur is not None:
+            spans.add((i, *cur))
+    return spans
+
+
+class TestDuplicatedSpansModel:
+    """Differential test vs a brute-force model on collision-rich tiny
+    corpora (3-word vocab ⇒ shared k-grams everywhere)."""
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        corpora=st.lists(
+            st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def test_matches_model(self, spark, corpora):
+        rows = [(i, " ".join(words)) for i, words in enumerate(corpora)]
+        from dask_felleskomponenter_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicated_spans(df, "doc_id", "text", k=3).collect()
+        }
+        assert got == _model_spans(rows, 3)

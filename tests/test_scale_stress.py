@@ -153,3 +153,26 @@ def test_connected_components_on_recovered_structure(spark, stress_docs):
     # component id is the minimum member
     assert all(FUZZY_LO <= c < FUZZY_HI and (c - FUZZY_LO) % 4 == 0 for c in quads)
     assert sorted(pairs) == list(range(N_PAIRS))
+
+
+def test_duplicated_spans_survive_planted_boilerplate(spark, stress_docs):
+    """The ExactSubstr pass on the hostile corpus: the boilerplate tail
+    shared by 15k documents concentrates its two 8-gram hashes into
+    15k-row window groups (the spill-not-OOM path), and every carrier
+    must report EXACTLY the boilerplate span — starts at token 4 (after
+    the 4 doc-unique filler tokens), 9 tokens long. The 100 planted
+    identical pairs report whole-document spans; nothing else appears."""
+    from dask_felleskomponenter_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet(f"{stress_docs}/documents.parquet")
+    spans = duplicated_spans(docs, "doc_id", "text", k=8)
+    got = (
+        spans.groupBy("span_start", "span_end")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_coords = {(r.span_start, r.span_end): r.n for r in got}
+    assert by_coords == {
+        (4, 13): BOILER_HI - BOILER_LO,  # boilerplate tail carriers
+        (0, 11): 2 * N_PAIRS,  # planted identical pair docs
+    }
