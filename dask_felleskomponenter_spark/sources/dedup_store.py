@@ -88,18 +88,32 @@ def dedup_against_history(
         # Materialize before the append: saveAsTable would otherwise
         # re-evaluate `novel` against a history it is itself mutating.
         novel = novel.localCheckpoint(eager=True)
-        entries = novel.select(
-            F.col(HASH_COL),
-            F.col(id_col).cast("long").alias(SEEN_ID_COL),
-            F.lit(batch_label).alias(BATCH_COL),
-        )
-        (
-            entries.write.mode("append")
-            .bucketBy(n_buckets, HASH_COL)
-            .sortBy(HASH_COL)
-            .saveAsTable(table_name)
-        )
+        record_novel(novel, id_col, table_name, batch_label, n_buckets)
     return novel
+
+
+def record_novel(
+    novel_df: DataFrame,
+    id_col: str,
+    table_name: str,
+    batch_label: str,
+    n_buckets: int = 16,
+) -> None:
+    """Append already-screened novel rows (carrying ``HASH_COL``) to the
+    history under the bucket spec. Callers that sink the novel rows
+    elsewhere first (e.g. the streaming ingest) split screening from
+    recording with this."""
+    entries = novel_df.select(
+        F.col(HASH_COL),
+        F.col(id_col).cast("long").alias(SEEN_ID_COL),
+        F.lit(batch_label).alias(BATCH_COL),
+    )
+    (
+        entries.write.mode("append")
+        .bucketBy(n_buckets, HASH_COL)
+        .sortBy(HASH_COL)
+        .saveAsTable(table_name)
+    )
 
 
 def history_stats(spark: SparkSession, table_name: str) -> DataFrame:

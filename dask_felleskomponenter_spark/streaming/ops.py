@@ -441,3 +441,60 @@ def running_totals_stateful(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    id_col: str,
+    content_col: str,
+    history_table: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+):
+    """Streaming corpus ingest with cross-batch dedup: every micro-batch
+    is screened against the bucketed content-hash history
+    (``sources/dedup_store.py``), novel documents append to the corpus
+    sink, and their hashes are recorded — the continuous form of the
+    crawl-ingest pipeline (each trigger pays batch-sized cost against
+    an unbounded history).
+
+    Delivery semantics: checkpointed foreachBatch replays are
+    at-least-once. Screening is idempotent (a replayed batch finds its
+    hashes recorded and yields zero novel rows), so duplicates can reach
+    the corpus only if a crash lands exactly between the corpus append
+    and the history append of one batch. The corpus is written FIRST so
+    that failure mode duplicates rather than silently drops; a
+    downstream exact-dedup pass (or a transactional table format making
+    the two appends atomic) removes even that window at deployment.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger).
+    """
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        HASH_COL,
+        dedup_against_history,
+        record_novel,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        novel = dedup_against_history(
+            batch_df.sparkSession,
+            batch_df,
+            id_col,
+            content_col,
+            history_table,
+            n_buckets=n_buckets,
+            update=False,
+        ).localCheckpoint(eager=True)
+        novel.write.mode("append").parquet(corpus_path)
+        record_novel(
+            novel, id_col, history_table, f"batch-{batch_id}", n_buckets
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

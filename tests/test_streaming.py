@@ -513,3 +513,53 @@ def test_streaming_foreachbatch_maintains_incremental_summary(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_dedup_ingest_cross_batch_exactly_once(spark, tmp_path):
+    """Streaming corpus ingest with the dedup history: duplicates
+    planted ACROSS micro-batches must reach the corpus exactly once,
+    and a full re-ingest of the same input (fresh checkpoint) must add
+    nothing — the idempotence the hash history buys."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.streaming.ops import stream_dedup_ingest
+
+    table = f"stream_hist_{_uuid.uuid4().hex[:12]}"
+    data_dir = str(tmp_path / "in")
+    # 400 docs, text repeats with period 100 → every text appears in
+    # 4 docs; 4 input files of 100 rows each = 4 micro-batches, so
+    # most collisions are cross-batch
+    spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text "), (F.col("id") % 100).cast("string")).alias(
+            "text"
+        ),
+    ).repartition(4).write.parquet(data_dir)
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        q = stream_dedup_ingest(
+            stream, "doc_id", "text", table,
+            str(tmp_path / "corpus"), str(tmp_path / ckpt_name),
+            n_buckets=4,
+        )
+        q.awaitTermination(180)
+
+    try:
+        run("ckpt1")
+        corpus = spark.read.parquet(str(tmp_path / "corpus"))
+        texts = [r["text"] for r in corpus.select("text").collect()]
+        assert len(texts) == 100, "each duplicated text must land once"
+        assert sorted(set(texts)) == sorted(
+            f"doc text {i}" for i in range(100)
+        )
+        run("ckpt2")  # full replay, fresh checkpoint: nothing novel
+        assert spark.read.parquet(str(tmp_path / "corpus")).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
