@@ -2041,3 +2041,23 @@ SELECT score_bin, n_docs, avg_ensemble, sum_tokens, cum_tokens,
 FROM cum
 ORDER BY score_bin DESC
 """
+
+# Cross-batch novelty twin: identical keep-first-within-batch +
+# history anti-join semantics; DuckDB anti-joins on the raw text (same
+# accept set as the 256-bit hash modulo ~2^-128 collisions).
+ORACLES["dedup_cross_batch_novelty"] = """
+WITH hist AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+),
+batch AS (
+  SELECT doc_id, source, text,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel,
+       MIN(doc_id) AS first_novel_id
+FROM batch
+WHERE rn = 1 AND text NOT IN (SELECT text FROM hist)
+GROUP BY source
+ORDER BY source
+"""

@@ -37,6 +37,7 @@ from dask_felleskomponenter_spark.operators.joins import (
     semi_join,
 )
 from dask_felleskomponenter_spark.operators.windows import (
+    keep_first,
     lag_sessionize,
     rank_topn_per_group,
     running_total,
@@ -3643,6 +3644,45 @@ def quality_ensemble_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cross_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch novelty screen, declared form of the dedup history
+    store (``sources/dedup_store.py``): docs with ``doc_id % 3 == 0``
+    stand in for prior crawls, and the new crawl re-fetches the WHOLE
+    corpus (the re-crawl reality: most of every batch is pages already
+    ingested); report per source how many fetched documents survive —
+    first of their content hash within the batch AND unseen in history.
+
+    Scale: both the keep-first window and the anti-join key on the
+    32-byte sha, exactly the persisted store's screening plan (there the
+    history side additionally reads bucket-aligned, plan-pinned in
+    ``tests/test_dedup_store.py``); the summary is a map-side-combinable
+    count."""
+    from dask_felleskomponenter_spark.operators.dedup import content_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    history = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(content_hash("text").alias("_h"))
+        .distinct()
+    )
+    batch = keep_first(
+        docs.withColumn("_h", content_hash("text")),
+        partition_by=["_h"],
+        order_by=[F.col("doc_id")],
+    )
+    novel = batch.join(history, on="_h", how="left_anti")
+    return (
+        novel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_novel"),
+            F.min("doc_id").alias("first_novel_id"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -3666,6 +3706,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_ngram_screen": contamination_ngram_screen,
     "dedup_substring_spans": dedup_substring_spans,
     "quality_ensemble_buckets": quality_ensemble_buckets,
+    "dedup_cross_batch_novelty": dedup_cross_batch_novelty,
     "pack_sequences_offsets": pack_sequences_offsets,
     "mixture_temperature_sample": mixture_temperature_sample,
     "raster_contours_tiles": raster_contours_tiles,
