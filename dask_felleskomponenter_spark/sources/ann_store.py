@@ -191,17 +191,41 @@ def build_ann_store(
 
     # PQ layout: codes-only table — the 32x-compressed search structure
     # an ADC query scans instead of raw vectors (codebooks persist in
-    # meta.json; they are m*k*(dim/m) doubles, plan-literal sized)
-    codebooks = build_pq_codebooks(
-        emb, dim=dim, m=DEFAULT_PQ_M, k=DEFAULT_PQ_K, iters=2
-    )
-    pq_path = os.path.join(path, "pq")
-    (
-        with_pq_codes(emb, codebooks, dim=dim)
-        .select("vec_id", "pq_codes")
-        .write.mode("overwrite")
-        .parquet(pq_path)
-    )
+    # meta.json; they are m*k*(dim/m) doubles, plan-literal sized).
+    #
+    # Codegen is disabled for this stage: janino compiling the fused
+    # m×k-argmin projection needs multi-GB compile heap and OOMs the
+    # 1g driver JVM a bare `SparkSession.builder.getOrCreate()` gives
+    # (measured; the verification driver runs exactly such a session).
+    # Interpreted eval of the same expressions is memory-flat and this
+    # is a one-time build step. Set SPARK_GRAFT_ANN_CODEGEN=on to keep
+    # codegen when the driver heap is sized (session.py's 16g default).
+    pq_confs = {
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+    }
+    if os.environ.get("SPARK_GRAFT_ANN_CODEGEN", "").lower() == "on":
+        pq_confs = {}
+    prev_confs = {k: spark.conf.get(k, None) for k in pq_confs}
+    for k, val in pq_confs.items():
+        spark.conf.set(k, val)
+    try:
+        codebooks = build_pq_codebooks(
+            emb, dim=dim, m=DEFAULT_PQ_M, k=DEFAULT_PQ_K, iters=2
+        )
+        pq_path = os.path.join(path, "pq")
+        (
+            with_pq_codes(emb, codebooks, dim=dim)
+            .select("vec_id", "pq_codes")
+            .write.mode("overwrite")
+            .parquet(pq_path)
+        )
+    finally:
+        for k, val in prev_confs.items():
+            if val is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, val)
 
     meta = {
         "source_size": _source_size(sf_dir),
