@@ -125,3 +125,43 @@ def history_stats(spark: SparkSession, table_name: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_first_seen"))
         .orderBy(BATCH_COL)
     )
+
+
+def compact_history(
+    spark: SparkSession, table_name: str, n_buckets: int = 16
+) -> int:
+    """Rewrite the history table into one file-set per bucket.
+
+    Every ingest cycle appends a new file per touched bucket, so after
+    thousands of batches each bucket is thousands of small files and
+    the screening scan pays file-open overhead instead of I/O. This
+    rewrites the accumulated history once (same bucket spec, so the
+    zero-shuffle screening plan is preserved) and swaps it in via table
+    renames. ``sources/tables.py::compact_parquet`` is the flat-layout
+    twin; managed bucketed tables need the table-level path because
+    bucketing lives in catalog metadata, not the directory tree.
+
+    Returns the number of history rows carried over. Crash safety: the
+    compacted copy is built under a scratch name first; the two renames
+    are catalog metadata operations, and the worst interruption leaves
+    either the original table or a ``<name>__old`` to recover manually
+    — never a half-table under the live name.
+    """
+    scratch = f"{table_name}__compacting"
+    old = f"{table_name}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    # Streams original → scratch (different table names, no self-read
+    # hazard); never caches the history, which can be corpus-sized.
+    (
+        spark.table(table_name)
+        .repartition(n_buckets, HASH_COL)
+        .write.bucketBy(n_buckets, HASH_COL)
+        .sortBy(HASH_COL)
+        .saveAsTable(scratch)
+    )
+    n = spark.table(scratch).count()
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {scratch} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {old}")
+    return n

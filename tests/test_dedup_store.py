@@ -126,3 +126,40 @@ def test_history_side_joins_without_exchange(spark, table_name):
     # exactly ONE exchange in the whole plan — the batch side's;
     # a second one means the history got shuffled
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+
+
+def test_compact_history_preserves_content_and_bucketing(spark, table_name):
+    # three appends → up to 3 file-sets per bucket; compaction must keep
+    # every row, stay screened-correct, and leave the table bucketed
+    from dask_felleskomponenter_spark.sources.dedup_store import compact_history
+
+    for b in range(3):
+        _novel_ids(
+            spark,
+            [(b * 100 + i, f"doc {b}-{i}") for i in range(10)],
+            table_name,
+            f"b{b}",
+        )
+    before = {
+        tuple(r)
+        for r in spark.table(table_name)
+        .select("content_sha", "first_seen_id", "ingest_batch")
+        .collect()
+    }
+    assert compact_history(spark, table_name, n_buckets=4) == 30
+    after = {
+        tuple(r)
+        for r in spark.table(table_name)
+        .select("content_sha", "first_seen_id", "ingest_batch")
+        .collect()
+    }
+    assert after == before
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
+    }
+    assert desc.get("Num Buckets") == "4", desc
+    # screening still works (and is idempotent) against the compacted table
+    assert _novel_ids(
+        spark, [(999, "doc 1-5"), (1000, "brand new")], table_name, "b3"
+    ) == [1000]
