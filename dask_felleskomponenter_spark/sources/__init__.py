@@ -19,17 +19,28 @@ from dask_felleskomponenter_spark.sources.ann_store import (
 )
 
 from dask_felleskomponenter_spark.sources.dedup_store import (
+    compact_history,
     dedup_against_history,
     history_exists,
     history_stats,
 )
 
+from dask_felleskomponenter_spark.sources.manifest import (
+    df_checksum,
+    verify_corpus_manifest,
+    write_corpus_manifest,
+)
+
 __all__ = [
     "TABLE_NAMES",
     "build_ann_store",
+    "compact_history",
     "dedup_against_history",
+    "df_checksum",
     "history_exists",
     "history_stats",
+    "verify_corpus_manifest",
+    "write_corpus_manifest",
     "ensure_ann_store",
     "load_ann_store",
     "load_table",

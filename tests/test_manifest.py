@@ -1,0 +1,72 @@
+"""Corpus manifest / distributed checksum (``sources/manifest.py``)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dask_felleskomponenter_spark.sources.manifest import (
+    df_checksum,
+    verify_corpus_manifest,
+    write_corpus_manifest,
+)
+
+
+def _corpus(spark, n=500, salt=0):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(f"text{salt} "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_checksum_is_layout_invariant_and_content_sensitive(spark):
+    base = _corpus(spark)
+    c0 = df_checksum(base)
+    # partitioning / order cannot change identity
+    assert df_checksum(base.repartition(17)) == c0
+    assert df_checksum(base.orderBy(F.col("doc_id").desc())) == c0
+    # any single value change flips it
+    mutated = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 250, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    assert df_checksum(mutated) != c0
+    # a dropped row changes the count even if XOR cancelled
+    assert df_checksum(base.filter("doc_id <> 7"))[1] == c0[1] - 1
+
+
+def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    _corpus(spark).repartition(4).write.parquet(path)
+    m = write_corpus_manifest(
+        spark, path, extra={"mixture": "v1", "quality_cut": 0.5}
+    )
+    assert m["n_rows"] == 500 and len(m["files"]) >= 4
+    assert verify_corpus_manifest(spark, path) == {"ok": True, "problems": []}
+    # overwrite one data file with different rows → checksum + inventory
+    victim = os.path.join(
+        path, next(f for f in m["files"] if f.endswith(".parquet"))
+    )
+    _corpus(spark, n=30, salt=9).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "evil")
+    )
+    evil = next(
+        os.path.join(str(tmp_path / "evil"), f)
+        for f in os.listdir(str(tmp_path / "evil"))
+        if f.endswith(".parquet")
+    )
+    os.replace(evil, victim)
+    # an adversarial swap also removes Hadoop's .crc sidecar (otherwise
+    # the local filesystem itself rejects the read before we compare)
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    report = verify_corpus_manifest(spark, path)
+    assert not report["ok"]
+    assert any("checksum" in p for p in report["problems"])
+    assert any("inventory" in p for p in report["problems"])
