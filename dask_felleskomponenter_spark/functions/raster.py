@@ -178,15 +178,23 @@ def geotiff_encode(
 
     ox, sx, _rx, oy, _ry, nsy = geotransform
     sy = -float(nsy)
+    def _dim(tag: int, n: int):
+        # SHORT while it fits (keeps existing fixtures byte-identical),
+        # LONG above 65535 — TIFF allows type 4 for these tags and both
+        # GDAL and the in-repo reader accept it
+        if n <= 0xFFFF:
+            return (tag, 3, 1, _struct.pack("<H", n))
+        return (tag, 4, 1, _struct.pack("<I", n))
+
     entries = [
-        (256, 3, 1, _struct.pack("<H", w)),
-        (257, 3, 1, _struct.pack("<H", h)),
+        _dim(256, w),
+        _dim(257, h),
         (258, 3, 1, _struct.pack("<H", dt.itemsize * 8)),
         (259, 3, 1, _struct.pack("<H", 8 if compress else 1)),
         (262, 3, 1, _struct.pack("<H", 1)),
         (273, 4, 1, None),  # strip offset, patched below
         (277, 3, 1, _struct.pack("<H", 1)),
-        (278, 3, 1, _struct.pack("<H", h)),
+        _dim(278, h),
         (279, 4, 1, _struct.pack("<I", len(pixels))),
         (339, 3, 1, _struct.pack("<H", sfmt)),
         (33550, 12, 3, _struct.pack("<3d", float(sx), sy, 0.0)),

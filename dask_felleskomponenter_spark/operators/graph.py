@@ -93,21 +93,30 @@ def connected_components(
     for _ in range(max_iter):
         stars = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         cur = stars
-        # Convergence = the output is already a star forest: no root
-        # (b side) appears as a child (a side). A star forest is a
-        # fixpoint of both star operations and both ops preserve
-        # connectivity, so stopping here is exact — and it fires one
-        # round EARLIER than comparing round r to round r-1 (the old
-        # signature check needed a confirmation round that recomputed
-        # both stars just to observe no change). The semi-join runs on
-        # checkpointed kilobyte-scale data and isEmpty short-circuits
-        # at the first witness row.
+        # Convergence = the output is already a star forest, which needs
+        # BOTH conditions: (1) no root (b side) appears as a child
+        # (a side) — no chains; (2) every child has exactly ONE parent —
+        # a child bridging two roots (e.g. edges (3,1),(3,2)) satisfies
+        # (1) alone while the component is still split, the bug a
+        # (1)-only probe shipped: nodes came back with two component
+        # labels. A star forest is a fixpoint of both star operations
+        # and both ops preserve connectivity, so stopping at (1)∧(2) is
+        # exact — and still fires one round earlier than the old
+        # output-stability signature (which recomputed both stars just
+        # to observe no change). Both probes run on checkpointed data:
+        # a semi-join isEmpty that short-circuits at the first witness,
+        # and a map-side-combinable duplicate-child count.
         non_root_parents = stars.join(
             stars.select(F.col("a").alias("_child")),
             F.col("b") == F.col("_child"),
             "left_semi",
         )
-        if non_root_parents.isEmpty():
+        multi_parent = (
+            stars.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_np"))
+            .where(F.col("_np") > 1)
+        )
+        if non_root_parents.isEmpty() and multi_parent.isEmpty():
             break
     else:
         raise RuntimeError(

@@ -349,18 +349,28 @@ def multikey_blocking_candidates(
         pinned_repartition,
     )
 
+    # NULL key values produce NULL entries and are dropped: concat_ws
+    # would silently collapse them to the bare family prefix, making
+    # "key unknown" one giant shared block (rows with NULL names would
+    # all pair with each other — at corpus scale usually the hottest
+    # "block" of the family, and a pure artifact).
     tagged = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(c).alias(c) for c in payload_cols],
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(":", F.lit(f"k{i}"), F.col(k).cast("string"))
+                    F.when(
+                        F.col(k).isNotNull(),
+                        F.concat_ws(
+                            ":", F.lit(f"k{i}"), F.col(k).cast("string")
+                        ),
+                    )
                     for i, k in enumerate(key_cols)
                 ]
             )
         ).alias("_k"),
-    )
+    ).filter(F.col("_k").isNotNull())
     # pinned: the self-join's comparison fan-out, not the shuffled
     # bytes, is the cost — keep AQE from coalescing it to one task
     sized = pinned_repartition(tagged, "_k").withColumn(

@@ -2047,12 +2047,13 @@ ORDER BY score_bin DESC
 # accept set as the 256-bit hash modulo ~2^-128 collisions).
 ORACLES["dedup_cross_batch_novelty"] = """
 WITH hist AS (
-  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+  SELECT DISTINCT text FROM documents
+  WHERE doc_id % 3 = 0 AND text IS NOT NULL
 ),
 batch AS (
   SELECT doc_id, source, text,
          ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel,
        MIN(doc_id) AS first_novel_id

@@ -3604,7 +3604,10 @@ def quality_ensemble_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
     )
-    toks = F.split(F.trim("text"), TX.WS_PATTERN)
+    # TX.tokens, not a raw split: empty/whitespace-only text must count
+    # 0 tokens (a raw split yields [''] → 1), matching quality_score's
+    # internal count and the oracle's CASE-guarded tokenization
+    toks = TX.tokens("text")
     per_doc = docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -3659,8 +3662,13 @@ def dedup_cross_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     from dask_felleskomponenter_spark.operators.dedup import content_hash
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
+    # NULL text is excluded on BOTH engines: Spark's NULL sha anti-join
+    # key matches nothing while SQL NOT IN goes three-valued — the one
+    # place the two formulations would diverge
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter(F.col("text").isNotNull())
     )
     history = (
         docs.filter(F.col("doc_id") % 3 == 0)

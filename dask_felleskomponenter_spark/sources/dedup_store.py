@@ -38,8 +38,35 @@ BATCH_COL = "ingest_batch"
 
 
 def history_exists(spark: SparkSession, table_name: str) -> bool:
-    """Whether the dedup history table has been created yet."""
+    """Whether the dedup history table has been created yet — after
+    recovering any interrupted compaction swap, so a crash mid-
+    ``compact_history`` can never read as "no history" (which would
+    silently restart screening from an empty table and re-admit the
+    whole corpus)."""
+    _recover_history(spark, table_name)
     return spark.catalog.tableExists(table_name)
+
+
+def _recover_history(spark: SparkSession, table_name: str) -> None:
+    """Roll an interrupted ``compact_history`` swap back to the
+    original table. The swap is rename(live→old), rename(scratch→live),
+    drop(old): a crash between the renames leaves the accumulated
+    history under ``__old`` only — restore it; a crash before the final
+    drop leaves the (complete) compacted live plus a stale ``__old`` —
+    drop the leftover. A ``__compacting`` scratch is always safe to
+    drop: it only becomes the live table inside a successful swap."""
+    old = f"{table_name}__old"
+    scratch = f"{table_name}__compacting"
+    if not spark.catalog.tableExists(table_name) and spark.catalog.tableExists(
+        old
+    ):
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table_name}")
+    elif spark.catalog.tableExists(table_name) and spark.catalog.tableExists(
+        old
+    ):
+        spark.sql(f"DROP TABLE {old}")
+    if spark.catalog.tableExists(scratch):
+        spark.sql(f"DROP TABLE {scratch}")
 
 
 def dedup_against_history(
@@ -74,8 +101,16 @@ def dedup_against_history(
     ingest time. ``tests/test_dedup_store.py`` pins the single-exchange
     plan under that recipe.
     """
+    # NULL content must still get a non-null key: sha2(NULL) is NULL,
+    # a NULL anti-join key matches nothing, and every batch would
+    # re-admit its NULL-content row as "novel" forever — breaking the
+    # idempotence the streaming replay path relies on. All NULL-content
+    # documents share one sentinel identity (they are equally empty).
     hashed = keep_first(
-        batch_df.withColumn(HASH_COL, content_hash(content_col)),
+        batch_df.withColumn(
+            HASH_COL,
+            F.coalesce(content_hash(content_col), F.lit("sha:null-content")),
+        ),
         partition_by=[HASH_COL],
         order_by=[F.col(id_col)],
     )
@@ -143,13 +178,14 @@ def compact_history(
 
     Returns the number of history rows carried over. Crash safety: the
     compacted copy is built under a scratch name first; the two renames
-    are catalog metadata operations, and the worst interruption leaves
-    either the original table or a ``<name>__old`` to recover manually
-    — never a half-table under the live name.
+    are catalog metadata operations, and any interruption is rolled
+    back automatically by ``_recover_history`` (invoked here and by
+    every screening call via ``history_exists``) — the accumulated
+    history is never read as absent.
     """
     scratch = f"{table_name}__compacting"
     old = f"{table_name}__old"
-    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    _recover_history(spark, table_name)
     # Streams original → scratch (different table names, no self-read
     # hazard); never caches the history, which can be corpus-sized.
     (

@@ -270,14 +270,42 @@ def compact_parquet(
             break
         part_cols.append(subdirs[0].split("=", 1)[0])
         probe = _os.path.join(probe, subdirs[0])
-    df = spark.read.parquet(path)
+    # Partition VALUES must survive byte-identical: with type inference
+    # on, 'key=007' reads back as int 7 and rewrites as 'key=7',
+    # breaking readers that filter on the original string. Read the
+    # values as strings for the round-trip.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
     staging = f"{path}.staging-{_uuid.uuid4().hex}"
     try:
         if part_cols:
-            # per-partition compaction: one output file per partition
-            # value-combination per target chunk; partition pruning and
-            # the key=value layout survive the rewrite
-            out = df.repartition(n_files, *part_cols)
+            # per-partition compaction. Hashing on the partition columns
+            # alone would funnel each partition VALUE into one task and
+            # one file regardless of size, so a within-partition spread
+            # key splits hot partitions into ~target-byte chunks; the
+            # key=value layout and partition pruning survive the
+            # rewrite either way.
+            n_leaf_parts = max(
+                1,
+                len(
+                    {
+                        dp
+                        for dp, _dn, fs in _os.walk(path)
+                        if any(f.endswith(".parquet") for f in fs)
+                    }
+                ),
+            )
+            spread = max(1, math.ceil(n_files / n_leaf_parts))
+            out = df.repartition(
+                n_files,
+                *part_cols,
+                F.pmod(F.xxhash64(F.monotonically_increasing_id()), spread),
+            )
             if sort_cols:
                 out = out.sortWithinPartitions(*sort_cols)
             out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)

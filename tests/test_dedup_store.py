@@ -163,3 +163,29 @@ def test_compact_history_preserves_content_and_bucketing(spark, table_name):
     assert _novel_ids(
         spark, [(999, "doc 1-5"), (1000, "brand new")], table_name, "b3"
     ) == [1000]
+
+
+def test_null_content_screens_idempotently(spark, table_name):
+    # sha2(NULL) is NULL and a NULL join key matches nothing — without
+    # the sentinel, a NULL-content row would be "novel" on every replay
+    assert _novel_ids(
+        spark, [(1, None), (2, "real text")], table_name, "b0"
+    ) == [1, 2]
+    assert _novel_ids(
+        spark, [(5, None), (6, "real text")], table_name, "b0-replay"
+    ) == []
+
+
+def test_interrupted_compaction_swap_recovers(spark, table_name):
+    _novel_ids(spark, [(1, "kept doc")], table_name, "b0")
+    # crash between the two renames: live name missing, history in __old
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {table_name}__old")
+    # the next screening call must recover the history, not restart it
+    assert _novel_ids(spark, [(2, "kept doc")], table_name, "b1") == []
+    assert not spark.catalog.tableExists(f"{table_name}__old")
+    # crash before the final cleanup drop: stale __old beside the live
+    spark.sql(
+        f"CREATE TABLE {table_name}__old AS SELECT * FROM {table_name}"
+    )
+    assert _novel_ids(spark, [(3, "kept doc")], table_name, "b2") == []
+    assert not spark.catalog.tableExists(f"{table_name}__old")

@@ -94,3 +94,23 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_bridge_child_with_two_roots_converges_fully(spark):
+    """Regression: after one star round, edges (3,4),(3,5),(1,4),(2,5)
+    become two stars rooted at 1 and 2 BRIDGED by child 3 — 'no root is
+    a child' holds while node 3 still has two parents. A probe checking
+    only that condition stopped here and emitted node 3 with TWO
+    component labels; full convergence must merge everything to
+    component 1 (and keep disjoint components disjoint)."""
+    from dask_felleskomponenter_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(3, 4), (3, 5), (1, 4), (2, 5), (40, 50)], ["id_a", "id_b"]
+    )
+    got = sorted(tuple(r) for r in connected_components(edges).collect())
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (40, 40), (50, 40),
+    ]

@@ -460,3 +460,23 @@ class TestAviCodec:
         assert sorted(got) == [0, 2, 4]
         for i, blob in got.items():
             assert fakm_decode(blob)["payload"] == frames[i]
+
+
+def test_geotiff_encode_large_dimension_uses_long_tags():
+    """Grids taller than 65535 pixels must encode (TIFF LONG type for
+    ImageWidth/Length/RowsPerStrip) and round-trip through the in-repo
+    reader; 16-bit SHORT packing crashed on them."""
+    import numpy as np
+
+    from dask_felleskomponenter_spark.functions.raster import (
+        decode_geotiff_grid,
+        geotiff_encode,
+    )
+
+    g = (np.arange(70000 * 3, dtype=np.int64) % 251).astype(np.uint8)
+    g = g.reshape(70000, 3)
+    data = geotiff_encode(g, (10.0, 2.0, 0.0, 20.0, 0.0, -2.0))
+    grid, gt = decode_geotiff_grid(data)
+    assert grid.shape == (70000, 3)
+    assert (grid == g).all()
+    assert gt == (10.0, 2.0, 0.0, 20.0, 0.0, -2.0)
