@@ -780,3 +780,20 @@ def test_substring_spans_two_fixed_width_shuffles(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"rangepartitioning", plan)) == 1
+
+
+def test_ensemble_buckets_stays_jvm_side_single_scan(spark):
+    # per-doc scoring must ride the scan as Column expressions — a
+    # Python node means the quality blend left codegen; the 20-row
+    # budget walk must not add a second corpus scan
+    plan = plan_of(spark, "quality_ensemble_buckets")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2  # hist + total
+
+
+def test_novelty_screen_is_anti_join_on_hash(spark):
+    plan = plan_of(spark, "dedup_cross_batch_novelty")
+    assert "LeftAnti" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
