@@ -485,3 +485,25 @@ def test_fuzzy_blocked_match_escalates_hot_first_token_block(
     }
     assert got == want  # all within-group pairs, nothing cross-group
     assert all(r.distance == 1 for r in rows)
+
+
+def test_multikey_blocking_null_keys_never_pair(spark):
+    """Regression: rows whose only common trait is a NULL key value must
+    NOT become candidates — concat_ws used to collapse NULLs into one
+    shared 'key unknown' block per family."""
+    from dask_felleskomponenter_spark.operators.joins import (
+        multikey_blocking_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y"), (3, "k", None), (4, "k", None)],
+        "id long, k1 string, k2 string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in multikey_blocking_candidates(
+            df, id_col="id", key_cols=["k1", "k2"], max_block_size=100
+        ).collect()
+    }
+    # only (3,4) share an actual value ('k'); the NULL rows share nothing
+    assert got == {(3, 4)}
