@@ -349,3 +349,20 @@ def rolling_fingerprint_md5(
     shingled = word_shingles(_c(col), k=window, distinct=False)
     hashed = F.array_sort(F.transform(shingled, lambda s: F.md5(s)))
     return F.slice(hashed, 1, keep)
+
+
+def canonicalize_text(col: str | Column) -> Column:
+    """Dedup canonical form: lowercase, punctuation stripped, whitespace
+    runs collapsed to single spaces, trimmed.
+
+    The standard near-exact normalization between exact dedup (byte
+    identity) and fuzzy dedup (Jaccard/MinHash): it merges casing,
+    punctuation, and whitespace variants of the same passage — the bulk
+    of "trivially different" crawl duplicates — while staying a pure
+    deterministic Column expression (one regexp pass each, engine-
+    portable so a SQL oracle can mirror it exactly).
+    """
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, PUNCT_PATTERN, "")
+    c = F.regexp_replace(c, WS_PATTERN, " ")
+    return F.trim(c)

@@ -2062,3 +2062,22 @@ WHERE rn = 1 AND text NOT IN (SELECT text FROM hist)
 GROUP BY source
 ORDER BY source
 """
+
+# Canonical-head dedup twin: same normalization chain (lowercase →
+# strip [^\w\s] → collapse \s+ → trim) over the 80-char prefix; DuckDB
+# groups on the canonical string itself (same accept set as Spark's
+# sha2 key modulo ~2^-128 collisions).
+ORACLES["dedup_canonical_docs"] = """
+WITH c AS (
+  SELECT doc_id,
+         TRIM(regexp_replace(regexp_replace(
+             LOWER(substr(text, 1, 80)), '[^\\w\\s]', '', 'g'),
+             '\\s+', ' ', 'g')) AS canon
+  FROM documents
+)
+SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM c
+GROUP BY canon
+HAVING COUNT(*) > 1
+ORDER BY keep_id
+"""

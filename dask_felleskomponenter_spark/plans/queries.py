@@ -3691,6 +3691,40 @@ def dedup_cross_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on a canonical HEAD fingerprint: the first 80
+    characters lowercased, punctuation-stripped, whitespace-collapsed
+    (``TX.canonicalize_text``). Catches the casing/punctuation/
+    whitespace variants and shared-opening duplicates byte-exact dedup
+    misses but fuzzy dedup shouldn't have to pay for — one row per
+    canonical group with >1 member, keyed by the group's keeper.
+
+    Scale: identical shape to exact dedup — the groupBy key is the
+    256-bit hash of the canonical head (32 bytes through the shuffle,
+    never the text), counts map-side combine; the canonicalization is
+    three regexp passes over an 80-char prefix fused into the scan
+    stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    canon = docs.select(
+        "doc_id",
+        F.sha2(
+            TX.canonicalize_text(F.substring("text", 1, 80)), 256
+        ).alias("_h"),
+    )
+    groups = (
+        canon.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return (
+        groups.select("keep_id", "n_docs")
+        .orderBy("keep_id")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -3715,6 +3749,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_substring_spans": dedup_substring_spans,
     "quality_ensemble_buckets": quality_ensemble_buckets,
     "dedup_cross_batch_novelty": dedup_cross_batch_novelty,
+    "dedup_canonical_docs": dedup_canonical_docs,
     "pack_sequences_offsets": pack_sequences_offsets,
     "mixture_temperature_sample": mixture_temperature_sample,
     "raster_contours_tiles": raster_contours_tiles,
