@@ -507,3 +507,43 @@ def test_multikey_blocking_null_keys_never_pair(spark):
     }
     # only (3,4) share an actual value ('k'); the NULL rows share nothing
     assert got == {(3, 4)}
+
+
+def test_canonicalize_text_matches_duckdb_chain(spark, duck):
+    """The canonical-dedup oracle assumes Spark's and DuckDB's regex
+    semantics agree on the normalization chain — fuzz the agreement on
+    punctuation-heavy, whitespace-heavy, and non-ASCII samples."""
+    import duckdb as _duckdb
+
+    from dask_felleskomponenter_spark.functions.text import canonicalize_text
+
+    samples = [
+        "",
+        "   ",
+        "Hello, World!",
+        "a\tb\nc\r\nd",
+        "UPPER lower MiXeD",
+        "dots...and---dashes___underscores",
+        "number 42 & symbol #@%",
+        'quotes "double" \'single\'',
+        "trailing spaces   ",
+        "   leading",
+        "æøå ÆØÅ blåbær",     # Norwegian letters are \w in both engines
+        "emoji 😀 stays out",
+        "tab\t\t\tmultiple",
+        "a!b?c.d,e;f:g",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "t"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_text("t").alias("c")).collect()
+    }
+    con = _duckdb.connect()
+    want = {}
+    for i, s in enumerate(samples):
+        want[i] = con.execute(
+            """SELECT TRIM(regexp_replace(regexp_replace(
+                   LOWER(?), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))""",
+            [s],
+        ).fetchone()[0]
+    assert got == want
