@@ -63,6 +63,17 @@ def anti_join(
     return equi_join(left, right, on, "left_anti")
 
 
+def range_bounds_us(lower_seconds: float, upper_seconds: float) -> tuple[int, int]:
+    """Inclusive event-time range bounds in microseconds, shared by the
+    batch interval join and its streaming twin so their rounding and
+    validation can never drift."""
+    lo_us = int(round(float(lower_seconds) * 1_000_000))
+    hi_us = int(round(float(upper_seconds) * 1_000_000))
+    if hi_us < lo_us:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    return lo_us, hi_us
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -98,10 +109,7 @@ def interval_join(
     Matched right value columns land as ``{prefix}{col}``.
     """
     key_cols = list(on)
-    lo_us = int(round(float(lower_seconds) * 1_000_000))
-    hi_us = int(round(float(upper_seconds) * 1_000_000))
-    if hi_us < lo_us:
-        raise ValueError("upper_seconds must be >= lower_seconds")
+    lo_us, hi_us = range_bounds_us(lower_seconds, upper_seconds)
     width_us = max(hi_us - lo_us, 1)
 
     # cast("timestamp") is a no-op for LTZ input but keeps NTZ-typed

@@ -35,6 +35,13 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _safe_norm(a: Column) -> Column:
+    """L2 norm floored at 1e-12 for use as a divisor: a zero vector
+    (empty document's embedding) must score 0, not kill the whole query
+    with ANSI DIVIDE_BY_ZERO. Mirrors the PQ encoder's ``_norm_expr``."""
+    return F.greatest(l2_norm(a), F.lit(1e-12))
+
+
 def with_vector_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
     """Precompute L2 norms once; at scale this is written alongside the
     embeddings so queries never recompute it."""
@@ -61,11 +68,12 @@ def cosine_topk(
     Deterministic tie-break on ``id_col``.
     """
     q = literal_vector(query_vec)
-    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    qn = max(math.sqrt(sum(float(v) * float(v) for v in query_vec)), 1e-12)
     v = as_double_vec(vec_col)
-    cos = dot(v, q) / (l2_norm(v) * F.lit(qn))
+    cos = dot(v, q) / (_safe_norm(v) * F.lit(qn))
     return (
         emb_df.select(F.col(id_col), cos.alias(score_col))
+        .filter(F.col(score_col).isNotNull())
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -152,9 +160,15 @@ def cosine_topk_per_query(
 
     v = as_double_vec(vec_col)
     qv = as_double_vec(query_vec_col)
-    score = dot(v, qv) / (l2_norm(v) * l2_norm(qv))
+    score = dot(v, qv) / (_safe_norm(v) * _safe_norm(qv))
     if round_digits is not None:
         score = F.round(score, round_digits)
+    # NULL scores (NULL embedding, length-mismatched zip) are filtered
+    # JVM-side, where NULL is still distinguishable from NaN: Arrow
+    # hands both to pandas as NaN, and the pre-reduction's NaN-first
+    # ordering (correct for real NaN, which Spark sorts greatest) would
+    # let NULL rows evict genuine top-k candidates that the final
+    # window (NULLs last) then cannot recover.
     scored = (
         emb_df.crossJoin(F.broadcast(query_df))
         .select(
@@ -162,6 +176,7 @@ def cosine_topk_per_query(
             F.col(id_col),
             score.alias(score_col),
         )
+        .filter(F.col(score_col).isNotNull())
     )
     reduced = partition_local_topk(scored, k, id_col, query_id_col, score_col)
     w = Window.partitionBy(query_id_col).orderBy(
@@ -236,10 +251,13 @@ def cosine_neardup_pairs(
     )
     grouped = left.unionByName(right)
 
+    # id fields take id_col's actual type — a hardcoded LongType breaks
+    # Arrow conversion for string/int32 id columns
+    id_type = emb_df.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
             StructField(score_col, DoubleType()),
         ]
     )
@@ -290,7 +308,7 @@ def nearest_cell_col(
     scored = []
     for i, c in enumerate(centroids):
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        score = dot(vec_col, literal_vector(c)) / (l2_norm(vec_col) * F.lit(cn))
+        score = dot(vec_col, literal_vector(c)) / (_safe_norm(vec_col) * F.lit(cn))
         scored.append(
             F.struct(score.alias("score"), F.lit(i).alias("cell"))
         )
@@ -322,6 +340,11 @@ def build_ivf_centroids(
         .select(v.alias("_v"))
         .collect()
     )
+    if len(seeds) < n_cells:
+        raise ValueError(
+            f"need at least n_cells={n_cells} rows to seed the IVF "
+            f"quantizer, got {len(seeds)}"
+        )
     centroids = [list(r["_v"]) for r in seeds]
     for _ in range(max(0, iters)):
         assigned = emb_df.select(

@@ -171,7 +171,16 @@ def _make_sessionizer(gap_us: int):
                 closed.append((start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
-                last_us, n = t, n + 1
+                # late cross-batch events (the watermark admits them)
+                # can precede the open session: clamp instead of
+                # regressing last_us, which produced end < start
+                # sessions and spurious splits on the next on-time
+                # event. An ultra-late event more than a gap BEFORE
+                # session_start still merges (single-open-session
+                # state can't retroactively split; the built-in
+                # session_window twin is the fully-general path).
+                start_us = min(start_us, t)
+                last_us, n = max(last_us, t), n + 1
 
         state.update((start_us, last_us, n))
         # Event-time timeout: flush the open session once the watermark
@@ -260,15 +269,23 @@ def stream_interval_join(
     per key instead of unbounded. This is the canonical two-stream
     correlation shape (click↔error attribution) run continuously.
 
+    The range is written DIRECTLY on the timestamp columns (literal
+    interval arithmetic): Spark's state-watermark extraction
+    (StreamingJoinHelper) cannot see through ``unix_micros()``-style
+    conversions, and with an opaque condition the executed plan shows
+    ``state cleanup [ left = null, right = null ]`` — rows are buffered
+    forever and the state store grows without bound. The timestamp-
+    column form restores eviction (both sides non-null in the plan,
+    pinned in ``tests/test_streaming.py``).
+
     No time-bucketing here: Structured Streaming's symmetric hash join
     keys the shuffle on the equality columns and applies the range as a
     state-eviction predicate, which already avoids the batch all-pairs
     blowup the bucketed batch operator exists to prevent.
     """
-    lo_us = int(round(float(lower_seconds) * 1_000_000))
-    hi_us = int(round(float(upper_seconds) * 1_000_000))
-    if hi_us < lo_us:
-        raise ValueError("upper_seconds must be >= lower_seconds")
+    from dask_felleskomponenter_spark.operators.joins import range_bounds_us
+
+    lo_us, hi_us = range_bounds_us(lower_seconds, upper_seconds)
 
     lhs = left.withWatermark(left_ts, watermark).alias("l")
     rename = [
@@ -280,9 +297,11 @@ def stream_interval_join(
     for k in on:
         clause = F.col(f"l.{k}") == F.col(f"r.{k}")
         cond = clause if cond is None else cond & clause
-    l_us = F.unix_micros(F.col(f"l.{left_ts}").cast("timestamp"))
-    r_us = F.unix_micros(F.col(f"r.{right_ts}").cast("timestamp"))
-    cond = cond & (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
+    l_ts = F.col(f"l.{left_ts}")
+    r_ts = F.col(f"r.{right_ts}")
+    lo_iv = F.expr(f"make_dt_interval(0, 0, 0, {lo_us} / 1e6)")
+    hi_iv = F.expr(f"make_dt_interval(0, 0, 0, {hi_us} / 1e6)")
+    cond = cond & (r_ts >= l_ts + lo_iv) & (r_ts <= l_ts + hi_iv)
 
     return lhs.join(rhs, cond, "inner").select(
         *[F.col(f"l.{c}") for c in left.columns], *rename

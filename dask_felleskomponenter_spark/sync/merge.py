@@ -59,8 +59,11 @@ def merge_upsert(
     Result columns = target columns (the update-type column is dropped).
 
     ``validate_unique_keys=True`` runs one aggregation job over staging
-    and raises if any key tuple occurs twice — the condition under which
-    real Postgres MERGE errors out instead of fanning out.
+    and raises if any key tuple occurs twice AMONG ROWS THAT CAN FIRE a
+    WHEN branch — the condition under which real Postgres MERGE errors
+    out instead of fanning out. NULL-keyed rows match no target row
+    (each simply inserts; MERGE does not error) and NULL update_type
+    rows fire no branch, so neither counts toward the duplicate check.
     """
     if update_type_col not in staging.columns:
         raise ValueError(
@@ -70,8 +73,11 @@ def merge_upsert(
     if missing:
         raise ValueError(f"merge keys absent from target or staging: {missing}")
     if validate_unique_keys:
+        fireable = staging.filter(F.col(update_type_col).isNotNull())
+        for k in keys:
+            fireable = fireable.filter(F.col(k).isNotNull())
         dup = (
-            staging.groupBy(*keys)
+            fireable.groupBy(*keys)
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -116,13 +122,35 @@ def merge_into_path(
 ) -> DataFrame:
     """Read a Parquet/ORC target, merge the staging delta, write back.
 
-    The merged plan is materialized (``localCheckpoint``) before the
-    overwrite because Spark cannot overwrite a path it is still reading
-    lazily. On Delta-capable clusters prefer ``DeltaTable.merge`` —
-    same logical semantics, no rewrite of untouched files.
+    The merged result is written to a sibling staging directory and
+    swapped in by ``os.rename`` — an in-place ``mode('overwrite')``
+    deletes the target before the new write commits, so a crash or
+    executor loss mid-write would destroy the only durable copy (the
+    previous ``localCheckpoint`` backing lived in executor memory and
+    dies with the process). A swap interrupted between the two renames
+    is recovered from ``.old`` on the next call. On Delta-capable
+    clusters prefer ``DeltaTable.merge`` — same logical semantics,
+    transactional, no rewrite of untouched files.
     """
+    import os
+    import shutil
+    import uuid
+
     spark = staging.sparkSession
+    old_dir = target_path + ".old"
+    if not os.path.exists(target_path) and os.path.exists(old_dir):
+        os.rename(old_dir, target_path)  # recover an interrupted swap
     target = spark.read.format(fmt).load(target_path)
-    merged = merge_upsert(target, staging, keys, update_type_col).localCheckpoint()
-    merged.write.format(fmt).mode("overwrite").save(target_path)
-    return merged
+    merged = merge_upsert(target, staging, keys, update_type_col)
+    staging_dir = f"{target_path}.staging-{uuid.uuid4().hex}"
+    try:
+        merged.write.format(fmt).mode("overwrite").save(staging_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        os.rename(target_path, old_dir)
+        os.rename(staging_dir, target_path)
+        shutil.rmtree(old_dir)
+    finally:
+        if os.path.exists(staging_dir):
+            shutil.rmtree(staging_dir, ignore_errors=True)
+    return spark.read.format(fmt).load(target_path)

@@ -563,3 +563,100 @@ def test_stream_dedup_ingest_cross_batch_exactly_once(spark, tmp_path):
         assert spark.read.parquet(str(tmp_path / "corpus")).count() == 100
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_interval_join_state_is_evictable(spark, tmp_path):
+    """Regression: the range condition must be written on the timestamp
+    columns directly — through unix_micros() the state-watermark
+    extraction fails silently and the executed plan shows 'state
+    cleanup [ left = null, right = null ]': every buffered row is kept
+    forever. Pin the non-null eviction predicates."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.streaming.ops import stream_interval_join
+
+    spark.range(50).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.expr("timestamp_micros(cast(id*1000000 as long))").alias("ts"),
+    ).write.parquet(str(tmp_path / "l"))
+    spark.range(50).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.expr("timestamp_micros(cast(id*1000000+500000 as long))").alias("ts"),
+    ).write.parquet(str(tmp_path / "r"))
+    l = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+        str(tmp_path / "l")
+    )
+    r = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+        str(tmp_path / "r")
+    )
+    j = stream_interval_join(
+        l, r, ["user_id"], lower_seconds=-2.0, upper_seconds=2.0,
+        watermark="10 seconds",
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("sij_evict")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain(True)
+    plan = buf.getvalue()
+    assert "state cleanup [ left value predicate:" in plan, plan[-3000:]
+    assert "left = null" not in plan, plan[-3000:]
+
+
+def test_stateful_sessionizer_handles_cross_batch_late_events(spark, tmp_path):
+    """Regression: a late event admitted by the watermark used to
+    REGRESS last_us (sessions with end < start, spurious splits).
+    A late 09:55 arrival must extend the open (10:00, 10:10) session
+    backwards, and the session closed by the 11:30 gap must span
+    09:55 → 10:30 with all four events counted."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        run_to_memory_sink,
+        sessionize_stateful,
+    )
+
+    def write_batch(name, micros_list):
+        df = spark.createDataFrame(
+            [(1, m) for m in micros_list], "user_id long, us long"
+        ).select("user_id", F.expr("timestamp_micros(us)").alias("ts"))
+        df.coalesce(1).write.parquet(str(tmp_path / "in" / name))
+
+    M = 60 * 1_000_000
+    base = 10 * 60 * M  # 10:00 as minutes-of-day micros
+    write_batch("b1", [base, base + 10 * M])
+    _time.sleep(1.1)  # file mtime orders the micro-batches
+    write_batch("b2", [base - 5 * M, base + 30 * M, base + 90 * M])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    got = run_to_memory_sink(
+        sessionize_stateful(stream, gap_minutes=30),
+        "sessions_late",
+        str(tmp_path / "ckpt"),
+    )
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got.collect()
+    }
+    for _u, start, end, _n in rows:
+        assert end >= start, rows
+    import datetime as _dt
+
+    expect_start = _dt.datetime(1970, 1, 1, 9, 55)
+    expect_end = _dt.datetime(1970, 1, 1, 10, 30)
+    assert (1, expect_start, expect_end, 4) in rows, rows

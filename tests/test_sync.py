@@ -692,3 +692,63 @@ class TestLivePostgresSync:
             for r in merge_upsert(tgt, stg, ["id"]).collect()
         )
         assert pg_rows == spark_rows
+
+
+def test_validate_unique_keys_matches_postgres_merge_semantics(spark):
+    """Only duplicates that can fire a WHEN branch twice are errors:
+    NULL-keyed rows match no target row (each inserts, MERGE does not
+    raise) and NULL update_type fires no branch."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.sync.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    ok_null_keys = spark.createDataFrame(
+        [(None, "x", "upsert"), (None, "y", "upsert")],
+        "k int, v string, update_type string",
+    )
+    merge_upsert(target, ok_null_keys, ["k"], validate_unique_keys=True)
+    ok_null_ut = spark.createDataFrame(
+        [(2, "x", "upsert"), (2, "y", None)],
+        "k int, v string, update_type string",
+    )
+    merge_upsert(target, ok_null_ut, ["k"], validate_unique_keys=True)
+    bad = spark.createDataFrame(
+        [(2, "x", "upsert"), (2, "y", "delete")],
+        "k int, v string, update_type string",
+    )
+    with _pytest.raises(ValueError, match="duplicate merge-key"):
+        merge_upsert(target, bad, ["k"], validate_unique_keys=True)
+
+
+def test_merge_into_path_staged_swap_and_recovery(spark, tmp_path):
+    """The path merge must never overwrite in place: a leftover .old
+    backup (simulated crash between the swap renames) is recovered, and
+    the merge result survives re-reads."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sync.merge import merge_into_path
+
+    target = str(tmp_path / "t")
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    ).write.parquet(target)
+    staging = spark.createDataFrame(
+        [(1, "new", "upsert"), (2, None, "delete")],
+        "k long, v string, update_type string",
+    )
+    merge_into_path(target, staging, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(0, "old"), (1, "new"), (3, "old"), (4, "old")}
+    # simulate the crash window: target renamed away, .old holds data
+    os.rename(target, target + ".old")
+    merge_into_path(
+        target,
+        spark.createDataFrame([(0, "zz", "upsert")], "k long, v string, update_type string"),
+        ["k"],
+    )
+    got2 = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got2 == {(0, "zz"), (1, "new"), (3, "old"), (4, "old")}
+    assert not os.path.exists(target + ".old")
