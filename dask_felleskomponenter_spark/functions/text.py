@@ -351,9 +351,20 @@ def rolling_fingerprint_md5(
     return F.slice(hashed, 1, keep)
 
 
+#: What canonicalization strips: anything that is not a Unicode letter,
+#: digit, whitespace, or underscore. Deliberately ``\p{L}\p{N}`` and
+#: NOT ``\w`` — Java's and RE2's ``\w`` is ASCII-only, so a ``\w``
+#: form canonicalizes every CJK/Cyrillic/Arabic document to the empty
+#: string and near-exact dedup would merge ALL non-Latin documents into
+#: one false duplicate group. Both engines support ``\p{L}\p{N}``
+#: identically (differential-tested in tests/test_properties.py).
+CANON_STRIP_PATTERN = r"[^\p{L}\p{N}\s_]"
+
+
 def canonicalize_text(col: str | Column) -> Column:
-    """Dedup canonical form: lowercase, punctuation stripped, whitespace
-    runs collapsed to single spaces, trimmed.
+    """Dedup canonical form: lowercase, punctuation/symbols stripped
+    (Unicode-aware — letters and digits of every script survive),
+    whitespace runs collapsed to single spaces, trimmed.
 
     The standard near-exact normalization between exact dedup (byte
     identity) and fuzzy dedup (Jaccard/MinHash): it merges casing,
@@ -363,6 +374,6 @@ def canonicalize_text(col: str | Column) -> Column:
     portable so a SQL oracle can mirror it exactly).
     """
     c = F.lower(_c(col))
-    c = F.regexp_replace(c, PUNCT_PATTERN, "")
+    c = F.regexp_replace(c, CANON_STRIP_PATTERN, "")
     c = F.regexp_replace(c, WS_PATTERN, " ")
     return F.trim(c)

@@ -357,11 +357,13 @@ def multikey_blocking_candidates(
         pinned_repartition,
     )
 
-    # NULL key values produce NULL entries and are dropped: concat_ws
-    # would silently collapse them to the bare family prefix, making
-    # "key unknown" one giant shared block (rows with NULL names would
-    # all pair with each other — at corpus scale usually the hottest
-    # "block" of the family, and a pure artifact).
+    # NULL and empty-string key values produce NULL entries and are
+    # dropped: concat_ws would silently collapse NULLs to the bare
+    # family prefix, and '' (the other common encoding of "unknown" in
+    # dirty data) is a shared value in the same way — either one makes
+    # "key unknown" one giant artifact block whose rows all pair with
+    # each other, at corpus scale usually the hottest block of the
+    # family.
     tagged = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(c).alias(c) for c in payload_cols],
@@ -369,7 +371,8 @@ def multikey_blocking_candidates(
             F.array(
                 *[
                     F.when(
-                        F.col(k).isNotNull(),
+                        F.col(k).isNotNull()
+                        & (F.col(k).cast("string") != ""),
                         F.concat_ws(
                             ":", F.lit(f"k{i}"), F.col(k).cast("string")
                         ),

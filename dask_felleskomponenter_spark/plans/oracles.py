@@ -2071,12 +2071,13 @@ ORACLES["dedup_canonical_docs"] = """
 WITH c AS (
   SELECT doc_id,
          TRIM(regexp_replace(regexp_replace(
-             LOWER(substr(text, 1, 80)), '[^\\w\\s]', '', 'g'),
+             LOWER(substr(text, 1, 80)), '[^\\p{L}\\p{N}\\s_]', '', 'g'),
              '\\s+', ' ', 'g')) AS canon
   FROM documents
 )
 SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM c
+WHERE canon <> ''
 GROUP BY canon
 HAVING COUNT(*) > 1
 ORDER BY keep_id

@@ -3707,10 +3707,12 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     canon = docs.select(
         "doc_id",
-        F.sha2(
-            TX.canonicalize_text(F.substring("text", 1, 80)), 256
-        ).alias("_h"),
-    )
+        TX.canonicalize_text(F.substring("text", 1, 80)).alias("_c"),
+    ).filter(
+        # symbol-only heads canonicalize to '' — "no letters in common"
+        # must not read as "identical"
+        F.col("_c") != ""
+    ).select("doc_id", F.sha2(F.col("_c"), 256).alias("_h"))
     groups = (
         canon.groupBy("_h")
         .agg(

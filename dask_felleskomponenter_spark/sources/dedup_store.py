@@ -138,9 +138,11 @@ def record_novel(
     history under the bucket spec. Callers that sink the novel rows
     elsewhere first (e.g. the streaming ingest) split screening from
     recording with this."""
+    # first_seen_id keeps id_col's own type — a cast("long") turned
+    # string/UUID document ids into all-NULL provenance with no error
     entries = novel_df.select(
         F.col(HASH_COL),
-        F.col(id_col).cast("long").alias(SEEN_ID_COL),
+        F.col(id_col).alias(SEEN_ID_COL),
         F.lit(batch_label).alias(BATCH_COL),
     )
     (
@@ -172,7 +174,14 @@ def compact_history(
     the screening scan pays file-open overhead instead of I/O. This
     rewrites the accumulated history once (same bucket spec, so the
     zero-shuffle screening plan is preserved) and swaps it in via table
-    renames. ``sources/tables.py::compact_parquet`` is the flat-layout
+    renames.
+
+    SINGLE-WRITER operation: quiesce ingest while compacting. Hashes
+    appended between the scratch snapshot and the swap would be dropped
+    by the swap — un-recording them and re-admitting their documents as
+    novel. Online compaction concurrent with ingest needs a
+    transactional table format (Delta/Iceberg REPLACE), the same
+    upgrade path ``stream_dedup_ingest`` names for its crash window. ``sources/tables.py::compact_parquet`` is the flat-layout
     twin; managed bucketed tables need the table-level path because
     bucketing lives in catalog metadata, not the directory tree.
 

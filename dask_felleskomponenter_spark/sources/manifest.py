@@ -31,16 +31,44 @@ def df_checksum(df: DataFrame, cols: list[str] | None = None) -> tuple[int, int]
 
     ``xxhash64`` over the selected columns per row, ``bit_xor``-folded.
     One whole-stage-codegen aggregate: each partition emits an 8-byte
-    partial, the driver receives numbers, never rows. NULLs and column
-    order are canonicalized by hashing a fixed column list — pass
-    ``cols`` to pin the schema subset that defines corpus identity.
+    partial, the driver receives numbers, never rows. Column order is
+    canonicalized by hashing a fixed column list — pass ``cols`` to pin
+    the schema subset that defines corpus identity.
+
+    NULLs are hashed through a per-column sentinel: Spark's raw
+    ``xxhash64`` SKIPS null inputs, which made ``('a', NULL)`` and
+    ``(NULL, 'a')`` hash identically — corruption that shifts a value
+    across a NULL column would verify clean with probability 1, not
+    2^-64. Values are cast to string for sentinel coalescing; Spark's
+    casts are deterministic, and the checksum only needs determinism +
+    sensitivity, not numeric identity.
     """
     use = cols or sorted(df.columns)
+    hashed = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>")) for c in use
+    ]
     row = df.agg(
-        F.bit_xor(F.xxhash64(*[F.col(c) for c in use])).alias("_x"),
+        F.bit_xor(F.xxhash64(*hashed)).alias("_x"),
         F.count(F.lit(1)).alias("_n"),
     ).first()
     return (row["_x"] if row["_x"] is not None else 0, row["_n"])
+
+
+def _file_inventory(data_path: str) -> dict[str, int]:
+    """Relative-path → byte-size map of the corpus files (underscore/dot
+    sidecars excluded). Driver-local filesystem walk — the checksum side
+    is fully distributed, but the inventory (and the manifest JSON I/O)
+    needs a local or NFS-mounted path; on object stores, swap this for a
+    Hadoop ``FileSystem.listFiles`` walk.
+    """
+    files: dict[str, int] = {}
+    for base, _dirs, names in os.walk(data_path):
+        for f in sorted(names):
+            if f.startswith("_") or f.startswith("."):
+                continue
+            p = os.path.join(base, f)
+            files[os.path.relpath(p, data_path)] = os.path.getsize(p)
+    return files
 
 
 def write_corpus_manifest(
@@ -59,13 +87,7 @@ def write_corpus_manifest(
     parquet reader, like ``_SUCCESS``)."""
     df = spark.read.parquet(data_path)
     checksum, n_rows = df_checksum(df, cols)
-    files = {}
-    for base, _dirs, names in os.walk(data_path):
-        for f in sorted(names):
-            if f.startswith("_") or f.startswith("."):
-                continue
-            p = os.path.join(base, f)
-            files[os.path.relpath(p, data_path)] = os.path.getsize(p)
+    files = _file_inventory(data_path)
     manifest = {
         "checksum_xor64": checksum,
         "n_rows": n_rows,
@@ -98,13 +120,6 @@ def verify_corpus_manifest(
         problems.append(f"row count {n_rows} != recorded {recorded['n_rows']}")
     if checksum != recorded["checksum_xor64"]:
         problems.append("content checksum mismatch")
-    current_files = {}
-    for base, _dirs, names in os.walk(data_path):
-        for f in sorted(names):
-            if f.startswith("_") or f.startswith("."):
-                continue
-            p = os.path.join(base, f)
-            current_files[os.path.relpath(p, data_path)] = os.path.getsize(p)
-    if current_files != recorded["files"]:
+    if _file_inventory(data_path) != recorded["files"]:
         problems.append("file inventory changed")
     return {"ok": not problems, "problems": problems}

@@ -70,3 +70,13 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     assert not report["ok"]
     assert any("checksum" in p for p in report["problems"])
     assert any("inventory" in p for p in report["problems"])
+
+
+def test_checksum_detects_null_column_shifts(spark):
+    """Regression: raw xxhash64 SKIPS null inputs, making ('a', NULL)
+    and (NULL, 'a') hash identically — a value shifting across a NULL
+    column verified clean. The sentinel coalescing must distinguish
+    them."""
+    a = spark.createDataFrame([("a", None)], "c1 string, c2 string")
+    b = spark.createDataFrame([(None, "a")], "c1 string, c2 string")
+    assert df_checksum(a, ["c1", "c2"])[0] != df_checksum(b, ["c1", "c2"])[0]

@@ -528,7 +528,9 @@ def test_canonicalize_text_matches_duckdb_chain(spark, duck):
         'quotes "double" \'single\'',
         "trailing spaces   ",
         "   leading",
-        "æøå ÆØÅ blåbær",     # Norwegian letters are \w in both engines
+        "æøå ÆØÅ blåbær",     # non-ASCII letters survive (\p{L}, not \w)
+        "深度学习模型训练 in CJK",   # regression: \w mangled this to ''
+        "Привет мир кириллица",
         "emoji 😀 stays out",
         "tab\t\t\tmultiple",
         "a!b?c.d,e;f:g",
@@ -543,7 +545,7 @@ def test_canonicalize_text_matches_duckdb_chain(spark, duck):
     for i, s in enumerate(samples):
         want[i] = con.execute(
             """SELECT TRIM(regexp_replace(regexp_replace(
-                   LOWER(?), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))""",
+                   LOWER(?), '[^\\p{L}\\p{N}\\s_]', '', 'g'), '\\s+', ' ', 'g'))""",
             [s],
         ).fetchone()[0]
     assert got == want
