@@ -95,7 +95,7 @@ def fakm_decode(data: bytes | None) -> dict | None:
     if magic != FAKM_MAGIC:
         return None
     return {
-        "media_type": mt.decode(),
+        "media_type": mt.decode("ascii", errors="replace"),
         "width": w,
         "height": h,
         "channels": c,
@@ -635,7 +635,7 @@ def sniff_media_type(col: str | Column) -> Column:
         .when(head.startswith("89504E47"), "png")
         .when(head.startswith("FFD8FF"), "jpeg")
         .when(head == "52494646", "riff")  # wav/avi
-        .when(head.startswith("474954"), "gif")
+        .when(head.startswith("474946"), "gif")
         .when(head.startswith("4949") | head.startswith("4D4D"), "tiff")
         .otherwise("unknown")
     )
@@ -927,19 +927,27 @@ def extract_image_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
+            import numpy as np
+
             for data in pdf[binary_col]:
                 d = decoder(data)
                 if d is None or not d["payload"] or d["channels"] == 0:
                     feats.append(None)
                     continue
                 payload, ch = d["payload"], d["channels"]
-                sums = [0] * ch
-                counts = [0] * ch
-                for i, b in enumerate(payload):
-                    sums[i % ch] += b
-                    counts[i % ch] += 1
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                tail = len(arr) % ch
+                full = arr[: len(arr) - tail].reshape(-1, ch)
+                sums = full.sum(axis=0, dtype=np.int64)
+                counts = np.full(ch, len(full), dtype=np.int64)
+                if tail:  # ragged payloads keep per-channel exactness
+                    sums[:tail] += arr[len(arr) - tail :]
+                    counts[:tail] += 1
                 feats.append(
-                    [round(s / c / 255.0, 9) if c else 0.0 for s, c in zip(sums, counts)]
+                    [
+                        round(float(s) / int(c) / 255.0, 9) if c else 0.0
+                        for s, c in zip(sums, counts)
+                    ]
                 )
             out = pdf.copy()
             out[out_col] = feats

@@ -309,10 +309,10 @@ def _arc_points(
     two_pi = 2.0 * math.pi
     d01 = (t1 - t0) % two_pi
     d02 = (t2 - t0) % two_pi
-    if ax == cx and ay == cy:
-        # closed arc: a full circle traversed via p1
-        sweep, ccw = two_pi, True
-    elif d01 <= d02:
+    # (A closed arc with p0 == p2 never reaches here: the exact-equality
+    # case returns a full circle earlier, and p0 == p1 == p2 exits via
+    # the collinearity test.)
+    if d01 <= d02:
         sweep, ccw = d02, True
     else:
         sweep, ccw = two_pi - d02, False

@@ -149,7 +149,7 @@ def check_geometri_encoding(
     for column, props in (md.column_properties or {}).items():
         if props.get("epsg") is None:
             continue
-        encoding = props.get("geometri_encoding", "")
+        encoding = props.get("geometri_encoding") or ""  # key may hold None
         if encoding.lower() not in VALID_GEOMETRI_ENCODING:
             ctx.append(
                 MetadataError(

@@ -39,6 +39,8 @@ def scan_text_pii(
                     f"{col} {kind}"
                 )
             )
+    if not aggs:
+        return []
     row = df.agg(*aggs).first()
 
     parts = (table or "").split(".")
@@ -48,7 +50,7 @@ def scan_text_pii(
         catalog, schema, tbl = None, None, table
     findings = []
     for key, n in row.asDict().items():
-        col, kind = key.split(" ")
+        col, kind = key.rsplit(" ", 1)  # column names may contain spaces
         if n and n > 0:
             findings.append(
                 MetadataError(

@@ -40,10 +40,12 @@ def erase_keys_parquet(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    import bisect
+
     key_set = set(keys)
     if not key_set:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
-    lo, hi = min(key_set), max(key_set)
+    sorted_keys = sorted(key_set)
 
     files = sorted(
         os.path.join(dp, f)
@@ -62,8 +64,13 @@ def erase_keys_parquet(
             if st is None or st.min is None:
                 overlap = True  # no stats — must check the data
                 break
-            # range check first (cheap), then exact membership on read
-            if st.max >= lo and st.min <= hi:
+            # per-key overlap, not the [min(keys), max(keys)] envelope:
+            # with subjects at both ends of a sorted table the envelope
+            # covers EVERY file and erasure degrades to a full-table
+            # rewrite — bisect finds whether any individual key falls
+            # in this row group's [min, max]
+            j = bisect.bisect_left(sorted_keys, st.min)
+            if j < len(sorted_keys) and sorted_keys[j] <= st.max:
                 overlap = True
                 break
         if not overlap:

@@ -117,6 +117,17 @@ class TblPropertiesMetadataStore:
                 "sikkerhetsnivaa",
             )
         }
+        # Tags colliding with explicit constructor arguments (a user
+        # setting 'beskrivelse' as a plain TBLPROPERTY, or pathological
+        # 'catalog'/'schema'/'table' keys) must not become duplicate
+        # keyword arguments: route them into optional_params under a
+        # prefixed name and prefer the structured source.
+        reserved = {
+            "catalog", "schema", "table", "beskrivelse",
+            "column_properties",
+        }
+        for r in sorted(reserved & keys.keys()):
+            keys[f"tag.{r}"] = keys.pop(r)
         return TableMetadata(
             catalog=catalog,
             schema=schema,

@@ -179,6 +179,11 @@ def zorder_key(cols: list[str], bits: int = 16) -> "Column":
     n = len(cols)
     if not 1 <= n <= 4:
         raise ValueError("zorder_key supports 1-4 columns")
+    # The interleaved key must fit the 63 value bits of a signed long:
+    # bit 63 is the sign (a set top bit range-partitions to the FIRST
+    # shard, destroying locality) and Java shifts wrap mod 64 (silent
+    # wrong interleaving). Clamp per-column bits to what fits.
+    bits = min(int(bits), 63 // n)
     key = _F.lit(0).cast("long")
     for d, c in enumerate(cols):
         col = _F.col(c).cast("long")

@@ -362,3 +362,73 @@ class TestErasure:
         report = erase_keys_parquet(path, "subject_id", [10_000, 20_000])
         assert report["files_rewritten"] == 0 and report["rows_deleted"] == 0
         assert erase_keys_parquet(path, "subject_id", [])["files_total"] == 0
+
+
+def test_tblproperty_colliding_with_ctor_args_does_not_crash(spark):
+    """Regression: a plain TBLPROPERTY named like a constructor argument
+    ('beskrivelse' is the natural way users set the description) raised
+    'got multiple values for keyword argument'."""
+    from dask_felleskomponenter_spark.governance.store import (
+        TblPropertiesMetadataStore,
+    )
+
+    store = TblPropertiesMetadataStore(spark)
+    tbl = "gov_collide_props"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"CREATE TABLE {tbl} (id INT) USING parquet")
+    try:
+        spark.sql(
+            f"ALTER TABLE {tbl} SET TBLPROPERTIES "
+            "('beskrivelse'='set as tag', 'tittel'='T', 'table'='weird')"
+        )
+        md = store.get_table_metadata("spark_catalog", "default", tbl)
+        assert md.tittel == "T"
+        assert md.optional_params.get("tag.beskrivelse") == "set as tag"
+        assert md.optional_params.get("tag.table") == "weird"
+    finally:
+        spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_scan_text_pii_space_column_and_empty_list(spark):
+    from dask_felleskomponenter_spark.governance.data_checks import scan_text_pii
+
+    df = spark.createDataFrame(
+        [("reach me at a@b.com",)], ["customer name"]
+    )
+    found = scan_text_pii(df, ["customer name"], table="c.s.t")
+    assert any(e.column == "customer name" for e in found)
+    assert scan_text_pii(df, [], table="c.s.t") == []
+
+
+def test_geometri_encoding_none_value_reports_not_crashes():
+    from dask_felleskomponenter_spark.governance.checks import (
+        check_geometri_encoding,
+    )
+    from dask_felleskomponenter_spark.governance.model import TableMetadata
+
+    md = TableMetadata(
+        catalog="c", schema="s", table="t",
+        medaljongnivaa="gull",
+        column_properties={"geom": {"epsg": "4326", "geometri_encoding": None}},
+    )
+    errs = check_geometri_encoding(md, [])
+    assert any(e.for_field == "geometri_encoding" for e in errs)
+
+
+def test_erasure_prunes_by_individual_keys(spark, tmp_path):
+    """Regression: pruning used the [min, max] envelope of the subject
+    keys, so subjects at both ends of a sorted table rewrote EVERY
+    file; per-key row-group overlap must leave the middle file alone."""
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.governance.erasure import (
+        erase_keys_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(300).select(F.col("id").alias("k")).repartitionByRange(
+        3, "k"
+    ).sortWithinPartitions("k").write.parquet(path)
+    stats = erase_keys_parquet(path, "k", [0, 299])
+    assert stats["rows_deleted"] == 2
+    assert stats["files_rewritten"] == 2, stats  # middle file untouched

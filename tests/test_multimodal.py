@@ -480,3 +480,27 @@ def test_geotiff_encode_large_dimension_uses_long_tags():
     assert grid.shape == (70000, 3)
     assert (grid == g).all()
     assert gt == (10.0, 2.0, 0.0, 20.0, 0.0, -2.0)
+
+
+def test_sniff_media_type_detects_gif(spark):
+    """Regression: the GIF magic was mistyped ('GIT'), so no GIF blob
+    was ever classified."""
+    from dask_felleskomponenter_spark.functions.multimodal import sniff_media_type
+
+    df = spark.createDataFrame(
+        [(b"GIF89a" + b"\x00" * 10,), (b"GIF87a" + b"\x00" * 10,)], ["data"]
+    )
+    got = [r[0] for r in df.select(sniff_media_type("data")).collect()]
+    assert got == ["gif", "gif"]
+
+
+def test_fakm_decode_survives_non_ascii_media_type():
+    """Corrupt media-type bytes must not raise inside the decode path
+    (the 'decode never throws row-wise' contract)."""
+    import struct
+
+    from dask_felleskomponenter_spark.functions.multimodal import fakm_decode
+
+    blob = b"FAKM" + b"\xff" + struct.pack(">IIH", 1, 1, 1) + b"\x00"
+    d = fakm_decode(blob)
+    assert d is not None and d["width"] == 1
