@@ -61,6 +61,13 @@ class ChunkDocument:
     def eval(self, text: str | None, chunk_size: int, stride: int):
         if text is None:
             return
+        if stride <= 0 or chunk_size <= 0:
+            # raise, don't hang: s += stride would never advance and the
+            # executor task spins forever on the SQL-registered surface
+            raise ValueError(
+                f"chunk_size and stride must be positive, got "
+                f"chunk_size={chunk_size}, stride={stride}"
+            )
         toks = _WS.split(text.strip())
         n = len(toks)
         s = 0

@@ -64,6 +64,13 @@ def lag_sessionize(
     one shuffle on ``user_col``. The batch twin of what
     ``F.session_window`` / ``applyInPandasWithState`` does in streaming
     (see ``streaming/ops.py``).
+
+    Boundary semantics: a gap EXACTLY equal to ``gap_seconds`` stays in
+    the same session (strict ``>``), matching the stateful sessionizer;
+    ``F.session_window`` closes at ``>=`` (its window is
+    ``[start, start+gap)``). Both conventions are deliberate and each
+    declared query's oracle mirrors its own (see
+    ``plans/oracles.py::session_window_events``'s note).
     """
     order_w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(order_w)

@@ -51,16 +51,12 @@ class _Reader(DataSourceReader):
     def read(self, partition):
         p = partition.value
         for i in range(self.rows):
-            # one generator per ROW, keyed by (seed, partition, row):
-            # content is independent of iteration order and retries
-            rng = random.Random(f"{self.seed}:{p}:{i}")
-            n_words = rng.randint(5, 60)
-            text = " ".join(rng.choice(_VOCAB) for _ in range(n_words))
-            yield (
-                p * self.rows + i,
-                rng.choice(_LANGS),
-                text,
-            )
+            # shared row generator: the batch reader and the stream
+            # reader must draw from the seeded RNG in the SAME order, or
+            # identical (seed, partition, row) keys yield different rows
+            # and the "micro-batch twin" determinism contract breaks
+            lang, text = _doc_row(self.seed, p, i)
+            yield (p * self.rows + i, lang, text)
 
 
 def _doc_row(seed: int, partition: int, row: int) -> tuple:

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable, Sequence
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 
 from pyspark.sql import DataFrame
 
@@ -79,6 +79,14 @@ class PostgresTargetConfig:
             if k.startswith(prefix)
         }
         env.update(overrides)
+        valid = {f.name for f in fields(cls)}
+        unknown = sorted(set(env) - valid)
+        if unknown:
+            raise ValueError(
+                f"unknown {prefix}* environment variables: "
+                f"{', '.join(prefix + u.upper() for u in unknown)} "
+                f"(valid fields: {', '.join(sorted(valid))})"
+            )
         # Environment values arrive as strings; coerce the int-typed
         # fields so comparisons like `n > max_connections` don't TypeError.
         for int_field in ("port", "srid", "max_connections", "batch_size"):
@@ -148,10 +156,17 @@ def merge_sql(
     """``MERGE`` upsert/delete from staging into target.
 
     Exact reference semantics (``sync_df_to_pgdb.py:222-249``):
-    matched + ``update_type='delete'`` → DELETE; matched otherwise →
-    UPDATE all non-key, non-update-type columns; not matched and not a
-    delete → INSERT (update_type column never lands in the target);
-    unmatched delete rows are silently ignored.
+    matched + ``update_type='delete'`` → DELETE; matched +
+    ``update_type`` non-NULL and not delete → UPDATE all non-key,
+    non-update-type columns; not matched + non-NULL non-delete →
+    INSERT (update_type column never lands in the target); unmatched
+    delete rows are silently ignored. A NULL ``update_type`` makes
+    ``!= 'delete'`` UNKNOWN under three-valued logic, so such rows fire
+    NO branch — deliberately byte-compatible with the reference SQL and
+    mirrored by the pure-Spark twin (``sync/merge.py``, property-tested
+    for exactly this case). Tables whose only columns are the merge
+    keys + update_type get no UPDATE branch at all (an empty SET list
+    is a syntax error; matched rows need no update anyway).
     """
     tgt = quote_ident(config.target_table)
     stg = quote_ident(config.staging_table)
@@ -172,14 +187,19 @@ def merge_sql(
         _select_expr(c, config.staging_table, geometry_cols, config.srid)
         for c in insert_cols
     )
+    update_branch = (
+        f"WHEN MATCHED AND {stg}.{ut} != 'delete' THEN\n"
+        f"    UPDATE SET {update_set}\n"
+        if update_cols
+        else ""
+    )
     return (
         f"MERGE INTO {tgt}\n"
         f"USING {stg}\n"
         f"ON {on}\n"
         f"WHEN MATCHED AND {stg}.{ut} = 'delete' THEN\n"
         "    DELETE\n"
-        f"WHEN MATCHED AND {stg}.{ut} != 'delete' THEN\n"
-        f"    UPDATE SET {update_set}\n"
+        f"{update_branch}"
         f"WHEN NOT MATCHED AND {stg}.{ut} != 'delete' THEN\n"
         f"    INSERT ({insert_names}) VALUES ({insert_vals});"
     )
@@ -201,13 +221,17 @@ def _default_executor(config: PostgresTargetConfig) -> Callable[[str], int]:
             user=config.user,
             password=config.password,
         )
-        if config.ssl_ca:
-            kwargs.update(
-                sslmode="verify-ca",
-                sslrootcert=config.ssl_ca,
-                sslcert=config.ssl_cert,
-                sslkey=config.ssl_key,
-            )
+        # mirror jdbc_options(): ANY ssl material enables TLS, and
+        # cert/key-only configs must not silently publish over a
+        # different security posture than the staging write used
+        if config.ssl_ca or config.ssl_cert or config.ssl_key:
+            kwargs["sslmode"] = "verify-ca" if config.ssl_ca else "require"
+            if config.ssl_ca:
+                kwargs["sslrootcert"] = config.ssl_ca
+            if config.ssl_cert:
+                kwargs["sslcert"] = config.ssl_cert
+            if config.ssl_key:
+                kwargs["sslkey"] = config.ssl_key
         with psycopg.connect(**kwargs) as conn:  # pragma: no cover - needs DB
             with conn.cursor() as cur:
                 cur.execute(sql)
@@ -235,15 +259,17 @@ class PostgresSyncManager:
         self._execute = sql_executor or _default_executor(config)
 
     def _write_to_staging(self, df: DataFrame) -> None:
-        # Bound connection fan-in without a shuffle; JDBC write
-        # parallelism equals partition count.
-        n = df.rdd.getNumPartitions()
-        if n > self.config.max_connections:
-            df = df.coalesce(self.config.max_connections)
+        # Bound connection fan-in via the JDBC writer's numPartitions
+        # (the connector coalesces internally). NOT df.rdd probing:
+        # touching .rdd under AQE finalizes the adaptive plan and runs
+        # every upstream shuffle stage, after which the write recomputes
+        # the lineage — the exact double-compute the reference was
+        # criticized for (its .count() before .save()).
         (
             df.write.format("jdbc")
             .options(**self.config.jdbc_options())
             .option("dbtable", self.config.staging_table)
+            .option("numPartitions", str(self.config.max_connections))
             .mode("overwrite")
             .option("truncate", "true")
             .save()
@@ -257,7 +283,10 @@ class PostgresSyncManager:
         geometry_cols: Sequence[str] | None = None,
     ) -> int:
         """Write ``df`` to staging, then publish. Returns the publish
-        statement's rowcount (as reported by the executor)."""
+        rowcount as reported by the executor — note drivers report the
+        LAST statement of the multi-statement snapshot script (COMMIT →
+        -1 under psycopg); inject an executor that splits statements if
+        the INSERT count matters."""
         if mode == "merge" and not merge_keys:
             raise ValueError("Argument 'merge_keys' is required when mode='merge'.")
         if mode not in ("snapshot", "merge"):

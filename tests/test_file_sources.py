@@ -494,3 +494,40 @@ def test_parquet_schema_evolution_read(spark, tmp_path):
     assert "_extras" in kept.columns
     legacy = {r.id: r._extras.legacy_debug for r in kept.collect()}
     assert legacy[7] == "junk" and legacy[0] is None
+
+
+def test_synthetic_batch_and_stream_rows_agree(spark, tmp_path):
+    """Regression: the batch reader drew lang AFTER the text words while
+    the stream reader drew it BEFORE from the same-seeded RNG, so the
+    'micro-batch twin' produced different rows for identical keys."""
+    from dask_felleskomponenter_spark.sources.synthetic import (
+        register_synthetic_sources,
+    )
+
+    register_synthetic_sources(spark)
+    batch = (
+        spark.read.format("synthetic_documents")
+        .option("n_partitions", 2)
+        .option("rows_per_partition", 5)
+        .option("seed", 7)
+        .load()
+    )
+    stream = (
+        spark.readStream.format("synthetic_documents")
+        .option("n_partitions", 2)
+        .option("rows_per_partition", 5)
+        .option("seed", 7)
+        .option("max_batches", 1)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_twin")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in spark.table("synth_twin").collect()}
+    assert b == s
