@@ -46,15 +46,22 @@ def main() -> None:
     from dask_felleskomponenter_spark.plans import QUERIES
     from dask_felleskomponenter_spark.session import get_spark
 
-    spark = get_spark(app_name="dfs-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
     wanted = os.environ.get("BENCH_QUERIES")
     names = (
         [n.strip() for n in wanted.split(",") if n.strip()]
         if wanted
         else list(QUERIES.keys())
     )
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        # fail in milliseconds, before any Spark spin-up or warm-up
+        sys.exit(
+            f"unknown BENCH_QUERIES entries: {', '.join(unknown)}\n"
+            f"valid names: {', '.join(sorted(QUERIES))}"
+        )
+
+    spark = get_spark(app_name="dfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM so per-query times measure the queries, not session
     # spin-up: parquet reader + footer cache, whole-stage-codegen
@@ -65,8 +72,12 @@ def main() -> None:
 
     globals()["pd"] = pd
 
-    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
-    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    from dask_felleskomponenter_spark.sources import load_table
+
+    # load_table, not a raw parquet read: the warm-up must exercise the
+    # exact read path (UTC pin, nanosAsLong conf) the timed queries use
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
     (
         region.join(nation, region.r_regionkey == nation.n_regionkey)
         .groupBy("r_name")

@@ -110,8 +110,24 @@ class JsonSchemaConverter:
         dtype = self._type_of(node, path)
         if dtype is None:
             return None
-        meta = {"path": path, "description": node.get("description", "")}
-        return StructField(name, dtype, self._nullable(name, required), metadata=meta)
+        resolved = node
+        if "$ref" in node and node["$ref"] not in self.circular:
+            try:
+                resolved = {**self._resolve_ref(node["$ref"]), **node}
+            except Exception:
+                resolved = node  # unresolvable ref: fall back to raw node
+        meta = {
+            "path": path,
+            # description may live on the $ref target, not the ref site
+            "description": resolved.get("description", ""),
+        }
+        # a type union declaring "null" is nullable even when required:
+        # required-ness constrains key PRESENCE, the union constrains
+        # the VALUE — {"type": ["string", "null"]} admits null values
+        t = resolved.get("type")
+        declares_null = isinstance(t, list) and "null" in t
+        nullable = self._nullable(name, required) or declares_null
+        return StructField(name, dtype, nullable, metadata=meta)
 
     def _type_of(self, node: dict[str, Any], path: str) -> DataType | None:
         if "$ref" in node:
@@ -183,7 +199,13 @@ class JsonSchemaConverter:
         for part in fragment.lstrip("#/").split("/"):
             if not part:
                 continue
-            cursor = cursor[part]
+            # RFC 6901 JSON Pointer: ~1 decodes to '/', ~0 to '~' (in
+            # that order), and numeric tokens index arrays
+            part = part.replace("~1", "/").replace("~0", "~")
+            if isinstance(cursor, list):
+                cursor = cursor[int(part)]
+            else:
+                cursor = cursor[part]
         return cursor
 
 

@@ -53,10 +53,16 @@ def erase_keys_parquet(
         for f in fs
         if f.endswith(".parquet")
     )
+    value_set = pa.array(sorted_keys)
     rewritten = 0
     deleted = 0
     for f in files:
         md = pq.read_metadata(f)
+        if key_col not in md.schema.names:
+            # schema evolution: files written before the key column
+            # existed hold no subject rows — skip, don't abort the
+            # compliance run halfway with a bare ValueError
+            continue
         idx = md.schema.names.index(key_col)
         overlap = False
         for g in range(md.num_row_groups):
@@ -79,7 +85,6 @@ def erase_keys_parquet(
         # the driver. The tmp file is only swapped in when a key was
         # actually present, preserving the byte-identical guarantee for
         # files whose stats range overlapped but held no subject key.
-        value_set = pa.array(sorted(key_set))
         pf = pq.ParquetFile(f)
         tmp = f + ".rewrite.tmp"
         n_hit = 0
@@ -96,12 +101,12 @@ def erase_keys_parquet(
                         batch = batch.filter(pc.invert(mask))
                     if batch.num_rows:
                         writer.write_batch(batch)
-            pf.close()
             if n_hit == 0:
                 os.remove(tmp)
                 continue  # range overlapped but no exact key present
             os.replace(tmp, f)
         finally:
+            pf.close()  # all paths — a mid-rewrite error must not leak the fd
             if os.path.exists(tmp):
                 os.remove(tmp)
         # Hadoop's local FS keeps .<name>.crc sidecars; a stale one

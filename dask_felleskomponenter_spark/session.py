@@ -61,7 +61,14 @@ def get_spark(
         # DuckDB oracles compare as naive-in-UTC either way.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        # normalize truthy env values — the JVM accepts only true/false
+        .config(
+            "spark.ui.enabled",
+            "true"
+            if os.environ.get("SPARK_UI_ENABLED", "false").strip().lower()
+            in ("true", "1", "yes", "on")
+            else "false",
+        )
         .config("spark.driver.maxResultSize", "2g")
         # Local mode runs driver AND all executor threads in one JVM;
         # Spark's 1g default heap makes a 32-thread run GC-thrash once a

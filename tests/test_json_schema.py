@@ -197,3 +197,47 @@ def test_map_open_objects_extension():
     assert convert(schema, map_open_objects=True)["bag"].dataType == MapType(
         StringType(), StringType()
     )
+
+
+def test_nullable_union_overrides_required():
+    """A required field whose type union declares "null" must compile
+    nullable: required-ness constrains key presence, the union admits
+    null VALUES."""
+    from dask_felleskomponenter_spark.functions.json_schema import (
+        convert_json_schema_to_spark,
+    )
+
+    st = convert_json_schema_to_spark(
+        {
+            "type": "object",
+            "properties": {
+                "a": {"type": ["string", "null"]},
+                "b": {"type": "string"},
+            },
+            "required": ["a", "b"],
+        }
+    )
+    assert st["a"].nullable is True
+    assert st["b"].nullable is False
+
+
+def test_json_pointer_array_index_and_escapes():
+    from dask_felleskomponenter_spark.functions.json_schema import (
+        convert_json_schema_to_spark,
+    )
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "x": {"$ref": "#/defs/items/0"},
+            "y": {"$ref": "#/defs/a~1b"},
+        },
+        "defs": {
+            "items": [{"type": "integer", "description": "first"}],
+            "a/b": {"type": "number"},
+        },
+    }
+    st = convert_json_schema_to_spark(schema)
+    assert st["x"].dataType.typeName() == "long" or "int" in st["x"].dataType.typeName()
+    assert st["x"].metadata["description"] == "first"
+    assert "double" in st["y"].dataType.typeName() or "float" in st["y"].dataType.typeName()
