@@ -8,6 +8,7 @@ from dask_felleskomponenter_spark.streaming.ops import (
     sessionize_events,
     sessionize_stateful,
     stream_dedup,
+    stream_dedup_ingest,
     stream_events,
     stream_interval_join,
     windowed_event_counts,
@@ -20,6 +21,7 @@ __all__ = [
     "sessionize_events",
     "sessionize_stateful",
     "stream_dedup",
+    "stream_dedup_ingest",
     "stream_events",
     "stream_interval_join",
     "windowed_event_counts",
