@@ -1,0 +1,110 @@
+"""Differential fuzz: declared queries vs their DuckDB oracles on
+RANDOM corpora, not just the fixed driver testdata.
+
+The oracle-parity suite proves each query/oracle pair agrees on one
+dataset; this harness re-runs the hardest text-family pairs on
+synthetic corpora with planted duplication, hot tokens, unicode, and
+degenerate documents — the regimes where a Spark/SQL mirror quietly
+diverges (tokenization of empties, tie-breaks, three-valued logic,
+boundary conditions).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_felleskomponenter_spark.plans.oracles import ORACLES
+from dask_felleskomponenter_spark.plans.queries import QUERIES
+
+#: Query names safe to fuzz with a documents-only corpus.
+FUZZ_QUERIES = [
+    "dedup_substring_spans",
+    "dedup_canonical_docs",
+    "dedup_cross_batch_novelty",
+    "quality_ensemble_buckets",
+    "fuzzy_blocked_match",
+    "neardup_jaccard_pairs",
+    "tfidf_top_terms",
+    "text_quality_profile",
+]
+
+_VOCAB = (
+    "the and of deep learning spark data modell trening blåbær "
+    "Deep The AND x1 y2 z3 -- ... 42"
+).split()
+
+
+def _corpus(seed: int, n_docs: int) -> list[tuple[int, str, str, str, int]]:
+    rng = random.Random(seed)
+    rows = []
+    shared = " ".join(rng.choice(_VOCAB) for _ in range(12))  # planted passage
+    for i in range(n_docs):
+        n = rng.randint(0, 40)
+        words = [rng.choice(_VOCAB) for _ in range(n)]
+        if rng.random() < 0.3:  # plant cross-doc duplication
+            at = rng.randint(0, max(len(words) - 1, 0))
+            words[at:at] = shared.split()
+        if rng.random() < 0.1 and rows:  # exact duplicate of an earlier doc
+            text = rows[rng.randrange(len(rows))][1]
+        else:
+            text = " ".join(words)
+        rows.append(
+            (i, text, rng.choice(["en", "de", "und"]), f"src{i % 3}", len(text))
+        )
+    return rows
+
+
+def _norm(v):
+    import decimal
+
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v + 0.0, 9)
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+_SKEY = lambda t: tuple((x is None, repr(x)) for x in t)  # noqa: E731
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_query_matches_oracle_on_random_corpus(spark, tmp_path, name, seed):
+    import duckdb
+    import pandas as pd
+
+    rows = _corpus(seed * 1000 + zlib.crc32(name.encode()) % 997, 60)
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    sdf = QUERIES[name](spark, sf_dir)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
+        key=_SKEY,
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        (
+            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+            for row in cur.fetchall()
+        ),
+        key=_SKEY,
+    )
+    assert got == want, f"{name} diverged on seed {seed}: " \
+        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
