@@ -2028,7 +2028,8 @@ WITH base AS (
 ), hist AS (
   SELECT CAST(LEAST(FLOOR(ensemble * 20), 19) AS INTEGER) AS score_bin,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
-         ROUND(AVG(ensemble), 6) AS avg_ensemble,
+         ROUND(SUM(CAST(ROUND(ensemble * 1000000) AS BIGINT))
+               / (COUNT(*) * 1000000.0), 6) AS avg_ensemble,
          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
   FROM ens GROUP BY 1
 ), cum AS (

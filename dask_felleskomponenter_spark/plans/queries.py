@@ -3630,13 +3630,24 @@ def quality_ensemble_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ensemble"),
     )
+    # avg over EXACT integer micro-units, not doubles: the per-doc
+    # score is already 6dp, so summing round(score*1e6) longs is exact
+    # in any order — a float AVG's parallel summation differs from a
+    # serial engine's in the last ulps and flips ROUND(...,6) when the
+    # true mean sits on a 5e-7 boundary (caught by the differential
+    # fuzz sweep)
+    ens_micro = F.round(F.col("ensemble") * 1_000_000).cast("long")
     hist = per_doc.groupBy(
         F.least(F.floor(F.col("ensemble") * 20), F.lit(19))
         .cast("int")
         .alias("score_bin")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("ensemble"), 6).alias("avg_ensemble"),
+        F.round(
+            F.sum(ens_micro)
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+            6,
+        ).alias("avg_ensemble"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
     from pyspark.sql import Window as _W
