@@ -66,11 +66,11 @@ def lag_sessionize(
     (see ``streaming/ops.py``).
 
     Boundary semantics: a gap EXACTLY equal to ``gap_seconds`` stays in
-    the same session (strict ``>``), matching the stateful sessionizer;
-    ``F.session_window`` closes at ``>=`` (its window is
-    ``[start, start+gap)``). Both conventions are deliberate and each
-    declared query's oracle mirrors its own (see
-    ``plans/oracles.py::session_window_events``'s note).
+    the same session (strict ``>``) — matching both the stateful
+    sessionizer AND ``F.session_window`` (probed empirically: native
+    windows ``[t, t+gap]`` merge on single-point overlap, so two events
+    exactly one gap apart share a session). All three sessionization
+    paths agree at the boundary.
     """
     order_w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(order_w)

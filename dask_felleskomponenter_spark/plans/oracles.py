@@ -872,14 +872,18 @@ ORDER BY user_id
 """
 
 # Native session_window twin. Spark merges an event into the open
-# session iff it arrives strictly inside last-event + gap, so the
-# boundary condition here is >= (contrast window_lag_sessionize's
-# deliberate > semantics); session_end = MAX(ts) + gap = window.end.
+# session when it arrives AT OR BEFORE last-event + gap (windows
+# [t, t+gap] merge on single-point overlap — probed empirically: two
+# events exactly 30:00 apart form ONE session, 30:01 two), so a new
+# session starts only when the gap is STRICTLY greater — the same
+# convention as window_lag_sessionize; session_end = MAX(ts) + gap =
+# window.end. The differential fuzz (planted exact-gap events) caught
+# the earlier >= form diverging.
 ORACLES["session_window_events"] = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

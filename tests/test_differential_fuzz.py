@@ -108,3 +108,84 @@ def test_query_matches_oracle_on_random_corpus(spark, tmp_path, name, seed):
     )
     assert got == want, f"{name} diverged on seed {seed}: " \
         f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+
+
+#: Events-family queries fuzzable with a random events table. The
+#: boundary-heavy shapes: session gaps, as-of races, interval joins,
+#: calendar buckets.
+FUZZ_EVENT_QUERIES = [
+    "window_lag_sessionize",
+    "session_window_events",
+    "funnel_conversion_events",
+    "asof_last_error_before_click",
+    "range_join_error_context",
+    "resample_ffill_events",
+    "cohort_retention_events",
+    "tumbling_window_events",
+    "json_fns_events",
+    "skew_profile_event_keys",
+]
+
+_ETYPES = ["click", "error", "purchase", "view", "signup"]
+
+
+def _events_corpus(seed: int, n: int):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(n):
+        user = rng.randint(1, 8)  # dense keys: as-of/session races
+        # cluster timestamps and PLANT exact 30-min gap boundaries
+        step = rng.choice([0, 1, 59, 60, 1799, 1800, 1801, 86_400])
+        ts = base + dt.timedelta(
+            seconds=rng.randint(0, 6) * 3600 + step + i % 7
+        )
+        rows.append(
+            (
+                i,
+                ts,
+                user,
+                rng.choice(_ETYPES),
+                round(rng.uniform(-5, 100), 2),
+                f'{{"k": {rng.randint(0, 99)}}}',
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+@pytest.mark.parametrize("name", FUZZ_EVENT_QUERIES)
+def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed):
+    import duckdb
+    import pandas as pd
+
+    rows = _events_corpus(seed * 7919 + zlib.crc32(name.encode()) % 997, 300)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+
+    sdf = QUERIES[name](spark, sf_dir)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
+        key=_SKEY,
+    )
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        (
+            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+            for row in cur.fetchall()
+        ),
+        key=_SKEY,
+    )
+    assert got == want, f"{name} diverged on seed {seed}: " \
+        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
