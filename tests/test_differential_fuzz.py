@@ -189,3 +189,83 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
     )
     assert got == want, f"{name} diverged on seed {seed}: " \
         f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+
+
+#: Orders-family queries fuzzable with a random orders table —
+#: calendar windows, running totals, rounding-sensitive aggregates.
+FUZZ_ORDER_QUERIES = [
+    "window_range_7day_spend",
+    "date_arith_orders",
+    "window_running_total",
+    "window_topn_orders_per_customer",
+    "topk_expensive_orders",
+    "agg_orders_stats",
+    "agg_rollup_status_priority",
+    "grouping_sets_orders",
+    "agg_percentiles_orders",
+]
+
+
+def _orders_corpus(seed: int, n: int):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(1997, 1, 1)
+    rows = []
+    for i in range(n):
+        # cluster dates and plant exact 7-day boundaries for the RANGE
+        # window; prices on exact cents including .005-style midpoints
+        day = rng.choice([0, 1, 6, 7, 8, 13, 14, 30, 100, 364])
+        rows.append(
+            (
+                i,
+                rng.randint(1, 12),
+                rng.choice(["F", "O", "P"]),
+                round(rng.randint(1, 40_000_000) / 100.0, 2),
+                base + dt.timedelta(days=day + (i % 3) * 7),
+                rng.choice(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+                ),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+@pytest.mark.parametrize("name", FUZZ_ORDER_QUERIES)
+def test_order_query_matches_oracle_on_random_orders(spark, tmp_path, name, seed):
+    import duckdb
+    import pandas as pd
+
+    rows = _orders_corpus(seed * 104729 + zlib.crc32(name.encode()) % 997, 250)
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(
+        f"{sf_dir}/orders.parquet"
+    )
+
+    sdf = QUERIES[name](spark, sf_dir)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
+        key=_SKEY,
+    )
+
+    con = duckdb.connect()
+    con.register("orders", pdf)
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        (
+            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+            for row in cur.fetchall()
+        ),
+        key=_SKEY,
+    )
+    assert got == want, f"{name} diverged on seed {seed}: " \
+        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
