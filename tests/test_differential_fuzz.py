@@ -269,3 +269,108 @@ def test_order_query_matches_oracle_on_random_orders(spark, tmp_path, name, seed
     )
     assert got == want, f"{name} diverged on seed {seed}: " \
         f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+
+
+#: Star-schema queries fuzzable with consistent random
+#: customer/orders/lineitem tables — the decimal-cast-heavy TPC-H
+#: shapes where Spark and SQL engines' precision rules differ most.
+FUZZ_STAR_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q12_late_lines_by_status",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "join_left_outer_counts",
+]
+
+
+def _star_corpus(seed: int):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(1997, 1, 1)
+    customers = [
+        (c, f"Customer#{c}", rng.randint(0, 4),
+         round(rng.randint(-99999, 999999) / 100.0, 2),
+         rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"]))
+        for c in range(1, 13)
+    ]
+    orders, lineitems = [], []
+    lkey = 0
+    for o in range(60):
+        cust = rng.randint(1, 16)  # some custkeys have no orders & v.v.
+        odate = base + dt.timedelta(days=rng.randint(0, 400))
+        total = 0.0
+        n_lines = rng.randint(1, 5)
+        for ln in range(1, n_lines + 1):
+            qty = float(rng.randint(1, 50))
+            price = round(rng.randint(100, 9_999_999) / 100.0, 2)
+            disc = rng.choice([0.0, 0.04, 0.05, 0.06, 0.07, 0.1])
+            tax = rng.choice([0.0, 0.02, 0.08])
+            ship = odate + dt.timedelta(days=rng.choice([0, 5, 29, 30, 31, 90]))
+            lineitems.append(
+                (o, rng.randint(1, 40), rng.randint(1, 10), ln, qty, price,
+                 disc, tax, rng.choice(["A", "N", "R"]),
+                 rng.choice(["F", "O"]), ship)
+            )
+            total += price
+        orders.append(
+            (o, cust, rng.choice(["F", "O", "P"]), round(total, 2), odate,
+             rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                         "4-NOT SPECIFIED", "5-LOW"]))
+        )
+        lkey += n_lines
+    return customers, orders, lineitems
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+@pytest.mark.parametrize("name", FUZZ_STAR_QUERIES)
+def test_star_query_matches_oracle_on_random_schema(spark, tmp_path, name, seed):
+    import duckdb
+    import pandas as pd
+
+    customers, orders, lineitems = _star_corpus(
+        seed * 65537 + zlib.crc32(name.encode()) % 997
+    )
+    frames = {
+        "customer": pd.DataFrame(
+            customers,
+            columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     "c_mktsegment"],
+        ),
+        "orders": pd.DataFrame(
+            orders,
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate", "o_orderpriority"],
+        ),
+        "lineitem": pd.DataFrame(
+            lineitems,
+            columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"],
+        ),
+    }
+    sf_dir = str(tmp_path)
+    con = duckdb.connect()
+    for t, pdf in frames.items():
+        spark.createDataFrame(pdf).coalesce(2).write.parquet(
+            f"{sf_dir}/{t}.parquet"
+        )
+        con.register(t, pdf)
+
+    sdf = QUERIES[name](spark, sf_dir)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
+        key=_SKEY,
+    )
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        (
+            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+            for row in cur.fetchall()
+        ),
+        key=_SKEY,
+    )
+    assert got == want, f"{name} diverged on seed {seed}: " \
+        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
