@@ -374,3 +374,128 @@ def test_star_query_matches_oracle_on_random_schema(spark, tmp_path, name, seed)
     )
     assert got == want, f"{name} diverged on seed {seed}: " \
         f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+
+
+#: Full-schema queries: every TPC-H-shape and relational-join query
+#: fuzzed over a consistent random 8-table star schema.
+FUZZ_TPCH_QUERIES = [
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_customers",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q20_heavy_part_suppliers",
+    "q21_single_blame_supplier",
+    "join_semi_customers",
+    "join_anti_customers",
+    "join_broadcast_supplier_geo",
+    "join_full_outer_spend_freq",
+    "exists_late_shipment_orders",
+    "notexists_dormant_customers",
+    "scalar_subquery_small_qty",
+    "filter_or_of_and_revenue",
+    "conditional_promo_revenue",
+    "topk_expensive_orders",
+]
+
+_P_NAMES = ["green bolt", "red widget", "blue bolt case", "widget press",
+            "small gadget", "promo widget kit"]
+_P_TYPES = ["PROMO", "MEDIUM", "STANDARD", "ECONOMY"]
+_P_BRANDS = ["Brand#12", "Brand#23", "Brand#34", "Brand#45"]
+_N_NAMES = ["NORWAY", "GERMANY", "FRANCE", "CANADA", "JAPAN", "BRAZIL"]
+_R_NAMES = ["EUROPE", "AMERICA", "ASIA"]
+
+
+def _schema_corpus(seed: int):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(1996, 6, 1)
+    region = [(r, _R_NAMES[r]) for r in range(3)]
+    nation = [(n, _N_NAMES[n], n % 3) for n in range(6)]
+    supplier = [
+        (s, f"Supplier#{s}", rng.randint(0, 5),
+         round(rng.randint(-50000, 500000) / 100.0, 2))
+        for s in range(1, 9)
+    ]
+    part = [
+        (p, rng.choice(_P_NAMES), rng.choice(_P_BRANDS),
+         rng.choice(_P_TYPES), rng.choice([1, 5, 10, 15, 20, 25, 30, 49]),
+         round(rng.randint(100, 200000) / 100.0, 2))
+        for p in range(1, 21)
+    ]
+    customer = [
+        (c, f"Customer#{c}", rng.randint(0, 5),
+         round(rng.randint(-99999, 999999) / 100.0, 2),
+         rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"]))
+        for c in range(1, 13)
+    ]
+    orders, lineitem = [], []
+    for o in range(80):
+        odate = base + dt.timedelta(days=rng.randint(0, 700))
+        total = 0.0
+        for ln in range(1, rng.randint(1, 5) + 1):
+            price = round(rng.randint(100, 9_999_999) / 100.0, 2)
+            lineitem.append(
+                (o, rng.randint(1, 20), rng.randint(1, 8), ln,
+                 float(rng.randint(1, 50)), price,
+                 rng.choice([0.0, 0.04, 0.05, 0.06, 0.07, 0.1]),
+                 rng.choice([0.0, 0.02, 0.08]),
+                 rng.choice(["A", "N", "R"]), rng.choice(["F", "O"]),
+                 odate + dt.timedelta(days=rng.choice([0, 5, 29, 30, 31, 61, 90])))
+            )
+            total += price
+        orders.append(
+            (o, rng.randint(1, 16), rng.choice(["F", "O", "P"]),
+             round(total, 2), odate,
+             rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                         "4-NOT SPECIFIED", "5-LOW"]))
+        )
+    return {
+        "region": (region, ["r_regionkey", "r_name"]),
+        "nation": (nation, ["n_nationkey", "n_name", "n_regionkey"]),
+        "supplier": (supplier, ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
+        "part": (part, ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+        "customer": (customer, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]),
+        "orders": (orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]),
+        "lineitem": (lineitem, ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"]),
+    }
+
+
+@pytest.mark.parametrize("seed", [13, 41])
+@pytest.mark.parametrize("name", FUZZ_TPCH_QUERIES)
+def test_tpch_query_matches_oracle_on_random_schema(spark, tmp_path, name, seed):
+    import duckdb
+    import pandas as pd
+
+    tables = _schema_corpus(seed * 524287 + zlib.crc32(name.encode()) % 997)
+    sf_dir = str(tmp_path)
+    con = duckdb.connect()
+    for t, (rows, cols) in tables.items():
+        pdf = pd.DataFrame(rows, columns=cols)
+        spark.createDataFrame(pdf).coalesce(2).write.parquet(
+            f"{sf_dir}/{t}.parquet"
+        )
+        con.register(t, pdf)
+
+    sdf = QUERIES[name](spark, sf_dir)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
+        key=_SKEY,
+    )
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        (
+            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+            for row in cur.fetchall()
+        ),
+        key=_SKEY,
+    )
+    assert got == want, f"{name} diverged on seed {seed}: " \
+        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
