@@ -401,6 +401,18 @@ FUZZ_TPCH_QUERIES = [
     "filter_or_of_and_revenue",
     "conditional_promo_revenue",
     "topk_expensive_orders",
+    "math_fns_lineitem",
+    "robust_stats_lineitem",
+    "stats_regression_lineitem",
+    "unpivot_lineitem_metrics",
+    "profile_lineitem_columns",
+    "pivot_status_by_priority",
+    "window_distribution_ranks",
+    "udaf_geomean_orders",
+    "set_union_segments",
+    "set_except_inactive",
+    "set_intersect_buyers",
+    "nullsafe_join_segments",
 ]
 
 _P_NAMES = ["green bolt", "red widget", "blue bolt case", "widget press",
