@@ -1460,8 +1460,10 @@ WITH q AS (
   SELECT q.query_id, e.vec_id,
          ROUND(
            list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-           / (SQRT(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
-              * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 9) AS c9
+           / (GREATEST(SQRT(list_sum(list_transform(
+                  CAST(e.embedding AS DOUBLE[]), x -> x * x))), 1e-12)
+              * GREATEST(SQRT(list_sum(list_transform(
+                  q.qv, x -> x * x))), 1e-12)), 9) AS c9
   FROM embeddings e CROSS JOIN q
 ), ranked AS (
   SELECT query_id, vec_id, c9,

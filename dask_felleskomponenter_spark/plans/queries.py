@@ -2227,7 +2227,13 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("_ma", F.array_max(F.transform("_v", lambda x: F.abs(x))))
-        .withColumn("_s", F.lit(127.0) / F.col("_ma"))
+        # CASE-guarded division: under ANSI mode 127/0 raises EAGERLY on
+        # a zero vector, before the final `invalid` mask could hide it —
+        # when() evaluates the branch only where the condition holds
+        .withColumn(
+            "_s",
+            F.when(F.col("_ma") > 0, F.lit(127.0) / F.col("_ma")),
+        )
         .withColumn(
             "_q",
             F.transform("_v", lambda x: F.round(x * F.col("_s")).cast("int")),

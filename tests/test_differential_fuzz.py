@@ -31,6 +31,21 @@ FUZZ_QUERIES = [
     "neardup_jaccard_pairs",
     "tfidf_top_terms",
     "text_quality_profile",
+    "string_fns_documents",
+    "lang_id_documents",
+    "ngram_top_bigrams",
+    "repetition_profile_documents",
+    "unigram_logprob_score",
+    "contamination_ngram_screen",
+    "pack_sequences_offsets",
+    "mixture_temperature_sample",
+    "pii_redact_profile",
+    "sample_hash_stratified",
+    "fingerprint_documents",
+    "dedup_exact_docs",
+    "dedup_exact_summary",
+    "neardup_cluster_assign",
+    "pipeline_training_corpus",
 ]
 
 _VOCAB = (
@@ -124,6 +139,10 @@ FUZZ_EVENT_QUERIES = [
     "tumbling_window_events",
     "json_fns_events",
     "skew_profile_event_keys",
+    "date_fns_events",
+    "map_fns_events",
+    "variant_fns_events",
+    "agg_salted_user_events",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -413,6 +432,7 @@ FUZZ_TPCH_QUERIES = [
     "set_except_inactive",
     "set_intersect_buyers",
     "nullsafe_join_segments",
+    "window_running_total",
 ]
 
 _P_NAMES = ["green bolt", "red widget", "blue bolt case", "widget press",
@@ -499,6 +519,72 @@ def test_tpch_query_matches_oracle_on_random_schema(spark, tmp_path, name, seed)
     got = sorted(
         (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
         key=_SKEY,
+    )
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        (
+            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+            for row in cur.fetchall()
+        ),
+        key=_SKEY,
+    )
+    assert got == want, f"{name} diverged on seed {seed}: " \
+        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+
+
+#: Embedding-family queries over a random vectors table — float dot
+#: products rounded at the top-k boundary are the hazard probed here.
+FUZZ_EMBEDDING_QUERIES = [
+    "cosine_topk_embeddings",
+    "neardup_embedding_cosine",
+    "semantic_cluster_assign",
+    "array_fns_embeddings",
+    "embedding_quantize_stats",
+]
+
+
+def _embeddings_corpus(seed: int, n: int, dim: int = 64):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if i % 17 == 0:
+            vec = [0.0] * dim  # zero vectors: the safe-norm path
+        elif i % 11 == 0 and rows:
+            vec = list(rows[rng.randrange(len(rows))][1])  # exact dup
+        else:
+            vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        rows.append((i, vec, rng.randint(0, 3)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [19, 47])
+@pytest.mark.parametrize("name", FUZZ_EMBEDDING_QUERIES)
+def test_embedding_query_matches_oracle_on_random_vectors(
+    spark, tmp_path, name, seed
+):
+    import duckdb
+    import pandas as pd
+
+    rows = _embeddings_corpus(seed * 9973 + zlib.crc32(name.encode()) % 997, 80)
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        pdf, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(2).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    sdf = QUERIES[name](spark, sf_dir)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
+        key=_SKEY,
+    )
+    con = duckdb.connect()
+    # read the SAME float32 parquet Spark reads — registering the
+    # float64 pandas frame would give DuckDB more precision than the
+    # array<float> column both engines see in production
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
     )
     cur = con.execute(ORACLES[name])
     cols = [d[0] for d in cur.description]
