@@ -46,6 +46,12 @@ FUZZ_QUERIES = [
     "dedup_exact_summary",
     "neardup_cluster_assign",
     "pipeline_training_corpus",
+    "udtf_chunk_documents",
+    "multimodal_decode_profile",
+    "multimodal_audio_profile",
+    "multimodal_audio_features",
+    "multimodal_image_profile",
+    "multimodal_video_profile",
 ]
 
 _VOCAB = (
@@ -143,6 +149,8 @@ FUZZ_EVENT_QUERIES = [
     "map_fns_events",
     "variant_fns_events",
     "agg_salted_user_events",
+    "theta_cohort_overlap",
+    "join_salted_user_events",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -188,6 +196,21 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
     spark.createDataFrame(pdf).coalesce(2).write.parquet(
         f"{sf_dir}/events.parquet"
     )
+    # small consistent customer dim for the stream⋈dim queries
+    rng = random.Random(seed)
+    cust = pd.DataFrame(
+        [
+            (c, f"Customer#{c}", rng.randint(0, 4),
+             round(rng.randint(-9999, 99999) / 100.0, 2),
+             rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"]))
+            for c in range(1, 7)  # fewer customers than user_ids: misses
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+    spark.createDataFrame(cust).coalesce(1).write.parquet(
+        f"{sf_dir}/customer.parquet"
+    )
 
     sdf = QUERIES[name](spark, sf_dir)
     got = sorted(
@@ -197,6 +220,7 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
 
     con = duckdb.connect()
     con.register("events", pdf)
+    con.register("customer", cust)
     cur = con.execute(ORACLES[name])
     cols = [d[0] for d in cur.description]
     want = sorted(
@@ -222,6 +246,7 @@ FUZZ_ORDER_QUERIES = [
     "agg_rollup_status_priority",
     "grouping_sets_orders",
     "agg_percentiles_orders",
+    "sync_merge_orders",
 ]
 
 
@@ -433,6 +458,9 @@ FUZZ_TPCH_QUERIES = [
     "set_intersect_buyers",
     "nullsafe_join_segments",
     "window_running_total",
+    "agg_cube_segment_status",
+    "spatial_box_join_counts",
+    "recursive_cte_customer_tree",
 ]
 
 _P_NAMES = ["green bolt", "red widget", "blue bolt case", "widget press",
