@@ -625,3 +625,75 @@ def test_embedding_query_matches_oracle_on_random_vectors(
     )
     assert got == want, f"{name} diverged on seed {seed}: " \
         f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+
+
+#: Rows-only queries (no SQL oracle) exercised on random tables: the
+#: assertion is completion + non-negative row counts — the class of
+#: failure this catches is the data-dependent crash (ANSI division,
+#: codegen limits, degenerate inputs), which the zero-vector sweep
+#: already caught once in the oracle-backed set.
+ROWS_ONLY_FAMILY = {
+    "agg_approx_distinct": "star",
+    "agg_approx_percentiles": "orders",
+    "ann_ivf_topk": "embeddings",
+    "ann_lsh_bucketed": "embeddings",
+    "ann_pq_topk": "embeddings",
+    "kll_quantile_rollup_prices": "star",
+    "neardup_minhash_lsh": "documents",
+    "raster_contours_tiles": "embeddings",
+    "simhash_documents": "documents",
+    "sketch_rollup_users": "events",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_FAMILY))
+def test_rows_only_query_survives_random_data(spark, tmp_path, name, monkeypatch):
+    import pandas as pd
+
+    sf_dir = str(tmp_path)
+    fam = ROWS_ONLY_FAMILY[name]
+    seed = zlib.crc32(name.encode())
+    if fam == "documents":
+        pdf = pd.DataFrame(
+            _corpus(seed, 50),
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        spark.createDataFrame(pdf).coalesce(2).write.parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+    elif fam == "events":
+        pdf = pd.DataFrame(
+            _events_corpus(seed, 200),
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        spark.createDataFrame(pdf).coalesce(2).write.parquet(
+            f"{sf_dir}/events.parquet"
+        )
+    elif fam == "orders":
+        pdf = pd.DataFrame(
+            _orders_corpus(seed, 150),
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate", "o_orderpriority"],
+        )
+        spark.createDataFrame(pdf).coalesce(2).write.parquet(
+            f"{sf_dir}/orders.parquet"
+        )
+    elif fam == "embeddings":
+        pdf = pd.DataFrame(
+            _embeddings_corpus(seed, 64),
+            columns=["vec_id", "embedding", "label"],
+        )
+        spark.createDataFrame(
+            pdf, "vec_id bigint, embedding array<float>, label int"
+        ).coalesce(2).write.parquet(f"{sf_dir}/embeddings.parquet")
+        # ANN queries build a persisted store on first touch — keep the
+        # fuzz store out of the repo warehouse
+        monkeypatch.setenv("SPARK_GRAFT_ANN_ROOT", f"{sf_dir}/_ann")
+    else:  # star schema
+        for t, (rows, cols) in _schema_corpus(seed).items():
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=cols)
+            ).coalesce(2).write.parquet(f"{sf_dir}/{t}.parquet")
+
+    n = QUERIES[name](spark, sf_dir).count()
+    assert n >= 0
