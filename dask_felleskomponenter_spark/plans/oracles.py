@@ -1329,12 +1329,9 @@ WITH b AS (
   SELECT * FROM fam_a UNION ALL SELECT * FROM extras
 )
 SELECT id_a, id_b,
-       CAST(levenshtein(regexp_replace(px, '[^\\x20-\\x7E]', '', 'g'),
-                        regexp_replace(py, '[^\\x20-\\x7E]', '', 'g'))
-            AS INTEGER) AS distance
+       CAST(levenshtein(px, py) AS INTEGER) AS distance
 FROM cand
-WHERE levenshtein(regexp_replace(px, '[^\\x20-\\x7E]', '', 'g'),
-                  regexp_replace(py, '[^\\x20-\\x7E]', '', 'g')) <= 10
+WHERE levenshtein(px, py) <= 10
 ORDER BY id_a, id_b
 """
 

@@ -1155,19 +1155,17 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair (the scored column is reused by the filter), vs a full
     # O(len²) DP evaluated twice in the naive filter+project form.
     def score(cand):
-        # Distance on the printable-ASCII projection of the prefixes:
-        # Spark's levenshtein counts CHARACTERS while SQL engines'
-        # (DuckDB editdist3-style) count BYTES, so any non-ASCII char
-        # makes the two metrics disagree near the threshold. Projecting
-        # both sides to ASCII (where bytes == chars) keeps the declared
-        # metric engine-portable; swap in a char-level pandas UDF when
-        # unicode-exact distances matter more than SQL checkability.
-        ascii_px = F.regexp_replace(F.col("px"), r"[^\x20-\x7E]", "")
-        ascii_py = F.regexp_replace(F.col("py"), r"[^\x20-\x7E]", "")
+        # CHARACTER-level distance on the raw prefixes — the unicode-
+        # correct metric (two different CJK/Cyrillic strings must not
+        # collapse to distance 0, which an ASCII projection would do).
+        # Portability note: byte-counting SQL engines (DuckDB
+        # editdist3-style) agree with char counting only on ASCII text;
+        # the differential fuzz harness therefore feeds this query an
+        # ASCII-only corpus — the shim lives on the TEST side, not here.
         return cand.select(
             "id_a",
             "id_b",
-            F.levenshtein(ascii_px, ascii_py, 10).alias("distance"),
+            F.levenshtein(F.col("px"), F.col("py"), 10).alias("distance"),
         ).where(F.col("distance") >= 0)
 
     matched = score(fam_a).unionByName(score(extras))

@@ -59,14 +59,25 @@ _VOCAB = (
     "Deep The AND x1 y2 z3 -- ... 42"
 ).split()
 
+#: ASCII-only vocab for queries whose Spark metric is CHARACTER-level
+#: while the DuckDB oracle counts BYTES (levenshtein): the engines agree
+#: exactly when bytes == chars, so the portability shim lives here on
+#: the test side and the production query stays unicode-correct.
+_ASCII_VOCAB = [w.replace("å", "aa").replace("æ", "ae") for w in _VOCAB]
 
-def _corpus(seed: int, n_docs: int) -> list[tuple[int, str, str, str, int]]:
+#: Queries needing the ASCII-only corpus (byte-vs-char metric families).
+_ASCII_ONLY = {"fuzzy_blocked_match"}
+
+
+def _corpus(
+    seed: int, n_docs: int, vocab: list[str] = _VOCAB
+) -> list[tuple[int, str, str, str, int]]:
     rng = random.Random(seed)
     rows = []
-    shared = " ".join(rng.choice(_VOCAB) for _ in range(12))  # planted passage
+    shared = " ".join(rng.choice(vocab) for _ in range(12))  # planted passage
     for i in range(n_docs):
         n = rng.randint(0, 40)
-        words = [rng.choice(_VOCAB) for _ in range(n)]
+        words = [rng.choice(vocab) for _ in range(n)]
         if rng.random() < 0.3:  # plant cross-doc duplication
             at = rng.randint(0, max(len(words) - 1, 0))
             words[at:at] = shared.split()
@@ -101,7 +112,11 @@ def test_query_matches_oracle_on_random_corpus(spark, tmp_path, name, seed):
     import duckdb
     import pandas as pd
 
-    rows = _corpus(seed * 1000 + zlib.crc32(name.encode()) % 997, 60)
+    rows = _corpus(
+        seed * 1000 + zlib.crc32(name.encode()) % 997,
+        60,
+        vocab=_ASCII_VOCAB if name in _ASCII_ONLY else _VOCAB,
+    )
     pdf = pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
