@@ -77,10 +77,10 @@ def dedup_against_history(
     table_name: str,
     batch_label: str = "batch-0",
     n_buckets: int = 16,
-    update: bool = True,
+    update: bool = False,
 ) -> DataFrame:
-    """Screen an incoming batch against the dedup history and (by
-    default) record its novel documents.
+    """Screen an incoming batch against the dedup history; optionally
+    record its novel documents.
 
     Returns the batch rows that are novel: not seen in any prior batch,
     and first-per-hash inside this batch (ties broken by ``id_col``, so
@@ -88,6 +88,19 @@ def dedup_against_history(
     the novel hashes are appended to the history under the same bucket
     spec, making the call idempotent: a re-ingested batch yields zero
     novel rows.
+
+    DURABILITY ORDER — ``update`` defaults to ``False`` because the
+    history append happens BEFORE the caller can durably sink the
+    returned novel rows (which live only in an executor-memory
+    localCheckpoint). With ``update=True``, a crash between this call
+    and the caller's corpus write permanently marks those documents as
+    seen and silently DROPS them. Any caller that sinks the novel rows
+    must write the corpus first and then call ``record_novel`` — the
+    order ``stream_dedup_ingest`` uses, which at worst duplicates (a
+    downstream exact-dedup pass removes that) instead of dropping.
+    Reserve ``update=True`` for callers whose only durable artifact IS
+    the history (e.g. seen-set warm-up from an already-persisted
+    corpus).
 
     Scale: the within-batch keep-first and the anti-join both key on the
     32-byte hash, and the history side is read bucket-aligned — one

@@ -3,15 +3,18 @@
 A training-corpus export is only reproducible if its identity can be
 checked later: row count, an order-independent content checksum, and
 the file inventory. The checksum is computed BY THE CLUSTER (a map-side
-``xxhash64`` per row folded with ``bit_xor`` — one aggregate, no data
-movement beyond a single 8-byte partial per partition), so verifying a
-100 TB corpus costs one scan, not a driver-side read.
+``xxhash64`` per row folded with a modular SUM — one aggregate, no data
+movement beyond one small partial per partition), so verifying a 100 TB
+corpus costs one scan, not a driver-side read.
 
-XOR-fold properties that make this the right reduction:
-- order-independent (shuffle/partitioning cannot change it),
-- any single-row change flips it with probability ~1-2^-64,
-- BUT duplicate-pair insertions cancel — which is why the manifest
-  also records the exact row count (a cancelled pair changes count).
+SUM-fold (mod 2^64) properties that make this the right reduction:
+- order-independent (addition commutes; shuffle/partitioning cannot
+  change it),
+- any single-row change moves it with probability ~1-2^-64,
+- multiplicity-sensitive: k copies of a row contribute k·h mod 2^64,
+  so duplicate-pair substitutions ({A,A} → {B,B}) are detected — the
+  failure class a ``bit_xor`` fold misses with probability 1 (each
+  even-multiplicity set XORs to 0 while preserving row count).
 """
 
 from __future__ import annotations
@@ -29,11 +32,17 @@ MANIFEST_NAME = "_corpus_manifest.json"
 def df_checksum(df: DataFrame, cols: list[str] | None = None) -> tuple[int, int]:
     """Order-independent (checksum, row_count) of a DataFrame.
 
-    ``xxhash64`` over the selected columns per row, ``bit_xor``-folded.
-    One whole-stage-codegen aggregate: each partition emits an 8-byte
-    partial, the driver receives numbers, never rows. Column order is
-    canonicalized by hashing a fixed column list — pass ``cols`` to pin
-    the schema subset that defines corpus identity.
+    ``xxhash64`` over the selected columns per row, folded with a
+    modular SUM into [0, 2^64). One whole-stage-codegen aggregate: each
+    partition emits one small partial, the driver receives numbers,
+    never rows. Column order is canonicalized by hashing a fixed column
+    list — pass ``cols`` to pin the schema subset that defines corpus
+    identity.
+
+    The per-row hashes are summed exactly as ``decimal(38,0)`` (ANSI-
+    safe: a signed-long SUM would overflow-error under Spark 4's
+    default ANSI mode) and reduced mod 2^64 driver-side; the decimal
+    sum itself cannot overflow below ~10^19 rows.
 
     NULLs are hashed through a per-column sentinel: Spark's raw
     ``xxhash64`` SKIPS null inputs, which made ``('a', NULL)`` and
@@ -48,10 +57,11 @@ def df_checksum(df: DataFrame, cols: list[str] | None = None) -> tuple[int, int]
         F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>")) for c in use
     ]
     row = df.agg(
-        F.bit_xor(F.xxhash64(*hashed)).alias("_x"),
+        F.sum(F.xxhash64(*hashed).cast("decimal(38,0)")).alias("_s"),
         F.count(F.lit(1)).alias("_n"),
     ).first()
-    return (row["_x"] if row["_x"] is not None else 0, row["_n"])
+    total = int(row["_s"]) if row["_s"] is not None else 0
+    return (total % (1 << 64), row["_n"])
 
 
 def _file_inventory(data_path: str) -> dict[str, int]:
@@ -89,7 +99,7 @@ def write_corpus_manifest(
     checksum, n_rows = df_checksum(df, cols)
     files = _file_inventory(data_path)
     manifest = {
-        "checksum_xor64": checksum,
+        "checksum_sum64": checksum,
         "n_rows": n_rows,
         "columns": cols or sorted(df.columns),
         "files": files,
@@ -118,7 +128,14 @@ def verify_corpus_manifest(
     problems: list[str] = []
     if n_rows != recorded["n_rows"]:
         problems.append(f"row count {n_rows} != recorded {recorded['n_rows']}")
-    if checksum != recorded["checksum_xor64"]:
+    if "checksum_sum64" not in recorded:
+        # pre-sum-fold manifests recorded an XOR fold, which is not
+        # comparable (and was blind to even-multiplicity substitutions)
+        problems.append(
+            "manifest predates the sum-fold checksum; re-write it with "
+            "write_corpus_manifest"
+        )
+    elif checksum != recorded["checksum_sum64"]:
         problems.append("content checksum mismatch")
     if _file_inventory(data_path) != recorded["files"]:
         problems.append("file inventory changed")

@@ -306,11 +306,22 @@ def compact_parquet(
                 ),
             )
             spread = max(1, math.ceil(n_files / n_leaf_parts))
-            out = df.repartition(
-                n_files,
-                *part_cols,
-                F.pmod(F.xxhash64(F.monotonically_increasing_id()), spread),
+            # The spread key must be DETERMINISTIC in the row data:
+            # under a shuffle fetch-failure/stage-retry, recomputed map
+            # tasks re-evaluate the key, and a non-deterministic one
+            # (monotonically_increasing_id, rand) can route rows to
+            # different reducers than the original run — silently
+            # duplicating or dropping rows in the rewritten (only
+            # durable) copy. Spark guards round-robin repartition
+            # against exactly this (SPARK-23207); an arbitrary
+            # non-deterministic key gets no such recompute barrier.
+            data_cols = [c for c in df.columns if c not in part_cols]
+            spread_key = (
+                F.pmod(F.xxhash64(*data_cols), F.lit(spread))
+                if data_cols
+                else F.lit(0)
             )
+            out = df.repartition(n_files, *part_cols, spread_key)
             if sort_cols:
                 out = out.sortWithinPartitions(*sort_cols)
             out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)

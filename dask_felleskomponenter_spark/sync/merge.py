@@ -140,6 +140,16 @@ def merge_into_path(
     old_dir = target_path + ".old"
     if not os.path.exists(target_path) and os.path.exists(old_dir):
         os.rename(old_dir, target_path)  # recover an interrupted swap
+    # Reap staging orphans from crashed prior attempts: each attempt
+    # writes a fresh uuid-named sibling, and a hard crash skips the
+    # in-process cleanup below — without this, every failed merge leaks
+    # a full table-sized copy forever (same recovery incremental.py's
+    # _recover_interrupted_swap performs).
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    prefix = os.path.basename(target_path) + ".staging-"
+    for entry in os.listdir(parent):
+        if entry.startswith(prefix):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
     target = spark.read.format(fmt).load(target_path)
     merged = merge_upsert(target, staging, keys, update_type_col)
     staging_dir = f"{target_path}.staging-{uuid.uuid4().hex}"

@@ -29,9 +29,11 @@ def _batch(spark, rows):
 
 
 def _novel_ids(spark, rows, table_name, batch_label):
+    # update=True is the history-only path (no corpus sink to lose);
+    # callers sinking novel rows must use update=False + record_novel.
     out = dedup_against_history(
         spark, _batch(spark, rows), "doc_id", "text", table_name,
-        batch_label=batch_label, n_buckets=4,
+        batch_label=batch_label, n_buckets=4, update=True,
     )
     return sorted(r["doc_id"] for r in out.collect())
 

@@ -72,6 +72,20 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     assert any("inventory" in p for p in report["problems"])
 
 
+def test_checksum_detects_even_multiplicity_substitution(spark):
+    """Regression: a bit_xor fold maps every even-multiplicity row set
+    to 0, so replacing {A, A} with {B, B} (same row count) verified
+    clean with probability 1. The modular-SUM fold contributes k·h per
+    k copies and must distinguish them."""
+    aa = spark.createDataFrame([("dup",), ("dup",)], "text string")
+    bb = spark.createDataFrame([("other",), ("other",)], "text string")
+    ca, cb = df_checksum(aa), df_checksum(bb)
+    assert ca[1] == cb[1] == 2
+    assert ca[0] != cb[0]
+    # and duplicate multiplicity itself is visible in the checksum
+    assert df_checksum(aa)[0] != df_checksum(aa.limit(1))[0]
+
+
 def test_checksum_detects_null_column_shifts(spark):
     """Regression: raw xxhash64 SKIPS null inputs, making ('a', NULL)
     and (NULL, 'a') hash identically — a value shifting across a NULL

@@ -752,3 +752,20 @@ def test_merge_into_path_staged_swap_and_recovery(spark, tmp_path):
     got2 = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
     assert got2 == {(0, "zz"), (1, "new"), (3, "old"), (4, "old")}
     assert not os.path.exists(target + ".old")
+    # staging orphans from hard-crashed prior attempts (uuid siblings
+    # the in-process finally never reached) are reaped on entry —
+    # without this every failed merge leaks a table-sized copy forever
+    orphan = target + ".staging-deadbeefcafe"
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    merge_into_path(
+        target,
+        spark.createDataFrame(
+            [(3, "yy", "upsert")], "k long, v string, update_type string"
+        ),
+        ["k"],
+    )
+    assert not os.path.exists(orphan)
+    got3 = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got3 == {(0, "zz"), (1, "new"), (3, "yy"), (4, "old")}
