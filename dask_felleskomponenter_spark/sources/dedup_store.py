@@ -210,13 +210,31 @@ def compact_history(
     _recover_history(spark, table_name)
     # Streams original → scratch (different table names, no self-read
     # hazard); never caches the history, which can be corpus-sized.
-    (
-        spark.table(table_name)
-        .repartition(n_buckets, HASH_COL)
-        .write.bucketBy(n_buckets, HASH_COL)
-        .sortBy(HASH_COL)
-        .saveAsTable(scratch)
-    )
+    #
+    # The scan MUST be bucket-aligned (autoBucketedScan pinned off for
+    # the rewrite): then each task reads exactly one bucket's files and
+    # writes exactly one file — a SHUFFLE-FREE compaction. Left to the
+    # planner's default, a subtle interplay destroys the layout: the
+    # bucket spec satisfies the hash distribution so any explicit
+    # repartition is elided, then autoBucketedScan decides nothing
+    # needs the bucketing and reads raw file splits — neither exchange
+    # nor alignment happens and every writer task emits a file per
+    # bucket it touches (measured: 3 ingest appends → a 247-file
+    # "compacted" table instead of n_buckets; caught by
+    # tests/test_scale_stress.py's populated-history cycle).
+    scan_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_scan = spark.conf.get(scan_key)
+    spark.conf.set(scan_key, "false")
+    try:
+        (
+            spark.table(table_name)
+            .repartition(n_buckets, HASH_COL)
+            .write.bucketBy(n_buckets, HASH_COL)
+            .sortBy(HASH_COL)
+            .saveAsTable(scratch)
+        )
+    finally:
+        spark.conf.set(scan_key, prev_scan)
     n = spark.table(scratch).count()
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")

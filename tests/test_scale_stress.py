@@ -155,6 +155,108 @@ def test_connected_components_on_recovered_structure(spark, stress_docs):
     assert sorted(pairs) == list(range(N_PAIRS))
 
 
+def test_history_store_multi_batch_ingest_and_compaction_at_scale(
+    spark, stress_docs
+):
+    """The cross-batch dedup store under a 10×-bench re-crawl cycle:
+    three overlapping 15k–25k-doc batches ingested with the durable
+    order (corpus first, then ``record_novel``), a compaction pass over
+    the accumulated appends, and then the two claims that must survive
+    a POPULATED history — exact novelty counts (the planted identical
+    pairs dedup within their batch, overlaps dedup across batches), and
+    the screening plan still carrying exactly ONE Exchange (the batch's;
+    the ~50k-hash history side reads bucket-aligned)."""
+    import io
+    import re
+    import uuid
+    from contextlib import redirect_stdout
+
+    from dask_felleskomponenter_spark.operators.dedup import content_hash
+    from dask_felleskomponenter_spark.operators.windows import keep_first
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        compact_history,
+        dedup_against_history,
+        record_novel,
+    )
+
+    table = f"stress_history_{uuid.uuid4().hex[:12]}"
+    docs = spark.read.parquet(f"{stress_docs}/documents.parquet")
+    n_buckets = 8
+    try:
+        # ids 100-199 duplicate 0-99 within batch 0; later batches
+        # overlap the earlier ones by 10k and 10k ids respectively
+        batches = [(0, 25_000), (15_000, 40_000), (30_000, N_DOCS)]
+        expected_novel = [24_900, 15_000, 10_000]
+        for b, (lo, hi) in enumerate(batches):
+            batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            novel = dedup_against_history(
+                spark, batch, "doc_id", "text", table,
+                n_buckets=n_buckets, update=False,
+            ).localCheckpoint(eager=True)
+            assert novel.count() == expected_novel[b]
+            record_novel(novel, "doc_id", table, f"crawl-{b}", n_buckets)
+        total = sum(expected_novel)
+        assert compact_history(spark, table, n_buckets=n_buckets) == total
+        # compaction bounds the file count: one file-set per bucket
+        files = [
+            r[0]
+            for r in spark.sql(
+                f"SELECT input_file_name() FROM {table}"
+            ).distinct().collect()
+        ]
+        assert len(files) <= n_buckets
+        # a full re-crawl of everything is 100% seen
+        assert (
+            dedup_against_history(
+                spark, docs, "doc_id", "text", table,
+                n_buckets=n_buckets, update=False,
+            ).count()
+            == 0
+        )
+        # plan pin against the POPULATED compacted history: exactly one
+        # Exchange (same recipe as tests/test_dedup_store.py — broadcast
+        # off to surface the big-history shape, shuffle partitions ==
+        # bucket count for the zero-shuffle bucketed read)
+        probe = keep_first(
+            # filter, not limit: a limit plans a SinglePartition gather
+            # exchange of its own, which would muddy the one-exchange pin
+            docs.filter(F.col("doc_id") < 1000).withColumn(
+                "content_sha", content_hash("text")
+            ),
+            partition_by=["content_sha"],
+            order_by=[F.col("doc_id")],
+        )
+        prevs = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "spark.sql.shuffle.partitions",
+            )
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_buckets))
+        try:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                probe.join(
+                    spark.table(table), on="content_sha", how="left_anti"
+                ).explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            for k, v in prevs.items():
+                spark.conf.set(k, v)
+        assert "Bucketed: true" in plan, plan[:3000]
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__old")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__scratch")
+
+
 def test_duplicated_spans_survive_planted_boilerplate(spark, stress_docs):
     """The ExactSubstr pass on the hostile corpus: the boilerplate tail
     shared by 15k documents concentrates its two 8-gram hashes into
