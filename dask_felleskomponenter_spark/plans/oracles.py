@@ -934,7 +934,8 @@ SELECT
   o_custkey,
   o_orderkey,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
 FROM orders
 ORDER BY o_custkey, o_orderkey

@@ -446,14 +446,24 @@ def window_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer cumulative spend over order history (frame window)."""
+    """Per-customer cumulative spend over order history (frame window).
+
+    NULL placement in the running order is EXPLICIT (nulls first):
+    engines disagree on the ASC default (Spark puts NULLs first, DuckDB
+    and Postgres last), so an unknown-date order would silently land at
+    a different point of the cumulative sum per engine — caught by the
+    type-variant fuzz (`tests/test_differential_fuzz.py`) the first time
+    a nullable order date reached this window."""
     orders = load_table(spark, sf_dir, "orders")
     with_money = orders.withColumn("_p", dmoney("o_totalprice"))
     return (
         running_total(
             with_money,
             partition_by=["o_custkey"],
-            order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+            order_by=[
+                F.col("o_orderdate").asc_nulls_first(),
+                F.col("o_orderkey").asc(),
+            ],
             value_col="_p",
             out_col="_running",
         )

@@ -712,3 +712,128 @@ def test_rows_only_query_survives_random_data(spark, tmp_path, name, monkeypatch
 
     n = QUERIES[name](spark, sf_dir).count()
     assert n >= 0
+
+
+#: Queries re-fuzzed under a HOSTILE physical schema: the sf testdata is
+#: all BIGINT keys / DOUBLE money / non-null TIMESTAMP / ASCII strings,
+#: so value-only fuzz never exercises the type boundaries a real corpus
+#: hits — DECIMAL(12,2) money (the dmoney contract applied at the
+#: source), 32-bit keys, NULL order/ship dates, and unicode group keys.
+FUZZ_TYPE_VARIANT_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_customers",
+    "q12_late_lines_by_status",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "join_left_outer_counts",
+    "topk_expensive_orders",
+    "window_running_total",
+    "agg_percentiles_orders",
+    "window_range_7day_spend",
+    "window_topn_orders_per_customer",
+    "date_arith_orders",
+]
+
+_TYPE_VARIANT_DDL = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "supplier": "s_suppkey int, s_name string, s_nationkey int, "
+                "s_acctbal decimal(12,2)",
+    "part": "p_partkey int, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice decimal(12,2)",
+    "customer": "c_custkey int, c_name string, c_nationkey int, "
+                "c_acctbal decimal(12,2), c_mktsegment string",
+    "orders": "o_orderkey int, o_custkey int, o_orderstatus string, "
+              "o_totalprice decimal(12,2), o_orderdate timestamp, "
+              "o_orderpriority string",
+    "lineitem": "l_orderkey int, l_partkey int, l_suppkey int, "
+                "l_linenumber int, l_quantity decimal(12,2), "
+                "l_extendedprice decimal(12,2), l_discount decimal(4,2), "
+                "l_tax decimal(4,2), l_returnflag string, "
+                "l_linestatus string, l_shipdate timestamp",
+}
+
+
+def _type_variant_tables(seed: int):
+    """_schema_corpus values re-typed: money → Decimal, every 12th order
+    date and 13th lineitem ship date → NULL, unicode customer names and
+    a unicode market segment (keeping the 'BUILDING' literal queries
+    filter on)."""
+    from decimal import Decimal
+
+    def dec(x):
+        return Decimal(f"{x:.2f}")
+
+    tables = _schema_corpus(seed)
+    out = {}
+    region, nation = tables["region"][0], tables["nation"][0]
+    out["region"] = region
+    out["nation"] = nation
+    out["supplier"] = [
+        (s, n, nk, dec(bal)) for s, n, nk, bal in tables["supplier"][0]
+    ]
+    out["part"] = [
+        (p, n, b, t, sz, dec(rp)) for p, n, b, t, sz, rp in tables["part"][0]
+    ]
+    out["customer"] = [
+        (
+            c,
+            f"Kundè#{c}·æøå",
+            nk,
+            dec(bal),
+            "HÙSHÖLD•家電" if seg == "HOUSEHOLD" else seg,
+        )
+        for c, _n, nk, bal, seg in tables["customer"][0]
+    ]
+    out["orders"] = [
+        (o, c, st, dec(tot), None if o % 12 == 0 else od, pr)
+        for o, c, st, tot, od, pr in tables["orders"][0]
+    ]
+    out["lineitem"] = [
+        (
+            ok, pk, sk, ln, dec(q), dec(ep),
+            Decimal(f"{dc:.2f}"), Decimal(f"{tx:.2f}"),
+            rf, ls, None if ok % 13 == 0 else sd,
+        )
+        for ok, pk, sk, ln, q, ep, dc, tx, rf, ls, sd in tables["lineitem"][0]
+    ]
+    return out
+
+
+@pytest.mark.parametrize("seed", [19])
+@pytest.mark.parametrize("name", FUZZ_TYPE_VARIANT_QUERIES)
+def test_query_matches_oracle_under_type_variants(spark, tmp_path, name, seed):
+    import duckdb
+
+    tables = _type_variant_tables(seed * 2971 + zlib.crc32(name.encode()) % 997)
+    sf_dir = str(tmp_path)
+    con = duckdb.connect()
+    for t, rows in tables.items():
+        spark.createDataFrame(rows, _TYPE_VARIANT_DDL[t]).coalesce(2).write.parquet(
+            f"{sf_dir}/{t}.parquet"
+        )
+        # DuckDB reads THE SAME parquet Spark wrote — one ingestion path,
+        # so the variant types (DECIMAL/int32/NULL timestamps) reach both
+        # engines with full fidelity
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+
+    sdf = QUERIES[name](spark, sf_dir)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
+        key=_SKEY,
+    )
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        (
+            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+            for row in cur.fetchall()
+        ),
+        key=_SKEY,
+    )
+    assert got == want, f"{name} diverged under type variants (seed {seed}): " \
+        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
