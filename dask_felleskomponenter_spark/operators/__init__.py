@@ -16,6 +16,9 @@ from dask_felleskomponenter_spark.operators.dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
 )
+from dask_felleskomponenter_spark.operators.shuffle import (
+    pinned_repartition,
+)
 from dask_felleskomponenter_spark.operators.similarity import (
     cosine_topk,
     lsh_bucketed_cosine_topk,
@@ -35,6 +38,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "pinned_repartition",
     "cosine_topk",
     "lsh_bucketed_cosine_topk",
     "with_vector_norm",

@@ -21,7 +21,13 @@ def pinned_repartition(df: DataFrame, *cols: str | Column) -> DataFrame:
     """Hash-repartition by ``cols`` with an EXPLICIT partition count
     (the session's ``spark.sql.shuffle.partitions``), exempting the
     exchange from AQE byte-based coalescing. Use ahead of count windows
-    and self-joins whose per-row fan-out, not byte size, is the cost."""
+    and self-joins whose per-row fan-out, not byte size, is the cost.
+
+    Public API; README "Parallelism escape hatches" documents when NOT
+    to use it on a real cluster (byte-heavy pipelines, multi-stage
+    Python pipelines with non-reused workers, mismatched downstream
+    distributions). ``plans/queries.py::scan_fanout`` is the
+    scan-layout-specific wrapper."""
     try:
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # "auto" or unset → physical cores

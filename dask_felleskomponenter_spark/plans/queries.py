@@ -131,7 +131,9 @@ def scan_fanout(df: DataFrame, key: str) -> DataFrame:
     cost 32 tasks × N stages of spawns cost more than the decode
     itself (measured 2.6× against on the video profile). JVM-side
     per-row compute has no such floor, so the fan-out is pure win
-    there."""
+    there. Public API alongside ``operators/shuffle.py::
+    pinned_repartition``; README "Parallelism escape hatches" has the
+    full when-NOT-to-use guidance for real clusters."""
     from dask_felleskomponenter_spark.operators.shuffle import (
         pinned_repartition,
     )
