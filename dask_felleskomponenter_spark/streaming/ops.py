@@ -395,8 +395,14 @@ def stream_static_dim_join(
 
 def _has_protobuf() -> bool:
     """``transformWithStateInPandas`` serializes state via protobuf on
-    the Python workers; without the library the query fails at runtime
-    (ImportError in the state server), so gate like the GDAL extra."""
+    the Python workers. The vendored mini-runtime (``vendor/google/
+    protobuf``, activated by ``vendorshim.ensure_protobuf``) satisfies
+    the dependency when the real distribution is absent; this gate only
+    stays False if both are unavailable."""
+    from dask_felleskomponenter_spark.vendorshim import ensure_protobuf
+
+    if not ensure_protobuf():  # pragma: no cover - vendor dir always ships
+        return False
     try:  # pragma: no cover - trivial
         from google.protobuf import descriptor  # noqa: F401
 
@@ -459,6 +465,109 @@ def running_totals_stateful(
         ),
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def category_profile_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "category",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key category profile on ``transformWithState`` exercising all
+    three named-state kinds plus the timer API in one processor:
+
+    - **MapState** ``per_cat``: category → (count, sum) — running
+      per-category aggregates updated point-wise;
+    - **ListState** ``recent``: the last values seen (bounded to 8 —
+      state stays O(1) per key regardless of stream length);
+    - **ValueState** ``total``: overall event count;
+    - **timers**: a far-future processing-time timer is registered,
+      enumerated via ``listTimers``, and deleted inside the same call —
+      the register/list/delete protocol runs against the real state
+      server every batch while expiry (non-deterministic) never fires,
+      keeping output reproducible.
+
+    Emits one row per key per batch: total events, number of distinct
+    categories, sum over all categories, and the bounded recent-list
+    length. The final emission equals the batch aggregate (parity test).
+    """
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "the vendored runtime (vendor/google/protobuf) normally "
+            "provides it — is the vendor directory missing?"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    recent_cap = 8
+
+    class _CategoryProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._per_cat = handle.getMapState(
+                "per_cat", "category STRING", "n BIGINT, total DOUBLE"
+            )
+            self._recent = handle.getListState("recent", "v DOUBLE")
+            self._total = handle.getValueState("total", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n_total = self._total.get()[0] if self._total.exists() else 0
+            tail: list[tuple] = []
+            for pdf in rows:
+                n_total += len(pdf)
+                for cat, value in zip(pdf[cat_col], pdf[value_col]):
+                    cat_key = (str(cat),)
+                    if self._per_cat.containsKey(cat_key):
+                        n, total = self._per_cat.getValue(cat_key)
+                    else:
+                        n, total = 0, 0.0
+                    self._per_cat.updateValue(cat_key, (n + 1, total + float(value)))
+                    tail.append((float(value),))
+            # Bounded recent list: keep only the newest `recent_cap`.
+            existing = list(self._recent.get()) if self._recent.exists() else []
+            merged = (existing + tail)[-recent_cap:]
+            self._recent.put(merged)
+            self._total.update((n_total,))
+            # Timer protocol round-trip (register → list → delete); the
+            # expiry is ~3 years out so it never fires in a test run.
+            probe = timer_values.getCurrentProcessingTimeInMs() + 10**11
+            self._handle.registerTimer(probe)
+            registered = list(self._handle.listTimers())
+            assert probe in registered, "registered timer must be listed"
+            self._handle.deleteTimer(probe)
+
+            n_cats = 0
+            sum_all = 0.0
+            for _cat_key, (n, total) in self._per_cat.iterator():
+                n_cats += 1
+                sum_all += total
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n_total],
+                    "n_categories": [n_cats],
+                    "sum_value": [sum_all],
+                    "n_recent": [len(merged)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    key_type = dict(events.dtypes)[key_col]
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_CategoryProfile(),
+        outputStructType=(
+            f"{key_col} {key_type}, n_events bigint, n_categories bigint, "
+            f"sum_value double, n_recent bigint"
+        ),
+        outputMode="Update",
+        timeMode="ProcessingTime",
     )
 
 

@@ -1,0 +1,212 @@
+"""Unit tests for the vendored mini-protobuf runtime (vendor/google/).
+
+The authoritative conformance check is the Spark JVM state server
+(tests/test_streaming.py::test_transform_with_state_*); these tests pin
+the wire-format edge cases and the proto3 presence semantics the E2E
+path may not hit every run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dask_felleskomponenter_spark.vendorshim import ensure_protobuf
+
+pytestmark = pytest.mark.skipif(
+    not ensure_protobuf(), reason="vendored protobuf unavailable"
+)
+
+
+def _pb2():
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+# -- wire primitives ----------------------------------------------------
+
+
+def test_varint_roundtrip_boundaries():
+    from google.protobuf.internal import wire
+
+    for value in (0, 1, 127, 128, 300, 2**32 - 1, 2**63 - 1, 2**64 - 1):
+        out = bytearray()
+        wire.encode_varint(value, out)
+        decoded, pos = wire.decode_varint(bytes(out), 0)
+        assert decoded == value and pos == len(out)
+
+
+def test_varint_negative_is_ten_bytes_twos_complement():
+    from google.protobuf.internal import wire
+
+    out = bytearray()
+    wire.encode_varint(-1, out)
+    assert len(out) == 10
+    decoded, _ = wire.decode_varint(bytes(out), 0)
+    assert wire.to_signed64(decoded) == -1
+
+
+def test_truncated_varint_raises():
+    from google.protobuf.internal import wire
+
+    with pytest.raises(wire.WireError):
+        wire.decode_varint(b"\xff\xff", 0)
+
+
+def test_overlong_varint_raises():
+    from google.protobuf.internal import wire
+
+    with pytest.raises(wire.WireError):
+        wire.decode_varint(b"\xff" * 11, 0)
+
+
+# -- message semantics --------------------------------------------------
+
+
+def test_implicit_presence_scalar_default_not_serialized():
+    sm = _pb2()
+    resp = sm.StateResponse(statusCode=0, errorMessage="", value=b"")
+    assert resp.SerializeToString() == b""
+
+
+def test_oneof_assignment_clears_siblings():
+    sm = _pb2()
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        )
+    )
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    # Building a new request with a different member must not leak the old.
+    req2 = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        )
+    )
+    assert req2.WhichOneof("method") == "implicitGroupingKeyRequest"
+    parsed = sm.StateRequest()
+    parsed.ParseFromString(req2.SerializeToString())
+    assert parsed.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert not parsed.HasField("statefulProcessorCall")
+
+
+def test_lazy_nested_message_read_does_not_attach():
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "s"
+    _ = cmd.ttl.durationMs  # read-only traversal
+    assert b"\x22" not in cmd.SerializeToString()[:1]  # no ttl tag emitted
+    assert not cmd.HasField("ttl")
+    cmd.ttl.durationMs = 7  # write-through attaches
+    assert cmd.HasField("ttl")
+    parsed = sm.StateCallCommand()
+    parsed.ParseFromString(cmd.SerializeToString())
+    assert parsed.ttl.durationMs == 7
+
+
+def test_empty_submessage_set_via_constructor_is_emitted():
+    """Oneof members carrying empty messages (Exists, Clear, Get) must
+    appear on the wire even though their payload is zero-length —
+    that's how the JVM dispatches the method."""
+    sm = _pb2()
+    call = sm.ValueStateCall(stateName="v", exists=sm.Exists())
+    data = call.SerializeToString()
+    parsed = sm.ValueStateCall()
+    parsed.ParseFromString(data)
+    assert parsed.WhichOneof("method") == "exists"
+
+
+def test_repeated_bytes_and_requireNextFetch():
+    sm = _pb2()
+    resp = sm.StateResponseWithListGet(value=[b"a", b"bb"], requireNextFetch=True)
+    parsed = sm.StateResponseWithListGet()
+    parsed.ParseFromString(resp.SerializeToString())
+    assert list(parsed.value) == [b"a", b"bb"]
+    assert parsed.requireNextFetch is True
+
+
+def test_repeated_message_roundtrip_and_add():
+    sm = _pb2()
+    resp = sm.StateResponseWithMapIterator()
+    pair = resp.kvPair.add(key=b"k", value=b"v")
+    assert pair.key == b"k"
+    parsed = sm.StateResponseWithMapIterator()
+    parsed.ParseFromString(resp.SerializeToString())
+    assert [(p.key, p.value) for p in parsed.kvPair] == [(b"k", b"v")]
+
+
+def test_negative_int32_int64_roundtrip():
+    sm = _pb2()
+    resp = sm.StateResponseWithLongTypeVal(statusCode=-7, value=-(2**40))
+    parsed = sm.StateResponseWithLongTypeVal()
+    parsed.ParseFromString(resp.SerializeToString())
+    assert parsed.statusCode == -7
+    assert parsed.value == -(2**40)
+
+
+def test_unknown_fields_are_skipped():
+    sm = _pb2()
+    # field 15 varint + field 14 length-delimited, neither in StateResponse.
+    payload = b"\x78\x2a" + b"\x72\x03abc" + b"\x08\x05"
+    resp = sm.StateResponse()
+    resp.ParseFromString(payload)
+    assert resp.statusCode == 5
+
+
+def test_unicode_string_field_roundtrip():
+    sm = _pb2()
+    schema = sm.ParseStringSchema(schema="navn STRING, blåbær DOUBLE")
+    parsed = sm.ParseStringSchema()
+    parsed.ParseFromString(schema.SerializeToString())
+    assert parsed.schema == "navn STRING, blåbær DOUBLE"
+
+
+def test_proto3_optional_bytes_presence():
+    sm = _pb2()
+    ti = sm.TimerInfo(timestampMs=9)
+    assert not ti.HasField("key")
+    ti2 = sm.TimerInfo(key=b"", timestampMs=9)
+    # Explicit presence: empty bytes still serializes when set.
+    parsed = sm.TimerInfo()
+    parsed.ParseFromString(ti2.SerializeToString())
+    assert parsed.HasField("key")
+    assert parsed.key == b""
+
+
+def test_copyfrom_is_deep():
+    sm = _pb2()
+    original = sm.StateCallCommand(stateName="a")
+    original.ttl.durationMs = 1
+    clone = sm.StateCallCommand()
+    clone.CopyFrom(original)
+    clone.ttl.durationMs = 2
+    assert original.ttl.durationMs == 1
+
+
+def test_decode_error_on_garbage():
+    from google.protobuf.message import DecodeError
+
+    sm = _pb2()
+    resp = sm.StateResponse()
+    with pytest.raises(DecodeError):
+        resp.ParseFromString(b"\x0a\xff")  # length 255 but no payload
+
+
+def test_enum_wrapper_and_module_constants():
+    sm = _pb2()
+    assert sm.PRE_INIT == 0 and sm.CLOSED == 5
+    assert sm.HandleState.Name(3) == "DATA_PROCESSED"
+    assert sm.HandleState.Value("TIMER_PROCESSED") == 4
+
+
+def test_field_number_order_canonical():
+    """Serialization emits ascending field numbers regardless of
+    assignment order (stable bytes for equality checks)."""
+    sm = _pb2()
+    a = sm.StateCallCommand()
+    a.schema = "s"
+    a.stateName = "n"
+    b = sm.StateCallCommand()
+    b.stateName = "n"
+    b.schema = "s"
+    assert a.SerializeToString() == b.SerializeToString()

@@ -411,9 +411,10 @@ def test_python_stream_source_is_deterministic_and_bounded(spark, tmp_path):
 
 def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark 4 transformWithState running totals; the final emission per
-    user must equal the batch count/sum. Skipped while the sandbox
-    lacks protobuf (state-server dependency) — lights up unchanged the
-    moment the extra is installed, like the OGR suite."""
+    user must equal the batch count/sum. The protobuf dependency is
+    satisfied by the vendored mini wire runtime (vendor/google/protobuf)
+    when no real distribution exists — the JVM state server parsing our
+    request bytes and us parsing its responses IS the conformance test."""
     import pytest as _pytest
 
     from dask_felleskomponenter_spark.streaming.ops import (
@@ -432,20 +433,29 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             )
         _pytest.skip("protobuf not installed; gate contract verified")
 
+    # transformWithState requires the RocksDB state store provider
+    # (HDFS-backed provider is rejected at query start).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     d = str(tmp_path / "data")
     spark.range(100).select(
         (F.col("id") % 5).alias("user_id"), (F.col("id") * 1.0).alias("value")
     ).write.parquet(d)
     stream = spark.readStream.schema("user_id bigint, value double").parquet(d)
-    q = (
-        running_totals_stateful(stream)
-        .writeStream.format("memory")
-        .queryName("tws_totals")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
-    q.awaitTermination(180)
+    try:
+        q = (
+            running_totals_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     final = {
         r.user_id: (r.n_events, r.total_value)
         for r in spark.sql(
@@ -461,6 +471,74 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_transform_with_state_category_profile(spark, tmp_path):
+    """All three named-state kinds (value/list/map) plus the timer
+    register/list/delete protocol against the real JVM state server;
+    final per-key emission must equal the batch aggregate, and the
+    recent-list must stay bounded at its cap."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        HAS_TWS,
+        category_profile_stateful,
+    )
+
+    if not HAS_TWS:
+        _pytest.skip("protobuf unavailable (vendored runtime missing)")
+
+    d = str(tmp_path / "data")
+    spark.range(200).select(
+        (F.col("id") % 4).alias("user_id"),
+        F.concat(F.lit("cat"), (F.col("id") % 7).cast("string")).alias("category"),
+        (F.col("id") * 0.5).alias("value"),
+    ).write.parquet(d)
+    stream = spark.readStream.schema(
+        "user_id bigint, category string, value double"
+    ).parquet(d)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            category_profile_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("tws_profile")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = {
+        r.user_id: (r.n_events, r.n_categories, r.sum_value, r.n_recent)
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events, "
+            "MAX(n_categories) AS n_categories, MAX(sum_value) AS sum_value, "
+            "MAX(n_recent) AS n_recent FROM tws_profile GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.c, r.s, 8)
+        for r in spark.read.parquet(d)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("category").alias("c"),
+            F.sum("value").alias("s"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for user_id, (n, c, s, cap) in batch.items():
+        fn, fc, fs, fr = final[user_id]
+        assert (fn, fc, fr) == (n, c, cap)
+        assert abs(fs - s) < 1e-6
 
 
 def test_streaming_foreachbatch_maintains_incremental_summary(spark, tmp_path):
