@@ -475,18 +475,21 @@ def category_profile_stateful(
     value_col: str = "value",
 ) -> DataFrame:
     """Per-key category profile on ``transformWithState`` exercising all
-    three named-state kinds plus the timer API in one processor:
+    three named-state kinds in one processor:
 
     - **MapState** ``per_cat``: category → (count, sum) — running
       per-category aggregates updated point-wise;
     - **ListState** ``recent``: the last values seen (bounded to 8 —
       state stays O(1) per key regardless of stream length);
-    - **ValueState** ``total``: overall event count;
-    - **timers**: a far-future processing-time timer is registered,
-      enumerated via ``listTimers``, and deleted inside the same call —
-      the register/list/delete protocol runs against the real state
-      server every batch while expiry (non-deterministic) never fires,
-      keeping output reproducible.
+    - **ValueState** ``total``: overall event count.
+
+    ``timeMode="None"`` deliberately: with ``ProcessingTime``,
+    ``TransformWithStateExec.shouldRunAnotherBatch`` is unconditionally
+    true, so an ``availableNow`` query never terminates — it keeps
+    scheduling empty micro-batches forever (measured: 260+ batches on a
+    32-file input). Timer-protocol coverage lives in
+    ``timer_probe_stateful``, which documents the required explicit
+    stop.
 
     Emits one row per key per batch: total events, number of distinct
     categories, sum over all categories, and the bounded recent-list
@@ -508,7 +511,6 @@ def category_profile_stateful(
 
     class _CategoryProfile(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._handle = handle
             self._per_cat = handle.getMapState(
                 "per_cat", "category STRING", "n BIGINT, total DOUBLE"
             )
@@ -533,14 +535,6 @@ def category_profile_stateful(
             merged = (existing + tail)[-recent_cap:]
             self._recent.put(merged)
             self._total.update((n_total,))
-            # Timer protocol round-trip (register → list → delete); the
-            # expiry is ~3 years out so it never fires in a test run.
-            probe = timer_values.getCurrentProcessingTimeInMs() + 10**11
-            self._handle.registerTimer(probe)
-            registered = list(self._handle.listTimers())
-            assert probe in registered, "registered timer must be listed"
-            self._handle.deleteTimer(probe)
-
             n_cats = 0
             sum_all = 0.0
             for _cat_key, (n, total) in self._per_cat.iterator():
@@ -565,6 +559,81 @@ def category_profile_stateful(
         outputStructType=(
             f"{key_col} {key_type}, n_events bigint, n_categories bigint, "
             f"sum_value double, n_recent bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def timer_probe_stateful(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Timer-protocol conformance probe for ``transformWithState``:
+    per input batch each key registers a far-future processing-time
+    timer, lists it back from the state server, and deletes it — the
+    emitted row carries how many of its own timers the key observed
+    before and after, so the test asserts the full register → list →
+    delete round-trip succeeded JVM-side.
+
+    MUST be stopped explicitly (``query.stop()`` after the expected
+    rows appear): ``timeMode="ProcessingTime"`` makes
+    ``shouldRunAnotherBatch`` unconditionally true, so ``availableNow``
+    never self-terminates for this plan — that is Spark's contract for
+    processing-time timers, not a defect here.
+    """
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "the vendored runtime (vendor/google/protobuf) normally "
+            "provides it — is the vendor directory missing?"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TimerProbe(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # A state variable is required for a valid processor; also
+            # proves state and timers coexist in one handle.
+            self._seen = handle.getValueState("seen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self._seen.get()[0] if self._seen.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._seen.update((n,))
+            probe = timer_values.getCurrentProcessingTimeInMs() + 10**11
+            self._handle.registerTimer(probe)
+            listed_after_register = sum(
+                1 for t in self._handle.listTimers() if t == probe
+            )
+            self._handle.deleteTimer(probe)
+            listed_after_delete = sum(
+                1 for t in self._handle.listTimers() if t == probe
+            )
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_rows": [n],
+                    "listed_after_register": [listed_after_register],
+                    "listed_after_delete": [listed_after_delete],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            # Far-future timers never expire within a test run.
+            yield from ()
+
+        def close(self) -> None:
+            pass
+
+    key_type = dict(events.dtypes)[key_col]
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TimerProbe(),
+        outputStructType=(
+            f"{key_col} {key_type}, n_rows bigint, "
+            f"listed_after_register bigint, listed_after_delete bigint"
         ),
         outputMode="Update",
         timeMode="ProcessingTime",

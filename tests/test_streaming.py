@@ -474,10 +474,9 @@ def test_transform_with_state_running_totals(spark, tmp_path):
 
 
 def test_transform_with_state_category_profile(spark, tmp_path):
-    """All three named-state kinds (value/list/map) plus the timer
-    register/list/delete protocol against the real JVM state server;
-    final per-key emission must equal the batch aggregate, and the
-    recent-list must stay bounded at its cap."""
+    """All three named-state kinds (value/list/map) against the real JVM
+    state server; final per-key emission must equal the batch aggregate,
+    and the recent-list must stay bounded at its cap."""
     import pytest as _pytest
 
     from pyspark.sql import functions as F
@@ -539,6 +538,69 @@ def test_transform_with_state_category_profile(spark, tmp_path):
         fn, fc, fs, fr = final[user_id]
         assert (fn, fc, fr) == (n, c, cap)
         assert abs(fs - s) < 1e-6
+
+
+def test_transform_with_state_timer_protocol(spark, tmp_path):
+    """Timer register → list → delete round-trip against the JVM state
+    server. ProcessingTime timeMode means the query NEVER self-
+    terminates under availableNow (shouldRunAnotherBatch is
+    unconditionally true), so the test polls for the expected rows and
+    stops the query explicitly — the documented usage contract of
+    timer_probe_stateful."""
+    import time
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        HAS_TWS,
+        timer_probe_stateful,
+    )
+
+    if not HAS_TWS:
+        _pytest.skip("protobuf unavailable (vendored runtime missing)")
+
+    d = str(tmp_path / "data")
+    spark.range(30).select(
+        (F.col("id") % 3).alias("user_id"), F.col("id").alias("v")
+    ).coalesce(2).write.parquet(d)
+    stream = spark.readStream.schema("user_id bigint, v bigint").parquet(d)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = None
+    try:
+        q = (
+            timer_probe_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("tws_timers")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT user_id, MAX(n_rows) AS n_rows, "
+                "MIN(listed_after_register) AS n_reg, "
+                "MAX(listed_after_delete) AS n_del "
+                "FROM tws_timers GROUP BY user_id"
+            ).collect()
+            if len(rows) == 3 and all(r.n_rows == 10 for r in rows):
+                break
+            time.sleep(1)
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_rows == 10
+        assert r.n_reg == 1, "registered timer must be listed by the server"
+        assert r.n_del == 0, "deleted timer must no longer be listed"
 
 
 def test_streaming_foreachbatch_maintains_incremental_summary(spark, tmp_path):
