@@ -414,6 +414,19 @@ def _has_protobuf() -> bool:
 HAS_TWS = _has_protobuf()
 
 
+def _require_tws() -> None:
+    """Shared gate for the transformWithState operators: one message,
+    one place (three operators guard on it)."""
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "the vendored runtime (vendor/google/protobuf) normally "
+            "provides it even without an installed distribution — "
+            "sessionize_stateful (applyInPandasWithState) is the "
+            "protobuf-free custom-stateful fallback"
+        )
+
+
 def running_totals_stateful(
     events: DataFrame,
     value_col: str = "value",
@@ -429,11 +442,7 @@ def running_totals_stateful(
     serialization); absent it, raises the documented
     NotImplementedError — ``sessionize_stateful`` remains the
     executable custom-stateful path in bare environments."""
-    if not HAS_TWS:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires the protobuf package; "
-            "use sessionize_stateful (applyInPandasWithState) instead"
-        )
+    _require_tws()
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -495,12 +504,7 @@ def category_profile_stateful(
     categories, sum over all categories, and the bounded recent-list
     length. The final emission equals the batch aggregate (parity test).
     """
-    if not HAS_TWS:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires the protobuf package; "
-            "the vendored runtime (vendor/google/protobuf) normally "
-            "provides it — is the vendor directory missing?"
-        )
+    _require_tws()
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -579,12 +583,7 @@ def timer_probe_stateful(events: DataFrame, key_col: str = "user_id") -> DataFra
     never self-terminates for this plan — that is Spark's contract for
     processing-time timers, not a defect here.
     """
-    if not HAS_TWS:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires the protobuf package; "
-            "the vendored runtime (vendor/google/protobuf) normally "
-            "provides it — is the vendor directory missing?"
-        )
+    _require_tws()
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

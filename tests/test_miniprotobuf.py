@@ -199,6 +199,83 @@ def test_enum_wrapper_and_module_constants():
     assert sm.HandleState.Value("TIMER_PROCESSED") == 4
 
 
+def test_out_of_range_int32_rejected():
+    """An int32 field refusing 2**40 protects against silent JVM
+    truncation (protobuf-java reads only the low 32 bits)."""
+    sm = _pb2()
+    with pytest.raises(ValueError, match="outside"):
+        sm.StateResponse(statusCode=2**40)
+    with pytest.raises(ValueError, match="outside"):
+        sm.StateResponseWithLongTypeVal(value=2**63)  # int64 max is 2**63-1
+
+
+def test_bool_field_rejects_non_bool():
+    sm = _pb2()
+    with pytest.raises(TypeError):
+        sm.StateResponseWithListGet(requireNextFetch="abc")
+    resp = sm.StateResponseWithListGet(requireNextFetch=1)  # 0/1 ints ok
+    assert resp.requireNextFetch is True
+
+
+def test_cleared_child_does_not_reattach():
+    """A stale reference to a cleared nested message must stay detached
+    (real-runtime semantics); silent re-attach could resurrect a
+    cleared oneof member and change which RPC the JVM dispatches."""
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    cmd.ttl.durationMs = 5
+    stale = cmd.ttl
+    cmd.ClearField("ttl")
+    stale.durationMs = 9
+    assert not cmd.HasField("ttl")
+    # Same through Clear() and for oneof members:
+    call = sm.StatefulProcessorCall()
+    lazy = call.getValueState  # lazy, never attached
+    call.ParseFromString(
+        sm.StatefulProcessorCall(
+            deleteIfExists=sm.StateCallCommand(stateName="x")
+        ).SerializeToString()
+    )
+    lazy.stateName = "hijack"
+    assert call.WhichOneof("method") == "deleteIfExists"
+
+
+def test_invalid_utf8_raises_decode_error():
+    from google.protobuf.message import DecodeError
+
+    sm = _pb2()
+    resp = sm.StateResponseWithStringTypeVal()
+    with pytest.raises(DecodeError, match="UTF-8"):
+        resp.ParseFromString(b"\x12\x02\xff\xfe")  # errorMessage field
+
+
+def test_packageless_file_descriptor_loads():
+    """FileDescriptorProto with no package: nested type registration and
+    field type_name resolution must agree on the (dotless) full name."""
+    from google.protobuf import descriptor_pool
+
+    # Hand-built FileDescriptorProto: file 'x.proto', message Outer
+    # { Inner inner = 1; message Inner { int32 n = 1; } }
+    def ld(tag, payload):
+        return bytes([tag, len(payload)]) + payload
+
+    inner = ld(0x0A, b"Inner") + ld(
+        0x12, ld(0x0A, b"n") + b"\x18\x01\x20\x01\x28\x05"
+    )
+    field = (
+        ld(0x0A, b"inner")
+        + b"\x18\x01\x20\x01\x28\x0b"
+        + ld(0x32, b".Outer.Inner")
+    )
+    outer = ld(0x0A, b"Outer") + ld(0x12, field) + ld(0x1A, inner)
+    fdp = ld(0x0A, b"packageless_test.proto") + ld(0x22, outer)
+    pool = descriptor_pool.DescriptorPool()
+    file = pool.AddSerializedFile(fdp)
+    desc = file.message_types_by_name["Outer"]
+    assert desc.full_name == "Outer"
+    assert desc.fields_by_name["inner"].message_type.full_name == "Outer.Inner"
+
+
 def test_field_number_order_canonical():
     """Serialization emits ascending field numbers regardless of
     assignment order (stable bytes for equality checks)."""

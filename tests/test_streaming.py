@@ -5,6 +5,8 @@ semantics without a long-running cluster)."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -16,6 +18,22 @@ from dask_felleskomponenter_spark.streaming import (
     stream_events,
     windowed_event_counts,
 )
+
+
+@contextmanager
+def rocksdb_state_store(spark):
+    """transformWithState requires the RocksDB state store provider
+    (the HDFS-backed default is rejected at query start). Scope the
+    override so a failure anywhere inside cannot leak it into the
+    session-scoped fixture and silently change unrelated tests."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 @pytest.fixture(scope="module")
@@ -433,18 +451,12 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             )
         _pytest.skip("protobuf not installed; gate contract verified")
 
-    # transformWithState requires the RocksDB state store provider
-    # (HDFS-backed provider is rejected at query start).
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     d = str(tmp_path / "data")
     spark.range(100).select(
         (F.col("id") % 5).alias("user_id"), (F.col("id") * 1.0).alias("value")
     ).write.parquet(d)
     stream = spark.readStream.schema("user_id bigint, value double").parquet(d)
-    try:
+    with rocksdb_state_store(spark):
         q = (
             running_totals_stateful(stream)
             .writeStream.format("memory")
@@ -454,8 +466,6 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             .start()
         )
         q.awaitTermination(180)
-    finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     final = {
         r.user_id: (r.n_events, r.total_value)
         for r in spark.sql(
@@ -498,11 +508,7 @@ def test_transform_with_state_category_profile(spark, tmp_path):
     stream = spark.readStream.schema(
         "user_id bigint, category string, value double"
     ).parquet(d)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         q = (
             category_profile_stateful(stream)
             .writeStream.format("memory")
@@ -512,8 +518,6 @@ def test_transform_with_state_category_profile(spark, tmp_path):
             .start()
         )
         q.awaitTermination(180)
-    finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     final = {
         r.user_id: (r.n_events, r.n_categories, r.sum_value, r.n_recent)
         for r in spark.sql(
@@ -566,36 +570,32 @@ def test_transform_with_state_timer_protocol(spark, tmp_path):
         (F.col("id") % 3).alias("user_id"), F.col("id").alias("v")
     ).coalesce(2).write.parquet(d)
     stream = spark.readStream.schema("user_id bigint, v bigint").parquet(d)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    q = None
-    try:
-        q = (
-            timer_probe_stateful(stream)
-            .writeStream.format("memory")
-            .queryName("tws_timers")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .start()
-        )
-        deadline = time.time() + 120
-        rows = []
-        while time.time() < deadline:
-            rows = spark.sql(
-                "SELECT user_id, MAX(n_rows) AS n_rows, "
-                "MIN(listed_after_register) AS n_reg, "
-                "MAX(listed_after_delete) AS n_del "
-                "FROM tws_timers GROUP BY user_id"
-            ).collect()
-            if len(rows) == 3 and all(r.n_rows == 10 for r in rows):
-                break
-            time.sleep(1)
-    finally:
-        if q is not None:
-            q.stop()
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    with rocksdb_state_store(spark):
+        q = None
+        try:
+            q = (
+                timer_probe_stateful(stream)
+                .writeStream.format("memory")
+                .queryName("tws_timers")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .start()
+            )
+            deadline = time.time() + 120
+            rows = []
+            while time.time() < deadline:
+                rows = spark.sql(
+                    "SELECT user_id, MAX(n_rows) AS n_rows, "
+                    "MIN(listed_after_register) AS n_reg, "
+                    "MAX(listed_after_delete) AS n_del "
+                    "FROM tws_timers GROUP BY user_id"
+                ).collect()
+                if len(rows) == 3 and all(r.n_rows == 10 for r in rows):
+                    break
+                time.sleep(1)
+        finally:
+            if q is not None:
+                q.stop()
     assert len(rows) == 3
     for r in rows:
         assert r.n_rows == 10
