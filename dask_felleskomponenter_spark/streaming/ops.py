@@ -593,9 +593,13 @@ def timer_probe_stateful(events: DataFrame, key_col: str = "user_id") -> DataFra
     class _TimerProbe(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
-            # A state variable is required for a valid processor; also
-            # proves state and timers coexist in one handle.
-            self._seen = handle.getValueState("seen", "n BIGINT")
+            # TTL'd value state: exercises the StateCallCommand.ttl
+            # protocol message against the JVM (the one-hour duration
+            # never expires within a test run, so output stays
+            # deterministic); also proves state and timers coexist.
+            self._seen = handle.getValueState(
+                "seen", "n BIGINT", ttlDurationMs=3_600_000
+            )
 
         def handleInputRows(self, key, rows, timer_values):
             n = self._seen.get()[0] if self._seen.exists() else 0

@@ -173,6 +173,19 @@ def test_proto3_optional_bytes_presence():
     assert parsed.key == b""
 
 
+def test_copyfrom_empty_message_sets_presence():
+    """parent.child.CopyFrom(empty) must mark child present (real-
+    runtime explicit attach), emitting a zero-length submessage."""
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    cmd.ttl.CopyFrom(sm.TTLConfig())
+    assert cmd.HasField("ttl")
+    parsed = sm.StateCallCommand()
+    parsed.ParseFromString(cmd.SerializeToString())
+    assert parsed.HasField("ttl")
+    assert parsed.ttl.durationMs == 0
+
+
 def test_copyfrom_is_deep():
     sm = _pb2()
     original = sm.StateCallCommand(stateName="a")
@@ -287,3 +300,103 @@ def test_field_number_order_canonical():
     b.stateName = "n"
     b.schema = "s"
     assert a.SerializeToString() == b.SerializeToString()
+
+
+# -- property-based round-trip fuzz -------------------------------------
+
+
+def _random_value(field, rnd, depth):
+    from google.protobuf.descriptor import FieldDescriptor as FD
+
+    if field.type == FD.TYPE_STRING:
+        n = rnd.randrange(0, 12)
+        return "".join(
+            rnd.choice("abcæøå日本é \t\n\U0001f600") for _ in range(n)
+        )
+    if field.type == FD.TYPE_BYTES:
+        return bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 16)))
+    if field.type == FD.TYPE_BOOL:
+        return rnd.random() < 0.5
+    if field.type == FD.TYPE_ENUM:
+        return rnd.choice(list(field.enum_type.values_by_number))
+    if field.type in (FD.TYPE_INT32, FD.TYPE_SINT32):
+        return rnd.choice([0, 1, -1, 127, -128, 2**31 - 1, -(2**31)])
+    if field.type in (FD.TYPE_UINT32,):
+        return rnd.choice([0, 1, 2**32 - 1])
+    if field.type in (FD.TYPE_INT64, FD.TYPE_SINT64):
+        return rnd.choice([0, 1, -1, 2**63 - 1, -(2**63), 10**12, -(10**12)])
+    if field.type in (FD.TYPE_UINT64,):
+        return rnd.choice([0, 1, 2**64 - 1])
+    if field.type == FD.TYPE_MESSAGE:
+        return _random_message(field.message_type._concrete_class, rnd, depth + 1)
+    raise AssertionError(f"unexpected type {field.type}")
+
+
+def _random_message(cls, rnd, depth=0):
+    from google.protobuf.descriptor import FieldDescriptor as FD
+
+    msg = cls()
+    if depth > 4:
+        return msg
+    chosen_oneofs = set()
+    for field in cls.DESCRIPTOR.fields:
+        if rnd.random() < 0.45:
+            continue
+        oneof = field.containing_oneof
+        if oneof is not None:
+            if oneof.name in chosen_oneofs:
+                continue
+            chosen_oneofs.add(oneof.name)
+        if field.is_repeated:
+            container = getattr(msg, field.name)
+            for _ in range(rnd.randrange(0, 4)):
+                if field.type == FD.TYPE_MESSAGE:
+                    container.append(_random_value(field, rnd, depth))
+                else:
+                    container.append(_random_value(field, rnd, depth))
+        elif field.type == FD.TYPE_MESSAGE:
+            getattr(msg, field.name).CopyFrom(_random_value(field, rnd, depth))
+        else:
+            setattr(msg, field.name, _random_value(field, rnd, depth))
+    return msg
+
+
+def test_fuzz_roundtrip_all_message_types():
+    """Random message trees over every StateMessage type must round-trip
+    SerializeToString → ParseFromString to an equal message, and
+    re-serialize to identical bytes (canonical form is a fixpoint)."""
+    import random
+
+    sm = _pb2()
+    classes = [
+        getattr(sm, name)
+        for name in sm.DESCRIPTOR.message_types_by_name
+        if hasattr(sm, name)
+    ]
+    rnd = random.Random(0x5EED)
+    for _ in range(300):
+        cls = rnd.choice(classes)
+        original = _random_message(cls, rnd)
+        data = original.SerializeToString()
+        parsed = cls()
+        parsed.ParseFromString(data)
+        assert parsed == original, (cls.__name__, original, parsed)
+        assert parsed.SerializeToString() == data
+
+
+def test_fuzz_parser_never_desyncs_on_concatenation():
+    """Protobuf concatenation semantics: parsing A+B equals merging B
+    into A (last-wins scalars, appended repeated fields)."""
+    import random
+
+    sm = _pb2()
+    rnd = random.Random(0xC0FFEE)
+    for _ in range(100):
+        a = _random_message(sm.StateResponseWithListGet, rnd)
+        b = _random_message(sm.StateResponseWithListGet, rnd)
+        combined = sm.StateResponseWithListGet()
+        combined.ParseFromString(a.SerializeToString() + b.SerializeToString())
+        expected = sm.StateResponseWithListGet()
+        expected.MergeFromString(a.SerializeToString())
+        expected.MergeFromString(b.SerializeToString())
+        assert combined == expected
