@@ -52,16 +52,14 @@ def two_phase_salted_agg(
             f"mergeable functions {sorted(_MERGEABLE)}"
         )
     key_cols = list(keys)
-    # deterministic salt: hash of (partition id, whole row). The row hash
-    # alone would send fully-identical rows — common in event data — to
-    # one bucket, re-creating the hot reducer for duplicate-heavy keys;
-    # mixing in spark_partition_id() spreads those across buckets while
-    # staying deterministic under task retries (partition membership is
-    # fixed by the upstream plan, unlike rand(); and unlike
-    # monotonically_increasing_id there is no per-row driver state).
-    salt = F.pmod(
-        F.xxhash64(F.spark_partition_id(), *df.columns), F.lit(salt_buckets)
-    ).alias("_salt")
+    # Retry-deterministic, map-column-safe per-row salt; rationale in
+    # operators/shuffle.py::deterministic_row_salt (shared with
+    # joins.salted_join).
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        deterministic_row_salt,
+    )
+
+    salt = deterministic_row_salt(df, salt_buckets).alias("_salt")
 
     partial = (
         df.select(*df.columns, salt)

@@ -114,16 +114,40 @@ def lsh_candidate_pairs(
     equi-join on ``(band, bucket)`` — a shuffle on the bucket key, never a
     cartesian product. With b bands of r rows, a pair with Jaccard s
     collides with probability 1-(1-s^r)^b (the standard S-curve).
+
+    Bands are only emitted where the signature actually has
+    ``rows_per_band`` values left: a band slicing past the end of the
+    signature would hash an EMPTY array — one constant bucket shared by
+    every document, silently turning the candidate set into the full
+    quadratic all-pairs join. Misconfigured ``bands × rows_per_band >
+    num_hashes`` therefore degrades to fewer effective bands (a
+    shallower S-curve) instead of a blow-up; size the signature to
+    ``bands * rows_per_band`` for the advertised curve.
     """
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.slice(F.col(sig_col), b * F.lit(rows_per_band) + F.lit(1), F.lit(rows_per_band)),
-                b,
-            ).alias("bucket"),
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands={bands} and rows_per_band={rows_per_band} must be >= 1"
+        )
+    band_structs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.slice(
+                        F.col(sig_col),
+                        b * F.lit(rows_per_band) + F.lit(1),
+                        F.lit(rows_per_band),
+                    ),
+                    b,
+                ).alias("bucket"),
+                (
+                    (b + F.lit(1)) * F.lit(rows_per_band)
+                    <= F.size(F.col(sig_col))
+                ).alias("complete"),
+            ),
         ),
+        lambda s: s["complete"],
     )
     exploded = sig_df.select(
         F.col(id_col), F.explode(band_structs).alias("bb")

@@ -34,8 +34,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def _require_integral_ids(df: DataFrame, cols: list[str], op: str) -> None:
+    """The star-contraction algebra orders ids with least/greatest, so
+    ids must be integral. A silent ``cast('long')`` would turn string
+    ids (UUIDs, content hashes) into NULLs, empty the edge set, and
+    hand every row a NULL component — corrupt clustering with no error.
+    Fail loudly at plan-build time instead; callers with string ids
+    should dense-rank them to longs first (zipWithIndex-free:
+    ``F.xxhash64`` is NOT safe here — collisions merge components)."""
+    types = dict(df.dtypes)
+    bad = {c: types[c] for c in cols if types[c] not in _INTEGRAL_TYPES}
+    if bad:
+        raise TypeError(
+            f"{op} requires integral id columns, got {bad}; map string "
+            f"ids to dense longs before clustering"
+        )
+
+
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge list as (a < b) long pairs, self-loops dropped."""
+    _require_integral_ids(edges, [src, dst], "connected_components")
     e = edges.select(
         F.col(src).cast("long").alias("_u"), F.col(dst).cast("long").alias("_v")
     ).where(F.col("_u") != F.col("_v"))

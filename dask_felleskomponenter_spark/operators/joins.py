@@ -172,32 +172,38 @@ def asof_join(
     Build rows are carried as a single struct so a build row whose value
     columns are NULL still *wins* the as-of race (matching SQL ASOF
     semantics, where the latest row matches regardless of its payload).
-    Right rows should be unique per (key, right_ts) — pre-dedup for
-    deterministic results, as with any as-of engine.
+    Build rows with a NULL ``right_ts`` are dropped: ``right_ts <=
+    left_ts`` is NULL for them in SQL ASOF semantics, never a match —
+    and the ascending NULLS-FIRST window order would otherwise treat
+    them as infinitely old matches for probe rows with no true
+    predecessor. Right rows should be unique per (key, right_ts) —
+    pre-dedup for deterministic results, as with any as-of engine.
 
     Matched value columns land as ``{prefix}{col}``; unmatched probe
     rows keep NULLs there (LEFT semantics).
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import StructField, StructType
 
+    if not value_cols:
+        raise ValueError("asof_join needs at least one value column")
     key_cols = list(on)
     out_cols = list(left.columns)
+
+    # Build the NULL-struct type from the schema objects, not DDL text —
+    # column names needing backticks (spaces, dots) round-trip safely.
+    right_fields = {f.name: f for f in right.schema.fields}
+    val_type = StructType(
+        [StructField(c, right_fields[c].dataType) for c in value_cols]
+    )
 
     probe = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ", ".join(
-                f"{c}: {dict(right.dtypes)[c]}" for c in value_cols
-            )
-            + ">"
-        )
-        .alias("_asof_val"),
+        F.lit(None).cast(val_type).alias("_asof_val"),
     )
-    build = right.select(
+    build = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in key_cols],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
@@ -240,18 +246,19 @@ def salted_join(
     replicated one. Supported ``how``: inner / left (the replicated side
     must be the non-preserved side so no duplicates arise).
 
-    The salt mixes ``spark_partition_id`` with the whole row — identical
-    rows (common in event data) still spread across buckets, and the
-    value is deterministic under task retry (same reasoning as
+    The salt is ``operators/shuffle.py::deterministic_row_salt`` —
+    partition-id-mixed, retry-deterministic, map-column-safe; see its
+    docstring for the full rationale (shared with
     ``operators/aggregates.py::two_phase_salted_agg``).
     """
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        deterministic_row_salt,
+    )
+
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = list(on)
-    salt = F.pmod(
-        F.xxhash64(F.spark_partition_id(), *big.columns), F.lit(salt_buckets)
-    )
-    big_s = big.withColumn("_salt", salt)
+    big_s = big.withColumn("_salt", deterministic_row_salt(big, salt_buckets))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))

@@ -33,3 +33,38 @@ def pinned_repartition(df: DataFrame, *cols: str | Column) -> DataFrame:
     except (TypeError, ValueError):  # "auto" or unset → physical cores
         n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *cols)
+
+
+def deterministic_row_salt(df: DataFrame, buckets: int) -> Column:
+    """Per-row salt in ``[0, buckets)``: hash of (partition id, every
+    hashable column). Shared by ``joins.salted_join`` and
+    ``aggregates.two_phase_salted_agg``.
+
+    Why this shape: the row hash alone would send fully-identical rows —
+    common in event data — to one bucket, re-creating the hot reducer
+    for duplicate-heavy keys; mixing in ``spark_partition_id()`` spreads
+    those across buckets while staying deterministic under task retries
+    (partition membership is fixed by the upstream plan, unlike
+    ``rand()``; and unlike ``monotonically_increasing_id`` there is no
+    per-row driver state).
+
+    Map-typed columns are excluded: Spark rejects hash expressions over
+    maps (DATATYPE_MISMATCH.HASH_MAP_TYPE), and a map column adds no
+    spread the remaining columns don't already provide.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _contains_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
+
+    hashable = [f.name for f in df.schema.fields if not _contains_map(f.dataType)]
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), *hashable), F.lit(buckets)
+    )

@@ -226,7 +226,11 @@ def cosine_neardup_pairs(
     )
 
     spark = emb_df.sparkSession
-    tagged = emb_df.select(
+    # NULL embeddings would reach the numpy tile as None (np.stack
+    # raises on ragged/None input, killing the whole job) and the JVM
+    # scoring paths define them as no-match anyway — filter before the
+    # shuffle, mirroring cosine_topk_per_query's null handling.
+    tagged = emb_df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         as_double_vec(vec_col).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
@@ -274,8 +278,12 @@ def cosine_neardup_pairs(
         b_ids = rhs["_id"].to_numpy()
         a = np.stack(lhs["_v"].to_numpy())
         b = np.stack(rhs["_v"].to_numpy())
-        a = a / np.linalg.norm(a, axis=1, keepdims=True)
-        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        # Zero vectors: floor the norm so 0/0 NaN scores (which compare
+        # False against the threshold only by accident and spray runtime
+        # warnings) become exact 0 scores — the _safe_norm convention of
+        # the JVM-side scorers.
+        a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
         scores = np.round(a @ b.T, 9)
         ia, ib = np.nonzero(scores >= thr)
         id_a, id_b = a_ids[ia], b_ids[ib]

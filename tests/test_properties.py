@@ -278,6 +278,145 @@ def test_asof_join_semantics(spark):
     assert out2[1] == (8, "early")
 
 
+def test_asof_join_null_build_timestamps_never_match(spark):
+    """A build row with NULL right_ts is no match under SQL ASOF
+    semantics (right_ts <= left_ts is NULL); before the fix the
+    NULLS-FIRST window order treated it as infinitely old and its
+    payload leaked into probe rows with no true predecessor."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.joins import asof_join
+
+    probe = spark.createDataFrame([Row(pid=1, k=1, t=10)])
+    build = spark.createDataFrame(
+        [(1, None, 99)], schema="k bigint, bt bigint, v bigint"
+    )
+    out = asof_join(
+        probe, build, on=["k"], left_ts="t", right_ts="bt", value_cols=["v"]
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_v"] is None
+
+
+def test_asof_join_value_column_with_space(spark):
+    """Value columns needing backticks must survive the NULL-struct
+    type construction (schema objects, not DDL text)."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.joins import asof_join
+
+    probe = spark.createDataFrame([Row(pid=1, k=1, t=10)])
+    build = (
+        spark.createDataFrame([Row(k=1, bt=5, v=2.5)])
+        .withColumnRenamed("v", "unit price")
+    )
+    out = asof_join(
+        probe, build, on=["k"], left_ts="t", right_ts="bt",
+        value_cols=["unit price"],
+    ).collect()
+    assert out[0]["asof_unit price"] == 2.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="value column"):
+        asof_join(
+            probe, build, on=["k"], left_ts="t", right_ts="bt", value_cols=[]
+        )
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """String ids (UUIDs, content hashes) must fail loudly: the silent
+    cast('long') previously NULLed every edge endpoint and returned
+    component NULL for all rows — corrupt clustering with no error."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.graph import (
+        assign_components,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id_a="doc-8f3a", id_b="doc-77b1")]
+    )
+    with _pytest.raises(TypeError, match="integral id"):
+        connected_components(pairs)
+    docs = spark.createDataFrame([Row(doc_id="doc-8f3a")])
+    with _pytest.raises(TypeError, match="integral id"):
+        assign_components(docs, "doc_id", pairs).collect()
+
+
+def test_lsh_overlong_band_config_does_not_go_quadratic(spark):
+    """bands × rows_per_band > len(signature) previously made the
+    overhanging bands hash an EMPTY slice — one shared bucket, full
+    all-pairs candidates. They must be dropped instead."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"totally distinct document number {i} "
+                               f"with its own unique words {i*7} {i*13}")
+            for i in range(12)
+        ]
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    # 16 bands × 4 rows = 64 >> 8 available hashes: the 14 overhanging
+    # bands must vanish, not collide everything into n^2/2 pairs.
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", bands=16, rows_per_band=4
+    ).collect()
+    assert len(pairs) < 12 * 11 / 2
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """xxhash64 cannot hash MapType; the salt must skip such columns
+    instead of failing analysis."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [Row(user_id=i % 3, v=float(i)) for i in range(30)]
+    ).withColumn("props", F.create_map(F.lit("a"), F.col("v")))
+    small = spark.createDataFrame([Row(user_id=i, seg=f"s{i}") for i in range(3)])
+    got = salted_join(big, small, on=["user_id"], salt_buckets=4)
+    expected = big.join(small, on=["user_id"])
+    assert got.count() == 30
+    assert (
+        got.select("user_id", "v", "seg").exceptAll(
+            expected.select("user_id", "v", "seg")
+        ).isEmpty()
+    )
+
+
+def test_cosine_neardup_pairs_null_and_zero_vectors(spark):
+    """NULL embeddings must be filtered (np.stack would raise on None)
+    and zero vectors must score 0, not NaN."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0]),
+            Row(vec_id=3, embedding=None),
+            Row(vec_id=4, embedding=[0.0, 0.0]),
+        ]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, threshold=0.9, n_blocks=2).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 def test_interval_join_matches_naive_model(spark):
     """Bucketed interval join == brute-force pairs model, including
     boundary inclusivity and rows that straddle bucket edges."""
