@@ -1353,14 +1353,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = load_ann_store(sf_dir)
     if store is not None:
         emb = spark.read.parquet(store.lsh_path)
-        bits = store.bits
+        # The store's OWN hyperplane family: bits AND seed come from its
+        # meta — a default-seed query_bucket against a differently-seeded
+        # store would filter on the wrong bucket (silent zero recall).
+        bits, seed = store.bits, store.seed
     else:
         emb = with_lsh_bucket(
             load_table(spark, sf_dir, "embeddings"), EMBEDDING_DIM, bits=6
         )
-        bits = 6
+        bits, seed = 6, 42  # with_lsh_bucket's default family
     in_bucket = emb.filter(
-        F.col("lsh_bucket") == F.lit(query_bucket(query, bits=bits))
+        F.col("lsh_bucket") == F.lit(query_bucket(query, bits=bits, seed=seed))
     ).drop("lsh_bucket")
     return (
         cosine_topk(in_bucket, query, k=10)

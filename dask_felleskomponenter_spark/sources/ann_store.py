@@ -89,11 +89,23 @@ def _source_size(sf_dir: str) -> int:
 
 
 def _store_dir(
-    sf_dir: str, bits: int, n_cells: int, iters: int, root: str | None
+    sf_dir: str,
+    bits: int,
+    n_cells: int,
+    iters: int,
+    root: str | None,
+    seed: int,
+    dim: int,
 ) -> str:
+    # EVERY index parameter participates in the identity digest — a
+    # differently-seeded (or differently-dimensioned) build must land in
+    # a sibling directory, never overwrite in place (a crash mid-
+    # overwrite would otherwise leave data from one parameterization
+    # under a meta describing another).
     key = (
         f"{os.path.abspath(sf_dir)}|bits={bits}|cells={n_cells}"
         f"|iters={iters}|pq={DEFAULT_PQ_M}x{DEFAULT_PQ_K}"
+        f"|seed={seed}|dim={dim}"
     )
     digest = hashlib.sha256(key.encode()).hexdigest()[:16]
     return os.path.join(root or ann_root(), digest)
@@ -105,11 +117,13 @@ def load_ann_store(
     n_cells: int = DEFAULT_N_CELLS,
     iters: int = DEFAULT_IVF_ITERS,
     root: str | None = None,
+    seed: int = 42,
+    dim: int = 64,
 ) -> AnnStore | None:
     """Resolve a current store for ``sf_dir`` — pure filesystem, safe to
     call during lazy plan construction. Returns None when the store is
     absent or stale (source parquet size changed since the build)."""
-    path = _store_dir(sf_dir, bits, n_cells, iters, root)
+    path = _store_dir(sf_dir, bits, n_cells, iters, root, seed, dim)
     meta_path = os.path.join(path, "meta.json")
     try:
         with open(meta_path, encoding="utf-8") as fh:
@@ -169,8 +183,15 @@ def build_ann_store(
     from dask_felleskomponenter_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _store_dir(sf_dir, bits, n_cells, iters, root)
+    path = _store_dir(sf_dir, bits, n_cells, iters, root, seed, dim)
     os.makedirs(path, exist_ok=True)
+    # Un-commit FIRST: a rebuild over an existing store must remove the
+    # old commit marker before any data write, or a crash mid-rebuild
+    # leaves the stale meta validating half-rewritten data directories.
+    try:
+        os.remove(os.path.join(path, "meta.json"))
+    except FileNotFoundError:
+        pass
 
     lsh_path = os.path.join(path, "lsh")
     (
@@ -233,6 +254,7 @@ def build_ann_store(
         "n_cells": n_cells,
         "iters": iters,
         "seed": seed,
+        "dim": dim,
         "centroids": centroids,
         "pq_m": DEFAULT_PQ_M,
         "pq_k": DEFAULT_PQ_K,
@@ -264,8 +286,10 @@ def ensure_ann_store(
     n_cells: int = DEFAULT_N_CELLS,
     iters: int = DEFAULT_IVF_ITERS,
     root: str | None = None,
+    seed: int = 42,
+    dim: int = 64,
 ) -> AnnStore:
     """Idempotent prepare hook: reuse a current store, build otherwise."""
-    return load_ann_store(sf_dir, bits, n_cells, iters, root) or build_ann_store(
-        spark, sf_dir, bits, n_cells, iters, root
-    )
+    return load_ann_store(
+        sf_dir, bits, n_cells, iters, root, seed, dim
+    ) or build_ann_store(spark, sf_dir, bits, n_cells, iters, root, seed, dim)

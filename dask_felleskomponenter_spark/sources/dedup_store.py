@@ -25,7 +25,7 @@ the same "publish incrementally, never recompute the world" idea.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dask_felleskomponenter_spark.operators.dedup import content_hash

@@ -23,7 +23,7 @@ import json
 import os
 from typing import Any
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_corpus_manifest.json"
@@ -105,8 +105,15 @@ def write_corpus_manifest(
         "files": files,
         "extra": extra or {},
     }
-    with open(os.path.join(data_path, MANIFEST_NAME), "w", encoding="utf-8") as fh:
+    # tmp + atomic replace: a crash/ENOSPC mid-dump must not leave a
+    # truncated manifest (and on re-export must not have already
+    # destroyed the previous good one) — same commit pattern as the
+    # ANN store's meta.json.
+    final = os.path.join(data_path, MANIFEST_NAME)
+    tmp = final + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, final)
     return manifest
 
 
@@ -124,8 +131,17 @@ def verify_corpus_manifest(
     # directory as it is NOW, not as this session first listed it
     spark.catalog.refreshByPath(data_path)
     df = spark.read.parquet(data_path)
-    checksum, n_rows = df_checksum(df, recorded["columns"])
     problems: list[str] = []
+    # Schema drift first: a recorded column missing from the live data
+    # must be a reported problem, not an AnalysisException out of
+    # df_checksum's unresolved-column reference.
+    missing = [c for c in recorded["columns"] if c not in df.columns]
+    if missing:
+        return {
+            "ok": False,
+            "problems": [f"recorded column(s) missing from data: {missing}"],
+        }
+    checksum, n_rows = df_checksum(df, recorded["columns"])
     if n_rows != recorded["n_rows"]:
         problems.append(f"row count {n_rows} != recorded {recorded['n_rows']}")
     if "checksum_sum64" not in recorded:

@@ -56,6 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``legacy.parquet.nanosAsLong``) and truncate to microsecond
     timestamps — the same truncation DuckDB's reader applies, so oracle
     comparisons agree to the microsecond.
+
+    SESSION-GLOBAL SIDE EFFECT, by design: this pins the session
+    timezone to UTC and leaves ``nanosAsLong`` enabled for the rest of
+    the session. Both are part of the engine's execution contract —
+    every declared query must be timezone-stable under any driver-host
+    TZ, and a scoped set/restore would race concurrent query
+    construction in shared test sessions. Sessions that ALSO read
+    foreign nanosecond parquet and want the error instead must unset
+    ``spark.sql.legacy.parquet.nanosAsLong`` themselves.
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -253,6 +262,13 @@ def compact_parquet(
     old_dir = path + ".old"
     if not _os.path.exists(path) and _os.path.exists(old_dir):
         _os.rename(old_dir, path)  # recover an interrupted swap
+    # Orphaned staging dirs from hard-killed runs (uuid-suffixed, so no
+    # later run ever reuses them) each hold a full dataset copy; sweep
+    # them on entry like sync/incremental.py's recovery does.
+    parent, base = _os.path.split(_os.path.abspath(path))
+    for entry in _os.listdir(parent or "."):
+        if entry.startswith(f"{base}.staging-"):
+            _shutil.rmtree(_os.path.join(parent, entry), ignore_errors=True)
 
     total = sum(
         _os.path.getsize(_os.path.join(dp, f))

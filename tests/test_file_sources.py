@@ -411,6 +411,28 @@ def test_compact_parquet_shrinks_file_count_preserving_rows(spark, tmp_path):
     assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == before
 
 
+def test_compact_parquet_sweeps_orphaned_staging_dirs(spark, tmp_path):
+    """A hard-killed run leaves a uuid-suffixed .staging-* sibling (a
+    full dataset copy) that no later run would ever reuse; the next
+    compaction must sweep it instead of leaking disk forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(1000).select("id", F.xxhash64("id").alias("h")).repartition(
+        8
+    ).write.parquet(path)
+    orphan = f"{path}.staging-deadbeefdeadbeef"
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-junk.parquet"), "wb").write(b"x" * 128)
+    compact_parquet(spark, path, target_file_bytes=1 << 20)
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(path).count() == 1000
+
+
 def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
     # a key=value layout must come back partitioned: same subdirs, the
     # partition column in directory names (not data files), pruning alive

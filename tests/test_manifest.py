@@ -72,6 +72,49 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     assert any("inventory" in p for p in report["problems"])
 
 
+def test_verify_reports_missing_column_instead_of_crashing(spark, tmp_path):
+    """Schema drift (a recorded column gone from the data) must be a
+    problems entry, not an AnalysisException out of df_checksum."""
+    from dask_felleskomponenter_spark.sources.manifest import (
+        verify_corpus_manifest,
+        write_corpus_manifest,
+    )
+
+    p = str(tmp_path / "corpus")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    write_corpus_manifest(spark, p)
+    # re-export without column v
+    import shutil
+
+    shutil.rmtree(p)
+    spark.range(10).selectExpr("id").write.parquet(p)
+    # restore the old manifest (the re-export wiped it with the dir)
+    write_corpus_manifest(spark, p)
+    manifest_path = f"{p}/_corpus_manifest.json"
+    import json
+
+    rec = json.load(open(manifest_path))
+    rec["columns"] = ["id", "v"]
+    json.dump(rec, open(manifest_path, "w"))
+    out = verify_corpus_manifest(spark, p)
+    assert out["ok"] is False
+    assert any("missing from data" in s for s in out["problems"])
+
+
+def test_manifest_write_is_atomic_no_tmp_left(spark, tmp_path):
+    from dask_felleskomponenter_spark.sources.manifest import (
+        MANIFEST_NAME,
+        write_corpus_manifest,
+    )
+    import os
+
+    p = str(tmp_path / "corpus")
+    spark.range(5).write.parquet(p)
+    write_corpus_manifest(spark, p)
+    assert os.path.exists(os.path.join(p, MANIFEST_NAME))
+    assert not os.path.exists(os.path.join(p, MANIFEST_NAME + ".tmp"))
+
+
 def test_checksum_detects_even_multiplicity_substitution(spark):
     """Regression: a bit_xor fold maps every even-multiplicity row set
     to 0, so replacing {A, A} with {B, B} (same row count) verified

@@ -121,6 +121,73 @@ def test_ann_store_and_fallback_agree(spark, monkeypatch, tmp_path):
     assert with_store, "bucket should not be empty at this SF"
 
 
+def test_ann_store_identity_includes_seed_and_query_uses_it(
+    spark, monkeypatch, tmp_path
+):
+    """A differently-seeded build must land in a SIBLING store directory
+    (never overwrite in place), and ann_lsh_bucketed must query with the
+    store's own seed — a default-seed query_bucket against a seed-7
+    store filters on the wrong hyperplane family (silent wrong recall).
+    Also: rebuilding over an existing store un-commits meta.json first,
+    so a crash mid-rebuild reads as absent, not as the stale store."""
+    import os
+
+    from dask_felleskomponenter_spark.sources.ann_store import (
+        _store_dir,
+        build_ann_store,
+        load_ann_store,
+    )
+
+    root = str(tmp_path / "ann")
+    p42 = _store_dir(SF, 6, 8, 1, root, seed=42, dim=64)
+    p7 = _store_dir(SF, 6, 8, 1, root, seed=7, dim=64)
+    assert p42 != p7, "seed must be part of the store identity"
+
+    build_ann_store(spark, SF, bits=6, n_cells=8, iters=1, root=root, seed=7)
+    st = load_ann_store(SF, bits=6, n_cells=8, iters=1, root=root, seed=7)
+    assert st is not None and st.seed == 7
+    # default-seed lookup must NOT resolve the seed-7 store
+    assert load_ann_store(SF, bits=6, n_cells=8, iters=1, root=root) is None
+
+    # the query consumes the store's recorded seed: patch the resolver
+    # to hand back the seed-7 store and check the filter value matches
+    # the seed-7 bucket, not the seed-42 one
+    from dask_felleskomponenter_spark.operators.similarity import query_bucket
+
+    import dask_felleskomponenter_spark.sources.ann_store as ann_mod
+
+    monkeypatch.setattr(
+        ann_mod, "load_ann_store", lambda sf_dir, *a, **k: st
+    )
+    df = QUERIES["ann_lsh_bucketed"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    qvec = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    b7 = query_bucket(qvec, bits=6, seed=7)
+    b42 = query_bucket(qvec, bits=6, seed=42)
+    assert b7 != b42, "seed families coincide; pick different test seeds"
+    assert f"= {b7})" in analyzed, analyzed[:1500]
+
+    # rebuild un-commits first: simulate by checking meta.json vanishes
+    # when the build is interrupted right after the un-commit
+    meta = os.path.join(p7, "meta.json")
+    assert os.path.exists(meta)
+
+    def boom(*a, **k):
+        raise RuntimeError("interrupted build")
+
+    monkeypatch.setattr(ann_mod, "ensure_parent", boom, raising=False)
+    import dask_felleskomponenter_spark.operators.similarity as sim_mod
+
+    monkeypatch.setattr(sim_mod, "with_lsh_bucket", boom)
+    try:
+        build_ann_store(
+            spark, SF, bits=6, n_cells=8, iters=1, root=root, seed=7
+        )
+    except RuntimeError:
+        pass
+    assert not os.path.exists(meta), "stale meta must be un-committed"
+
+
 def test_ann_filters_precomputed_bucket_column(spark):
     # the analyzed plan must filter the lsh_bucket column attached by
     # with_lsh_bucket — the shape a bucket-partitioned table would prune
