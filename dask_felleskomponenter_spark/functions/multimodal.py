@@ -550,25 +550,33 @@ def decode_video_avi(data: bytes | None) -> dict | None:
         return None
 
     strh = strf = None
+    video_prefix = b"00"
     dibs: list[bytes] = []
 
     def scan_movi(o: int, e: int) -> None:
         for cid, ltype, boff, blen in _avi_walk(data, o, e):
             if ltype == b"rec ":
                 scan_movi(boff, boff + blen)
-            elif cid[:2] == b"00" and cid[2:] in (b"db", b"dc"):
+            elif cid[:2] == video_prefix and cid[2:] in (b"db", b"dc"):
                 dibs.append(data[boff : boff + blen])
 
     for cid, ltype, boff, blen in _avi_walk(data, _RIFF.size, len(data)):
         if ltype == b"hdrl":
             in_stream = False
+            stream_idx = -1  # ordinal of the strl block = RIFF stream id
             for c2, l2, o2, n2 in _avi_walk(data, boff, boff + blen):
                 if l2 == b"strl":
+                    stream_idx += 1
                     for c3, _l3, o3, n3 in _avi_walk(data, o2, o2 + n2):
                         if c3 == b"strh" and n3 >= _STRH.size and strh is None:
                             cand = _STRH.unpack_from(data, o3)
                             if cand[0] == b"vids":
                                 strh, in_stream = cand, True
+                                # movi chunk ids carry the stream ordinal
+                                # ('01db' when audio is listed first) —
+                                # assuming '00' loses the video of any
+                                # AVI whose vids strl isn't stream 0.
+                                video_prefix = f"{stream_idx:02d}".encode()
                         elif c3 == b"strf" and in_stream and strf is None:
                             if n3 >= _BMIH.size:
                                 strf = _BMIH.unpack_from(data, o3)
@@ -636,7 +644,13 @@ def sniff_media_type(col: str | Column) -> Column:
         .when(head.startswith("FFD8FF"), "jpeg")
         .when(head == "52494646", "riff")  # wav/avi
         .when(head.startswith("474946"), "gif")
-        .when(head.startswith("4949") | head.startswith("4D4D"), "tiff")
+        # Full 4-byte TIFF magics (classic + BigTIFF), matching
+        # raster.py's _TIFF_MAGICS: a bare 'II'/'MM' prefix test would
+        # classify any blob starting with those ASCII pairs as TIFF.
+        .when(
+            head.isin("49492A00", "4D4D002A", "49492B00", "4D4D002B"),
+            "tiff",
+        )
         .otherwise("unknown")
     )
 
@@ -674,6 +688,26 @@ AUDIO_META_SCHEMA = StructType(
 )
 
 
+def _map_binary_rowwise(
+    df: DataFrame, binary_col: str, out_field: StructField, row_fn
+) -> DataFrame:
+    """Shared ``mapInPandas`` wrapper for all binary→value operators:
+    append ``out_field`` computed by ``row_fn(blob) -> value|None`` (None
+    = undecodable/null row → null output), every other column passing
+    through untouched. One place owns the batch loop and the null
+    contract instead of five near-identical copies."""
+    out_schema = StructType(list(df.schema.fields) + [out_field])
+    name = out_field.name
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[name] = [row_fn(data) for data in pdf[binary_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def decode_audio(
     df: DataFrame,
     binary_col: str,
@@ -683,31 +717,22 @@ def decode_audio(
     """Decode audio blobs → metadata struct column via ``mapInPandas``
     (real WAV by default). Same batch/null contract as
     ``decode_images``."""
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, AUDIO_META_SCHEMA)]
+
+    def row(data):
+        d = decoder(data)
+        if d is None:
+            return None
+        return {
+            "sample_rate": d["sample_rate"],
+            "channels": d["channels"],
+            "bits_per_sample": d["bits_per_sample"],
+            "n_frames": d["n_frames"],
+            "duration_ms": d["duration_ms"],
+        }
+
+    return _map_binary_rowwise(
+        df, binary_col, StructField(out_col, AUDIO_META_SCHEMA), row
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = []
-            for data in pdf[binary_col]:
-                d = decoder(data)
-                metas.append(
-                    None
-                    if d is None
-                    else {
-                        "sample_rate": d["sample_rate"],
-                        "channels": d["channels"],
-                        "bits_per_sample": d["bits_per_sample"],
-                        "n_frames": d["n_frames"],
-                        "duration_ms": d["duration_ms"],
-                    }
-                )
-            out = pdf.copy()
-            out[out_col] = metas
-            yield out
-
-    return df.mapInPandas(run, schema=out_schema)
 
 
 #: Decoded-video metadata struct (one row per clip). Frame rate is kept
@@ -735,33 +760,23 @@ def decode_videos(
     (real AVI by default). Same batch/null contract as
     ``decode_images``; for per-frame rows use ``sample_frames`` with the
     same decoder."""
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, VIDEO_META_SCHEMA)]
+    def row(data):
+        d = decoder(data)
+        if d is None:
+            return None
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "channels": d["channels"],
+            "n_frames": d["n_frames"],
+            "rate": d["rate"],
+            "scale": d["scale"],
+            "duration_ms": d["duration_ms"],
+        }
+
+    return _map_binary_rowwise(
+        df, binary_col, StructField(out_col, VIDEO_META_SCHEMA), row
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = []
-            for data in pdf[binary_col]:
-                d = decoder(data)
-                metas.append(
-                    None
-                    if d is None
-                    else {
-                        "width": d["width"],
-                        "height": d["height"],
-                        "channels": d["channels"],
-                        "n_frames": d["n_frames"],
-                        "rate": d["rate"],
-                        "scale": d["scale"],
-                        "duration_ms": d["duration_ms"],
-                    }
-                )
-            out = pdf.copy()
-            out[out_col] = metas
-            yield out
-
-    return df.mapInPandas(run, schema=out_schema)
 
 
 #: Integer DSP features over int16 PCM (one row per clip) — exact, so an
@@ -792,34 +807,23 @@ def extract_audio_features(
     batch's payload — no per-sample Python."""
     import numpy as np
 
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, AUDIO_FEATURES_SCHEMA)]
+    def row(data):
+        d = decoder(data)
+        if d is None or d.get("bits_per_sample") != 16:
+            return None
+        s = np.frombuffer(d["payload"], dtype="<i2").astype(np.int64)
+        return {
+            "n_samples": int(s.size),
+            "sum_sq": int((s * s).sum()),
+            "zero_crossings": int(((s[:-1] * s[1:]) < 0).sum())
+            if s.size > 1
+            else 0,
+            "peak": int(np.abs(s).max()) if s.size else 0,
+        }
+
+    return _map_binary_rowwise(
+        df, binary_col, StructField(out_col, AUDIO_FEATURES_SCHEMA), row
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = []
-            for data in pdf[binary_col]:
-                d = decoder(data)
-                if d is None or d.get("bits_per_sample") != 16:
-                    feats.append(None)
-                    continue
-                s = np.frombuffer(d["payload"], dtype="<i2").astype(np.int64)
-                feats.append(
-                    {
-                        "n_samples": int(s.size),
-                        "sum_sq": int((s * s).sum()),
-                        "zero_crossings": int(((s[:-1] * s[1:]) < 0).sum())
-                        if s.size > 1
-                        else 0,
-                        "peak": int(np.abs(s).max()) if s.size else 0,
-                    }
-                )
-            out = pdf.copy()
-            out[out_col] = feats
-            yield out
-
-    return df.mapInPandas(run, schema=out_schema)
 
 
 def decode_images(
@@ -835,29 +839,20 @@ def decode_images(
     struct. The decoder runs once per row inside Arrow batches; all
     other columns pass through untouched.
     """
-    fields = [f for f in df.schema.fields]
-    out_schema = StructType(fields + [StructField(out_col, IMAGE_META_SCHEMA)])
+    def row(data):
+        d = decoder(data)
+        if d is None:
+            return None
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "channels": d["channels"],
+            "n_pixels": d["width"] * d["height"],
+        }
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = []
-            for data in pdf[binary_col]:
-                d = decoder(data)
-                metas.append(
-                    None
-                    if d is None
-                    else {
-                        "width": d["width"],
-                        "height": d["height"],
-                        "channels": d["channels"],
-                        "n_pixels": d["width"] * d["height"],
-                    }
-                )
-            out = pdf.copy()
-            out[out_col] = metas
-            yield out
-
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_binary_rowwise(
+        df, binary_col, StructField(out_col, IMAGE_META_SCHEMA), row
+    )
 
 
 #: Decoded-image integer statistics (one row per image): dimensions from
@@ -884,31 +879,27 @@ def image_pixel_stats(
     ``mapInPandas`` (one decode per row; all-integer outputs so an SQL
     oracle can reproduce them with zero float-rounding concerns).
     Same batch/null contract as ``decode_images``."""
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, IMAGE_STATS_SCHEMA)]
+    import numpy as np
+
+    def row(data):
+        d = decoder(data)
+        if d is None:
+            return None
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "channels": d["channels"],
+            # numpy sum, not sum(bytes): a 3 MB payload as Python ints
+            # is ~20× the cost, integer-identical
+            "pixel_sum": int(
+                np.frombuffer(d["payload"], np.uint8).sum(dtype=np.int64)
+            ),
+            "n_bytes": len(d["payload"]),
+        }
+
+    return _map_binary_rowwise(
+        df, binary_col, StructField(out_col, IMAGE_STATS_SCHEMA), row
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            stats = []
-            for data in pdf[binary_col]:
-                d = decoder(data)
-                stats.append(
-                    None
-                    if d is None
-                    else {
-                        "width": d["width"],
-                        "height": d["height"],
-                        "channels": d["channels"],
-                        "pixel_sum": sum(d["payload"]),
-                        "n_bytes": len(d["payload"]),
-                    }
-                )
-            out = pdf.copy()
-            out[out_col] = stats
-            yield out
-
-    return df.mapInPandas(run, schema=out_schema)
 
 
 def extract_image_features(
@@ -920,40 +911,29 @@ def extract_image_features(
     """Per-channel mean intensity in [0,1] as ``array<double>`` — the
     cheap content-feature stage ahead of embedding models. Null for
     undecodable rows."""
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, IMAGE_FEATURES_SCHEMA)]
+    import numpy as np
+
+    def row(data):
+        d = decoder(data)
+        if d is None or not d["payload"] or d["channels"] == 0:
+            return None
+        payload, ch = d["payload"], d["channels"]
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        tail = len(arr) % ch
+        full = arr[: len(arr) - tail].reshape(-1, ch)
+        sums = full.sum(axis=0, dtype=np.int64)
+        counts = np.full(ch, len(full), dtype=np.int64)
+        if tail:  # ragged payloads keep per-channel exactness
+            sums[:tail] += arr[len(arr) - tail :]
+            counts[:tail] += 1
+        return [
+            round(float(s) / int(c) / 255.0, 9) if c else 0.0
+            for s, c in zip(sums, counts)
+        ]
+
+    return _map_binary_rowwise(
+        df, binary_col, StructField(out_col, IMAGE_FEATURES_SCHEMA), row
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = []
-            import numpy as np
-
-            for data in pdf[binary_col]:
-                d = decoder(data)
-                if d is None or not d["payload"] or d["channels"] == 0:
-                    feats.append(None)
-                    continue
-                payload, ch = d["payload"], d["channels"]
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                tail = len(arr) % ch
-                full = arr[: len(arr) - tail].reshape(-1, ch)
-                sums = full.sum(axis=0, dtype=np.int64)
-                counts = np.full(ch, len(full), dtype=np.int64)
-                if tail:  # ragged payloads keep per-channel exactness
-                    sums[:tail] += arr[len(arr) - tail :]
-                    counts[:tail] += 1
-                feats.append(
-                    [
-                        round(float(s) / int(c) / 255.0, 9) if c else 0.0
-                        for s, c in zip(sums, counts)
-                    ]
-                )
-            out = pdf.copy()
-            out[out_col] = feats
-            yield out
-
-    return df.mapInPandas(run, schema=out_schema)
 
 
 def resize_images(
@@ -967,36 +947,32 @@ def resize_images(
     """Nearest-neighbor resize, re-encoded with the same codec (FAKM in
     tests; a real deployment injects a PIL-backed decoder/encoder).
     Demonstrates the binary→binary transform shape."""
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, BinaryType())]
+    if width < 1 or height < 1:
+        raise ValueError(f"target size {width}x{height} must be >= 1x1")
+
+    import numpy as np
+
+    def row(data):
+        d = decoder(data)
+        if d is None:
+            return None
+        w0, h0, ch = d["width"], d["height"], d["channels"]
+        if w0 < 1 or h0 < 1 or ch < 1 or len(d["payload"]) != w0 * h0 * ch:
+            return None  # degenerate/ragged source
+        # two vectorized index gathers instead of a per-output-pixel
+        # Python double loop (~50k iterations per row at 224×224) —
+        # byte-identical nearest-neighbor selection
+        src = np.frombuffer(d["payload"], np.uint8).reshape(h0, w0, ch)
+        sy = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+        sx = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+        resized = src[sy][:, sx]
+        return fakm_encode(
+            d["media_type"], width, height, ch, resized.tobytes()
+        )
+
+    return _map_binary_rowwise(
+        df, binary_col, StructField(out_col, BinaryType()), row
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_bytes = []
-            for data in pdf[binary_col]:
-                d = decoder(data)
-                if d is None:
-                    out_bytes.append(None)
-                    continue
-                w0, h0, ch = d["width"], d["height"], d["channels"]
-                src = d["payload"]
-                row_stride = w0 * ch
-                resized = bytearray()
-                for y in range(height):
-                    sy = min(int(y * h0 / height), max(h0 - 1, 0))
-                    for x in range(width):
-                        sx = min(int(x * w0 / width), max(w0 - 1, 0))
-                        off = sy * row_stride + sx * ch
-                        resized += src[off : off + ch]
-                out_bytes.append(
-                    fakm_encode(d["media_type"], width, height, ch, bytes(resized))
-                )
-            out = pdf.copy()
-            out[out_col] = out_bytes
-            yield out
-
-    return df.mapInPandas(run, schema=out_schema)
 
 
 def sample_frames(

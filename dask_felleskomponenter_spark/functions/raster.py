@@ -272,6 +272,16 @@ def decode_geotiff_grid(data: bytes):
         raise NotImplementedError(
             f"TIFF predictor {predictor} requires GDAL"
         )
+    sfmt_early = tags.get(339, [1])[0]
+    if predictor == 2 and sfmt_early == 3:
+        # Predictor 2 (horizontal differencing) is defined for integer
+        # samples only; applying the int64 cumsum to float data would
+        # silently truncate fractions. Floating-point prediction is
+        # predictor 3, which already raises above.
+        raise NotImplementedError(
+            "TIFF horizontal predictor on floating-point samples "
+            "requires GDAL"
+        )
     spp = tags.get(277, [1])[0]
     if tags.get(284, [1])[0] != 1 and spp > 1:
         raise NotImplementedError("planar TIFF layout requires GDAL")

@@ -21,7 +21,14 @@ WS_PATTERN = r"\s+"
 #: deterministic stand-in for a real tokenizer's token count.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-PUNCT_PATTERN = r"[^\w\s]"
+#: Punctuation = not letter, digit, underscore, or whitespace, in ANY
+#: script: Java's and RE2's ``\w`` is ASCII-only, which made every CJK/
+#: Cyrillic/Arabic letter count as punctuation and collapsed the quality
+#: score's punctuation component to 0 for clean non-Latin text (the same
+#: trap CANON_STRIP_PATTERN documents below). ``\p{L}\p{N}`` is
+#: supported identically by both engines, so the DuckDB oracle mirrors
+#: this pattern verbatim.
+PUNCT_PATTERN = r"[^\p{L}\p{N}_\s]"
 
 #: Tiny per-language stopword marker sets for the n-gram/stopword
 #: language-ID heuristic. Real pipelines plug in fastText/CLD3 via a
@@ -299,7 +306,10 @@ def rolling_fingerprint_df(
 
     Same semantics as the column forms: documents shorter than
     ``window`` tokens contribute one whole-text gram (``concat_ws``
-    skips the NULL leads); empty text hashes the empty string.
+    skips the NULL leads); empty text hashes the empty string; NULL
+    text yields a NULL fingerprint (``posexplode_outer`` keeps the row —
+    a plain explode would silently DROP NULL-text documents from the
+    output, diverging from the column forms).
     ``hash_fn`` defaults to ``F.md5`` (oracle-parity); pass
     ``F.xxhash64`` for the compact production fingerprint.
     """
@@ -308,13 +318,15 @@ def rolling_fingerprint_df(
     hash_fn = hash_fn or F.md5
     toks = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(_c(text_col)), WS_PATTERN)).alias(
+        F.posexplode_outer(F.split(F.trim(_c(text_col)), WS_PATTERN)).alias(
             "_pos", "_t"
         ),
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
-    gram = F.concat_ws(
-        " ", "_t", *[F.lead("_t", j).over(w) for j in range(1, window)]
+    gram = F.when(F.col("_t").isNull(), F.lit(None)).otherwise(
+        F.concat_ws(
+            " ", "_t", *[F.lead("_t", j).over(w) for j in range(1, window)]
+        )
     )
     n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
     grams = (
@@ -323,12 +335,20 @@ def rolling_fingerprint_df(
         .filter(
             (F.col("_pos") + window - 1 < F.col("_n"))
             | ((F.col("_n") < window) & (F.col("_pos") == 0))
+            | F.col("_pos").isNull()  # NULL-text carrier row
         )
     )
+    # Gate on _g IS NOT NULL explicitly: md5(NULL) is NULL but
+    # xxhash64(NULL) is the seed hash (a real value!), so relying on the
+    # hash to propagate the carrier row's NULL would leak a phantom
+    # fingerprint into NULL-text docs under the production hash family.
+    gated = F.when(F.col("_g").isNotNull(), hash_fn(F.col("_g")))
+    fp = F.slice(F.array_sort(F.collect_list(gated)), 1, keep)
+    # collect_list skips the gated-NULL carrier row, leaving an empty
+    # array exactly (and only) for NULL-text docs — normalize to NULL to
+    # match the column forms.
     return grams.groupBy(id_col).agg(
-        F.slice(
-            F.array_sort(F.collect_list(hash_fn(F.col("_g")))), 1, keep
-        ).alias(out_col)
+        F.when(F.size(fp) == 0, F.lit(None)).otherwise(fp).alias(out_col)
     )
 
 

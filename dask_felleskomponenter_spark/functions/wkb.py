@@ -26,7 +26,6 @@ Spark-first:
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, SparkSession
@@ -136,7 +135,11 @@ def wkb_geom_type_col(col: str | Column, hex_input: bool = False) -> Column:
         data = c
         not_hex = F.lit(False)
 
-    h = F.hex(data)
+    # Only the first 5 bytes (byte order + type word) are ever read —
+    # hex the prefix, not the whole blob: F.hex(data) would materialize
+    # a 2× copy of every multi-megabyte geometry per row. The too-short
+    # guard below checks length(data), so truncation here is safe.
+    h = F.hex(F.substring(data, 1, 5))
     th = F.substring(h, 3, 8)
     little = F.substring(h, 1, 2) != "00"
     swapped = F.when(

@@ -1151,7 +1151,7 @@ WITH base AS (
          CASE WHEN TRIM(text) = '' THEN 0
               ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
               ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x)
@@ -1346,7 +1346,7 @@ WITH RECURSIVE base AS (
   SELECT doc_id, text, lang,
          CASE WHEN TRIM(text) = '' THEN 0
               ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
               ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'),
@@ -2000,7 +2000,7 @@ WITH base AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN 0
               ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
               ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS ltoks,

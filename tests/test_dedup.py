@@ -124,7 +124,16 @@ def test_fingerprint_df_matches_column_form(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     extra = spark.createDataFrame(
-        [(9001, ""), (9002, "one two"), (9003, "   "), (9004, "a b c d e f g h i")],
+        # 9005 (NULL text) pins the outer-explode fix: a plain explode
+        # silently DROPPED NULL-text docs from the DataFrame form while
+        # the column form returned them with a NULL fingerprint.
+        [
+            (9001, ""),
+            (9002, "one two"),
+            (9003, "   "),
+            (9004, "a b c d e f g h i"),
+            (9005, None),
+        ],
         "doc_id bigint, text string",
     )
     docs = docs.select("doc_id", "text").unionByName(extra)

@@ -361,6 +361,74 @@ class TestAviCodec:
             assert (d["n_frames"], d["rate"], d["scale"]) == (4, 25, 1)
             assert d["payload"] == b"".join(frames)
 
+    def test_audio_first_stream_order_decodes(self):
+        """A valid AVI whose hdrl lists the audio strl BEFORE the video
+        strl stores video frames as '01db' chunks (chunk ids carry the
+        stream ordinal). Assuming stream 0 silently returned None for
+        such files."""
+        import struct as _s
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            _AVIH,
+            _BMIH,
+            _RIFF,
+            _STRH,
+            _riff_chunk,
+            _riff_list,
+            avi_encode,
+            decode_video_avi,
+        )
+
+        w, h, fps = 4, 3, 25
+        frames = self._frames(w, h, 2)
+        canonical = decode_video_avi(avi_encode(w, h, fps, frames))
+
+        stride = w * 3
+        pad = (-stride) % 4
+        dib_size = (stride + pad) * h
+        dibs = []
+        for f in frames:
+            rows = [
+                bytes(f[y * stride : (y + 1) * stride]) + b"\x00" * pad
+                for y in reversed(range(h))
+            ]
+            dibs.append(b"".join(rows))
+
+        # stream 0: a minimal audio strl (auds strh + junk strf)
+        strh_a = _STRH.pack(
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, 8000, 0, 16000, 0, 0, 0, 0, 0, 0, 0,
+        )
+        strl_a = _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh_a) + _riff_chunk(b"strf", b"\x00" * 16),
+        )
+        # stream 1: the video strl
+        strf_v = _BMIH.pack(40, w, h, 1, 24, 0, dib_size, 0, 0, 0, 0)
+        strh_v = _STRH.pack(
+            b"vids", b"DIB ", 0, 0, 0, 0,
+            1, fps, 0, len(frames), dib_size, 0, 0, 0, 0, w, h,
+        )
+        strl_v = _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh_v) + _riff_chunk(b"strf", strf_v),
+        )
+        avih = _AVIH.pack(
+            1_000_000 // fps, dib_size * fps, 0, 0x10,
+            len(frames), 0, 2, dib_size, w, h, 0, 0, 0, 0,
+        )
+        hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl_a + strl_v)
+        movi_body = b""
+        for dib in dibs:
+            movi_body += _riff_chunk(b"01db", dib)  # stream ordinal 1
+        body = hdrl + _riff_list(b"movi", movi_body)
+        data = _RIFF.pack(b"RIFF", 4 + len(body), b"AVI ") + body
+
+        d = decode_video_avi(data)
+        assert d is not None, "audio-first AVI must decode"
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, 2)
+        assert d["payload"] == canonical["payload"]
+
     def test_duration_from_rational_rate(self):
         from dask_felleskomponenter_spark.functions.multimodal import (
             avi_encode,
