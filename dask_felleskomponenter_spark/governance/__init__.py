@@ -48,5 +48,4 @@ __all__ = [
     "validate_table",
     "Metadata",
     "TblPropertiesMetadataStore",
-    "errors_to_df",
 ]

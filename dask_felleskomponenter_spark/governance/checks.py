@@ -125,16 +125,19 @@ def make_codelist_check(
 def check_medaljongnivaa(
     md: TableMetadata, ctx: list[MetadataError], registry: CodelistRegistry
 ) -> list[MetadataError]:
-    """Gate check (``table.py:112-130``)."""
-    if md.medaljongnivaa not in MEDALJONGNIVAA:
+    """Gate check (``table.py:112-130``) against the registry's
+    ``medaljongnivaa`` list — an injected override (custom levels) must
+    actually gate here, not just sit in the registry unread."""
+    levels = registry.get("medaljongnivaa") or list(MEDALJONGNIVAA)
+    if md.medaljongnivaa not in levels:
         ctx.append(
             _field_error(
                 md,
                 "medaljongnivaa",
                 "valør",
                 md.medaljongnivaa is None,
-                f"gyldige verdier: {MEDALJONGNIVAA}",
-                valid_values=list(MEDALJONGNIVAA),
+                f"gyldige verdier: {levels}",
+                valid_values=list(levels),
             )
         )
     return ctx
@@ -212,7 +215,12 @@ def validate_table(
     ctx = check_medaljongnivaa(metadata, [], reg)
     if ctx:
         return ctx
-    for check in checks_for_level(reg)[metadata.medaljongnivaa]:
+    # Registry-overridden levels beyond bronze/silver/gold pass the gate
+    # but have no built-in chain — run the strictest (gold) chain rather
+    # than KeyError; callers defining custom levels extend
+    # checks_for_level's dict with their own chains.
+    chains = checks_for_level(reg)
+    for check in chains.get(metadata.medaljongnivaa, chains["gold"]):
         ctx = check(metadata, ctx)
     return ctx
 

@@ -131,10 +131,13 @@ class CodelistRegistry:
     def get(self, key: str) -> list[CodelistEntry] | list[str] | None:
         """Entries for ``key``; None when the list is remote-backed and no
         loader is configured (presence-only validation applies)."""
-        if key == "medaljongnivaa":
-            return list(MEDALJONGNIVAA)
+        # Consult overrides/cache FIRST: a constructor override for
+        # 'medaljongnivaa' must win over the built-in list (the old
+        # special-case short-circuit silently ignored it).
         if key in self._cache:
             return self._cache[key]
+        if key == "medaljongnivaa":
+            return list(MEDALJONGNIVAA)
         if key in CODELIST_URLS and self.remote_loader is not None:
             doc = self.remote_loader(CODELIST_URLS[key])
             self._cache[key] = entries_from_registry_json(doc)

@@ -66,7 +66,15 @@ class TableMetadata:
     optional_params: dict[str, Any] = field(default_factory=dict)
 
     def __init__(self, **kwargs: Any) -> None:
-        self.optional_params = {}
+        # An explicit optional_params kwarg seeds the bag (it used to be
+        # skipped by the field loop AND excluded from the absorb loop —
+        # silently dropped); absorbed unknown keys layer on top.
+        seed = kwargs.get("optional_params")
+        if seed is not None and not isinstance(seed, dict):
+            raise TypeError(
+                f"optional_params must be a dict, got {type(seed).__name__}"
+            )
+        self.optional_params = dict(seed or {})
         for name in self.__dataclass_fields__:
             if name == "optional_params":
                 continue

@@ -40,8 +40,15 @@ class TblPropertiesMetadataStore:
 
     # -- helpers -----------------------------------------------------------
     @staticmethod
-    def _qualify(schema: str, table: str) -> str:
-        return f"{quote_ident(schema)}.{quote_ident(table)}"
+    def _qualify(schema: str, table: str, catalog: str | None = None) -> str:
+        # Three-part qualification when the caller names a catalog: the
+        # schema.table form resolves in the session's CURRENT catalog,
+        # which on a multi-catalog cluster can silently be a different
+        # table than the one the metadata claims to describe.
+        parts = ([quote_ident(catalog)] if catalog else []) + [
+            quote_ident(schema), quote_ident(table),
+        ]
+        return ".".join(parts)
 
     @staticmethod
     def _quote_value(value: str) -> str:
@@ -72,16 +79,21 @@ class TblPropertiesMetadataStore:
         )
 
     # -- reads -------------------------------------------------------------
-    def get_properties(self, schema: str, table: str) -> dict[str, str]:
+    def get_properties(
+        self, schema: str, table: str, catalog: str | None = None
+    ) -> dict[str, str]:
         rows = self.spark.sql(
-            f"SHOW TBLPROPERTIES {self._qualify(schema, table)}"
+            f"SHOW TBLPROPERTIES {self._qualify(schema, table, catalog)}"
         ).collect()
         return {r["key"]: r["value"] for r in rows}
 
-    def get_comment(self, schema: str, table: str) -> str | None:
+    def get_comment(
+        self, schema: str, table: str, catalog: str | None = None
+    ) -> str | None:
         # 'comment' is a reserved table property: SET TBLPROPERTIES routes
         # it to the table comment and SHOW TBLPROPERTIES hides it
-        tbl = self.spark.catalog.getTable(f"{schema}.{table}")
+        name = f"{catalog}.{schema}.{table}" if catalog else f"{schema}.{table}"
+        tbl = self.spark.catalog.getTable(name)
         return tbl.description or None
 
     def get_table_metadata(
@@ -90,7 +102,7 @@ class TblPropertiesMetadataStore:
         """Assemble ``TableMetadata`` the way the reference does from
         table_tags + comment (``main.py:13-45``), including the
         ``delta.*``/internal-key skip and the open optional-params bag."""
-        props = self.get_properties(schema, table)
+        props = self.get_properties(schema, table, catalog)
         keys: dict[str, str] = {}
         column_properties: dict[str, dict] = {}
         for k, v in props.items():
@@ -103,7 +115,9 @@ class TblPropertiesMetadataStore:
                     column_properties.setdefault(col, {})[prop] = v
                 continue
             keys[k] = v
-        beskrivelse = keys.pop("comment", None) or self.get_comment(schema, table)
+        beskrivelse = keys.pop("comment", None) or self.get_comment(
+            schema, table, catalog
+        )
         known = {
             f: keys.pop(f, None)
             for f in (
@@ -124,7 +138,7 @@ class TblPropertiesMetadataStore:
         # prefixed name and prefer the structured source.
         reserved = {
             "catalog", "schema", "table", "beskrivelse",
-            "column_properties",
+            "column_properties", "optional_params",
         }
         for r in sorted(reserved & keys.keys()):
             keys[f"tag.{r}"] = keys.pop(r)
@@ -145,7 +159,7 @@ class TblPropertiesMetadataStore:
         rebuilt over open sources: the table schema joined with the
         ``columns.*`` properties."""
         spark = self.spark
-        fields = spark.table(self._qualify(schema, table)).schema.fields
+        fields = spark.table(self._qualify(schema, table, catalog)).schema.fields
         cols_df = spark.createDataFrame(
             [
                 (catalog, schema, table, f.name, f.dataType.simpleString(), i)
@@ -153,7 +167,7 @@ class TblPropertiesMetadataStore:
             ],
             ["table_catalog", "table_schema", "table_name", "column_name", "data_type", "ordinal_position"],
         )
-        props = self.get_properties(schema, table)
+        props = self.get_properties(schema, table, catalog)
         tag_rows = []
         for k, v in props.items():
             if k.startswith("columns."):

@@ -1,0 +1,63 @@
+"""Shared crash-safe directory-swap recovery.
+
+Three call sites perform the same sibling-rename swap (write to a
+uuid-named ``.staging-*`` dir → rename live dir to ``.old`` → rename
+staging in → drop ``.old``): ``sync/incremental.py``, ``sync/merge.py``,
+and ``sources/tables.py::compact_parquet``. This module owns the
+matching recovery so the three copies cannot drift:
+
+- a crash between the two renames leaves the only durable copy in
+  ``.old`` with the live path missing → restore it;
+- a hard kill (skipping the in-process ``finally``) leaves the
+  uuid-named staging dir orphaned — a full dataset-sized copy no later
+  run ever reuses → delete it, BUT only when it is older than
+  ``min_age_s``: an age guard is what keeps one scheduled run from
+  deleting a *concurrent* run's in-progress staging write mid-flight
+  (which would either fail that run's job or, worse, let its rename
+  swap a partially-deleted directory over the live data).
+
+``min_age_s`` defaults to one hour — far longer than a rename swap
+stays in flight after its write finishes, far shorter than forever.
+Callers that KNOW no concurrent writer exists (tests, single-flight
+maintenance jobs) may pass 0 to reap immediately.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+STALE_STAGING_AGE_S = 3600.0
+
+
+def recover_interrupted_swap(
+    path: str, min_age_s: float = STALE_STAGING_AGE_S
+) -> None:
+    """Recover ``path`` from a crashed sibling-rename swap and reap
+    stale ``{path}.staging-*`` orphans older than ``min_age_s``."""
+    old_dir = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old_dir):
+        os.rename(old_dir, path)
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    prefix = os.path.basename(path) + ".staging-"
+    if not os.path.isdir(parent):
+        return
+    now = time.time()
+    for name in os.listdir(parent):
+        if not name.startswith(prefix):
+            continue
+        full = os.path.join(parent, name)
+        try:
+            # Liveness probe = newest mtime of the dir and its immediate
+            # children: an in-flight Spark write keeps churning inside
+            # its _temporary child (whose own mtime updates as task dirs
+            # are created) even while the top dir's mtime is quiet.
+            mtimes = [os.path.getmtime(full)]
+            for child in os.listdir(full):
+                mtimes.append(os.path.getmtime(os.path.join(full, child)))
+            age = now - max(mtimes)
+        except OSError:
+            continue  # vanished (e.g. its owner just completed its swap)
+        if age >= min_age_s:
+            shutil.rmtree(full, ignore_errors=True)

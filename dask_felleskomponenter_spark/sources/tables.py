@@ -259,16 +259,13 @@ def compact_parquet(
     import shutil as _shutil
     import uuid as _uuid
 
+    from dask_felleskomponenter_spark.ioutil import recover_interrupted_swap
+
     old_dir = path + ".old"
-    if not _os.path.exists(path) and _os.path.exists(old_dir):
-        _os.rename(old_dir, path)  # recover an interrupted swap
-    # Orphaned staging dirs from hard-killed runs (uuid-suffixed, so no
-    # later run ever reuses them) each hold a full dataset copy; sweep
-    # them on entry like sync/incremental.py's recovery does.
-    parent, base = _os.path.split(_os.path.abspath(path))
-    for entry in _os.listdir(parent or "."):
-        if entry.startswith(f"{base}.staging-"):
-            _shutil.rmtree(_os.path.join(parent, entry), ignore_errors=True)
+    # Shared swap recovery: restore .old from an interrupted swap and
+    # reap stale uuid-named .staging-* orphans (age-guarded against
+    # concurrent compactions).
+    recover_interrupted_swap(path)
 
     total = sum(
         _os.path.getsize(_os.path.join(dp, f))

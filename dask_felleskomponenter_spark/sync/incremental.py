@@ -105,22 +105,14 @@ def refresh_incremental_summary(
 
 
 def _recover_interrupted_swap(summary_path: str) -> None:
-    """If a prior refresh died between renaming the summary away and
-    renaming the staging in, the accumulated history sits in ``.old``
-    while ``summary_path`` is missing — restore it. Orphaned
-    ``.staging-<uuid>`` siblings from hard crashes (process death skips
-    the in-Python finally cleanup, and every run generates a fresh
-    uuid) are deleted here too — otherwise each crash/retry cycle
-    leaks a full summary-sized copy forever."""
-    old_dir = summary_path + ".old"
-    if not os.path.exists(summary_path) and os.path.exists(old_dir):
-        os.rename(old_dir, summary_path)
-    parent = os.path.dirname(summary_path) or "."
-    prefix = os.path.basename(summary_path) + ".staging-"
-    if os.path.isdir(parent):
-        for name in os.listdir(parent):
-            if name.startswith(prefix):
-                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    """Shared swap recovery (``ioutil.recover_interrupted_swap``): the
+    ``.old`` restore plus the age-guarded reap of orphaned
+    ``.staging-<uuid>`` siblings — the guard keeps an overlapping
+    scheduled refresh from deleting a concurrent run's in-progress
+    staging write."""
+    from dask_felleskomponenter_spark.ioutil import recover_interrupted_swap
+
+    recover_interrupted_swap(summary_path)
 
 
 def summary_with_avg(

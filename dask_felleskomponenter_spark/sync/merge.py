@@ -76,8 +76,16 @@ def merge_upsert(
         fireable = staging.filter(F.col(update_type_col).isNotNull())
         for k in keys:
             fireable = fireable.filter(F.col(k).isNotNull())
+        # Postgres MERGE errors only when one TARGET row is affected by
+        # multiple source rows — duplicate source keys that match no
+        # target row are legal (each fires NOT MATCHED independently;
+        # duplicate tombstones in a CDC batch are the common case), so
+        # the duplicate check must be scoped to target-matching keys.
+        matching = fireable.join(
+            target.select(*keys).dropDuplicates(keys), on=list(keys), how="semi"
+        )
         dup = (
-            fireable.groupBy(*keys)
+            matching.groupBy(*keys)
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -85,8 +93,9 @@ def merge_upsert(
         )
         if dup:
             raise ValueError(
-                f"staging has duplicate merge-key tuples (e.g. {dup[0]}); "
-                "Postgres MERGE would raise on this input"
+                f"staging has duplicate merge-key tuples matching a "
+                f"target row (e.g. {dup[0]}); Postgres MERGE would "
+                "raise on this input"
             )
 
     # SQL MERGE `ON t.k = s.k` null semantics: NULL never matches, so a
@@ -136,20 +145,15 @@ def merge_into_path(
     import shutil
     import uuid
 
+    from dask_felleskomponenter_spark.ioutil import recover_interrupted_swap
+
     spark = staging.sparkSession
+    # Shared swap recovery: restore .old from an interrupted swap and
+    # reap stale uuid-named .staging-* orphans (age-guarded so an
+    # overlapping run cannot delete a concurrent merge's in-progress
+    # staging write mid-flight).
+    recover_interrupted_swap(target_path)
     old_dir = target_path + ".old"
-    if not os.path.exists(target_path) and os.path.exists(old_dir):
-        os.rename(old_dir, target_path)  # recover an interrupted swap
-    # Reap staging orphans from crashed prior attempts: each attempt
-    # writes a fresh uuid-named sibling, and a hard crash skips the
-    # in-process cleanup below — without this, every failed merge leaks
-    # a full table-sized copy forever (same recovery incremental.py's
-    # _recover_interrupted_swap performs).
-    parent = os.path.dirname(os.path.abspath(target_path)) or "."
-    prefix = os.path.basename(target_path) + ".staging-"
-    for entry in os.listdir(parent):
-        if entry.startswith(prefix):
-            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
     target = spark.read.format(fmt).load(target_path)
     merged = merge_upsert(target, staging, keys, update_type_col)
     staging_dir = f"{target_path}.staging-{uuid.uuid4().hex}"

@@ -108,7 +108,18 @@ class PostgresTargetConfig:
             "reWriteBatchedInserts": "true",
         }
         if self.ssl_ca or self.ssl_cert or self.ssl_key:
-            opts.update({"ssl": "true", "sslmode": "verify-ca"})
+            # verify-ca only when a CA is actually provided — matching
+            # _default_executor's psycopg leg. A cert/key-only config
+            # under verify-ca would make pgJDBC hunt for
+            # ~/.postgresql/root.crt on every executor and fail, while
+            # the publish leg of the same config connected with
+            # 'require' (split security posture).
+            opts.update(
+                {
+                    "ssl": "true",
+                    "sslmode": "verify-ca" if self.ssl_ca else "require",
+                }
+            )
             if self.ssl_ca:
                 opts["sslrootcert"] = self.ssl_ca
             if self.ssl_cert:

@@ -428,8 +428,18 @@ def test_compact_parquet_sweeps_orphaned_staging_dirs(spark, tmp_path):
     orphan = f"{path}.staging-deadbeefdeadbeef"
     os.makedirs(orphan)
     open(os.path.join(orphan, "part-junk.parquet"), "wb").write(b"x" * 128)
+    # back-date past the stale-age guard; a fresh sibling (potentially a
+    # live concurrent compaction's write) must survive
+    import time
+
+    stale = time.time() - 7200
+    os.utime(orphan, (stale, stale))
+    os.utime(os.path.join(orphan, "part-junk.parquet"), (stale, stale))
+    fresh = f"{path}.staging-aliveconcurrent"
+    os.makedirs(fresh)
     compact_parquet(spark, path, target_file_bytes=1 << 20)
     assert not os.path.exists(orphan)
+    assert os.path.exists(fresh), "fresh staging must survive the sweep"
     assert spark.read.parquet(path).count() == 1000
 
 

@@ -58,6 +58,40 @@ def test_delta_keys_are_dropped():
     assert "delta.minReaderVersion" not in md.optional_params
 
 
+def test_optional_params_kwarg_is_preserved():
+    """An explicit optional_params kwarg must seed the bag (it used to
+    be silently dropped), with absorbed unknown keys layered on top."""
+    md = TableMetadata(**GOLD, optional_params={"a": "1"}, extra_tag="x")
+    assert md.optional_params["a"] == "1"
+    assert md.optional_params["extra_tag"] == "x"
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="optional_params"):
+        TableMetadata(**GOLD, optional_params="not-a-dict")
+
+
+def test_medallion_registry_override_is_honored():
+    """A constructor override for 'medaljongnivaa' must win over the
+    built-in list in BOTH the registry lookup and the gate check (the
+    old special-case short-circuit ignored it silently)."""
+    from dask_felleskomponenter_spark.governance.codelists import (
+        CodelistRegistry,
+    )
+
+    reg = CodelistRegistry(overrides={"medaljongnivaa": ["iron", "steel"]})
+    assert reg.get("medaljongnivaa") == ["iron", "steel"]
+    md = TableMetadata(**{**GOLD, "medaljongnivaa": "iron"})
+    errors = [
+        e for e in validate_table(md, reg) if e.for_field == "medaljongnivaa"
+    ]
+    assert errors == [], "override level must validate clean"
+    md2 = TableMetadata(**GOLD)  # gold is NOT in the override list
+    errors2 = [
+        e for e in validate_table(md2, reg) if e.for_field == "medaljongnivaa"
+    ]
+    assert len(errors2) == 1
+
+
 def test_invalid_medallion_gates_early():
     md = TableMetadata(**{**GOLD, "medaljongnivaa": "platinum"})
     errors = validate_table(md)
@@ -199,6 +233,13 @@ def test_tblproperties_store_roundtrip(spark, tmp_path):
     got = {(r["column_name"], r["tag_name"]): r["tag_value"] for r in cm.collect()}
     assert got[("geometri", "epsg")] == "25835"
     assert got[("geometri", "geometri_encoding")] == "wkt"
+
+    # the catalog argument participates in resolution: a nonexistent
+    # catalog must error, not silently read the current catalog's table
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no_such_cat|not found|NoSuch"):
+        store.get_table_metadata("no_such_cat", "gov_test", "t1")
     assert ("id", None) in {(r["column_name"], r["tag_name"]) for r in cm.collect()}
 
 

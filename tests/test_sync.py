@@ -709,12 +709,24 @@ def test_validate_unique_keys_matches_postgres_merge_semantics(spark):
     )
     merge_upsert(target, ok_null_keys, ["k"], validate_unique_keys=True)
     ok_null_ut = spark.createDataFrame(
-        [(2, "x", "upsert"), (2, "y", None)],
+        [(1, "x", "upsert"), (1, "y", None)],
         "k int, v string, update_type string",
     )
     merge_upsert(target, ok_null_ut, ["k"], validate_unique_keys=True)
-    bad = spark.createDataFrame(
+    # duplicate keys matching NO target row: real Postgres MERGE
+    # succeeds (verified live: upsert+delete inserts once, upsert+upsert
+    # inserts both; the cardinality error fires only when one TARGET row
+    # is affected twice) — so the validator must not raise here.
+    ok_unmatched_dup = spark.createDataFrame(
         [(2, "x", "upsert"), (2, "y", "delete")],
+        "k int, v string, update_type string",
+    )
+    out = merge_upsert(
+        target, ok_unmatched_dup, ["k"], validate_unique_keys=True
+    )
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "x")}
+    bad = spark.createDataFrame(
+        [(1, "x", "upsert"), (1, "y", "delete")],
         "k int, v string, update_type string",
     )
     with _pytest.raises(ValueError, match="duplicate merge-key"):
@@ -759,6 +771,15 @@ def test_merge_into_path_staged_swap_and_recovery(spark, tmp_path):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
         fh.write(b"junk")
+    # back-date the orphan past the stale-age guard (a FRESH staging dir
+    # must survive: it may belong to a live concurrent run)
+    import time
+
+    stale = time.time() - 7200
+    os.utime(orphan, (stale, stale))
+    os.utime(os.path.join(orphan, "part-0.parquet"), (stale, stale))
+    fresh = target + ".staging-aliveconcurrent"
+    os.makedirs(fresh)
     merge_into_path(
         target,
         spark.createDataFrame(
@@ -767,5 +788,6 @@ def test_merge_into_path_staged_swap_and_recovery(spark, tmp_path):
         ["k"],
     )
     assert not os.path.exists(orphan)
+    assert os.path.exists(fresh), "fresh staging (concurrent run) must survive"
     got3 = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
     assert got3 == {(0, "zz"), (1, "new"), (3, "yy"), (4, "old")}
