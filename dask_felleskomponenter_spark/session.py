@@ -32,6 +32,21 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _external_master_configured() -> bool:
+    """True when the launch environment already carries a master —
+    ``spark-submit --master yarn`` reaches the Python driver through
+    ``PYSPARK_SUBMIT_ARGS`` (and some launchers use ``MASTER``). In that
+    case ``get_spark`` must leave ``.master()`` unset so the submit-time
+    choice wins instead of silently forcing local[N] on the driver
+    host."""
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    return (
+        "--master" in submit_args
+        or "spark.master" in submit_args
+        or bool(os.environ.get("MASTER"))
+    )
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -41,15 +56,26 @@ def get_spark(
     """Build (or fetch) a SparkSession with engine defaults applied."""
     par = _default_parallelism()
     if master is None:
-        master = os.environ.get("SPARK_MASTER", f"local[{par}]")
+        # Respect an externally-provided master (spark-submit --master /
+        # spark.master conf): unconditionally calling .master() would
+        # silently force a cluster job into local mode on the driver
+        # host. Fall back to local[N] only when nothing else set one.
+        master = os.environ.get("SPARK_MASTER") or None
+        if master is None and not _external_master_configured():
+            master = f"local[{par}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(par, 8)))
+        raw_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
+        # isdigit-guarded like SPARK_GRAFT_CPUS: a typo'd value falls
+        # back instead of crashing session construction with ValueError
+        shuffle_partitions = (
+            int(raw_sp) if raw_sp.strip().isdigit() else max(par, 8)
         )
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -84,9 +110,17 @@ def get_spark(
         # applyInPandas stage measured 10-40s (vs 2s with fresh forks).
         # Linux fork via the pyspark daemon is cheap; measured no
         # regression on the non-UDF query set.
+        # Truthy-normalized like SPARK_UI_ENABLED: the JVM's boolean
+        # parser rejects '1'/'yes' at first worker launch, failing every
+        # Python stage at runtime instead of at session build.
         .config(
             "spark.python.worker.reuse",
-            os.environ.get("SPARK_GRAFT_PY_WORKER_REUSE", "false"),
+            "true"
+            if os.environ.get("SPARK_GRAFT_PY_WORKER_REUSE", "false")
+            .strip()
+            .lower()
+            in ("true", "1", "yes", "on")
+            else "false",
         )
         # The context cleaner only reclaims shuffle files/broadcasts when
         # driver GC collects their weak refs; with a 16g heap that can be

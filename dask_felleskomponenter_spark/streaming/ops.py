@@ -59,9 +59,37 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of event rows from a parquet directory."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+def stream_events(
+    spark: SparkSession, path: str, nanos: bool = False
+) -> DataFrame:
+    """File-source stream of event rows from a parquet directory.
+
+    ``nanos=False`` (default) expects microsecond TIMESTAMP parquet —
+    data already normalized, e.g. written by the batch layer.
+    ``nanos=True`` streams the RAW nanosecond-timestamp shape (the
+    driver's ``events.parquet``): ``ts`` is read as int64 nanos and
+    truncated to a microsecond timestamp, the same normalization
+    ``sources/tables.py::load_table`` applies batch-side (the session
+    must have ``spark.sql.legacy.parquet.nanosAsLong`` enabled, which
+    any ``load_table`` call — or ``tune_session`` — has already done).
+    """
+    if not nanos:
+        return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # int64 nanos on disk
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(path)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
 
 
 def windowed_event_counts(
@@ -330,15 +358,25 @@ def run_to_memory_sink(
 def _has_aggregate_complete(df: DataFrame) -> bool:
     # session_window/applyInPandasWithState require append; plain
     # windowed aggregates can use complete for exact test comparisons.
+    # The analyzed plan prints the function name in snake_case
+    # ('session_window#12') — checking the camelCase spelling silently
+    # routed session-window streams to complete mode, where the
+    # watermark neither drops late rows nor evicts state and checkpoint
+    # restarts re-emit every session (caught by review, pinned in
+    # tests/test_streaming.py::test_session_window_stream_uses_append).
     plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate" in plan and "sessionWindow" not in plan and "FlatMapGroupsInPandasWithState" not in plan
+    return (
+        "Aggregate" in plan
+        and "session_window" not in plan
+        and "FlatMapGroupsInPandasWithState" not in plan
+    )
 
 
 def stream_to_jdbc_sync(
     stream_df: DataFrame,
     manager,
     checkpoint_dir: str,
-    mode: str = "snapshot",
+    mode: str = "merge",
     merge_keys: Iterable[str] | None = None,
 ):
     """Continuous publish: every micro-batch is staged over JDBC and
@@ -347,16 +385,34 @@ def stream_to_jdbc_sync(
     contract (its ``sync_df_to_pgdb`` is batch-only; this runs the same
     staging-write + publish-SQL pair per trigger).
 
+    Default mode is **merge** (keyed upsert/delete): micro-batches are
+    increments, and merge accumulates them. ``mode="snapshot"`` is
+    TRUNCATE+load — it replaces the WHOLE target with the current batch,
+    so across a multi-batch run only the final batch's rows survive;
+    opt into it only when every trigger carries a complete snapshot
+    (e.g. a Kafka-compacted full-state topic), and the guard below
+    makes that opt-in explicit.
+
     Delivery semantics: the checkpoint gives at-least-once batch
     replay; both publish modes are idempotent re-applied (snapshot is
     TRUNCATE+load, merge is keyed upsert/delete), so the visible effect
-    is effectively exactly-once. Connection fan-in per batch is bounded
-    by the manager's ``max_connections`` coalesce; no state beyond the
-    source offsets is held.
+    is effectively exactly-once PER BATCH. Connection fan-in per batch
+    is bounded by the manager's ``max_connections`` coalesce; no state
+    beyond the source offsets is held.
 
     Returns the started ``StreamingQuery`` (``availableNow`` trigger) —
     callers ``awaitTermination()`` it.
     """
+    if mode == "snapshot" and not getattr(
+        manager, "allow_streaming_snapshot", False
+    ):
+        raise ValueError(
+            "mode='snapshot' TRUNCATEs the target every micro-batch — "
+            "across a multi-batch stream only the last batch survives. "
+            "Use mode='merge' (default), or set "
+            "manager.allow_streaming_snapshot = True if every trigger "
+            "really carries a complete snapshot"
+        )
     keys = list(merge_keys) if merge_keys is not None else None
 
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
@@ -411,13 +467,33 @@ def _has_protobuf() -> bool:
         return False
 
 
-HAS_TWS = _has_protobuf()
+_HAS_TWS_CACHE: bool | None = None
+
+
+def _tws_available() -> bool:
+    """Lazily-cached protobuf probe: importing the streaming package for
+    its stateless operators must not pay the vendorshim path mutation
+    and protobuf import, and a protobuf installed later in the process
+    still flips the gate on first USE (an import-time constant froze
+    availability forever)."""
+    global _HAS_TWS_CACHE
+    if _HAS_TWS_CACHE is None:
+        _HAS_TWS_CACHE = _has_protobuf()
+    return _HAS_TWS_CACHE
+
+
+def __getattr__(name: str):
+    # PEP 562: `HAS_TWS` stays importable (tests and callers read it)
+    # while evaluating lazily on first access.
+    if name == "HAS_TWS":
+        return _tws_available()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def _require_tws() -> None:
     """Shared gate for the transformWithState operators: one message,
     one place (three operators guard on it)."""
-    if not HAS_TWS:
+    if not _tws_available():
         raise NotImplementedError(
             "transformWithStateInPandas requires the protobuf package; "
             "the vendored runtime (vendor/google/protobuf) normally "
@@ -524,16 +600,27 @@ def category_profile_stateful(
         def handleInputRows(self, key, rows, timer_values):
             n_total = self._total.get()[0] if self._total.exists() else 0
             tail: list[tuple] = []
+            # Pre-aggregate per category IN PANDAS, then one state-server
+            # round-trip pair per TOUCHED CATEGORY: the per-row form was
+            # 3 RPCs × rows (1M rows → ~3M socket round-trips dominating
+            # batch latency); this is 2 RPCs × distinct categories.
+            local: dict[str, tuple[int, float]] = {}
             for pdf in rows:
                 n_total += len(pdf)
-                for cat, value in zip(pdf[cat_col], pdf[value_col]):
-                    cat_key = (str(cat),)
-                    if self._per_cat.containsKey(cat_key):
-                        n, total = self._per_cat.getValue(cat_key)
-                    else:
-                        n, total = 0, 0.0
-                    self._per_cat.updateValue(cat_key, (n + 1, total + float(value)))
-                    tail.append((float(value),))
+                grouped = pdf.groupby(pdf[cat_col].astype(str))[value_col].agg(
+                    ["count", "sum"]
+                )
+                for cat, row in grouped.iterrows():
+                    c0, s0 = local.get(cat, (0, 0.0))
+                    local[cat] = (c0 + int(row["count"]), s0 + float(row["sum"]))
+                tail.extend((float(v),) for v in pdf[value_col])
+            for cat, (c_new, s_new) in local.items():
+                cat_key = (cat,)
+                if self._per_cat.containsKey(cat_key):
+                    n, total = self._per_cat.getValue(cat_key)
+                else:
+                    n, total = 0, 0.0
+                self._per_cat.updateValue(cat_key, (n + c_new, total + s_new))
             # Bounded recent list: keep only the newest `recent_cap`.
             existing = list(self._recent.get()) if self._recent.exists() else []
             merged = (existing + tail)[-recent_cap:]

@@ -86,6 +86,22 @@ def test_session_window_stream_runs(spark, events_dir, tmp_path):
             assert a["session_end"] < b["session_start"]
 
 
+def test_session_window_stream_uses_append(spark, events_dir):
+    """The output-mode heuristic must route session-window aggregates to
+    append: the analyzed plan spells it 'session_window' (snake_case),
+    and the old camelCase check silently selected complete mode — where
+    the watermark neither drops late rows nor evicts state and restarts
+    re-emit every session."""
+    from dask_felleskomponenter_spark.streaming.ops import (
+        _has_aggregate_complete,
+    )
+
+    sessions = sessionize_events(stream_events(spark, events_dir))
+    assert _has_aggregate_complete(sessions) is False, "append required"
+    counts = windowed_event_counts(stream_events(spark, events_dir))
+    assert _has_aggregate_complete(counts) is True
+
+
 def test_stateful_sessionizer_matches_batch_gap_split(spark, events_dir, tmp_path):
     stream = sessionize_stateful(stream_events(spark, events_dir), gap_minutes=30)
     got = run_to_memory_sink(stream, "sessions_stateful", str(tmp_path / "ckpt"))
@@ -227,7 +243,16 @@ def test_stream_to_jdbc_sync_lands_rows_in_real_db(spark, events_dir, tmp_path):
 
     mgr = PostgresSyncManager(cfg, sql_executor=executor)
     ev = stream_events(spark, events_dir).select("event_id", "user_id", "value")
-    q = stream_to_jdbc_sync(ev, mgr, str(tmp_path / "ckpt"))
+    # snapshot publish is TRUNCATE+load per batch: an explicit opt-in
+    # (only safe because this bounded source yields a single batch)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="snapshot"):
+        stream_to_jdbc_sync(
+            ev, mgr, str(tmp_path / "ckpt_denied"), mode="snapshot"
+        )
+    mgr.allow_streaming_snapshot = True
+    q = stream_to_jdbc_sync(ev, mgr, str(tmp_path / "ckpt"), mode="snapshot")
     q.awaitTermination()
 
     expected = spark.read.schema(
@@ -291,16 +316,17 @@ def test_stream_jdbc_sync_checkpoint_replay_is_idempotent(spark, events_dir, tmp
     )
     publishes = []
     mgr = PostgresSyncManager(cfg, sql_executor=lambda sql: publishes.append(sql) or 0)
+    mgr.allow_streaming_snapshot = True  # bounded single-batch source
     ckpt = str(tmp_path / "ck")
 
     ev = stream_events(spark, events_dir).select("event_id", "user_id")
-    stream_to_jdbc_sync(ev, mgr, ckpt).awaitTermination()
+    stream_to_jdbc_sync(ev, mgr, ckpt, mode="snapshot").awaitTermination()
     n_first = len(publishes)
     assert n_first >= 1
 
     # same checkpoint, same source, no new files -> zero new publishes
     ev2 = stream_events(spark, events_dir).select("event_id", "user_id")
-    stream_to_jdbc_sync(ev2, mgr, ckpt).awaitTermination()
+    stream_to_jdbc_sync(ev2, mgr, ckpt, mode="snapshot").awaitTermination()
     assert len(publishes) == n_first
 
 
