@@ -203,7 +203,17 @@ def asof_join(
         F.lit(1).alias("_asof_side"),
         F.lit(None).cast(val_type).alias("_asof_val"),
     )
-    build = right.filter(F.col(right_ts).isNotNull()).select(
+    # Build rows with a NULL key can never match under SQL equi-join
+    # semantics (NULL = NULL is UNKNOWN) — but the window's partitionBy
+    # groups NULL keys together, so without this filter a NULL-key
+    # probe row would "match" a NULL-key build row. NULL-key probe rows
+    # stay (LEFT semantics: kept with NULL payload).
+    build_keys_ok = F.lit(True)
+    for k in key_cols:
+        build_keys_ok = build_keys_ok & F.col(k).isNotNull()
+    build = right.filter(
+        F.col(right_ts).isNotNull() & build_keys_ok
+    ).select(
         *[F.col(k) for k in key_cols],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),

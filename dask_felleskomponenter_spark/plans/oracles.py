@@ -175,7 +175,12 @@ WITH rev AS (
   SELECT l_suppkey,
          SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
   FROM lineitem
+  -- l_suppkey IS NOT NULL mirrors the Spark query's explicit filter:
+  -- without it a NULL-suppkey group could own MAX(r), match no
+  -- supplier, and empty the result while Spark returns the top real
+  -- supplier (NULL-key divergence class).
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    AND l_suppkey IS NOT NULL
   GROUP BY l_suppkey
 )
 SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
@@ -276,6 +281,7 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_type <> 'PROMO'
   AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey IS NOT NULL
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_size
@@ -455,7 +461,7 @@ SELECT o_orderkey, o_custkey, order_date,
          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS spend_7d
 FROM o
-ORDER BY o_custkey, order_date, o_orderkey
+ORDER BY o_custkey, order_date NULLS FIRST, o_orderkey
 """
 
 ORACLES["nullsafe_join_segments"] = """
@@ -490,7 +496,7 @@ ORDER BY l_returnflag
 ORACLES["funnel_conversion_events"] = """
 WITH t_view AS (
   SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), t_click AS (
   SELECT e.user_id, MIN(e.ts) AS t_click
   FROM events e JOIN t_view v ON e.user_id = v.user_id
@@ -637,11 +643,13 @@ ORDER BY c.c_mktsegment
 
 ORACLES["theta_cohort_overlap"] = """
 WITH a AS (
+  -- user_id IS NOT NULL: theta_sketch_agg skips NULL inputs, but
+  -- COUNT(*) over DISTINCT would count the NULL row as a member
   SELECT DISTINCT user_id FROM events
-  WHERE event_type = 'purchase' AND value > 200
+  WHERE event_type = 'purchase' AND value > 200 AND user_id IS NOT NULL
 ), b AS (
   SELECT DISTINCT user_id FROM events
-  WHERE event_type = 'error' AND value > 200
+  WHERE event_type = 'error' AND value > 200 AND user_id IS NOT NULL
 )
 SELECT (SELECT COUNT(*) FROM a) AS big_buyers,
        (SELECT COUNT(*) FROM b) AS error_reporters,
@@ -838,7 +846,7 @@ ORDER BY status, priority
 """
 
 ORACLES["window_topn_orders_per_customer"] = """
-SELECT o_custkey, o_orderkey, o_totalprice, rn
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -1497,9 +1505,9 @@ ORACLES["multimodal_decode_profile"] = """
 SELECT
   doc_id,
   CASE WHEN text IS NULL THEN 'none' ELSE 'fakm' END AS container,
-  COALESCE(octet_length(encode(text)) % 64 + 1, -1) AS width,
-  COALESCE(octet_length(encode(text)) % 48 + 1, -1) AS height,
-  CASE WHEN text IS NULL THEN -1 ELSE 3 END AS channels,
+  CAST(COALESCE(octet_length(encode(text)) % 64 + 1, -1) AS INTEGER) AS width,
+  CAST(COALESCE(octet_length(encode(text)) % 48 + 1, -1) AS INTEGER) AS height,
+  CAST(CASE WHEN text IS NULL THEN -1 ELSE 3 END AS INTEGER) AS channels,
   COALESCE(CAST((octet_length(encode(text)) % 64 + 1) AS BIGINT)
     * (octet_length(encode(text)) % 48 + 1), -1) AS n_pixels
 FROM documents
@@ -2007,6 +2015,7 @@ WITH base AS (
          CASE WHEN TRIM(text) = '' THEN []
               ELSE string_split_regex(TRIM(text), '\\s+') END AS toks
   FROM documents
+  WHERE text IS NOT NULL
 ), scored AS (
   SELECT doc_id, n_tokens,
          CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,

@@ -613,7 +613,11 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization in ``window_lag_sessionize``.
 
     Semantics pinned by the oracle: a new session starts when the gap
-    from the previous event is >= 30 minutes; ``session_end`` is
+    from the previous event is STRICTLY GREATER than 30 minutes — an
+    exact-30:00 gap stays in the same session (Spark's session_window
+    closes at last-event + gap with an EXCLUSIVE end; the differential
+    fuzz caught an earlier ``>=`` oracle diverging on planted exact-gap
+    events, so keep this boundary wording exact); ``session_end`` is
     last-event + gap (Spark's window.end), reproduced in SQL as
     ``MAX(ts) + INTERVAL 30 MINUTE``. One shuffle on user_id; session
     merging is per-key sorted state, no cross-key work."""
@@ -701,12 +705,15 @@ def map_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(
             "event_id",
-            F.coalesce(F.element_at(m, F.lit("k")), F.lit(-1)).alias("k_val"),
+            # try_element_at for portability: 4.1 returns NULL for a
+            # missing map key, but ANSI Spark 3.x THREW here — try_ is
+            # NULL-on-missing on every version, same coalesce sentinel.
+            F.coalesce(F.try_element_at(m, F.lit("k")), F.lit(-1)).alias("k_val"),
             F.coalesce(
                 F.concat_ws(",", F.array_sort(F.map_keys(m))), F.lit("")
             ).alias("prop_keys"),
             F.coalesce(F.size(m), F.lit(-1)).alias("n_props"),
-            F.coalesce(F.element_at(doubled, F.lit("k")), F.lit(-1)).alias(
+            F.coalesce(F.try_element_at(doubled, F.lit("k")), F.lit(-1)).alias(
                 "k_doubled"
             ),
         )
@@ -743,8 +750,14 @@ def array_fns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select(
             "label",
-            F.element_at("embedding", 1).cast("double").alias("_first"),
-            l2_norm(v).alias("_norm"),
+            # try_element_at: ANSI mode (Spark 4 default) makes plain
+            # element_at THROW on a zero-length array; the oracle's
+            # embedding[1] yields NULL — try_ matches it.
+            F.try_element_at("embedding", F.lit(1)).cast("double").alias("_first"),
+            # empty vectors: l2_norm's aggregate would yield 0.0 but the
+            # SQL list_sum-of-empty is NULL — declare NULL (skip from the
+            # AVG) on both engines for the degenerate case
+            F.when(F.size("embedding") > 0, l2_norm(v)).alias("_norm"),
         )
         .groupBy("label")
         .agg(
@@ -2748,7 +2761,16 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_size")
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # l_suppkey IS NOT NULL, explicitly: SQL's NOT IN is three-valued
+    # (a NULL suppkey is UNKNOWN → dropped when the excluded set is
+    # non-empty, kept when it's empty!) while an anti-join always keeps
+    # NULLs. Filtering NULL keys on both engines makes the two
+    # formulations unconditionally equivalent.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     return (
         li.join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -3080,7 +3102,13 @@ def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             F.sum("_price").over(w).cast("double").alias("spend_7d"),
         )
-        .orderBy("o_custkey", "order_date", "o_orderkey")
+        # order_date is NULL when o_orderdate is (the type-variant fuzz
+        # plants exactly that); NULL placement differs across engines
+        # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) so pin it
+        # explicitly on BOTH sides for a stable driver-side hash.
+        .orderBy(
+            "o_custkey", F.col("order_date").asc_nulls_first(), "o_orderkey"
+        )
     )
 
 
@@ -3273,8 +3301,14 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-join-aggregate funnel scans the fact table once per
     stage). The final reduce is a single-row aggregate over per-user
     flags."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type"
+    # user_id IS NOT NULL on BOTH engines: Window.partitionBy groups
+    # NULL keys into one partition (a phantom "user" whose funnel would
+    # convert) while the oracle's equi-joins never match NULL — and a
+    # NULL user is not a user.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("user_id").isNotNull())
     )
     w = Window.partitionBy("user_id")
     staged = (
@@ -3628,8 +3662,14 @@ def quality_ensemble_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-row aggregate from any corpus size); the cumulative-token budget
     walk is a window over those 20 rows, and the total is a one-row
     broadcast. Per-doc work never leaves the scan stage."""
+    # NULL-text docs are excluded: their NULL ensemble score would fall
+    # through floor(NULL*20) → least(NULL, 19) = 19, silently counting
+    # every NULL doc in the TOP-quality bin and corrupting the
+    # cumulative token-budget walk. Both engines filter identically.
     docs = scan_fanout(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull()),
         "doc_id",
     )
     # TX.tokens, not a raw split: empty/whitespace-only text must count

@@ -178,11 +178,20 @@ def _events_corpus(seed: int, n: int):
     base = dt.datetime(2024, 3, 1)
     rows = []
     for i in range(n):
-        user = rng.randint(1, 8)  # dense keys: as-of/session races
+        # every 29th event has NO user: theta/distinct-count oracles must
+        # skip the NULL member exactly like the engine-side aggregates
+        user = None if i % 29 == 7 else rng.randint(1, 8)
         # cluster timestamps and PLANT exact 30-min gap boundaries
         step = rng.choice([0, 1, 59, 60, 1799, 1800, 1801, 86_400])
         ts = base + dt.timedelta(
             seconds=rng.randint(0, 6) * 3600 + step + i % 7
+        )
+        # every 23rd props lacks the "k" key: map/variant extraction must
+        # sentinel a missing key, not assume it (ANSI element_at class)
+        props = (
+            f'{{"x": {rng.randint(0, 99)}}}'
+            if i % 23 == 11
+            else f'{{"k": {rng.randint(0, 99)}}}'
         )
         rows.append(
             (
@@ -191,7 +200,7 @@ def _events_corpus(seed: int, n: int):
                 user,
                 rng.choice(_ETYPES),
                 round(rng.uniform(-5, 100), 2),
-                f'{{"k": {rng.randint(0, 99)}}}',
+                props,
             )
         )
     return rows
@@ -204,13 +213,14 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
     import pandas as pd
 
     rows = _events_corpus(seed * 7919 + zlib.crc32(name.encode()) % 997, 300)
-    pdf = pd.DataFrame(
-        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
-    )
     sf_dir = str(tmp_path)
-    spark.createDataFrame(pdf).coalesce(2).write.parquet(
-        f"{sf_dir}/events.parquet"
-    )
+    # explicit DDL, not pandas inference: NULL user_id must stay BIGINT
+    # (pandas would promote the column to float64)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
     # small consistent customer dim for the stream⋈dim queries
     rng = random.Random(seed)
     cust = pd.DataFrame(
@@ -234,7 +244,12 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
     )
 
     con = duckdb.connect()
-    con.register("events", pdf)
+    # read the SAME parquet Spark wrote — one ingestion path, NULL
+    # user_id arrives as BIGINT NULL on both engines
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
     con.register("customer", cust)
     cur = con.execute(ORACLES[name])
     cols = [d[0] for d in cur.description]
@@ -587,11 +602,18 @@ FUZZ_EMBEDDING_QUERIES = [
 ]
 
 
-def _embeddings_corpus(seed: int, n: int, dim: int = 64):
+def _embeddings_corpus(
+    seed: int, n: int, dim: int = 64, plant_empty: bool = False
+):
     rng = random.Random(seed)
     rows = []
     for i in range(n):
-        if i % 17 == 0:
+        if plant_empty and i % 19 == 4:
+            # zero-LENGTH vectors (not zero-valued): ANSI element_at
+            # throws on these; only the scalar array-fns query declares
+            # support, the GEMM/ANN operators contract on fixed dim
+            vec = []
+        elif i % 17 == 0:
             vec = [0.0] * dim  # zero vectors: the safe-norm path
         elif i % 11 == 0 and rows:
             vec = list(rows[rng.randrange(len(rows))][1])  # exact dup
@@ -609,7 +631,11 @@ def test_embedding_query_matches_oracle_on_random_vectors(
     import duckdb
     import pandas as pd
 
-    rows = _embeddings_corpus(seed * 9973 + zlib.crc32(name.encode()) % 997, 80)
+    rows = _embeddings_corpus(
+        seed * 9973 + zlib.crc32(name.encode()) % 997,
+        80,
+        plant_empty=(name == "array_fns_embeddings"),
+    )
     pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     sf_dir = str(tmp_path)
     spark.createDataFrame(
@@ -734,6 +760,10 @@ FUZZ_TYPE_VARIANT_QUERIES = [
     "window_range_7day_spend",
     "window_topn_orders_per_customer",
     "date_arith_orders",
+    # NULL-l_suppkey regime (planted below): NOT-IN three-valued logic
+    # and the MAX-over-view NULL-group class
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
 ]
 
 _TYPE_VARIANT_DDL = {
@@ -793,7 +823,12 @@ def _type_variant_tables(seed: int):
     ]
     out["lineitem"] = [
         (
-            ok, pk, sk, ln, dec(q), dec(ep),
+            ok, pk,
+            # every 17th line loses its supplier: NOT IN goes UNKNOWN,
+            # anti-joins keep the row, MAX-over-view grows a NULL group —
+            # the exact class both engines must resolve identically
+            None if ok % 17 == 3 else sk,
+            ln, dec(q), dec(ep),
             Decimal(f"{dc:.2f}"), Decimal(f"{tx:.2f}"),
             rf, ls, None if ok % 13 == 0 else sd,
         )
