@@ -703,13 +703,14 @@ def test_rows_only_query_survives_random_data(spark, tmp_path, name, monkeypatch
             f"{sf_dir}/documents.parquet"
         )
     elif fam == "events":
-        pdf = pd.DataFrame(
+        # explicit DDL, not pandas inference: the planted NULL user_ids
+        # must stay BIGINT (pandas promotes to float64, which
+        # hll_sketch_agg rejects at analysis)
+        spark.createDataFrame(
             _events_corpus(seed, 200),
-            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
-        )
-        spark.createDataFrame(pdf).coalesce(2).write.parquet(
-            f"{sf_dir}/events.parquet"
-        )
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
     elif fam == "orders":
         pdf = pd.DataFrame(
             _orders_corpus(seed, 150),
