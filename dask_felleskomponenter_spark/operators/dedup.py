@@ -100,29 +100,28 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     sig_df: DataFrame,
     id_col: str,
     sig_col: str = "minhash_sig",
     bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: emit candidate pairs (id_a < id_b) whose signatures
-    collide in at least one band.
+    """Explode signatures into their LSH band buckets: one row per
+    (id, band, bucket) where ``bucket = xxhash64(sig-slice, band)``.
 
-    Each band is hashed to one 64-bit bucket key; the self-join is an
-    equi-join on ``(band, bucket)`` — a shuffle on the bucket key, never a
-    cartesian product. With b bands of r rows, a pair with Jaccard s
-    collides with probability 1-(1-s^r)^b (the standard S-curve).
+    The shared banding projection under ``lsh_candidate_pairs`` (batch
+    self-join) and ``streaming/ops.py::stream_neardup_ingest`` (bucket
+    join against the persisted band-bucket history).
 
     Bands are only emitted where the signature actually has
     ``rows_per_band`` values left: a band slicing past the end of the
     signature would hash an EMPTY array — one constant bucket shared by
-    every document, silently turning the candidate set into the full
-    quadratic all-pairs join. Misconfigured ``bands × rows_per_band >
-    num_hashes`` therefore degrades to fewer effective bands (a
-    shallower S-curve) instead of a blow-up; size the signature to
-    ``bands * rows_per_band`` for the advertised curve.
+    every document, silently turning downstream joins quadratic.
+    Misconfigured ``bands × rows_per_band > num_hashes`` therefore
+    degrades to fewer effective bands (a shallower S-curve) instead of
+    a blow-up; size the signature to ``bands * rows_per_band`` for the
+    advertised curve.
     """
     if bands < 1 or rows_per_band < 1:
         raise ValueError(
@@ -149,9 +148,30 @@ def lsh_candidate_pairs(
         ),
         lambda s: s["complete"],
     )
-    exploded = sig_df.select(
+    return sig_df.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash_sig",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: emit candidate pairs (id_a < id_b) whose signatures
+    collide in at least one band.
+
+    Each band is hashed to one 64-bit bucket key; the self-join is an
+    equi-join on ``(band, bucket)`` — a shuffle on the bucket key, never a
+    cartesian product. With b bands of r rows, a pair with Jaccard s
+    collides with probability 1-(1-s^r)^b (the standard S-curve).
+    Band-overhang handling lives in ``lsh_band_buckets``.
+    """
+    exploded = lsh_band_buckets(sig_df, id_col, sig_col, bands, rows_per_band)
 
     a = exploded.alias("a")
     b_ = exploded.alias("b")

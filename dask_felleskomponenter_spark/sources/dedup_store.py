@@ -241,3 +241,134 @@ def compact_history(
     spark.sql(f"ALTER TABLE {scratch} RENAME TO {table_name}")
     spark.sql(f"DROP TABLE {old}")
     return n
+
+
+# --- near-duplicate (MinHash/LSH) history -------------------------------
+
+#: Band-bucket column of the signature history. The band index is
+#: already folded into the bucket value (``bucket = xxhash64(sig-slice,
+#: band)``), so one 64-bit key carries both — the screen join needs a
+#: single equi-key, which is also the table's bucket spec.
+BUCKET_COL = "lsh_bucket_key"
+
+
+def neardup_against_history(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_name: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Screen a batch for near-duplicates against the signature history
+    AND within itself; returns the surviving (novel) batch rows.
+
+    Semantics (deterministic, replay-stable):
+    - a document whose signature collides with ANY recorded band bucket
+      of a prior batch is dropped (near-dup of something already
+      ingested — the standard S-curve governs the collision
+      probability);
+    - within the batch, LSH candidate pairs are resolved greedily by
+      ``id_col``: any document colliding with a LOWER-id batch document
+      is dropped (conservative transitive rule — survivors are the
+      per-cluster minima plus any non-colliding docs). Re-running the
+      identical batch yields the identical survivor set.
+
+    Scale: signatures cost one pass over the batch; the history screen
+    is a semi-join on the single 64-bit bucket key, and the history
+    table is BUCKETED on that key, so only the batch side shuffles —
+    nothing history-sized moves (same posture as the exact-hash store;
+    the same ``spark.sql.shuffle.partitions == n_buckets`` deployment
+    note applies). NULL/empty-text documents share one signature
+    (``minhash_signatures``'s documented behavior) and therefore band
+    together as trivial duplicates: the first ever ingested survives,
+    all later ones drop.
+
+    Durability: like ``dedup_against_history(update=False)``, this only
+    SCREENS. Callers must sink the survivors durably FIRST, then call
+    ``record_novel_signatures`` — the at-worst-duplicates order
+    ``stream_neardup_ingest`` uses.
+    """
+    from dask_felleskomponenter_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        batch_df, id_col, text_col, num_hashes=num_hashes,
+        shingle_size=shingle_size,
+    )
+    bb = lsh_band_buckets(
+        sigs, id_col, bands=bands, rows_per_band=rows_per_band
+    ).select(F.col(id_col), F.col("bucket").alias(BUCKET_COL))
+
+    drop_ids = None
+    if history_exists(spark, table_name):
+        history = spark.table(table_name)
+        drop_ids = (
+            bb.join(history, on=BUCKET_COL, how="semi")
+            .select(id_col)
+            .distinct()
+        )
+
+    # within-batch: any id colliding with a lower id in some bucket
+    a = bb.alias("a")
+    b = bb.alias("b")
+    intra_drops = (
+        a.join(
+            b,
+            (F.col(f"a.{BUCKET_COL}") == F.col(f"b.{BUCKET_COL}"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+            "semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    drop_ids = (
+        intra_drops if drop_ids is None else drop_ids.unionByName(intra_drops)
+    )
+    return batch_df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def record_novel_signatures(
+    novel_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_name: str,
+    batch_label: str,
+    n_buckets: int = 16,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_size: int = 3,
+) -> None:
+    """Append the band buckets of already-screened novel rows to the
+    signature history (bucketed on the bucket key). Signature
+    parameters MUST match the screening call — the bucket values are a
+    function of them."""
+    from dask_felleskomponenter_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        novel_df, id_col, text_col, num_hashes=num_hashes,
+        shingle_size=shingle_size,
+    )
+    entries = (
+        lsh_band_buckets(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
+        .select(
+            F.col("bucket").alias(BUCKET_COL),
+            F.col(id_col).alias(SEEN_ID_COL),
+            F.lit(batch_label).alias(BATCH_COL),
+        )
+    )
+    (
+        entries.write.mode("append")
+        .bucketBy(n_buckets, BUCKET_COL)
+        .sortBy(BUCKET_COL)
+        .saveAsTable(table_name)
+    )

@@ -730,6 +730,83 @@ def timer_probe_stateful(events: DataFrame, key_col: str = "user_id") -> DataFra
     )
 
 
+def stream_neardup_ingest(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    history_table: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_size: int = 3,
+):
+    """Streaming corpus ingest with cross-batch NEAR-duplicate
+    screening: every micro-batch is MinHash-signed, screened against
+    the persisted LSH band-bucket history
+    (``sources/dedup_store.py::neardup_against_history``) and against
+    itself (greedy lowest-id survivors), survivors append to the
+    corpus, and their band buckets are recorded — the continuous form
+    of the near-dup crawl pipeline (each trigger pays batch-sized cost
+    against an unbounded history; the history side of the screen join
+    reads bucket-aligned and never shuffles).
+
+    Delivery semantics: checkpointed foreachBatch replays are
+    at-least-once. Screening is idempotent (a replayed batch collides
+    with its own recorded buckets and yields zero novel rows), so
+    duplicates can reach the corpus only if a crash lands exactly
+    between the corpus append and the bucket append of one batch — the
+    corpus is written FIRST so that window duplicates rather than
+    silently drops (same contract as ``stream_dedup_ingest``).
+
+    Near-dup screening is ORDER-SENSITIVE across batches (the first
+    batch to ingest a cluster's representative wins); batch boundaries
+    are therefore part of the semantics, as with any streaming dedup.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger).
+    """
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        neardup_against_history,
+        record_novel_signatures,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        novel = neardup_against_history(
+            batch_df.sparkSession,
+            batch_df,
+            id_col,
+            text_col,
+            history_table,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            shingle_size=shingle_size,
+        ).localCheckpoint(eager=True)
+        novel.write.mode("append").parquet(corpus_path)
+        record_novel_signatures(
+            novel,
+            id_col,
+            text_col,
+            history_table,
+            f"batch-{batch_id}",
+            n_buckets=n_buckets,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            shingle_size=shingle_size,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_ingest(
     stream_df: DataFrame,
     id_col: str,

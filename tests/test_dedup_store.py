@@ -191,3 +191,189 @@ def test_interrupted_compaction_swap_recovers(spark, table_name):
     )
     assert _novel_ids(spark, [(3, "kept doc")], table_name, "b2") == []
     assert not spark.catalog.tableExists(f"{table_name}__old")
+
+
+# --- near-duplicate (MinHash/LSH) history --------------------------------
+
+
+def _near_docs(n, salt=""):
+    """Documents with two planted near-dup clusters (shared long body,
+    small unique tail) plus fillers with NO shared template — a shared
+    'unrelated document number...' scaffold would make the fillers
+    genuine near-dups of each other (most 3-shingles identical), which
+    is exactly what the screen is supposed to catch."""
+    body_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    body_b = "pack my box with five dozen liquor jugs every single day " * 4
+    rows = []
+    for i in range(n):
+        if i % 5 == 0:
+            rows.append((i, f"{body_a} unique{salt}tail{i}"))
+        elif i % 5 == 1:
+            rows.append((i, f"{body_b} unique{salt}tail{i}"))
+        else:
+            words = " ".join(
+                f"w{salt}{i}x{j}y{(i * 31 + j * 17) % 9973}"
+                for j in range(20)
+            )
+            rows.append((i, words))
+    return rows
+
+
+def test_neardup_screen_within_batch_keeps_cluster_minima(spark, table_name):
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        neardup_against_history,
+    )
+
+    rows = _near_docs(25)
+    out = neardup_against_history(
+        spark, _batch(spark, rows), "doc_id", "text", table_name
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # cluster A = ids 0,5,10,15,20 → only 0 survives; cluster B =
+    # 1,6,11,16,21 → only 1; the unrelated docs all survive
+    assert 0 in ids and 1 in ids
+    assert not {5, 10, 15, 20, 6, 11, 16, 21} & set(ids)
+    assert {i for i in range(25) if i % 5 >= 2} <= set(ids)
+
+
+def test_neardup_screen_across_batches_and_replay_idempotent(
+    spark, table_name
+):
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        neardup_against_history,
+        record_novel_signatures,
+    )
+
+    def ingest(rows, label):
+        novel = neardup_against_history(
+            spark, _batch(spark, rows), "doc_id", "text", table_name
+        ).localCheckpoint(eager=True)
+        record_novel_signatures(
+            novel, "doc_id", "text", table_name, label, n_buckets=4
+        )
+        return sorted(r["doc_id"] for r in novel.collect())
+
+    first = ingest(_near_docs(15), "crawl-0")
+    assert 0 in first and 1 in first
+    # second crawl: same clusters with NEW tails (near-dups of batch 1)
+    # plus genuinely new content
+    second_rows = _near_docs(10, salt="x")
+    second_rows += [(100 + i, f"fresh topic {i} entirely new words "
+                              f"{i * 31} {i * 37}") for i in range(3)]
+    second = ingest(second_rows, "crawl-1")
+    # the cluster members near-dup crawl-0's representatives → dropped;
+    # the fresh docs survive
+    assert not {0, 5, 1, 6} & set(second)
+    assert {100, 101, 102} <= set(second)
+    # replaying crawl-1 byte-identically yields ZERO novel rows (its own
+    # buckets are recorded)
+    replay = ingest(second_rows, "crawl-1-replay")
+    assert replay == []
+
+
+def test_neardup_screen_history_side_reads_bucket_aligned(spark, table_name):
+    """The history semi-join must carry exactly ONE Exchange (the
+    batch's): the bucketed table read is shuffle-free under the
+    documented recipe — the same plan pin as the exact-hash store."""
+    from dask_felleskomponenter_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        BUCKET_COL,
+        neardup_against_history,
+        record_novel_signatures,
+    )
+
+    seed_rows = _near_docs(20)
+    novel = neardup_against_history(
+        spark, _batch(spark, seed_rows), "doc_id", "text", table_name
+    ).localCheckpoint(eager=True)
+    record_novel_signatures(
+        novel, "doc_id", "text", table_name, "seed", n_buckets=4
+    )
+
+    probe = lsh_band_buckets(
+        minhash_signatures(_batch(spark, _near_docs(8, salt="p")),
+                           "doc_id", "text"),
+        "doc_id",
+    ).select(F.col("doc_id"), F.col("bucket").alias(BUCKET_COL))
+    prevs = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            probe.join(
+                spark.table(table_name), on=BUCKET_COL, how="semi"
+            ).explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        for k, v in prevs.items():
+            spark.conf.set(k, v)
+    assert "Bucketed: true" in plan, plan[:3000]
+    # exactly TWO exchanges, both on the probe side (the minhash
+    # aggregation's doc_id shuffle + the bucket-key join shuffle); the
+    # history branch reads Bucketed with no Exchange of its own — at
+    # scale the history is unbounded while the probe is batch-sized,
+    # so probe-side-only shuffles are the posture being pinned
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:3000]
+
+
+def test_stream_neardup_ingest_cross_batch(spark, tmp_path, table_name):
+    """End-to-end streaming near-dup ingest: two availableNow passes
+    over growing input; the second pass's near-dups of pass-one
+    survivors never reach the corpus, and a checkpointed replay adds
+    nothing."""
+    import os
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        stream_neardup_ingest,
+    )
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    _batch(spark, _near_docs(15)).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    q = stream_neardup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, ckpt, n_buckets=4,
+    )
+    q.awaitTermination(120)
+    first = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert 0 in first and 1 in first and 5 not in first
+
+    # new files: near-dups of ingested reps + fresh docs
+    rows2 = _near_docs(10, salt="x") + [
+        (200, "completely novel second wave content alpha beta gamma")
+    ]
+    _batch(spark, rows2).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_neardup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, ckpt, n_buckets=4,
+    )
+    q2.awaitTermination(120)
+    second = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert 200 in second
+    assert 0 not in (second - first) and 5 not in second
+    # no new files → replay is a no-op
+    q3 = stream_neardup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, ckpt, n_buckets=4,
+    )
+    q3.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == second
