@@ -3770,6 +3770,69 @@ def dedup_cross_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_crossbatch_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-duplicate novelty (rows-only; the declared form
+    of ``sources/dedup_store.py::neardup_against_history``): documents
+    with ``doc_id % 3 == 0`` stand in for prior crawls' LSH band-bucket
+    history, the new crawl re-fetches the whole corpus, and the report
+    counts per source how many fetched documents survive — colliding
+    with no recorded bucket AND with no lower-id batch document (the
+    greedy deterministic survivor rule).
+
+    Rows-only by design: the band buckets are ``xxhash64`` over MinHash
+    slices, a hash family DuckDB cannot reproduce; the operator's exact
+    semantics are pinned instead by ``tests/test_dedup_store.py``
+    (cluster minima, replay idempotence, bucket-aligned plan).
+
+    Scale: signatures cost one pass per side; both the history screen
+    and the intra-batch screen are semi-joins on the single 64-bit
+    bucket key (the persisted-store shape, where the history side
+    additionally reads bucket-aligned — plan-pinned there)."""
+    from dask_felleskomponenter_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter(F.col("text").isNotNull())
+    )
+    bb = lsh_band_buckets(
+        minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    ).select("doc_id", "bucket")
+    history = (
+        bb.join(
+            docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+            on="doc_id",
+            how="semi",
+        )
+        .select("bucket")
+        .distinct()
+    )
+    seen = bb.join(history, on="bucket", how="semi").select("doc_id").distinct()
+    a, b = bb.alias("a"), bb.alias("b")
+    intra = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+            "semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    novel = docs.join(seen.unionByName(intra), on="doc_id", how="left_anti")
+    return (
+        novel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_novel"),
+            F.min("doc_id").alias("first_novel_id"),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact dedup on a canonical HEAD fingerprint: the first 80
     characters lowercased, punctuation-stripped, whitespace-collapsed
@@ -3818,6 +3881,8 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
+    # -- NEW round 5 (never sampled) ------------------------------------
+    "neardup_crossbatch_screen": neardup_crossbatch_screen,
     # -- never driver-sampled (rounds 1-4) ------------------------------
     "agg_approx_percentiles": agg_approx_percentiles,
     "window_distribution_ranks": window_distribution_ranks,

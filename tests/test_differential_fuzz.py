@@ -680,6 +680,7 @@ ROWS_ONLY_FAMILY = {
     "ann_lsh_bucketed": "embeddings",
     "ann_pq_topk": "embeddings",
     "kll_quantile_rollup_prices": "star",
+    "neardup_crossbatch_screen": "documents",
     "neardup_minhash_lsh": "documents",
     "raster_contours_tiles": "embeddings",
     "simhash_documents": "documents",
