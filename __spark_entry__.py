@@ -9,6 +9,7 @@ see ``dask_felleskomponenter_spark/plans/oracles.py``).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from collections.abc import Callable
@@ -33,12 +34,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
 
     def wrap(fn):
+        @functools.wraps(fn)
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
             return fn(spark, sf_dir)
 
-        run.__name__ = fn.__name__
-        run.__doc__ = fn.__doc__
         return run
 
     return {name: wrap(fn) for name, fn in QUERIES.items()}

@@ -52,6 +52,10 @@ def main() -> None:
         if wanted
         else list(QUERIES.keys())
     )
+    if not names:
+        # a whitespace/comma-only BENCH_QUERIES must not "succeed" with
+        # a 0-second total that reads as an infinite speedup downstream
+        sys.exit("BENCH_QUERIES is set but names no queries")
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         # fail in milliseconds, before any Spark spin-up or warm-up
@@ -59,6 +63,11 @@ def main() -> None:
             f"unknown BENCH_QUERIES entries: {', '.join(unknown)}\n"
             f"valid names: {', '.join(sorted(QUERIES))}"
         )
+    raw_repeats = os.environ.get("BENCH_REPEATS", "2").strip()
+    if not raw_repeats.isdigit():
+        # validated HERE, not after tens of seconds of session warm-up
+        sys.exit(f"BENCH_REPEATS must be a positive integer, got {raw_repeats!r}")
+    repeats = max(1, int(raw_repeats))
 
     spark = get_spark(app_name="dfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,7 +103,6 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for rnd in range(repeats):
         for name in names:
@@ -102,7 +110,10 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - start, 3)
-            if rnd == 0 or elapsed < timings[name]:
+            # `name not in timings`, not `rnd == 0`: duplicate names in
+            # BENCH_QUERIES would otherwise let a later slower round-0
+            # run overwrite an earlier faster one, breaking min-of-N
+            if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
         # Drop any cached state between passes so every pass measures
         # cold plans.
@@ -143,8 +154,17 @@ def main() -> None:
         "queries_note": "30 slowest shown; full map in bench_result.json",
     }
     line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1800:  # belt and braces for very long query names
-        summary["queries"] = dict(list(slowest.items())[:15])
+    # TRIM UNTIL IT FITS, not one fixed fallback: a single 15-entry
+    # retry can still exceed the ~2000-char tail capture under long
+    # query names, truncating the final line mid-JSON and losing the
+    # headline total — the exact failure that cost round 3's artifact.
+    keep = 30
+    while len(line) > 1800 and keep > 0:
+        keep //= 2
+        summary["queries"] = dict(list(slowest.items())[:keep])
+        summary["queries_note"] = (
+            f"{keep} slowest shown; full map in bench_result.json"
+        )
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
     spark.stop()
