@@ -278,3 +278,79 @@ def test_duplicated_spans_survive_planted_boilerplate(spark, stress_docs):
         (4, 13): BOILER_HI - BOILER_LO,  # boilerplate tail carriers
         (0, 11): 2 * N_PAIRS,  # planted identical pair docs
     }
+
+
+def test_neardup_history_store_at_scale_with_boilerplate(spark, stress_docs):
+    """The LSH band-bucket history under the hostile corpus: ingest the
+    50k docs in two overlapping crawls.
+
+    Collision structure of this corpus under MinHash/LSH: the 100
+    identical pairs and the fuzzy 4-cliques MUST collapse to their
+    minima; the pure-md5-soup fillers share no shingles and MUST all
+    survive; the 15k boilerplate docs are ~47% Jaccard-similar to each
+    other (the 9-token shared tail dominates their ~13 tokens), so the
+    16×4 S-curve fires on a large fraction of them — heavy INTENDED
+    collapse whose exact count is probabilistic, asserted as a band.
+
+    Protects the new store where it is most exposed at 100 TB: a
+    populated multi-batch history, bucket-aligned screening on a corpus
+    whose collision structure is adversarial, and exact idempotence of
+    a full re-crawl."""
+    import uuid
+
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        neardup_against_history,
+        record_novel_signatures,
+    )
+
+    table = f"stress_neardup_{uuid.uuid4().hex[:12]}"
+    docs = spark.read.parquet(f"{stress_docs}/documents.parquet")
+    try:
+        def ingest(lo, hi, label):
+            batch = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            novel = neardup_against_history(
+                spark, batch, "doc_id", "text", table
+            ).localCheckpoint(eager=True)
+            record_novel_signatures(
+                novel, "doc_id", "text", table, label, n_buckets=8
+            )
+            return novel
+
+        first = ingest(0, 30_000, "crawl-0")
+        ids = {r.doc_id for r in first.select("doc_id").collect()}
+        # pair minima survived, their identical twins did not
+        assert all(i in ids for i in range(N_PAIRS))
+        assert not any((i + N_PAIRS) in ids for i in range(N_PAIRS))
+        # the fuzzy family is near-dup under EDIT DISTANCE, not Jaccard:
+        # each 3-token doc carries exactly one (distinct) shingle, so
+        # the shingle-based screen must keep ALL of them — dropping any
+        # would be false-positive collapse of non-shingle-similar docs
+        fuzzy_survivors = {i for i in ids if FUZZY_LO <= i < FUZZY_HI}
+        assert fuzzy_survivors == set(range(FUZZY_LO, FUZZY_HI))
+        # pure md5-soup fillers share no shingles — ALL survive
+        fillers = set(range(15_200, 20_000)) | set(range(22_000, 30_000))
+        assert fillers <= ids
+        # the boilerplate family collapses heavily (S-curve at ~0.47
+        # similarity) but never to nothing and never beyond itself
+        boiler_survivors = sum(1 for i in ids if BOILER_LO <= i < BOILER_HI)
+        assert 1 <= boiler_survivors < (BOILER_HI - BOILER_LO) // 2
+
+        # crawl 2 re-fetches 10k of crawl 1 plus the 20k tail: the
+        # overlap is fully screened, the tail's unique docs survive
+        second = ingest(20_000, N_DOCS, "crawl-1")
+        n_second = second.count()
+        ids2 = {r.doc_id for r in second.select("doc_id").collect()}
+        assert not any(i < 30_000 for i in ids2), "overlap must be screened"
+        assert n_second == N_DOCS - 30_000
+
+        # full re-crawl of everything: zero novel
+        assert (
+            neardup_against_history(
+                spark, docs, "doc_id", "text", table
+            ).count()
+            == 0
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
