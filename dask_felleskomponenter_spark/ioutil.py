@@ -49,13 +49,26 @@ def recover_interrupted_swap(
             continue
         full = os.path.join(parent, name)
         try:
-            # Liveness probe = newest mtime of the dir and its immediate
-            # children: an in-flight Spark write keeps churning inside
-            # its _temporary child (whose own mtime updates as task dirs
-            # are created) even while the top dir's mtime is quiet.
+            # Liveness probe = newest mtime over the WHOLE subtree. An
+            # in-flight Spark write churns deep under
+            # staging/_temporary/<job>/_temporary/<task>/... — the
+            # immediate _temporary child goes mtime-quiet right after
+            # job setup, so probing only one level down would let a
+            # >min_age_s concurrent write be reaped mid-flight (the
+            # partially-deleted-swap hazard this guard exists for).
+            # Full-tree walk is O(files in one orphan) and orphans are
+            # rare, so the cost is acceptable even for large datasets.
             mtimes = [os.path.getmtime(full)]
-            for child in os.listdir(full):
-                mtimes.append(os.path.getmtime(os.path.join(full, child)))
+            for dirpath, dirnames, filenames in os.walk(full):
+                for entry in dirnames + filenames:
+                    try:
+                        mtimes.append(
+                            os.path.getmtime(os.path.join(dirpath, entry))
+                        )
+                    except OSError:
+                        # a task dir vanished mid-walk → the writer is
+                        # ALIVE and renaming; treat as fresh activity
+                        mtimes.append(now)
             age = now - max(mtimes)
         except OSError:
             continue  # vanished (e.g. its owner just completed its swap)

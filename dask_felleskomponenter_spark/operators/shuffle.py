@@ -53,6 +53,19 @@ def deterministic_row_salt(df: DataFrame, buckets: int) -> Column:
     spread the remaining columns don't already provide.
     """
     from pyspark.sql import functions as F
+
+    hashable = hashable_columns(df.schema)
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), *hashable), F.lit(buckets)
+    )
+
+
+def hashable_columns(schema) -> list[str]:
+    """Column names of ``schema`` safe to feed to ``xxhash64``/``hash``:
+    everything except columns containing a MapType anywhere in their
+    type tree (Spark raises DATATYPE_MISMATCH.HASH_MAP_TYPE on those).
+    Shared by ``deterministic_row_salt`` and
+    ``sources.tables.compact_parquet``'s spread key."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     def _contains_map(dt) -> bool:
@@ -64,7 +77,4 @@ def deterministic_row_salt(df: DataFrame, buckets: int) -> Column:
             return any(_contains_map(f.dataType) for f in dt.fields)
         return False
 
-    hashable = [f.name for f in df.schema.fields if not _contains_map(f.dataType)]
-    return F.pmod(
-        F.xxhash64(F.spark_partition_id(), *hashable), F.lit(buckets)
-    )
+    return [f.name for f in schema.fields if not _contains_map(f.dataType)]

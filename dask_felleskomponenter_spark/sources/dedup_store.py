@@ -77,7 +77,8 @@ def dedup_against_history(
     table_name: str,
     batch_label: str = "batch-0",
     n_buckets: int = 16,
-    update: bool = False,
+    *,
+    update: bool,
 ) -> DataFrame:
     """Screen an incoming batch against the dedup history; optionally
     record its novel documents.
@@ -89,10 +90,13 @@ def dedup_against_history(
     spec, making the call idempotent: a re-ingested batch yields zero
     novel rows.
 
-    DURABILITY ORDER — ``update`` defaults to ``False`` because the
-    history append happens BEFORE the caller can durably sink the
-    returned novel rows (which live only in an executor-memory
-    localCheckpoint). With ``update=True``, a crash between this call
+    DURABILITY ORDER — ``update`` is a REQUIRED keyword (no default: an
+    earlier default of True was a crash-drop hazard, and silently
+    flipping it to False would instead silently stop recording for
+    callers relying on the old behavior — so every caller must choose
+    explicitly). Prefer ``update=False``: the history append happens
+    BEFORE the caller can durably sink the returned novel rows (which
+    live only in an executor-memory localCheckpoint). With ``update=True``, a crash between this call
     and the caller's corpus write permanently marks those documents as
     seen and silently DROPS them. Any caller that sinks the novel rows
     must write the corpus first and then call ``record_novel`` — the

@@ -328,7 +328,17 @@ def compact_parquet(
             # durable) copy. Spark guards round-robin repartition
             # against exactly this (SPARK-23207); an arbitrary
             # non-deterministic key gets no such recompute barrier.
-            data_cols = [c for c in df.columns if c not in part_cols]
+            # Map-typed columns can't be hashed (Spark raises
+            # DATATYPE_MISMATCH.HASH_MAP_TYPE), so restrict the key to
+            # the hashable subset — same rule deterministic_row_salt
+            # uses; all-map data degrades to one chunk per partition.
+            from ..operators.shuffle import hashable_columns
+
+            data_cols = [
+                c
+                for c in hashable_columns(df.schema)
+                if c not in part_cols
+            ]
             spread_key = (
                 F.pmod(F.xxhash64(*data_cols), F.lit(spread))
                 if data_cols

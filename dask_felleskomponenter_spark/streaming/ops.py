@@ -358,18 +358,47 @@ def run_to_memory_sink(
 def _has_aggregate_complete(df: DataFrame) -> bool:
     # session_window/applyInPandasWithState require append; plain
     # windowed aggregates can use complete for exact test comparisons.
-    # The analyzed plan prints the function name in snake_case
-    # ('session_window#12') — checking the camelCase spelling silently
-    # routed session-window streams to complete mode, where the
-    # watermark neither drops late rows nor evicts state and checkpoint
-    # restarts re-emit every session (caught by review, pinned in
+    # Decided by WALKING the analyzed plan's operator and expression
+    # trees, not by substring-matching its printed text: a relation
+    # path or column literally named 'session_window_events' (or a
+    # string literal containing 'Aggregate') must not flip the mode.
+    # An earlier camelCase-spelling substring check silently routed
+    # session-window streams to complete mode, where the watermark
+    # neither drops late rows nor evicts state and checkpoint restarts
+    # re-emit every session (pinned in
     # tests/test_streaming.py::test_session_window_stream_uses_append).
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return (
-        "Aggregate" in plan
-        and "session_window" not in plan
-        and "FlatMapGroupsInPandasWithState" not in plan
-    )
+    has_aggregate = False
+    nodes = [df._jdf.queryExecution().analyzed()]
+    while nodes:
+        node = nodes.pop()
+        name = node.nodeName()
+        if name == "Aggregate":
+            has_aggregate = True
+        elif name == "FlatMapGroupsInPandasWithState":
+            return False
+        # The analyzer rewrites the SessionWindow expression away (into
+        # a CreateNamedStruct of timestamp arithmetic in a Project under
+        # the Aggregate) but stamps the resulting attribute with the
+        # 'spark.sessionWindow' metadata marker — the same marker
+        # Spark's own streaming state machinery keys off — so detect
+        # session windows by that metadata on any Alias/Attribute, not
+        # by the attribute's NAME (a user column merely named
+        # 'session_window...' carries no marker and must not match).
+        exprs = node.expressions()
+        expr_stack = [exprs.apply(i) for i in range(exprs.length())]
+        while expr_stack:
+            e = expr_stack.pop()
+            if e.nodeName() in ("Alias", "AttributeReference"):
+                try:
+                    if e.metadata().contains("spark.sessionWindow"):
+                        return False
+                except Exception:  # expression types without metadata()
+                    pass
+            ch = e.children()
+            expr_stack.extend(ch.apply(i) for i in range(ch.length()))
+        ch = node.children()
+        nodes.extend(ch.apply(i) for i in range(ch.length()))
+    return has_aggregate
 
 
 def stream_to_jdbc_sync(
@@ -414,6 +443,14 @@ def stream_to_jdbc_sync(
             "really carries a complete snapshot"
         )
     keys = list(merge_keys) if merge_keys is not None else None
+    # Fail at CALL time, not inside foreachBatch on the first
+    # micro-batch: by then the query has started and the error surfaces
+    # as an opaque StreamingQueryException minutes later.
+    if mode == "merge" and not keys:
+        raise ValueError(
+            "mode='merge' (the default) requires merge_keys — pass the "
+            "upsert key columns, or choose mode='snapshot' explicitly"
+        )
 
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         manager.sync(batch_df, mode=mode, merge_keys=keys)

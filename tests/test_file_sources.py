@@ -443,6 +443,90 @@ def test_compact_parquet_sweeps_orphaned_staging_dirs(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
 
 
+def test_compact_parquet_handles_map_columns(spark, tmp_path):
+    """The deterministic spread key hashes data columns, but Spark
+    rejects hash expressions over MapType (DATATYPE_MISMATCH.
+    HASH_MAP_TYPE) — map columns must be excluded, and an all-map
+    dataset must fall back to a constant key instead of failing at
+    analysis."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "withmap")
+    (
+        spark.range(4000)
+        .select(
+            "id",
+            (F.col("id") % 2).alias("day"),
+            F.create_map(
+                F.lit("k"), F.col("id").cast("string")
+            ).alias("attrs"),
+        )
+        .repartition(16)
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    before = spark.read.parquet(path).count()
+    n = compact_parquet(spark, path, target_file_bytes=1 << 20)
+    assert n < 32
+    assert spark.read.parquet(path).count() == before
+
+    # degenerate: the ONLY data column is a map → F.lit(0) fallback
+    path2 = str(tmp_path / "onlymap")
+    (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 2).alias("day"),
+            F.create_map(
+                F.lit("k"), F.col("id").cast("string")
+            ).alias("attrs"),
+        )
+        .repartition(8)
+        .write.partitionBy("day")
+        .parquet(path2)
+    )
+    compact_parquet(spark, path2, target_file_bytes=1 << 20)
+    assert spark.read.parquet(path2).count() == 1000
+
+
+def test_staging_liveness_probe_recurses_into_temporary(tmp_path):
+    """An in-flight Spark write churns 2+ levels deep under
+    staging/_temporary/<job>/_temporary/<task>/...; the immediate
+    _temporary child goes mtime-quiet right after job setup, so the
+    liveness probe must take max mtime over the WHOLE subtree — or a
+    concurrent write running longer than min_age_s gets rmtree'd
+    mid-flight (the partially-deleted-swap hazard)."""
+    import os
+    import time
+
+    from dask_felleskomponenter_spark.ioutil import recover_interrupted_swap
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    staging = f"{path}.staging-deadbeefcafe"
+    deep = os.path.join(staging, "_temporary", "0", "_temporary", "attempt_1")
+    os.makedirs(deep)
+    task_file = os.path.join(deep, "part-00000.parquet")
+    open(task_file, "wb").write(b"x" * 64)
+    stale = time.time() - 7200
+    for dirpath, _dn, filenames in os.walk(staging):
+        os.utime(dirpath, (stale, stale))
+        for f in filenames:
+            os.utime(os.path.join(dirpath, f), (stale, stale))
+    # the running writer just touched only the DEEPEST task file —
+    # every directory level above it stays mtime-stale
+    os.utime(task_file, None)
+    recover_interrupted_swap(path, min_age_s=3600)
+    assert os.path.exists(staging), "live deep write must survive the sweep"
+    # once the whole subtree is quiet past the age guard, it is reaped
+    os.utime(task_file, (stale, stale))
+    recover_interrupted_swap(path, min_age_s=3600)
+    assert not os.path.exists(staging)
+
+
 def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
     # a key=value layout must come back partitioned: same subdirs, the
     # partition column in directory names (not data files), pruning alive

@@ -102,6 +102,44 @@ def test_session_window_stream_uses_append(spark, events_dir):
     assert _has_aggregate_complete(counts) is True
 
 
+def test_output_mode_heuristic_not_spoofed_by_names(spark, events_dir):
+    """The mode decision walks the plan tree, so identifiers that merely
+    CONTAIN the trigger words must not flip it: a grouping column named
+    'session_window_events' is still a plain aggregate (complete), and a
+    string literal 'Aggregate' in a stateless projection is not an
+    aggregate (append)."""
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        _has_aggregate_complete,
+    )
+
+    ev = stream_events(spark, events_dir)
+    spoof_agg = (
+        ev.select(
+            F.col("event_type").alias("session_window_events"), "value"
+        )
+        .groupBy("session_window_events")
+        .agg(F.sum("value").alias("s"))
+    )
+    assert _has_aggregate_complete(spoof_agg) is True
+    spoof_proj = ev.select(F.lit("Aggregate").alias("label"), "value")
+    assert _has_aggregate_complete(spoof_proj) is False
+
+
+def test_stream_to_jdbc_sync_merge_requires_keys_at_call_time(
+    spark, events_dir, tmp_path
+):
+    """mode='merge' without merge_keys must fail BEFORE the query
+    starts — not minutes later as an opaque StreamingQueryException
+    from the first micro-batch inside foreachBatch."""
+    from dask_felleskomponenter_spark.streaming.ops import stream_to_jdbc_sync
+
+    ev = stream_events(spark, events_dir)
+    with pytest.raises(ValueError, match="merge_keys"):
+        stream_to_jdbc_sync(ev, object(), str(tmp_path / "ckpt"))
+
+
 def test_stateful_sessionizer_matches_batch_gap_split(spark, events_dir, tmp_path):
     stream = sessionize_stateful(stream_events(spark, events_dir), gap_minutes=30)
     got = run_to_memory_sink(stream, "sessions_stateful", str(tmp_path / "ckpt"))
