@@ -3874,73 +3874,21 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
 # The per-round correctness harness samples the FIRST 50 entries in
 # declaration order, so each round we front-load the queries with the
-# fewest cumulative driver CORRECTNESS rows:
-#   positions 0-16  — the 17 queries never sampled in rounds 1-4
-#   positions 17-49 — stalest anchors (last sampled in round 2)
-#   remainder       — most-recently-verified queries (rounds 3-4)
+# STALEST driver CORRECTNESS rows (round 6 cohort):
+#   positions 0-12  — last sampled in rounds 2-3
+#   positions 13-62 — last sampled in round 4
+#   remainder       — freshly verified in round 5
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
-    # -- NEW round 5 (never sampled) ------------------------------------
-    "neardup_crossbatch_screen": neardup_crossbatch_screen,
-    # -- never driver-sampled (rounds 1-4) ------------------------------
-    "agg_approx_percentiles": agg_approx_percentiles,
-    "window_distribution_ranks": window_distribution_ranks,
-    "session_window_events": session_window_events,
-    "variant_fns_events": variant_fns_events,
-    "neardup_cluster_assign": neardup_cluster_assign,
-    "tfidf_top_terms": tfidf_top_terms,
-    "ngram_top_bigrams": ngram_top_bigrams,
-    "sample_hash_stratified": sample_hash_stratified,
-    "pii_redact_profile": pii_redact_profile,
-    "pipeline_training_corpus": pipeline_training_corpus,
-    "fuzzy_blocked_match": fuzzy_blocked_match,
-    "semantic_cluster_assign": semantic_cluster_assign,
-    "profile_lineitem_columns": profile_lineitem_columns,
-    "ann_pq_topk": ann_pq_topk,
-    "multimodal_audio_features": multimodal_audio_features,
-    "multimodal_image_profile": multimodal_image_profile,
-    "multimodal_video_profile": multimodal_video_profile,
-    # -- stalest anchors (last driver-sampled round 2) ------------------
-    "agg_approx_distinct": agg_approx_distinct,
-    "agg_cube_segment_status": agg_cube_segment_status,
-    "agg_percentiles_orders": agg_percentiles_orders,
-    "agg_rollup_status_priority": agg_rollup_status_priority,
-    "agg_salted_user_events": agg_salted_user_events,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_bucketed": ann_lsh_bucketed,
-    "array_fns_embeddings": array_fns_embeddings,
-    "cosine_topk_embeddings": cosine_topk_embeddings,
-    "date_fns_events": date_fns_events,
-    "dedup_exact_docs": dedup_exact_docs,
-    "fingerprint_documents": fingerprint_documents,
-    "json_fns_events": json_fns_events,
-    "lang_id_documents": lang_id_documents,
-    "map_fns_events": map_fns_events,
-    "math_fns_lineitem": math_fns_lineitem,
-    "multimodal_audio_profile": multimodal_audio_profile,
-    "multimodal_decode_profile": multimodal_decode_profile,
-    "neardup_embedding_cosine": neardup_embedding_cosine,
-    "neardup_jaccard_pairs": neardup_jaccard_pairs,
-    "neardup_minhash_lsh": neardup_minhash_lsh,
-    "pivot_status_by_priority": pivot_status_by_priority,
-    "simhash_documents": simhash_documents,
-    "string_fns_documents": string_fns_documents,
-    "sync_merge_orders": sync_merge_orders,
-    "text_quality_profile": text_quality_profile,
-    "tumbling_window_events": tumbling_window_events,
-    "udaf_geomean_orders": udaf_geomean_orders,
-    "udtf_chunk_documents": udtf_chunk_documents,
-    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-    "window_lag_sessionize": window_lag_sessionize,
-    "window_running_total": window_running_total,
+    # -- last driver-sampled round 2 -----------------------------------------------
     "window_topn_orders_per_customer": window_topn_orders_per_customer,
-    # -- position 50+: verified in rounds 2-4 ---------------------------
     "set_union_segments": set_union_segments,
     "set_except_inactive": set_except_inactive,
     "set_intersect_buyers": set_intersect_buyers,
     "topk_expensive_orders": topk_expensive_orders,
     "dedup_exact_summary": dedup_exact_summary,
+    # -- last driver-sampled round 3 -----------------------------------------------
     "filter_or_of_and_revenue": filter_or_of_and_revenue,
     "notexists_dormant_customers": notexists_dormant_customers,
     "conditional_promo_revenue": conditional_promo_revenue,
@@ -3948,6 +3896,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_last_error_before_click": asof_last_error_before_click,
     "range_join_error_context": range_join_error_context,
     "agg_orders_stats": agg_orders_stats,
+    # -- last driver-sampled round 4 -----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3998,6 +3947,57 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantize_stats": embedding_quantize_stats,
     "exists_late_shipment_orders": exists_late_shipment_orders,
     "scalar_subquery_small_qty": scalar_subquery_small_qty,
+    # -- position 63+: driver-sampled round 5 --------------------------
+    "neardup_crossbatch_screen": neardup_crossbatch_screen,
+    "agg_approx_percentiles": agg_approx_percentiles,
+    "window_distribution_ranks": window_distribution_ranks,
+    "session_window_events": session_window_events,
+    "variant_fns_events": variant_fns_events,
+    "neardup_cluster_assign": neardup_cluster_assign,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ngram_top_bigrams": ngram_top_bigrams,
+    "sample_hash_stratified": sample_hash_stratified,
+    "pii_redact_profile": pii_redact_profile,
+    "pipeline_training_corpus": pipeline_training_corpus,
+    "fuzzy_blocked_match": fuzzy_blocked_match,
+    "semantic_cluster_assign": semantic_cluster_assign,
+    "profile_lineitem_columns": profile_lineitem_columns,
+    "ann_pq_topk": ann_pq_topk,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_image_profile": multimodal_image_profile,
+    "multimodal_video_profile": multimodal_video_profile,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_cube_segment_status": agg_cube_segment_status,
+    "agg_percentiles_orders": agg_percentiles_orders,
+    "agg_rollup_status_priority": agg_rollup_status_priority,
+    "agg_salted_user_events": agg_salted_user_events,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "array_fns_embeddings": array_fns_embeddings,
+    "cosine_topk_embeddings": cosine_topk_embeddings,
+    "date_fns_events": date_fns_events,
+    "dedup_exact_docs": dedup_exact_docs,
+    "fingerprint_documents": fingerprint_documents,
+    "json_fns_events": json_fns_events,
+    "lang_id_documents": lang_id_documents,
+    "map_fns_events": map_fns_events,
+    "math_fns_lineitem": math_fns_lineitem,
+    "multimodal_audio_profile": multimodal_audio_profile,
+    "multimodal_decode_profile": multimodal_decode_profile,
+    "neardup_embedding_cosine": neardup_embedding_cosine,
+    "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "neardup_minhash_lsh": neardup_minhash_lsh,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "simhash_documents": simhash_documents,
+    "string_fns_documents": string_fns_documents,
+    "sync_merge_orders": sync_merge_orders,
+    "text_quality_profile": text_quality_profile,
+    "tumbling_window_events": tumbling_window_events,
+    "udaf_geomean_orders": udaf_geomean_orders,
+    "udtf_chunk_documents": udtf_chunk_documents,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "window_lag_sessionize": window_lag_sessionize,
+    "window_running_total": window_running_total,
 }
 
 
