@@ -266,6 +266,7 @@ def neardup_against_history(
     bands: int = 16,
     rows_per_band: int = 4,
     shingle_size: int = 3,
+    max_history_bucket_width: int | None = 4096,
 ) -> DataFrame:
     """Screen a batch for near-duplicates against the signature history
     AND within itself; returns the surviving (novel) batch rows.
@@ -291,6 +292,25 @@ def neardup_against_history(
     together as trivial duplicates: the first ever ingested survives,
     all later ones drop.
 
+    Degenerate-bucket guards (both screens stay linear even on a
+    90%-boilerplate corpus):
+    - the INTRA-batch screen computes each bucket's minimum ``id_col``
+      with a window and drops every higher id — provably the same
+      survivor set as the pairwise "collides with a lower id" rule
+      (``a.id > b.id`` for some b in the bucket ⟺ ``a.id > min(bucket)``)
+      but O(bucket width) instead of the O(width²) self-join a planted
+      all-one-bucket batch degenerates to;
+    - the HISTORY screen drops band buckets whose recorded row count
+      exceeds ``max_history_bucket_width`` before the semi-join (the
+      cross-batch analogue of ``max_shingle_df``: a bucket thousands of
+      prior documents share is boilerplate mass, not a discriminative
+      signature — and its width otherwise concentrates in one join
+      task). Documents colliding ONLY in dropped buckets are admitted
+      and recorded; audit the affected buckets with
+      ``overwide_signature_buckets``. ``None`` disables the cap. The
+      width aggregation groups on the table's own bucket column, so it
+      adds no Exchange to the history side.
+
     Durability: like ``dedup_against_history(update=False)``, this only
     SCREENS. Callers must sink the survivors durably FIRST, then call
     ``record_novel_signatures`` — the at-worst-duplicates order
@@ -312,22 +332,31 @@ def neardup_against_history(
     drop_ids = None
     if history_exists(spark, table_name):
         history = spark.table(table_name)
+        if max_history_bucket_width is not None:
+            # distinct eligible buckets, not raw history rows: the
+            # groupBy runs bucket-aligned (no history Exchange) and the
+            # semi-join's build side shrinks to one row per bucket
+            history = (
+                history.groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("_bucket_width"))
+                .filter(F.col("_bucket_width") <= max_history_bucket_width)
+            )
         drop_ids = (
             bb.join(history, on=BUCKET_COL, how="semi")
             .select(id_col)
             .distinct()
         )
 
-    # within-batch: any id colliding with a lower id in some bucket
-    a = bb.alias("a")
-    b = bb.alias("b")
+    # within-batch: any id colliding with a lower id in some bucket,
+    # i.e. any id above its bucket's minimum (linear in bucket width)
+    from pyspark.sql.window import Window
+
     intra_drops = (
-        a.join(
-            b,
-            (F.col(f"a.{BUCKET_COL}") == F.col(f"b.{BUCKET_COL}"))
-            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
-            "semi",
+        bb.withColumn(
+            "_bucket_min_id",
+            F.min(id_col).over(Window.partitionBy(BUCKET_COL)),
         )
+        .filter(F.col(id_col) > F.col("_bucket_min_id"))
         .select(id_col)
         .distinct()
     )
@@ -335,6 +364,22 @@ def neardup_against_history(
         intra_drops if drop_ids is None else drop_ids.unionByName(intra_drops)
     )
     return batch_df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def overwide_signature_buckets(
+    spark: SparkSession, table_name: str, max_width: int = 4096
+) -> DataFrame:
+    """Audit view of the signature-history band buckets wider than
+    ``max_width`` — the ones ``neardup_against_history`` excludes from
+    its history screen. One bucket-aligned aggregate over the store
+    (no Exchange); widest first."""
+    return (
+        spark.table(table_name)
+        .groupBy(BUCKET_COL)
+        .agg(F.count(F.lit(1)).alias("bucket_width"))
+        .filter(F.col("bucket_width") > max_width)
+        .orderBy(F.col("bucket_width").desc())
+    )
 
 
 def record_novel_signatures(

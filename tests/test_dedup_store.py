@@ -330,6 +330,168 @@ def test_neardup_screen_history_side_reads_bucket_aligned(spark, table_name):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:3000]
 
 
+def test_neardup_intra_screen_on_90pct_identical_corpus(spark, table_name):
+    """Adversarial 90%-boilerplate batch: every boilerplate doc shares
+    one signature, so all 450 land in the same band buckets. The
+    per-bucket-min rule must keep exactly the minimum id of the mass
+    plus the unique docs — same survivor set the pairwise greedy rule
+    defines, without the O(width²) self-join it used to degenerate to."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        neardup_against_history,
+    )
+
+    boiler = "terms of service boilerplate applies to every page here " * 5
+    rows = [(i, boiler) for i in range(450)]
+    rows += [
+        (1000 + i, " ".join(f"u{i}q{j}z{(i * 13 + j * 7) % 997}"
+                            for j in range(25)))
+        for i in range(50)
+    ]
+    out = neardup_against_history(
+        spark, _batch(spark, rows), "doc_id", "text", table_name
+    )
+    ids = set(r["doc_id"] for r in out.collect())
+    assert 0 in ids
+    assert not ids & set(range(1, 450)), "boilerplate mass must drop"
+    assert set(range(1000, 1050)) <= ids, "unique docs must survive"
+
+
+def test_neardup_history_width_cap_skips_degenerate_buckets(
+    spark, table_name
+):
+    """A band bucket thousands of prior docs share is boilerplate mass,
+    not a discriminative signature: buckets wider than
+    max_history_bucket_width are excluded from the history screen (and
+    auditable via overwide_signature_buckets), mirroring max_shingle_df."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        BUCKET_COL,
+        neardup_against_history,
+        overwide_signature_buckets,
+        record_novel_signatures,
+    )
+
+    boiler = "subscribe to our newsletter for updates and offers now " * 5
+    seed = [(i, boiler) for i in range(30)]
+    record_novel_signatures(
+        _batch(spark, seed), "doc_id", "text", table_name, "seed",
+        n_buckets=4,
+    )
+    fresh = " ".join(f"fresh{j}content{(j * 29) % 887}" for j in range(25))
+    probe = [(500, boiler + " tiny tail"), (501, fresh)]
+
+    # default cap (4096) far above the 30-wide buckets: screen active
+    kept = neardup_against_history(
+        spark, _batch(spark, probe), "doc_id", "text", table_name
+    )
+    assert set(r["doc_id"] for r in kept.collect()) == {501}
+
+    # cap below the bucket width: the degenerate buckets drop out of
+    # the screen, so the boilerplate collision is no longer seen
+    kept_capped = neardup_against_history(
+        spark, _batch(spark, probe), "doc_id", "text", table_name,
+        max_history_bucket_width=10,
+    )
+    assert set(r["doc_id"] for r in kept_capped.collect()) == {500, 501}
+
+    # the audit view surfaces exactly those over-wide buckets
+    wide = overwide_signature_buckets(spark, table_name, max_width=10)
+    rows = wide.collect()
+    assert rows and all(r["bucket_width"] == 30 for r in rows)
+
+    # and the width aggregate itself reads the store bucket-aligned:
+    # grouping on the table's own bucket column needs no Exchange
+    prevs = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            spark.table(table_name).groupBy(BUCKET_COL).count().explain(
+                "formatted"
+            )
+        plan = buf.getvalue()
+    finally:
+        for k, v in prevs.items():
+            spark.conf.set(k, v)
+    assert "Bucketed: true" in plan, plan[:3000]
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan[:3000]
+
+
+def test_stream_neardup_ingest_crash_duplicates_never_drops(
+    spark, tmp_path, table_name, monkeypatch
+):
+    """The documented crash window: a failure BETWEEN the corpus append
+    and the signature recording of one micro-batch. Because the corpus
+    is written first, the checkpointed replay must re-admit that
+    batch's survivors (duplicates in the corpus — removable by a
+    downstream exact-dedup pass), never silently drop them (which would
+    happen if the buckets were recorded first: the replay would screen
+    the batch against its own signatures and find nothing novel)."""
+    import os
+
+    import dask_felleskomponenter_spark.sources.dedup_store as ds
+    from dask_felleskomponenter_spark.streaming.ops import (
+        stream_neardup_ingest,
+    )
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _batch(spark, _near_docs(15)).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+
+    real_record = ds.record_novel_signatures
+
+    def crash_after_sink(*args, **kwargs):
+        raise RuntimeError("simulated crash between sink and record")
+
+    monkeypatch.setattr(ds, "record_novel_signatures", crash_after_sink)
+    q = stream_neardup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, ckpt, n_buckets=4,
+    )
+    with pytest.raises(Exception, match="simulated crash"):
+        q.awaitTermination(120)
+    # the corpus append of the failed batch landed; nothing recorded
+    sunk = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert 0 in sunk and 1 in sunk
+    assert not spark.catalog.tableExists(table_name)
+
+    # recovery: same checkpoint, recording restored → the batch replays
+    monkeypatch.setattr(ds, "record_novel_signatures", real_record)
+    q2 = stream_neardup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, ckpt, n_buckets=4,
+    )
+    q2.awaitTermination(120)
+    docs = [r["doc_id"] for r in spark.read.parquet(corpus).collect()]
+    # every survivor is present (nothing dropped) and duplicated once
+    # (the replayed batch re-screened against a still-empty history)
+    assert set(docs) == sunk
+    assert len(docs) == 2 * len(sunk), "crash window duplicates, never drops"
+    assert spark.catalog.tableExists(table_name)
+
+    # a later fresh-checkpoint replay of the same input adds nothing:
+    # the history now records the batch, idempotence is restored
+    q3 = stream_neardup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, str(tmp_path / "ckpt2"),
+        n_buckets=4,
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 2 * len(sunk)
+
+
 def test_stream_neardup_ingest_cross_batch(spark, tmp_path, table_name):
     """End-to-end streaming near-dup ingest: two availableNow passes
     over growing input; the second pass's near-dups of pass-one
