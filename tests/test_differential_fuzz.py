@@ -874,3 +874,387 @@ def test_query_matches_oracle_under_type_variants(spark, tmp_path, name, seed):
     )
     assert got == want, f"{name} diverged under type variants (seed {seed}): " \
         f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+
+
+# --- streaming ≡ batch (randomized) --------------------------------------
+#
+# The streaming operators were parity-tested on fixed fixtures only;
+# this section drives them with RANDOM event streams — random keys,
+# random gaps (short bursts and session-breaking idles), mild
+# out-of-order arrival bounded well under the watermark, duplicates
+# planted across micro-batch boundaries — and asserts the availableNow
+# streaming result equals the batch computation on the same rows.
+# Micro-batch boundaries come from maxFilesPerTrigger=1 over
+# sequentially written files, so cross-batch state is always exercised.
+
+
+def _random_user_timelines(rng, n_users, events_per_user):
+    """Per-user event timelines with mixed gaps: mostly sub-5-minute
+    bursts, occasionally >40-minute idles (session breaks at gap=30m).
+    Non-round gap values keep session boundaries away from exact-équality
+    edge cases. Returns rows (user_id, ts_epoch_s, value)."""
+    rows = []
+    base = 1_709_280_000  # 2024-03-01T08:00:00Z
+    for u in range(n_users):
+        t = base + rng.randrange(0, 600)
+        for _ in range(events_per_user):
+            t += rng.choice(
+                [rng.randrange(7, 290), rng.randrange(7, 290),
+                 rng.randrange(2_431, 9_743)]
+            )
+            rows.append((u, t, float(rng.randrange(0, 400)) * 0.25))
+    return rows
+
+
+def _write_stream_files(spark, rows, out_dir, n_files, jitter_s, rng):
+    """Write rows as n_files sequential parquet files ordered by
+    (ts + bounded jitter): later files hold later rows, but each
+    boundary is fuzzy by ±jitter_s — real out-of-order arrival, always
+    far inside the watermark so streaming may not drop anything."""
+    ordered = sorted(rows, key=lambda r: r[1] + rng.randrange(-jitter_s, jitter_s + 1))
+    chunk = max(1, (len(ordered) + n_files - 1) // n_files)
+    for i in range(0, len(ordered), chunk):
+        spark.createDataFrame(
+            [(u, t, v) for u, t, v in ordered[i:i + chunk]],
+            "user_id long, epoch long, value double",
+        ).select(
+            "user_id",
+            F.timestamp_seconds(F.col("epoch")).alias("ts"),
+            "value",
+        ).coalesce(1).write.mode("append").parquet(out_dir)
+
+
+def _drain(spark, stream_df, name, ckpt):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+_SENTINEL_USER = 9_999
+
+
+@pytest.mark.parametrize("seed", [101, 211])
+def test_fuzz_sessionize_stream_matches_batch(spark, tmp_path, seed):
+    """Streaming session_window ≡ batch session_window on a random
+    stream. A sentinel event far past the timeline pushes the final
+    watermark beyond every real session's end, so append mode emits
+    them all — making the comparison exact, not one-sided."""
+    from dask_felleskomponenter_spark.streaming.ops import sessionize_events
+
+    rng = random.Random(seed)
+    rows = _random_user_timelines(rng, n_users=6, events_per_user=40)
+    max_t = max(t for _, t, _ in rows)
+    d = str(tmp_path / "in")
+    _write_stream_files(spark, rows, d, n_files=4, jitter_s=540, rng=rng)
+    # the closer arrives last, alone, 12h after everything
+    spark.createDataFrame(
+        [(_SENTINEL_USER, max_t + 43_200, 0.0)],
+        "user_id long, epoch long, value double",
+    ).select(
+        "user_id", F.timestamp_seconds(F.col("epoch")).alias("ts"), "value"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got_df = _drain(
+        spark, sessionize_events(stream, gap="30 minutes"),
+        f"fz_sessions_{seed}", str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got_df.collect()
+        if r["user_id"] != _SENTINEL_USER
+    }
+    want = {
+        (r["user_id"], r["sw"]["start"], r["sw"]["end"], r["n"])
+        for r in spark.read.parquet(d)
+        .filter(F.col("user_id") != _SENTINEL_USER)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want, f"seed {seed}: {len(got)} vs {len(want)} sessions"
+    assert len(want) > 6  # the gap mixture actually split sessions
+
+
+@pytest.mark.parametrize("seed", [103, 223])
+def test_fuzz_stream_dedup_matches_batch_distinct(spark, tmp_path, seed):
+    """Streaming dropDuplicatesWithinWatermark ≡ batch key-distinct when
+    every duplicate falls inside the horizon: duplicates are planted
+    ACROSS micro-batch files, the watermark spans the whole timeline."""
+    from dask_felleskomponenter_spark.streaming.ops import stream_dedup
+
+    rng = random.Random(seed)
+    n_keys = rng.randrange(20, 60)
+    rows = [
+        (rng.randrange(n_keys), t, v)
+        for _, t, v in _random_user_timelines(rng, 5, 50)
+        for _ in range(rng.choice([1, 1, 2]))
+    ]
+    d = str(tmp_path / "in")
+    _write_stream_files(spark, rows, d, n_files=5, jitter_s=540, rng=rng)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got_df = _drain(
+        spark,
+        stream_dedup(stream, ["user_id"], ts_col="ts", watermark="96 hours"),
+        f"fz_dedup_{seed}", str(tmp_path / "ckpt"),
+    )
+    got = sorted(r["user_id"] for r in got_df.collect())
+    want = sorted(
+        r["user_id"]
+        for r in spark.read.parquet(d).select("user_id").distinct().collect()
+    )
+    assert got == want, f"seed {seed}: streaming kept {len(got)} of {len(want)} keys"
+
+
+@pytest.mark.parametrize("seed", [107, 227])
+def test_fuzz_stream_interval_join_matches_batch(spark, tmp_path, seed):
+    """Stream-stream range join ≡ batch interval_join on random
+    click/error streams (inner join emits on match, so no sentinel is
+    needed for completeness)."""
+    from dask_felleskomponenter_spark.operators.joins import interval_join
+    from dask_felleskomponenter_spark.streaming.ops import stream_interval_join
+
+    rng = random.Random(seed)
+    left_rows = _random_user_timelines(rng, 5, 30)
+    right_rows = _random_user_timelines(rng, 5, 30)
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_stream_files(spark, left_rows, ld, n_files=3, jitter_s=540, rng=rng)
+    _write_stream_files(spark, right_rows, rd, n_files=3, jitter_s=540, rng=rng)
+
+    def stream(path):
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    joined = stream_interval_join(
+        stream(ld), stream(rd), on=["user_id"],
+        lower_seconds=-300, upper_seconds=0,
+    )
+    got_df = _drain(spark, joined, f"fz_rjoin_{seed}", str(tmp_path / "ckpt"))
+    got = {
+        (r["user_id"], r["ts"], r["rng_ts"]) for r in got_df.collect()
+    }
+    want = {
+        (r["user_id"], r["ts"], r["rng_err_ts"])
+        for r in interval_join(
+            spark.read.parquet(ld),
+            spark.read.parquet(rd)
+            .withColumnRenamed("ts", "err_ts")
+            .withColumnRenamed("value", "err_value"),
+            on=["user_id"], left_ts="ts", right_ts="err_ts",
+            lower_seconds=-300, upper_seconds=0,
+            value_cols=["err_ts"],
+        ).collect()
+    }
+    assert got == want, f"seed {seed}: {len(got)} vs {len(want)} pairs"
+    assert len(want) > 0
+
+
+def _rocksdb(spark):
+    from tests.test_streaming import rocksdb_state_store
+
+    return rocksdb_state_store(spark)
+
+
+def _tws_or_skip():
+    from dask_felleskomponenter_spark.streaming.ops import HAS_TWS
+
+    if not HAS_TWS:
+        pytest.skip("protobuf unavailable (vendored runtime missing)")
+
+
+@pytest.mark.parametrize("seed", [109, 229])
+def test_fuzz_tws_running_totals_matches_batch(spark, tmp_path, seed):
+    """transformWithState running totals on a random key/value stream ≡
+    the batch count/sum per key. Values are multiples of 0.25 so the
+    float sums compare exactly. Multiple micro-batch files force the
+    totals to accumulate across ValueState round-trips."""
+    from dask_felleskomponenter_spark.streaming.ops import (
+        running_totals_stateful,
+    )
+
+    _tws_or_skip()
+    rng = random.Random(seed)
+    n_users = rng.randrange(3, 9)
+    rows = [
+        (rng.randrange(n_users), float(rng.randrange(-200, 400)) * 0.25)
+        for _ in range(rng.randrange(150, 400))
+    ]
+    d = str(tmp_path / "data")
+    chunk = max(1, len(rows) // 4)
+    for i in range(0, len(rows), chunk):
+        spark.createDataFrame(
+            rows[i:i + chunk], "user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    with _rocksdb(spark):
+        got_df = _drain(
+            spark, running_totals_stateful(stream),
+            f"fz_tws_totals_{seed}", str(tmp_path / "ckpt"),
+        )
+        # the FINAL emission per user is the one with the highest
+        # n_events — max_by, not MAX(total_value): with negative values
+        # the running total is not monotone, so a per-batch max would
+        # compare an intermediate peak against the batch sum
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                f"SELECT user_id, MAX(n_events) AS n_events, "
+                f"MAX_BY(total_value, n_events) AS total_value "
+                f"FROM fz_tws_totals_{seed} GROUP BY user_id"
+            ).collect()
+        }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in spark.read.parquet(d)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want, f"seed {seed}: {got} vs {want}"
+
+
+@pytest.mark.parametrize("seed", [113, 233])
+def test_fuzz_tws_category_profile_matches_batch(spark, tmp_path, seed):
+    """transformWithState value+list+map state on a random stream ≡
+    the batch per-key profile (count, distinct categories, sum), with
+    the recent-list capped at 8."""
+    from dask_felleskomponenter_spark.streaming.ops import (
+        category_profile_stateful,
+    )
+
+    _tws_or_skip()
+    rng = random.Random(seed)
+    n_users, n_cats = rng.randrange(3, 7), rng.randrange(2, 12)
+    rows = [
+        (
+            rng.randrange(n_users),
+            f"cat{rng.randrange(n_cats)}",
+            float(rng.randrange(0, 500)) * 0.25,
+        )
+        for _ in range(rng.randrange(120, 320))
+    ]
+    d = str(tmp_path / "data")
+    chunk = max(1, len(rows) // 3)
+    for i in range(0, len(rows), chunk):
+        spark.createDataFrame(
+            rows[i:i + chunk], "user_id long, category string, value double"
+        ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, category string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    with _rocksdb(spark):
+        got_df = _drain(
+            spark, category_profile_stateful(stream),
+            f"fz_tws_prof_{seed}", str(tmp_path / "ckpt"),
+        )
+        got = {
+            r.user_id: (r.n_events, r.n_categories, r.sum_value, r.n_recent)
+            for r in spark.sql(
+                f"SELECT user_id, MAX(n_events) AS n_events, "
+                f"MAX_BY(n_categories, n_events) AS n_categories, "
+                f"MAX_BY(sum_value, n_events) AS sum_value, "
+                f"MAX_BY(n_recent, n_events) AS n_recent "
+                f"FROM fz_tws_prof_{seed} GROUP BY user_id"
+            ).collect()
+        }
+    want = {
+        r.user_id: (r.n, r.c, r.s)
+        for r in spark.read.parquet(d)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("category").alias("c"),
+            F.sum("value").alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want), f"seed {seed}: key sets differ"
+    for u, (n, c, s) in want.items():
+        gn, gc, gs, gr = got[u]
+        assert (gn, gc) == (n, c), f"seed {seed} user {u}"
+        assert abs(gs - s) < 1e-6, f"seed {seed} user {u}"
+        assert gr == min(8, n), f"seed {seed} user {u}: recent-list cap"
+
+
+@pytest.mark.parametrize("seed", [127])
+def test_fuzz_tws_timer_probe_protocol(spark, tmp_path, seed):
+    """Timer register→list→delete protocol over a RANDOM number of keys
+    and rows: every key must report its exact row count, a listed
+    registered timer, and no listed timer after deletion. ProcessingTime
+    timeMode never self-terminates under availableNow, so poll and stop
+    explicitly (the operator's documented usage contract)."""
+    import time as _time
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        timer_probe_stateful,
+    )
+
+    _tws_or_skip()
+    rng = random.Random(seed)
+    n_keys = rng.randrange(2, 7)
+    per_key = rng.randrange(4, 15)
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        [(i % n_keys, i) for i in range(n_keys * per_key)],
+        "user_id long, v long",
+    ).coalesce(2).write.parquet(d)
+    stream = spark.readStream.schema("user_id bigint, v bigint").parquet(d)
+    with _rocksdb(spark):
+        q = None
+        try:
+            q = (
+                timer_probe_stateful(stream)
+                .writeStream.format("memory")
+                .queryName(f"fz_tws_timer_{seed}")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .start()
+            )
+            deadline = _time.time() + 120
+            rows = []
+            while _time.time() < deadline:
+                rows = spark.sql(
+                    f"SELECT user_id, MAX(n_rows) AS n_rows, "
+                    f"MIN(listed_after_register) AS n_reg, "
+                    f"MAX(listed_after_delete) AS n_del "
+                    f"FROM fz_tws_timer_{seed} GROUP BY user_id"
+                ).collect()
+                if len(rows) == n_keys and all(
+                    r.n_rows == per_key for r in rows
+                ):
+                    break
+                _time.sleep(1)
+        finally:
+            if q is not None:
+                q.stop()
+    assert len(rows) == n_keys, f"seed {seed}: {len(rows)} of {n_keys} keys"
+    for r in rows:
+        assert r.n_rows == per_key, f"seed {seed} user {r.user_id}"
+        assert r.n_reg == 1, f"seed {seed}: registered timer not listed"
+        assert r.n_del == 0, f"seed {seed}: deleted timer still listed"
