@@ -67,14 +67,19 @@ def plan_hash(df) -> str:
 
 
 def load_prior(sf_num) -> dict[str, float]:
-    """Per-query timings from the newest BENCH_r*.json at the SAME sf
-    (or $BENCH_PRIOR_FILE). Empty dict = no comparable prior, so the
+    """Per-query timings of the last committed full run at the SAME sf
+    (or $BENCH_PRIOR_FILE). The committed bench_result.json is the
+    canonical prior — the driver's BENCH_r*.json records carry only a
+    truncated tail, never a full query map — but any BENCH_r*.json
+    that does have one is accepted as fallback. Read BEFORE this run
+    overwrites the file. Empty dict = no comparable prior, so the
     outlier re-run pass is skipped."""
     path = os.environ.get("BENCH_PRIOR_FILE")
     candidates = (
         [path]
         if path
-        else sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))[::-1]
+        else [os.path.join(REPO_ROOT, "bench_result.json")]
+        + sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))[::-1]
     )
     for cand in candidates:
         try:
