@@ -92,6 +92,19 @@ def load_prior(sf_num) -> dict[str, float]:
     return {}
 
 
+def _prior_file_sf():
+    """The sf recorded in the canonical bench_result.json, or None if
+    the file is absent/unreadable. A full-set run at a DIFFERENT sf
+    (e.g. an sf0.001 smoke) must not replace a canonical prior of
+    another sf — that clobber silently disables the outlier-rerun
+    protocol for the sf the file actually tracked."""
+    try:
+        with open(os.path.join(REPO_ROOT, "bench_result.json")) as fh:
+            return json.load(fh).get("sf")
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -185,16 +198,27 @@ def main() -> None:
     # Outlier protocol (round-5 lesson: per-query "regressions" of
     # 1.5-2x under neighbor load all vanished in isolation): any query
     # >1.3x its prior-round time at the same sf is re-run ALONE in a
-    # fresh interpreter+JVM via a subprocess, min-of-3; the isolated
-    # number replaces the contended one if faster, and both are
-    # reported so the drift is attributable from the artifact alone.
+    # fresh interpreter+JVM via a subprocess, min-of-3. BOTH numbers are
+    # reported under isolated_reruns, but the canonical "queries" map
+    # keeps the in-set number: recording min(contended, isolated) would
+    # ratchet the prior down to best-case isolated figures and re-flag
+    # the same queries as outliers under normal load every round —
+    # in-set-vs-in-set comparisons keep the provenance uniform.
     reruns: dict[str, dict[str, float]] = {}
     prior = {} if os.environ.get("BENCH_NO_RERUN") else load_prior(sf_num)
-    outliers = [
-        n
-        for n in names
-        if n in prior and prior[n] > 0 and timings[n] > 1.3 * prior[n]
-    ]
+    # worst drift FIRST: the rerun budget is capped below, and silently
+    # dropping the biggest regression while re-timing mild ones would
+    # read as "covered" exactly where coverage matters most
+    outliers = sorted(
+        (
+            n
+            for n in names
+            if n in prior and prior[n] > 0 and timings[n] > 1.3 * prior[n]
+        ),
+        key=lambda n: timings[n] / prior[n],
+        reverse=True,
+    )
+    skipped_outliers = outliers[8:]
     if outliers:
         spark.stop()  # free the 32 local cores for the isolated child
     for name in outliers[:8]:  # bound the extra wall-clock
@@ -228,7 +252,6 @@ def main() -> None:
             "isolated": isolated,
             "prior": prior[name],
         }
-        timings[name] = min(timings[name], isolated)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -241,25 +264,41 @@ def main() -> None:
     }
     if reruns:
         result["isolated_reruns"] = reruns
+    if skipped_outliers:
+        result["outliers_not_rerun"] = skipped_outliers
     # Full result: one line to stdout AND a file — the harness that
     # invokes this script captures only a bounded TAIL of the output,
     # and with 100+ queries the full line exceeds it (the head, with
     # the total, gets cut). The file is the durable record.
     full_line = json.dumps(result)
     print(full_line)
-    result_file = os.environ.get(
-        "BENCH_RESULT_FILE", os.path.join(REPO_ROOT, "bench_result.json")
+    # bench_result.json is the CANONICAL PRIOR the outlier protocol
+    # reads — only a full-set run may claim it by default. A subset or
+    # off-sf run overwriting it would hand the next full run a partial
+    # or sf-mismatched map, silently disabling the rerun protocol;
+    # such runs write nowhere unless BENCH_RESULT_FILE says where.
+    prior_sf = _prior_file_sf()
+    result_file = os.environ.get("BENCH_RESULT_FILE") or (
+        os.path.join(REPO_ROOT, "bench_result.json")
+        if not wanted and prior_sf in (None, sf_num)
+        else None
     )
-    try:
-        with open(result_file, "w") as fh:
-            fh.write(full_line + "\n")
-    except OSError:
-        pass
+    if result_file:
+        try:
+            with open(result_file, "w") as fh:
+                fh.write(full_line + "\n")
+        except OSError:
+            pass
     # LAST line: a compact summary sized to survive a ~2000-char tail
     # capture — the headline total plus the slowest queries (the ones
     # perf work cares about) and a pointer to the complete map.
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:30]
+    )
+    map_loc = (
+        os.path.basename(result_file)
+        if result_file
+        else "stdout full line only (guarded run: no file written)"
     )
     summary = {
         "metric": "declared_query_set_runtime",
@@ -269,7 +308,7 @@ def main() -> None:
         "sf": sf_num,
         "n_queries": len(timings),
         "n_isolated_reruns": len(reruns),
-        "queries_note": "30 slowest shown; full map in bench_result.json",
+        "queries_note": f"30 slowest shown; full map: {map_loc}",
     }
     line = json.dumps(summary, separators=(",", ":"))
     # TRIM UNTIL IT FITS, not one fixed fallback: a single 15-entry
@@ -281,7 +320,7 @@ def main() -> None:
         keep //= 2
         summary["queries"] = dict(list(slowest.items())[:keep])
         summary["queries_note"] = (
-            f"{keep} slowest shown; full map in bench_result.json"
+            f"{keep} slowest shown; full map: {map_loc}"
         )
         line = json.dumps(summary, separators=(",", ":"))
     print(line)

@@ -56,21 +56,31 @@ def recover_interrupted_swap(
             # job setup, so probing only one level down would let a
             # >min_age_s concurrent write be reaped mid-flight (the
             # partially-deleted-swap hazard this guard exists for).
-            # Full-tree walk is O(files in one orphan) and orphans are
-            # rare, so the cost is acceptable even for large datasets.
-            mtimes = [os.path.getmtime(full)]
-            for dirpath, dirnames, filenames in os.walk(full):
-                for entry in dirnames + filenames:
-                    try:
-                        mtimes.append(
-                            os.path.getmtime(os.path.join(dirpath, entry))
-                        )
-                    except OSError:
-                        # a task dir vanished mid-walk → the writer is
-                        # ALIVE and renaming; treat as fresh activity
-                        mtimes.append(now)
-            age = now - max(mtimes)
+            # The walk STOPS at the first fresh mtime: a live writer's
+            # dataset-sized staging tree costs a handful of stats, and
+            # the full O(files) walk is paid only for truly-quiet
+            # orphans, which are rare and about to be deleted anyway.
+            newest = os.path.getmtime(full)
+            alive = (now - newest) < min_age_s
+            if not alive:
+                for dirpath, dirnames, filenames in os.walk(full):
+                    for entry in dirnames + filenames:
+                        try:
+                            m = os.path.getmtime(
+                                os.path.join(dirpath, entry)
+                            )
+                        except OSError:
+                            # a task dir vanished mid-walk → the writer
+                            # is ALIVE and renaming right now
+                            m = now
+                        if m > newest:
+                            newest = m
+                        if (now - newest) < min_age_s:
+                            alive = True
+                            break
+                    if alive:
+                        break
         except OSError:
             continue  # vanished (e.g. its owner just completed its swap)
-        if age >= min_age_s:
+        if not alive and (now - newest) >= min_age_s:
             shutil.rmtree(full, ignore_errors=True)

@@ -3784,10 +3784,14 @@ def neardup_crossbatch_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are pinned instead by ``tests/test_dedup_store.py``
     (cluster minima, replay idempotence, bucket-aligned plan).
 
-    Scale: signatures cost one pass per side; both the history screen
-    and the intra-batch screen are semi-joins on the single 64-bit
-    bucket key (the persisted-store shape, where the history side
-    additionally reads bucket-aligned — plan-pinned there)."""
+    Scale: signatures cost one pass per side; the history screen is a
+    semi-join on the single 64-bit bucket key, and the intra-batch
+    screen is a per-bucket window MINIMUM (any id above its bucket's
+    min drops — provably the pairwise lower-id rule, linear in bucket
+    width where a self-join degenerates quadratically on boilerplate
+    buckets; same formulation as the persisted store, where the
+    history side additionally reads bucket-aligned, plan-pinned
+    there)."""
     from dask_felleskomponenter_spark.operators.dedup import (
         lsh_band_buckets,
         minhash_signatures,
@@ -3811,14 +3815,12 @@ def neardup_crossbatch_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     seen = bb.join(history, on="bucket", how="semi").select("doc_id").distinct()
-    a, b = bb.alias("a"), bb.alias("b")
     intra = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
-            "semi",
+        bb.withColumn(
+            "_bucket_min_id",
+            F.min("doc_id").over(Window.partitionBy("bucket")),
         )
+        .filter(F.col("doc_id") > F.col("_bucket_min_id"))
         .select("doc_id")
         .distinct()
     )

@@ -367,37 +367,47 @@ def _has_aggregate_complete(df: DataFrame) -> bool:
     # neither drops late rows nor evicts state and checkpoint restarts
     # re-emit every session (pinned in
     # tests/test_streaming.py::test_session_window_stream_uses_append).
+    # The plan crosses the Py4J bridge ONCE as JSON and is walked as
+    # parsed structure here: per-node/per-expression JVM round-trips
+    # cost tens of ms on wide schemas, and raw-text substring checks
+    # were spoofable by identifiers merely containing the trigger words.
+    # In parsed form the operator kind is the "class" FIELD (a string
+    # literal in the data can only ever appear as a "value" field, never
+    # as a node class). The analyzer rewrites the SessionWindow
+    # expression into timestamp arithmetic whose result attribute it
+    # always names exactly 'session_window' with dataType
+    # struct<start,end> (its runtime metadata marker does not survive
+    # toJSON) — a user column would need that exact generated
+    # name-and-shape under an Aggregate to spoof it, which is the
+    # session-window contract itself.
+    import json as _json
+
+    plan = _json.loads(df._jdf.queryExecution().analyzed().toJSON())
     has_aggregate = False
-    nodes = [df._jdf.queryExecution().analyzed()]
-    while nodes:
-        node = nodes.pop()
-        name = node.nodeName()
-        if name == "Aggregate":
-            has_aggregate = True
-        elif name == "FlatMapGroupsInPandasWithState":
-            return False
-        # The analyzer rewrites the SessionWindow expression away (into
-        # a CreateNamedStruct of timestamp arithmetic in a Project under
-        # the Aggregate) but stamps the resulting attribute with the
-        # 'spark.sessionWindow' metadata marker — the same marker
-        # Spark's own streaming state machinery keys off — so detect
-        # session windows by that metadata on any Alias/Attribute, not
-        # by the attribute's NAME (a user column merely named
-        # 'session_window...' carries no marker and must not match).
-        exprs = node.expressions()
-        expr_stack = [exprs.apply(i) for i in range(exprs.length())]
-        while expr_stack:
-            e = expr_stack.pop()
-            if e.nodeName() in ("Alias", "AttributeReference"):
-                try:
-                    if e.metadata().contains("spark.sessionWindow"):
-                        return False
-                except Exception:  # expression types without metadata()
-                    pass
-            ch = e.children()
-            expr_stack.extend(ch.apply(i) for i in range(ch.length()))
-        ch = node.children()
-        nodes.extend(ch.apply(i) for i in range(ch.length()))
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, list):
+            stack.extend(node)
+            continue
+        if not isinstance(node, dict):
+            continue
+        cls = node.get("class", "")
+        if isinstance(cls, str):
+            if cls.endswith(".Aggregate"):
+                has_aggregate = True
+            elif cls.endswith(".FlatMapGroupsInPandasWithState"):
+                return False
+            elif (
+                cls.endswith(".AttributeReference")
+                and node.get("name") == "session_window"
+            ):
+                dt = node.get("dataType")
+                if isinstance(dt, dict) and [
+                    f.get("name") for f in dt.get("fields", [])
+                ] == ["start", "end"]:
+                    return False
+        stack.extend(node.values())
     return has_aggregate
 
 
@@ -446,6 +456,10 @@ def stream_to_jdbc_sync(
     # Fail at CALL time, not inside foreachBatch on the first
     # micro-batch: by then the query has started and the error surfaces
     # as an opaque StreamingQueryException minutes later.
+    if mode not in ("merge", "snapshot"):
+        raise ValueError(
+            f"unknown mode {mode!r}: expected 'merge' or 'snapshot'"
+        )
     if mode == "merge" and not keys:
         raise ValueError(
             "mode='merge' (the default) requires merge_keys — pass the "
@@ -779,6 +793,7 @@ def stream_neardup_ingest(
     bands: int = 16,
     rows_per_band: int = 4,
     shingle_size: int = 3,
+    max_history_bucket_width: int | None = 4096,
 ):
     """Streaming corpus ingest with cross-batch NEAR-duplicate
     screening: every micro-batch is MinHash-signed, screened against
@@ -820,6 +835,7 @@ def stream_neardup_ingest(
             bands=bands,
             rows_per_band=rows_per_band,
             shingle_size=shingle_size,
+            max_history_bucket_width=max_history_bucket_width,
         ).localCheckpoint(eager=True)
         novel.write.mode("append").parquet(corpus_path)
         record_novel_signatures(

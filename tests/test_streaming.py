@@ -140,6 +140,20 @@ def test_stream_to_jdbc_sync_merge_requires_keys_at_call_time(
         stream_to_jdbc_sync(ev, object(), str(tmp_path / "ckpt"))
 
 
+def test_stream_to_jdbc_sync_rejects_unknown_mode_at_call_time(
+    spark, events_dir, tmp_path
+):
+    """A typo'd mode must fail at call time too — inside foreachBatch it
+    would only surface on the first micro-batch."""
+    from dask_felleskomponenter_spark.streaming.ops import stream_to_jdbc_sync
+
+    ev = stream_events(spark, events_dir)
+    with pytest.raises(ValueError, match="unknown mode"):
+        stream_to_jdbc_sync(
+            ev, object(), str(tmp_path / "ckpt"), mode="upsert"
+        )
+
+
 def test_stateful_sessionizer_matches_batch_gap_split(spark, events_dir, tmp_path):
     stream = sessionize_stateful(stream_events(spark, events_dir), gap_minutes=30)
     got = run_to_memory_sink(stream, "sessions_stateful", str(tmp_path / "ckpt"))
