@@ -3390,9 +3390,26 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines run before feature extraction.
 
     Scale: the hourly pre-aggregate reduces the raw stream before any
-    widening; the grid explode is bounded per user by their span; both
-    the left join and the fill window partition on user_id, so one hash
-    partitioning serves the join AND the window (no second shuffle)."""
+    widening, and EVERYTHING heavier than a map stage happens on that
+    sparse side: one window pass (lead + running last, same
+    partitioning, one shuffle) computes each observed hour's gap run
+    and its forward-fill value, and the dense grid is then produced by
+    a map-side explode of each run carrying its fill — no dense-side
+    join and no window over the densified rows. (The earlier
+    grid ⟕ hourly + unbounded-window-over-grid shape did 2 shuffles of
+    the DENSE grid; at 10× data it was the slowest declared query.)
+
+    NULL edges pinned by the oracle (and the planted fuzz corpus):
+    an observed hour whose events all carry NULL ``value`` has NULL
+    hour_avg — it is flagged ``is_gap`` and forward-filled from the
+    previous non-NULL hour, exactly like a generated row, so the fill
+    column is the sparse-side running ``last(hour_avg,
+    ignorenulls=True)``, not the run head's own avg. And the NULL
+    ``user_id`` partition gets a grid but every row is a NULL-filled
+    gap: the oracle's ``g.user_id = hy.user_id`` LEFT JOIN never
+    matches a NULL key, so "no user" means "no observations" — the
+    join-free shape must impose that explicitly, since its window
+    would otherwise treat NULL as an ordinary partition."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("hour", "ts").alias("h"),
@@ -3403,30 +3420,47 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double") / F.count(F.lit(1)), 6
         ).alias("hour_avg")
     )
-    spans = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = spans.select(
+    w = Window.partitionBy("user_id").orderBy("h")
+    runs = hourly.select(
         "user_id",
+        "h",
+        "hour_avg",
+        F.lead("h").over(w).alias("next_h"),
+        F.last("hour_avg", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("ffill"),
+    )
+    filled = runs.select(
+        "user_id",
+        F.col("hour_avg").isNotNull().alias("observed"),
+        F.col("h").alias("src_h"),
+        "ffill",
         F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
+            F.sequence(
+                "h",
+                # run ends just before the next observed hour; the last
+                # observed hour (lead NULL) emits only itself, so the
+                # union of runs is exactly the span [min(h), max(h)]
+                F.coalesce(
+                    F.col("next_h") - F.expr("INTERVAL 1 HOUR"),
+                    F.col("h"),
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("gh"),
+    ).select(
+        "user_id",
+        F.date_format("gh", "yyyy-MM-dd HH:00").alias("hour"),
+        F.when(F.col("user_id").isNotNull(), F.col("ffill")).alias(
+            "value_ffill"
+        ),
+        (
+            F.col("user_id").isNull()
+            | (F.col("gh") != F.col("src_h"))
+            | ~F.col("observed")
+        ).alias("is_gap"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = (
-        grid.join(hourly, ["user_id", "h"], "left")
-        .select(
-            "user_id",
-            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
-            F.last("hour_avg", ignorenulls=True).over(w).alias("value_ffill"),
-            F.col("hour_avg").isNull().alias("is_gap"),
-        )
-    )
-    # ordered_output: the range sampler would re-run the join+window
+    # ordered_output: the range sampler would re-run the window
     return ordered_output(filled, "user_id", "hour")
 
 

@@ -199,7 +199,12 @@ def _events_corpus(seed: int, n: int):
                 ts,
                 user,
                 rng.choice(_ETYPES),
-                round(rng.uniform(-5, 100), 2),
+                # every 31st value is NULL: an observed hour whose events
+                # are all NULL-valued has NULL hour_avg — resample must
+                # flag it as a gap and forward-fill it (not emit its own
+                # NULL as an "observed" value), and the AVG/SUM oracles
+                # must skip NULLs identically on both engines
+                None if i % 31 == 3 else round(rng.uniform(-5, 100), 2),
                 props,
             )
         )
