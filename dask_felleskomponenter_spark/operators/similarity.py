@@ -108,7 +108,10 @@ def partition_local_topk(
     through Arrow bit-exact, so oracle parity is unaffected.
 
     NaN ordering matches Spark's (NaN greatest, so first under desc):
-    ``na_position='first'`` below.
+    ``na_position='first'`` below. NULL query ids survive: the final
+    window treats NULLs as one ordinary partition, so the pre-reduction
+    must too — pandas groupby defaults to ``dropna=True``, which would
+    silently delete the whole NULL-key group here (``dropna=False``).
     """
     import pandas as pd
 
@@ -124,7 +127,7 @@ def partition_local_topk(
                 na_position="first",
                 kind="mergesort",
             )
-            acc = both.groupby(query_id_col, sort=False).head(k)
+            acc = both.groupby(query_id_col, sort=False, dropna=False).head(k)
         if acc is not None:
             yield acc
 

@@ -112,6 +112,40 @@ class TestPartitionLocalTopk:
         fast = topk(partition_local_topk(scored, k=7))
         assert naive == fast
 
+    def test_null_query_id_group_survives(self, spark):
+        """A NULL query_id is one ordinary partition to the final merge
+        window, so the pandas pre-reduction must keep it too — the
+        default groupby(dropna=True) silently deleted the whole NULL
+        group (round-6 ANN-family review)."""
+        from dask_felleskomponenter_spark.operators.similarity import (
+            partition_local_topk,
+        )
+
+        rows = [
+            Row(query_id=None if i % 2 else 7, vec_id=i, cosine=i / 100.0)
+            for i in range(40)
+        ]
+        scored = spark.createDataFrame(
+            rows, "query_id int, vec_id int, cosine double"
+        ).repartition(4)
+        reduced = partition_local_topk(scored, k=3)
+        by_q = {
+            r["query_id"]: r["count"]
+            for r in reduced.groupBy("query_id").count().collect()
+        }
+        # NULL group present and bounded like any other: ≤ k × n_parts
+        assert None in by_q and 1 <= by_q[None] <= 3 * 4
+        assert 7 in by_q and 1 <= by_q[7] <= 3 * 4
+        # the global top-3 of the NULL group is exact
+        got = sorted(
+            r["vec_id"]
+            for r in reduced.filter(F.col("query_id").isNull())
+            .orderBy(F.col("cosine").desc())
+            .limit(3)
+            .collect()
+        )
+        assert got == [35, 37, 39]
+
     def test_operator_end_to_end_matches_brute_force(self, spark):
         from dask_felleskomponenter_spark.operators.similarity import (
             cosine_topk_per_query,
