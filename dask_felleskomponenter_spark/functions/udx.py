@@ -61,6 +61,12 @@ class ChunkDocument:
     def eval(self, text: str | None, chunk_size: int, stride: int):
         if text is None:
             return
+        if chunk_size is None or stride is None:
+            # a SQL NULL parameter would otherwise surface as an opaque
+            # `NoneType <= int` TypeError from the comparison below
+            raise ValueError(
+                "chunk_document: chunk_size and stride must not be NULL"
+            )
         if stride <= 0 or chunk_size <= 0:
             # raise, don't hang: s += stride would never advance and the
             # executor task spins forever on the SQL-registered surface

@@ -235,7 +235,12 @@ def get_mandatory_metadata_for_medaljongnivaa(
     out: dict[str, MetadataError] = {}
     reg = registry or DEFAULT_REGISTRY
     empty = TableMetadata(column_properties=column_properties or {})
-    for check in checks_for_level(reg)[medaljongnivaa]:
+    # Same fallback as validate_table: a registry-custom level beyond
+    # bronze/silver/gold enumerates the strictest (gold) chain instead
+    # of raising a bare KeyError — the two entry points must agree on
+    # which levels are acceptable.
+    chains = checks_for_level(reg)
+    for check in chains.get(medaljongnivaa, chains["gold"]):
         findings = check(empty, [])
         if findings:
             out[findings[0].for_field] = findings[0]

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dask_felleskomponenter_spark.functions.text import PII_PATTERNS, pii_hits
+from dask_felleskomponenter_spark.functions.text import PII_PATTERNS
 from dask_felleskomponenter_spark.governance.model import MetadataError
 
 
@@ -34,10 +34,15 @@ def scan_text_pii(
     aggs = []
     for col in columns:
         for kind in PII_PATTERNS:
+            # existence, not count: regexp_like short-circuits at the
+            # first match, where regexp_count would keep scanning a
+            # PII-dense document to tally matches nobody consumes
             aggs.append(
-                F.sum((pii_hits(col, kind) > 0).cast("long")).alias(
-                    f"{col} {kind}"
-                )
+                F.sum(
+                    F.regexp_like(
+                        F.col(col), F.lit(PII_PATTERNS[kind])
+                    ).cast("long")
+                ).alias(f"{col} {kind}")
             )
     if not aggs:
         return []

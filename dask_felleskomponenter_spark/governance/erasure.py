@@ -47,12 +47,18 @@ def erase_keys_parquet(
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
     sorted_keys = sorted(key_set)
 
-    files = sorted(
-        os.path.join(dp, f)
-        for dp, _dn, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    files = []
+    for dp, _dn, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".rewrite.tmp"):
+                # crash residue from an interrupted erasure run — the
+                # swap never happened, the original file is intact, and
+                # a leftover tmp must not linger (pre-round-6 runs used
+                # a Spark-visible name; reap those too)
+                os.remove(os.path.join(dp, f))
+            elif f.endswith(".parquet"):
+                files.append(os.path.join(dp, f))
+    files.sort()
     value_set = pa.array(sorted_keys)
     rewritten = 0
     deleted = 0
@@ -86,7 +92,14 @@ def erase_keys_parquet(
         # actually present, preserving the byte-identical guarantee for
         # files whose stats range overlapped but held no subject key.
         pf = pq.ParquetFile(f)
-        tmp = f + ".rewrite.tmp"
+        # Dot-prefixed tmp name: Spark/Hadoop hide '.'/'_' files, so a
+        # hard crash between writer close and os.replace leaves residue
+        # that no reader ever sees — a visible `<f>.rewrite.tmp` would
+        # be read as data (duplicating, or even RESURRECTING, the rows
+        # this compliance operation must delete).
+        tmp = os.path.join(
+            os.path.dirname(f), "." + os.path.basename(f) + ".rewrite.tmp"
+        )
         n_hit = 0
         try:
             with pq.ParquetWriter(tmp, pf.schema_arrow) as writer:

@@ -84,7 +84,12 @@ class TableMetadata:
                 value = {}
             setattr(self, name, value)
         for key, value in kwargs.items():
-            if key not in self.__dataclass_fields__ and "delta." not in key:
+            # prefix match, mirroring the store's INTERNAL_PREFIXES
+            # filter — a substring test would silently drop user tags
+            # merely CONTAINING "delta." (e.g. "pre_delta.note")
+            if key not in self.__dataclass_fields__ and not key.startswith(
+                "delta."
+            ):
                 self.optional_params[key] = value
 
 

@@ -55,7 +55,17 @@ class TblPropertiesMetadataStore:
         return "'" + str(value).replace("'", "''") + "'"
 
     # -- writes ------------------------------------------------------------
-    def set_tags(self, schema: str, table: str, tags: dict[str, str]) -> None:
+    def set_tags(
+        self,
+        schema: str,
+        table: str,
+        tags: dict[str, str],
+        catalog: str | None = None,
+    ) -> None:
+        # Writes take the same optional catalog as every read: without
+        # it, an ALTER issued while the session's current catalog
+        # differs from the one the metadata describes would land the
+        # governance tags on the wrong table.
         if not tags:
             return
         pairs = ", ".join(
@@ -63,19 +73,32 @@ class TblPropertiesMetadataStore:
             for k, v in tags.items()
         )
         self.spark.sql(
-            f"ALTER TABLE {self._qualify(schema, table)} SET TBLPROPERTIES ({pairs})"
+            f"ALTER TABLE {self._qualify(schema, table, catalog)} "
+            f"SET TBLPROPERTIES ({pairs})"
         )
 
-    def set_comment(self, schema: str, table: str, comment: str) -> None:
-        self.set_tags(schema, table, {"comment": comment})
+    def set_comment(
+        self,
+        schema: str,
+        table: str,
+        comment: str,
+        catalog: str | None = None,
+    ) -> None:
+        self.set_tags(schema, table, {"comment": comment}, catalog)
 
     def set_column_properties(
-        self, schema: str, table: str, column: str, props: dict[str, str]
+        self,
+        schema: str,
+        table: str,
+        column: str,
+        props: dict[str, str],
+        catalog: str | None = None,
     ) -> None:
         self.set_tags(
             schema,
             table,
             {f"columns.{column}.{k}": v for k, v in props.items()},
+            catalog,
         )
 
     # -- reads -------------------------------------------------------------

@@ -57,13 +57,15 @@ def two_phase_salted_agg(
     # joins.salted_join).
     from dask_felleskomponenter_spark.operators.shuffle import (
         deterministic_row_salt,
+        fresh_name,
     )
 
-    salt = deterministic_row_salt(df, salt_buckets).alias("_salt")
+    salt_col = fresh_name("_salt", df, extra=set(aggs))
+    salt = deterministic_row_salt(df, salt_buckets).alias(salt_col)
 
     partial = (
         df.select(*df.columns, salt)
-        .groupBy(*key_cols, "_salt")
+        .groupBy(*key_cols, salt_col)
         .agg(
             *[
                 _MERGEABLE[fn][0](col).alias(f"_p_{out}")

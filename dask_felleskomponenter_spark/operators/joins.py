@@ -108,9 +108,17 @@ def interval_join(
 
     Matched right value columns land as ``{prefix}{col}``.
     """
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
     key_cols = list(on)
     lo_us, hi_us = range_bounds_us(lower_seconds, upper_seconds)
     width_us = max(hi_us - lo_us, 1)
+
+    # Internal helper names must not shadow user columns (withColumn
+    # would replace them and the final projection would return bucket
+    # ids as user data).
+    bkt_col = fresh_name("_rng_bkt", left, right)
+    ts_tag = fresh_name("_rng_ts", left, right)
 
     # cast("timestamp") is a no-op for LTZ input but keeps NTZ-typed
     # columns legal for unix_micros (identical wall-clock under a UTC
@@ -119,7 +127,7 @@ def interval_join(
     r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
     probe = left.withColumn(
-        "_rng_bkt",
+        bkt_col,
         F.explode(
             F.sequence(
                 F.floor((l_us + F.lit(lo_us)) / F.lit(width_us)),
@@ -129,15 +137,15 @@ def interval_join(
     )
     build = right.select(
         *[F.col(k).alias(f"_rng_{k}") for k in key_cols],
-        F.floor(r_us / F.lit(width_us)).alias("_rng_bkt"),
-        F.col(right_ts).alias("_rng_ts"),
+        F.floor(r_us / F.lit(width_us)).alias(bkt_col),
+        F.col(right_ts).alias(ts_tag),
         *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
     )
 
-    cond = probe["_rng_bkt"] == build["_rng_bkt"]
+    cond = probe[bkt_col] == build[bkt_col]
     for k in key_cols:
         cond = cond & (probe[k] == build[f"_rng_{k}"])
-    m_ts = F.unix_micros(F.col("_rng_ts").cast("timestamp"))
+    m_ts = F.unix_micros(F.col(ts_tag).cast("timestamp"))
     m_left = F.unix_micros(F.col(left_ts).cast("timestamp"))
     in_range = (m_ts >= m_left + F.lit(lo_us)) & (m_ts <= m_left + F.lit(hi_us))
     joined = probe.join(build, cond, "inner").filter(in_range)
@@ -185,10 +193,20 @@ def asof_join(
     from pyspark.sql import Window
     from pyspark.sql.types import StructField, StructType
 
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
     if not value_cols:
         raise ValueError("asof_join needs at least one value column")
     key_cols = list(on)
     out_cols = list(left.columns)
+
+    # Internal stream-tag names must not shadow user columns — a left
+    # column literally named "_asof_ts" would otherwise duplicate in the
+    # union schema and break every later by-name reference.
+    ts_tag = fresh_name("_asof_ts", left, right)
+    side_tag = fresh_name("_asof_side", left, right)
+    val_tag = fresh_name("_asof_val", left, right)
+    match_tag = fresh_name("_asof_match", left, right)
 
     # Build the NULL-struct type from the schema objects, not DDL text —
     # column names needing backticks (spaces, dots) round-trip safely.
@@ -199,9 +217,9 @@ def asof_join(
 
     probe = left.select(
         *[F.col(c) for c in left.columns],
-        F.col(left_ts).alias("_asof_ts"),
-        F.lit(1).alias("_asof_side"),
-        F.lit(None).cast(val_type).alias("_asof_val"),
+        F.col(left_ts).alias(ts_tag),
+        F.lit(1).alias(side_tag),
+        F.lit(None).cast(val_type).alias(val_tag),
     )
     # Build rows with a NULL key can never match under SQL equi-join
     # semantics (NULL = NULL is UNKNOWN) — but the window's partitionBy
@@ -215,23 +233,23 @@ def asof_join(
         F.col(right_ts).isNotNull() & build_keys_ok
     ).select(
         *[F.col(k) for k in key_cols],
-        F.col(right_ts).alias("_asof_ts"),
-        F.lit(0).alias("_asof_side"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("_asof_val"),
+        F.col(right_ts).alias(ts_tag),
+        F.lit(0).alias(side_tag),
+        F.struct(*[F.col(c) for c in value_cols]).alias(val_tag),
     )
     stream = probe.unionByName(build, allowMissingColumns=True)
 
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("_asof_ts", "_asof_side")
+        .orderBy(ts_tag, side_tag)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = stream.withColumn(
-        "_asof_match", F.last("_asof_val", ignorenulls=True).over(w)
+        match_tag, F.last(val_tag, ignorenulls=True).over(w)
     )
-    return carried.filter(F.col("_asof_side") == 1).select(
+    return carried.filter(F.col(side_tag) == 1).select(
         *[F.col(c) for c in out_cols],
-        *[F.col("_asof_match")[c].alias(f"{prefix}{c}") for c in value_cols],
+        *[F.col(match_tag)[c].alias(f"{prefix}{c}") for c in value_cols],
     )
 
 
@@ -263,17 +281,19 @@ def salted_join(
     """
     from dask_felleskomponenter_spark.operators.shuffle import (
         deterministic_row_salt,
+        fresh_name,
     )
 
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = list(on)
-    big_s = big.withColumn("_salt", deterministic_row_salt(big, salt_buckets))
+    salt_col = fresh_name("_salt", big, small)
+    big_s = big.withColumn(salt_col, deterministic_row_salt(big, salt_buckets))
     small_s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    ).withColumn("_salt", F.col("_salt").cast("long"))
-    joined = big_s.join(small_s, keys + ["_salt"], how)
-    return joined.drop("_salt")
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn(salt_col, F.col(salt_col).cast("long"))
+    joined = big_s.join(small_s, keys + [salt_col], how)
+    return joined.drop(salt_col)
 
 
 def grid_box_join(
@@ -302,11 +322,21 @@ def grid_box_join(
 
     Matched right columns land as ``{prefix}{col}``.
     """
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
     lx, ly = left_xy
     rx, ry = right_xy
     if radius <= 0:
         raise ValueError("radius must be positive")
     cell = float(radius)
+
+    # Helper names picked clear of both the left columns and the
+    # prefixed right columns — withColumn must never replace user data.
+    prefixed = {f"{prefix}{c}" for c in right.columns}
+    cx_col = fresh_name("_cell_x", left, extra=prefixed)
+    cy_col = fresh_name("_cell_y", left, extra=prefixed | {cx_col})
+    dx_col = fresh_name("_dx", left, extra=prefixed)
+    dy_col = fresh_name("_dy", left, extra=prefixed | {dx_col})
 
     l_cx = F.floor(F.col(lx) / cell)
     l_cy = F.floor(F.col(ly) / cell)
@@ -314,25 +344,25 @@ def grid_box_join(
         "array(-1L, 0L, 1L)"
     )
     probe = (
-        left.withColumn("_dx", F.explode(offsets))
-        .withColumn("_dy", F.explode(offsets))
-        .withColumn("_cell_x", l_cx + F.col("_dx"))
-        .withColumn("_cell_y", l_cy + F.col("_dy"))
-        .drop("_dx", "_dy")
+        left.withColumn(dx_col, F.explode(offsets))
+        .withColumn(dy_col, F.explode(offsets))
+        .withColumn(cx_col, l_cx + F.col(dx_col))
+        .withColumn(cy_col, l_cy + F.col(dy_col))
+        .drop(dx_col, dy_col)
     )
     build = right.select(
         *[F.col(c).alias(f"{prefix}{c}") for c in right.columns]
     ).withColumn(
-        "_cell_x", F.floor(F.col(f"{prefix}{rx}") / cell)
+        cx_col, F.floor(F.col(f"{prefix}{rx}") / cell)
     ).withColumn(
-        "_cell_y", F.floor(F.col(f"{prefix}{ry}") / cell)
+        cy_col, F.floor(F.col(f"{prefix}{ry}") / cell)
     )
-    joined = probe.join(build, ["_cell_x", "_cell_y"])
+    joined = probe.join(build, [cx_col, cy_col])
     box = (
         (F.abs(F.col(lx) - F.col(f"{prefix}{rx}")) <= radius)
         & (F.abs(F.col(ly) - F.col(f"{prefix}{ry}")) <= radius)
     )
-    return joined.filter(box).drop("_cell_x", "_cell_y")
+    return joined.filter(box).drop(cx_col, cy_col)
 
 
 def multikey_blocking_candidates(

@@ -60,6 +60,23 @@ def deterministic_row_salt(df: DataFrame, buckets: int) -> Column:
     )
 
 
+def fresh_name(base: str, *dfs: DataFrame, extra: set[str] | None = None) -> str:
+    """A column name starting with ``base`` that collides with no column
+    of any ``dfs`` (nor ``extra`` names). Operators that stage internal
+    helper columns (salts, buckets, cell ids) must not silently replace
+    a same-named user column — ``withColumn`` overwrites and the final
+    ``drop`` would then delete user data (round-6 review finding)."""
+    taken = set(extra or ())
+    for df in dfs:
+        taken.update(df.columns)
+    if base not in taken:
+        return base
+    i = 0
+    while f"{base}{i}" in taken:
+        i += 1
+    return f"{base}{i}"
+
+
 def hashable_columns(schema) -> list[str]:
     """Column names of ``schema`` safe to feed to ``xxhash64``/``hash``:
     everything except columns containing a MapType anywhere in their

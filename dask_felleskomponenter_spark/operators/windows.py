@@ -54,7 +54,7 @@ def lag_sessionize(
     df: DataFrame,
     user_col: str,
     ts_col: str,
-    gap_seconds: int,
+    gap_seconds: int | float,
     session_col: str = "session_id",
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
@@ -72,19 +72,39 @@ def lag_sessionize(
     exactly one gap apart share a session). All three sessionization
     paths agree at the boundary.
     """
+    from decimal import Decimal
+
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
+    # Gap as an exact day-time interval at microsecond precision —
+    # int(gap_seconds) would silently truncate fractional gaps (0.5 → 0,
+    # every event its own session), and a seconds-granularity compare
+    # would mis-bucket sub-second gaps against any full-precision
+    # oracle.
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    if gap_us < 0:
+        raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds!r}")
+    zero = F.lit(0)
+    gap_itv = F.make_dt_interval(
+        zero, zero, zero, F.lit(Decimal(gap_us).scaleb(-6))
+    )
+    # Gaps via direct timestamp subtraction (a day-time interval), NOT a
+    # round-trip through unix_micros: for TIMESTAMP_NTZ input that
+    # round-trip casts through the SESSION timezone, which is non-uniform
+    # across DST transitions — two NTZ wall clocks 2h apart straddling a
+    # spring-forward would measure 1h and wrongly share a session.
+    # Subtraction is uniform wall-clock (NTZ) / absolute-time (LTZ)
+    # arithmetic either way. Strings/dates still cast once, up front.
+    dtype = dict(df.dtypes).get(ts_col, "")
+    ts = (
+        F.col(ts_col)
+        if dtype.startswith("timestamp")
+        else F.col(ts_col).cast("timestamp")
+    )
     order_w = Window.partitionBy(user_col).orderBy(ts_col)
-    prev_ts = F.lag(ts_col).over(order_w)
-    # Compare at microsecond precision (exact integers) — truncating to
-    # seconds would mis-bucket sub-second gaps and disagree with any
-    # oracle computing on full-precision timestamps.
-    gap_us = F.lit(int(gap_seconds) * 1_000_000).cast("long")
+    prev_ts = F.lag(ts).over(order_w)
     is_new = F.when(
-        prev_ts.isNull()
-        | (
-            F.unix_micros(F.col(ts_col).cast("timestamp"))
-            - F.unix_micros(prev_ts.cast("timestamp"))
-            > gap_us
-        ),
+        prev_ts.isNull() | ((ts - prev_ts) > gap_itv),
         F.lit(1),
     ).otherwise(F.lit(0))
     run_w = (
@@ -92,9 +112,10 @@ def lag_sessionize(
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn("_new_session", is_new).withColumn(
-        session_col, F.sum("_new_session").over(run_w)
-    ).drop("_new_session")
+    flag_col = fresh_name("_new_session", df, extra={session_col})
+    return df.withColumn(flag_col, is_new).withColumn(
+        session_col, F.sum(flag_col).over(run_w)
+    ).drop(flag_col)
 
 
 def running_total(

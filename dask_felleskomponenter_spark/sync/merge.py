@@ -131,6 +131,10 @@ def merge_into_path(
 ) -> DataFrame:
     """Read a Parquet/ORC target, merge the staging delta, write back.
 
+    A missing target path bootstraps on first call: the staging inserts
+    (non-delete, non-NULL update_type) become the initial table — the
+    same behavior a caller gets from merging into an empty table.
+
     The merged result is written to a sibling staging directory and
     swapped in by ``os.rename`` — an in-place ``mode('overwrite')``
     deletes the target before the new write commits, so a crash or
@@ -154,9 +158,30 @@ def merge_into_path(
     # staging write mid-flight).
     recover_interrupted_swap(target_path)
     old_dir = target_path + ".old"
+    staging_dir = f"{target_path}.staging-{uuid.uuid4().hex}"
+    if not os.path.exists(target_path):
+        # First-call bootstrap (mirrors refresh_incremental_summary's
+        # "created on first call"): an empty target matches nothing, so
+        # the merge result is exactly the staging inserts — non-NULL,
+        # non-delete rows, update-type column dropped. Same
+        # write-aside-then-rename so a crash never leaves a half-target.
+        if update_type_col not in staging.columns:
+            raise ValueError(
+                f"staging is missing the update-type column "
+                f"{update_type_col!r}"
+            )
+        inserts = staging.filter(
+            F.col(update_type_col) != F.lit("delete")  # NULL-false too
+        ).drop(update_type_col)
+        try:
+            inserts.write.format(fmt).mode("overwrite").save(staging_dir)
+            os.rename(staging_dir, target_path)
+        finally:
+            if os.path.exists(staging_dir):
+                shutil.rmtree(staging_dir, ignore_errors=True)
+        return spark.read.format(fmt).load(target_path)
     target = spark.read.format(fmt).load(target_path)
     merged = merge_upsert(target, staging, keys, update_type_col)
-    staging_dir = f"{target_path}.staging-{uuid.uuid4().hex}"
     try:
         merged.write.format(fmt).mode("overwrite").save(staging_dir)
         if os.path.exists(old_dir):

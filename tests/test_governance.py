@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -163,6 +164,28 @@ def test_mandatory_metadata_introspection():
     }
 
 
+def test_mandatory_metadata_custom_level_falls_back_to_gold():
+    """A registry-custom medallion level must enumerate the same chain
+    validate_table runs for it (the gold fallback), not KeyError — the
+    two entry points agreeing is the round-6 review fix."""
+    reg = CodelistRegistry(
+        overrides={"medaljongnivaa": ["bronze", "silver", "gold", "platinum"]}
+    )
+    plat = get_mandatory_metadata_for_medaljongnivaa("platinum", registry=reg)
+    gold = get_mandatory_metadata_for_medaljongnivaa("gold", registry=reg)
+    assert set(plat) == set(gold)
+
+
+def test_tag_containing_delta_substring_is_preserved():
+    """Only keys STARTING WITH 'delta.' are engine-internal; a user tag
+    merely containing the substring must survive absorption (round-6
+    review fix: substring test silently dropped 'pre_delta.note')."""
+    md = TableMetadata(**GOLD, **{"pre_delta.note": "x"})
+    assert md.optional_params == {"pre_delta.note": "x"}
+    md2 = TableMetadata(**GOLD, **{"delta.minReaderVersion": "2"})
+    assert md2.optional_params == {}
+
+
 def test_codelist_entry_asymmetric_equality():
     e = CodelistEntry(id="urn:x", label="X")
     assert e == "urn:x"
@@ -311,6 +334,44 @@ class TestPiiDataScan:
 
 
 class TestErasure:
+    def test_rewrite_tmp_is_hidden_and_stale_residue_reaped(
+        self, spark, tmp_path
+    ):
+        """The rewrite temp file must be invisible to Spark (dot-prefix)
+        and any crash residue — including the pre-round-6 visible name —
+        must be reaped on the next run, or a crashed erasure duplicates
+        or resurrects the very rows it deleted (round-6 review
+        finding)."""
+        import glob as _glob
+        import shutil
+
+        from dask_felleskomponenter_spark.governance.erasure import (
+            erase_keys_parquet,
+        )
+
+        path = str(tmp_path / "t")
+        spark.range(100).selectExpr("id as subject_id", "id * 2 as v").coalesce(
+            1
+        ).write.parquet(path)
+        data_file = _glob.glob(path + "/part-*.parquet")[0]
+        # simulate a crash mid-rewrite under the OLD visible tmp name: a
+        # complete copy of the data file left beside it
+        stale = data_file + ".rewrite.tmp"
+        shutil.copyfile(data_file, stale)
+        assert spark.read.parquet(path).count() == 200  # the hazard itself
+
+        report = erase_keys_parquet(path, "subject_id", [5])
+        assert not os.path.exists(stale)
+        assert report["rows_deleted"] == 1
+        # no tmp residue of any kind survives a successful run
+        leftovers = [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".rewrite.tmp")
+        ]
+        assert leftovers == []
+        assert spark.read.parquet(path).count() == 99
+
     def test_erase_touches_only_files_containing_subjects(self, spark, tmp_path):
         import glob as _glob
         import hashlib

@@ -372,6 +372,78 @@ def test_lsh_overlong_band_config_does_not_go_quadratic(spark):
     assert len(pairs) < 12 * 11 / 2
 
 
+def test_operator_helper_columns_never_shadow_user_columns(spark):
+    """Internal helper columns (salts, range buckets, grid cells, asof
+    stream tags) are picked collision-free: a user column that happens
+    to share the reserved name must come through intact (round-6 review
+    finding — withColumn used to replace it and drop() deleted it)."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.aggregates import (
+        two_phase_salted_agg,
+    )
+    from dask_felleskomponenter_spark.operators.joins import (
+        asof_join,
+        grid_box_join,
+        interval_join,
+        salted_join,
+    )
+
+    # salted_join: big side carries its own "_salt" data column
+    big = spark.createDataFrame(
+        [Row(user_id=i % 3, _salt=f"keep{i}") for i in range(12)]
+    )
+    small = spark.createDataFrame([Row(user_id=i, seg=f"s{i}") for i in range(3)])
+    out = salted_join(big, small, on=["user_id"], salt_buckets=4)
+    assert "_salt" in out.columns
+    assert {r["_salt"] for r in out.collect()} == {f"keep{i}" for i in range(12)}
+
+    # two_phase_salted_agg: "_salt" as a grouping key must group, not
+    # be overwritten by the internal salt (which would explode groups)
+    agg = two_phase_salted_agg(
+        big.withColumn("v", F.lit(1)),
+        keys=["_salt"],
+        aggs={"n": ("count", "v")},
+        salt_buckets=4,
+    )
+    assert agg.count() == 12 and agg.filter(F.col("n") != 1).isEmpty()
+
+    # asof_join: left side carries "_asof_ts" as user data
+    left = spark.createDataFrame(
+        [Row(k=1, ts=10, _asof_ts="mine"), Row(k=1, ts=20, _asof_ts="also")]
+    )
+    right = spark.createDataFrame([Row(k=1, rts=5, val="x")])
+    a = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  value_cols=["val"])
+    assert sorted(r["_asof_ts"] for r in a.collect()) == ["also", "mine"]
+    assert all(r["asof_val"] == "x" for r in a.collect())
+
+    # interval_join: left side carries "_rng_bkt" as user data
+    ev_l = spark.createDataFrame(
+        [Row(k=1, ts="2026-01-01 00:00:10", _rng_bkt="keep-me")]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev_r = spark.createDataFrame(
+        [Row(k=1, rts="2026-01-01 00:00:05", msg="hello")]
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    ij = interval_join(
+        ev_l, ev_r, on=["k"], left_ts="ts", right_ts="rts",
+        lower_seconds=-30, upper_seconds=0, value_cols=["msg"],
+    )
+    rows = ij.collect()
+    assert [r["_rng_bkt"] for r in rows] == ["keep-me"]
+    assert [r["rng_msg"] for r in rows] == ["hello"]
+
+    # grid_box_join: left side carries "_cell_x" as user data
+    pts_l = spark.createDataFrame([Row(x=0.0, y=0.0, _cell_x="keep")])
+    pts_r = spark.createDataFrame([Row(x=1.0, y=1.0, tag="near")])
+    gb = grid_box_join(
+        pts_l, pts_r, left_xy=("x", "y"), right_xy=("x", "y"), radius=2.0
+    )
+    rows = gb.collect()
+    assert [r["_cell_x"] for r in rows] == ["keep"]
+    assert [r["nb_tag"] for r in rows] == ["near"]
+
+
 def test_salted_join_tolerates_map_columns(spark):
     """xxhash64 cannot hash MapType; the salt must skip such columns
     instead of failing analysis."""
@@ -391,6 +463,53 @@ def test_salted_join_tolerates_map_columns(spark):
             expected.select("user_id", "v", "seg")
         ).isEmpty()
     )
+
+
+def test_lag_sessionize_fractional_gap_and_ntz_dst(spark):
+    """Two round-6 review findings: int(gap_seconds) silently truncated
+    fractional gaps (0.5 → 0: every event its own session), and the
+    unix_micros round-trip through the SESSION timezone made NTZ gap
+    measurement non-uniform across DST transitions."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.windows import lag_sessionize
+
+    # fractional gap honored at sub-second precision
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, ts=base),
+            Row(u=1, ts=base + dt.timedelta(milliseconds=300)),  # same
+            Row(u=1, ts=base + dt.timedelta(milliseconds=1000)),  # new
+        ]
+    )
+    got = {
+        r["ts"].microsecond // 1000 + r["ts"].second * 1000: r["session_id"]
+        for r in lag_sessionize(ev, "u", "ts", gap_seconds=0.5).collect()
+    }
+    assert got[0] == got[300] and got[1000] == got[300] + 1
+
+    # NTZ wall clocks across Europe/Oslo spring-forward: 01:30 → 03:30
+    # is a 2h wall-clock gap; a session-tz round-trip would measure 1h
+    ntz = spark.createDataFrame(
+        [
+            Row(u=1, ts=dt.datetime(2026, 3, 29, 1, 30)),
+            Row(u=1, ts=dt.datetime(2026, 3, 29, 3, 30)),
+        ],
+        "u int, ts timestamp_ntz",
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Oslo")
+        sessions = {
+            r["session_id"]
+            for r in lag_sessionize(ntz, "u", "ts", gap_seconds=5400).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert sessions == {1, 2}  # 7200s > 5400s gap → two sessions
 
 
 def test_cosine_neardup_pairs_null_and_zero_vectors(spark):

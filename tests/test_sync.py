@@ -183,6 +183,28 @@ class TestMergeUpsert:
         with pytest.raises(ValueError, match="merge keys"):
             merge_upsert(target, staging, keys=["nope"])
 
+    def test_merge_into_path_bootstraps_fresh_target(self, spark, tmp_path):
+        """First CDC publish to a never-written path initializes the
+        target from the staging inserts (delete/NULL rows ignored, the
+        update-type column dropped) instead of raising PATH_NOT_FOUND
+        (round-6 review finding)."""
+        _, staging = self._frames(spark)
+        path = str(tmp_path / "fresh")
+        merge_into_path(path, staging, keys=["id"])
+        back = spark.read.parquet(path)
+        assert "update_type" not in back.columns
+        got = {(r["id"], r["val"]) for r in back.collect()}
+        # upserts inserted (NULL-keyed ones too); deletes/ghosts ignored
+        assert got == {(2, "updated"), (4, "inserted"), (None, "null-key-insert")}
+        # second call over the bootstrapped target behaves like a merge
+        more = staging.sparkSession.createDataFrame(
+            [(2, "again", "update"), (4, None, "delete")],
+            "id bigint, val string, update_type string",
+        )
+        merge_into_path(path, more, keys=["id"])
+        got = {(r["id"], r["val"]) for r in spark.read.parquet(path).collect()}
+        assert got == {(2, "again"), (None, "null-key-insert")}
+
     def test_merge_into_path_roundtrip(self, spark, tmp_path):
         target, staging = self._frames(spark)
         path = str(tmp_path / "tgt")
