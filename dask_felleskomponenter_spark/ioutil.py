@@ -24,11 +24,55 @@ maintenance jobs) may pass 0 to reap immediately.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import time
 
 STALE_STAGING_AGE_S = 3600.0
+
+
+@contextlib.contextmanager
+def path_mutex(path: str):
+    """Advisory exclusive lock serializing read-modify-write swaps on
+    ``path`` for all processes on one host (``flock`` on a ``.lock``
+    sibling — the lock file persists; holding the flock, not the file's
+    existence, is the lock, so crashes can never leave it stuck).
+
+    Without this, two overlapping refreshes both read the same old
+    state, each fold only their own batch, and the last swap silently
+    drops the other's contribution — lost update, no error. Multi-HOST
+    writers need a transactional table format instead (Delta/Iceberg
+    MERGE); that is already each caller's documented scale posture.
+    On platforms without ``fcntl`` the lock degrades to a no-op."""
+    lock_path = path + ".lock"
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: best-effort, documented
+        yield
+        return
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
+
+def commit_swap(path: str, staging_dir: str) -> None:
+    """Publish a fully-written ``staging_dir`` over ``path`` via the
+    sibling-rename swap (live → ``.old`` → staging in → drop ``.old``).
+    A crash at any step is recovered by ``recover_interrupted_swap``;
+    a missing live path (first-call bootstrap) skips the ``.old`` leg.
+    Owned here so the three swap call sites cannot drift."""
+    old_dir = path + ".old"
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    if os.path.exists(path):
+        os.rename(path, old_dir)
+    os.rename(staging_dir, path)
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
 
 
 def recover_interrupted_swap(

@@ -313,9 +313,16 @@ def ngram_jaccard_pairs(
         .select(F.explode("_ps").alias("_x"), "_ps")
         .select("_x", F.explode("_ps").alias("_y"))
         .filter(F.col("_x._id") < F.col("_y._id"))
+        # Length-ratio prune in DIVISION form, matching the final
+        # filter's arithmetic: jaccard ≤ min/max, and double division is
+        # monotone in the rational value, so any pair the final
+        # I/U >= t test would accept also passes min/max >= t here.
+        # The multiplication form (y >= x*t) is NOT lossless: for
+        # t=0.1, x=10 it computes 10*0.1 = 1.0000000000000002 and drops
+        # a pair whose exact jaccard equals the threshold.
         .filter(
-            (F.col("_y._set_size") >= F.col("_x._set_size") * F.lit(t))
-            & (F.col("_y._set_size") * F.lit(t) <= F.col("_x._set_size"))
+            (F.col("_y._set_size") / F.col("_x._set_size") >= F.lit(t))
+            & (F.col("_x._set_size") / F.col("_y._set_size") >= F.lit(t))
         )
     )
     inter = cands.groupBy(

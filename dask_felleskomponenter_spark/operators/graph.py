@@ -165,6 +165,11 @@ def assign_components(
     """Attach a cluster id to every row of ``df``: the component minimum
     for rows that near-dup with anything, the row's own id otherwise
     (singleton clusters)."""
+    # Same loud guard the edge side gets: the singleton fallback below
+    # is cast('long'), which would silently turn string ids into NULL
+    # components (one giant NULL cluster) — exactly what
+    # _require_integral_ids exists to prevent.
+    _require_integral_ids(df, [id_col], "assign_components")
     cc = connected_components(pairs, src, dst).select(
         F.col("node").alias("_cc_id"), F.col("component").alias("_cc_comp")
     )

@@ -62,7 +62,10 @@ def profile_numeric_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [
             F.count(v[c]).alias(f"{c}__nn"),
-            F.count_distinct(v[c]).alias(f"{c}__nd"),
+            # distinct on the NATIVE column: a double cast would merge
+            # bigint/decimal values past 2^53 and silently under-count —
+            # the exactness this profile's docstring promises
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.round(F.min(v[c]), 6).alias(f"{c}__mn"),
             F.round(F.max(v[c]), 6).alias(f"{c}__mx"),
             F.round(F.avg(v[c]), 6).alias(f"{c}__av"),

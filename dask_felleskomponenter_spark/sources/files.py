@@ -205,9 +205,7 @@ def read_orc(
     enforced instead of trusted-from-file, matching the CSV/JSON policy."""
     reader = spark.read
     if schema is not None:
-        if isinstance(schema, dict):
-            schema = convert_json_schema_to_spark(schema)
-        reader = reader.schema(schema)
+        reader = reader.schema(_resolve_schema(schema, with_corrupt_col=False))
     return reader.orc(path)
 
 
@@ -220,9 +218,7 @@ def read_avro(
     call sites should treat Avro as an optional extra like GDAL."""
     reader = spark.read.format("avro")
     if schema is not None:
-        if isinstance(schema, dict):
-            schema = convert_json_schema_to_spark(schema)
-        reader = reader.schema(schema)
+        reader = reader.schema(_resolve_schema(schema, with_corrupt_col=False))
     return reader.load(path)
 
 
@@ -250,22 +246,40 @@ def read_parquet_evolved(
     small metadata job); the conforming projection is codegen'd into
     the scan, and column pruning still applies — only target (and
     kept-extra) columns are read."""
-    if isinstance(target_schema, dict):
-        target_schema = convert_json_schema_to_spark(target_schema)
+    target_schema = _resolve_schema(target_schema, with_corrupt_col=False)
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    present = {f.name for f in df.schema.fields}
+    # Column matching follows the session's resolution mode: Spark
+    # resolves names case-INsensitively by default, so a file column
+    # 'userId' must satisfy a target field 'userid' instead of being
+    # silently replaced by typed NULLs (round-6 review finding).
+    case_sensitive = (
+        str(spark.conf.get("spark.sql.caseSensitive", "false")).lower()
+        == "true"
+    )
+
+    def _key(name: str) -> str:
+        return name if case_sensitive else name.lower()
+
+    present = {_key(f.name): f.name for f in df.schema.fields}
     cols = []
     from pyspark.sql import functions as F
 
+    matched_file_cols = set()
     for field in target_schema.fields:
-        if field.name in present:
-            cols.append(df[field.name].cast(field.dataType).alias(field.name))
+        actual = present.get(_key(field.name))
+        if actual is not None:
+            matched_file_cols.add(actual)
+            cols.append(df[actual].cast(field.dataType).alias(field.name))
         else:
             cols.append(
                 F.lit(None).cast(field.dataType).alias(field.name)
             )
     if extras == "keep":
-        unknown = sorted(present - {f.name for f in target_schema.fields})
+        unknown = sorted(
+            f.name
+            for f in df.schema.fields
+            if f.name not in matched_file_cols
+        )
         if unknown:
             cols.append(
                 F.struct(*[df[c] for c in unknown]).alias("_extras")

@@ -259,9 +259,11 @@ def compact_parquet(
     import shutil as _shutil
     import uuid as _uuid
 
-    from dask_felleskomponenter_spark.ioutil import recover_interrupted_swap
+    from dask_felleskomponenter_spark.ioutil import (
+        commit_swap,
+        recover_interrupted_swap,
+    )
 
-    old_dir = path + ".old"
     # Shared swap recovery: restore .old from an interrupted swap and
     # reap stale uuid-named .staging-* orphans (age-guarded against
     # concurrent compactions).
@@ -353,11 +355,7 @@ def compact_parquet(
             if sort_cols:
                 out = out.sortWithinPartitions(*sort_cols)
             out.write.mode("overwrite").parquet(staging)
-        if _os.path.exists(old_dir):
-            _shutil.rmtree(old_dir)
-        _os.rename(path, old_dir)
-        _os.rename(staging, path)
-        _shutil.rmtree(old_dir)
+        commit_swap(path, staging)
     finally:
         if _os.path.exists(staging):
             _shutil.rmtree(staging, ignore_errors=True)

@@ -68,39 +68,42 @@ def refresh_incremental_summary(
 
     A crash between 2 and 3 leaves the history in ``.old``; entry
     recovery renames it back before reading, so accumulated state is
-    never silently dropped."""
-    _recover_interrupted_swap(summary_path)
-    delta = _aggregate(batch_df, keys, sum_cols)
-    if _exists(summary_path):
-        old = spark.read.parquet(summary_path)
-        merge_cols = [COUNT_COL, *sum_cols, *[_nn_col(c) for c in sum_cols]]
-        # tolerate summaries written before per-column non-null counts
-        # existed: synthesize _nn_<c> = _n_rows (the old avg semantics)
-        for c in sum_cols:
-            if _nn_col(c) not in old.columns:
-                old = old.withColumn(_nn_col(c), F.col(COUNT_COL))
-        combined = (
-            old.unionByName(delta)
-            .groupBy(*keys)
-            .agg(*[F.sum(c).alias(c) for c in merge_cols])
-        )
-    else:
-        combined = delta
+    never silently dropped.
 
-    staging = f"{summary_path}.staging-{uuid.uuid4().hex}"
-    try:
-        combined.write.mode("overwrite").parquet(staging)
-        old_dir = summary_path + ".old"
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
-        if os.path.exists(summary_path):
-            os.rename(summary_path, old_dir)
-        os.rename(staging, summary_path)
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
-    finally:
-        if os.path.exists(staging):
-            shutil.rmtree(staging, ignore_errors=True)
+    The whole read-fold-swap runs under ``ioutil.path_mutex``:
+    overlapping scheduled refreshes on one host would otherwise both
+    read the same old summary and the last swap would silently drop the
+    other batch's contribution (lost update). Multi-host writers need a
+    transactional table format — the module docstring's Delta/Iceberg
+    note."""
+    from dask_felleskomponenter_spark.ioutil import commit_swap, path_mutex
+
+    with path_mutex(summary_path):
+        _recover_interrupted_swap(summary_path)
+        delta = _aggregate(batch_df, keys, sum_cols)
+        if _exists(summary_path):
+            old = spark.read.parquet(summary_path)
+            merge_cols = [COUNT_COL, *sum_cols, *[_nn_col(c) for c in sum_cols]]
+            # tolerate summaries written before per-column non-null counts
+            # existed: synthesize _nn_<c> = _n_rows (the old avg semantics)
+            for c in sum_cols:
+                if _nn_col(c) not in old.columns:
+                    old = old.withColumn(_nn_col(c), F.col(COUNT_COL))
+            combined = (
+                old.unionByName(delta)
+                .groupBy(*keys)
+                .agg(*[F.sum(c).alias(c) for c in merge_cols])
+            )
+        else:
+            combined = delta
+
+        staging = f"{summary_path}.staging-{uuid.uuid4().hex}"
+        try:
+            combined.write.mode("overwrite").parquet(staging)
+            commit_swap(summary_path, staging)
+        finally:
+            if os.path.exists(staging):
+                shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(summary_path)
 
 

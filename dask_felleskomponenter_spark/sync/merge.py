@@ -149,47 +149,43 @@ def merge_into_path(
     import shutil
     import uuid
 
-    from dask_felleskomponenter_spark.ioutil import recover_interrupted_swap
+    from dask_felleskomponenter_spark.ioutil import (
+        commit_swap,
+        path_mutex,
+        recover_interrupted_swap,
+    )
 
     spark = staging.sparkSession
-    # Shared swap recovery: restore .old from an interrupted swap and
-    # reap stale uuid-named .staging-* orphans (age-guarded so an
-    # overlapping run cannot delete a concurrent merge's in-progress
-    # staging write mid-flight).
-    recover_interrupted_swap(target_path)
-    old_dir = target_path + ".old"
-    staging_dir = f"{target_path}.staging-{uuid.uuid4().hex}"
-    if not os.path.exists(target_path):
-        # First-call bootstrap (mirrors refresh_incremental_summary's
-        # "created on first call"): an empty target matches nothing, so
-        # the merge result is exactly the staging inserts — non-NULL,
-        # non-delete rows, update-type column dropped. Same
-        # write-aside-then-rename so a crash never leaves a half-target.
-        if update_type_col not in staging.columns:
-            raise ValueError(
-                f"staging is missing the update-type column "
-                f"{update_type_col!r}"
-            )
-        inserts = staging.filter(
-            F.col(update_type_col) != F.lit("delete")  # NULL-false too
-        ).drop(update_type_col)
+    # The read-merge-swap is a read-modify-write: overlapping merges on
+    # one host would each fold only their own delta and the last swap
+    # would silently drop the other's — serialize under the path mutex.
+    with path_mutex(target_path):
+        # Shared swap recovery: restore .old from an interrupted swap and
+        # reap stale uuid-named .staging-* orphans (age-guarded so an
+        # overlapping run cannot delete a concurrent merge's in-progress
+        # staging write mid-flight).
+        recover_interrupted_swap(target_path)
+        staging_dir = f"{target_path}.staging-{uuid.uuid4().hex}"
+        if not os.path.exists(target_path):
+            # First-call bootstrap (mirrors refresh_incremental_summary's
+            # "created on first call"): an empty target matches nothing,
+            # so the merge result is exactly the staging inserts —
+            # non-NULL, non-delete rows, update-type column dropped.
+            if update_type_col not in staging.columns:
+                raise ValueError(
+                    f"staging is missing the update-type column "
+                    f"{update_type_col!r}"
+                )
+            merged = staging.filter(
+                F.col(update_type_col) != F.lit("delete")  # NULL-false too
+            ).drop(update_type_col)
+        else:
+            target = spark.read.format(fmt).load(target_path)
+            merged = merge_upsert(target, staging, keys, update_type_col)
         try:
-            inserts.write.format(fmt).mode("overwrite").save(staging_dir)
-            os.rename(staging_dir, target_path)
+            merged.write.format(fmt).mode("overwrite").save(staging_dir)
+            commit_swap(target_path, staging_dir)
         finally:
             if os.path.exists(staging_dir):
                 shutil.rmtree(staging_dir, ignore_errors=True)
-        return spark.read.format(fmt).load(target_path)
-    target = spark.read.format(fmt).load(target_path)
-    merged = merge_upsert(target, staging, keys, update_type_col)
-    try:
-        merged.write.format(fmt).mode("overwrite").save(staging_dir)
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
-        os.rename(target_path, old_dir)
-        os.rename(staging_dir, target_path)
-        shutil.rmtree(old_dir)
-    finally:
-        if os.path.exists(staging_dir):
-            shutil.rmtree(staging_dir, ignore_errors=True)
     return spark.read.format(fmt).load(target_path)

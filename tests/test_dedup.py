@@ -27,6 +27,25 @@ def test_cap_above_max_df_is_identity(spark, sf_dir):
     assert base, "oracle-checked query should produce pairs at this SF"
 
 
+def test_length_ratio_prefilter_keeps_exact_threshold_pairs(spark):
+    """jaccard == threshold exactly: the multiplication-form prune
+    (y >= x*t) computed 10*0.1 = 1.0000000000000002 in doubles and
+    dropped the pair the final I/U >= t filter accepts; the division
+    form is monotone-safe (round-6 review finding)."""
+    a_text = " ".join(f"w{i}" for i in range(10))  # 10 distinct shingles
+    df = spark.createDataFrame(
+        [(1, a_text), (2, "w0")], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_size=1, threshold=0.1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert abs(pairs[(1, 2)] - 0.1) < 1e-12
+
+
 def test_hot_shingle_cut_preserves_distinctive_pairs(spark):
     """Every doc shares a boilerplate phrase; A/B also share distinctive
     content. With the cut, the boilerplate shingles leave the universe:

@@ -612,6 +612,27 @@ def test_parquet_schema_evolution_read(spark, tmp_path):
     assert legacy[7] == "junk" and legacy[0] is None
 
 
+def test_parquet_schema_evolution_is_case_insensitive_by_default(spark, tmp_path):
+    """Spark resolves columns case-insensitively unless
+    spark.sql.caseSensitive is on; the evolved read must match the same
+    way — a file column 'userId' satisfies a target field 'userid'
+    instead of being silently nulled out (round-6 review finding)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from dask_felleskomponenter_spark.sources.files import read_parquet_evolved
+
+    path = str(tmp_path / "cased")
+    spark.range(4).select(F.col("id").alias("userId")).write.parquet(path)
+    target = StructType([StructField("userid", LongType())])
+    out = read_parquet_evolved(spark, path, target)
+    assert out.columns == ["userid"]
+    assert sorted(r.userid for r in out.collect()) == [0, 1, 2, 3]
+    # a matched-but-differently-cased column is NOT an extra
+    kept = read_parquet_evolved(spark, path, target, extras="keep")
+    assert "_extras" not in kept.columns
+
+
 def test_synthetic_batch_and_stream_rows_agree(spark, tmp_path):
     """Regression: the batch reader drew lang AFTER the text words while
     the stream reader drew it BEFORE from the same-seeded RNG, so the

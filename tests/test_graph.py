@@ -88,6 +88,17 @@ def test_assign_components_covers_singletons(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
 
 
+def test_assign_components_rejects_string_ids(spark):
+    """The singleton fallback is cast('long'); string ids must fail
+    loudly at plan-build time (like the edge side) instead of silently
+    collapsing the corpus into one NULL cluster (round-6 review
+    finding)."""
+    docs = spark.createDataFrame([("a",), ("b",)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(TypeError, match="integral id columns"):
+        assign_components(docs, "doc_id", pairs)
+
+
 def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a bigint, id_b bigint"

@@ -423,6 +423,39 @@ class TestIncrementalSummary:
         for r in avg:
             assert abs(r.avg_v - r.v / r[COUNT_COL]) < 1e-12
 
+    def test_concurrent_refreshes_lose_no_batch(self, spark, tmp_path):
+        """Two overlapping refreshes are a read-modify-write race: both
+        read the same old summary and the last swap used to silently
+        drop the other batch's contribution. The path mutex serializes
+        them — every batch's rows must be present (round-6 review
+        finding)."""
+        import threading
+
+        from dask_felleskomponenter_spark.sync.incremental import (
+            refresh_incremental_summary,
+        )
+
+        path = str(tmp_path / "sum")
+        batches = [
+            spark.createDataFrame([(i, 1)], "k int, v int") for i in range(6)
+        ]
+        errs = []
+
+        def fold(b):
+            try:
+                refresh_incremental_summary(spark, path, b, ["k"], ["v"])
+            except Exception as exc:  # surfaces in the main thread
+                errs.append(exc)
+
+        threads = [threading.Thread(target=fold, args=(b,)) for b in batches]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errs == []
+        got = {r["k"] for r in spark.read.parquet(path).collect()}
+        assert got == set(range(6))
+
     def test_crash_safety_old_summary_survives(self, spark, tmp_path, monkeypatch):
         # a refresh that dies in the dangerous window — after the live
         # summary is renamed away, before the staging lands — must not
