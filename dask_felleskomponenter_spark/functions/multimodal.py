@@ -158,6 +158,11 @@ def decode_audio_wav(data: bytes | None) -> dict | None:
     while off + _CHUNK.size <= len(data):
         cid, clen = _CHUNK.unpack_from(data, off)
         off += _CHUNK.size
+        if off + clen > len(data):
+            # declared chunk overruns the buffer — truncated input must
+            # be a NULL row, not a silently partial decode (the PNG and
+            # AVI walks already reject overruns)
+            return None
         chunk = data[off : off + clen]
         if cid == b"fmt " and len(chunk) >= _FMT_PCM.size:
             fmt = _FMT_PCM.unpack_from(chunk, 0)
@@ -942,11 +947,15 @@ def resize_images(
     width: int,
     height: int,
     decoder: Decoder = fakm_decode,
+    encoder=fakm_encode,
     out_col: str = "resized",
 ) -> DataFrame:
-    """Nearest-neighbor resize, re-encoded with the same codec (FAKM in
-    tests; a real deployment injects a PIL-backed decoder/encoder).
-    Demonstrates the binary→binary transform shape."""
+    """Nearest-neighbor resize, re-encoded via ``encoder`` (FAKM in
+    tests; a real deployment injects a PIL-backed decoder/encoder PAIR —
+    injecting only the decoder would silently transcode every image to
+    the fixture format). ``encoder(media_type, w, h, channels, payload)``
+    must return the binary blob. Demonstrates the binary→binary
+    transform shape."""
     if width < 1 or height < 1:
         raise ValueError(f"target size {width}x{height} must be >= 1x1")
 
@@ -966,7 +975,7 @@ def resize_images(
         sy = np.minimum((np.arange(height) * h0) // height, h0 - 1)
         sx = np.minimum((np.arange(width) * w0) // width, w0 - 1)
         resized = src[sy][:, sx]
-        return fakm_encode(
+        return encoder(
             d["media_type"], width, height, ch, resized.tobytes()
         )
 
@@ -990,6 +999,10 @@ def sample_frames(
     planes; a real deployment injects an ffmpeg-backed decoder with the
     same contract (payload = concatenated frames).
     """
+    if int(every_n) < 1:
+        # a zero step would raise range()'s opaque ValueError inside the
+        # executor; a negative one would silently emit no frames
+        raise ValueError(f"every_n must be >= 1, got {every_n!r}")
     out_schema = StructType(
         [df.schema[c] for c in id_cols]
         + [
@@ -1003,8 +1016,13 @@ def sample_frames(
             rows: dict[str, list] = {c: [] for c in id_cols}
             rows["frame_index"] = []
             rows["frame"] = []
-            for _, r in pdf.iterrows():
-                d = decoder(r[binary_col])
+            # zip over column arrays, not iterrows(): building a pandas
+            # Series per row is the slowest access pattern in the one
+            # operator that explodes rows
+            for data, *ids in zip(
+                pdf[binary_col], *(pdf[c] for c in id_cols)
+            ):
+                d = decoder(data)
                 if d is None:
                     continue
                 frame_size = d["width"] * d["height"] * d["channels"]
@@ -1012,8 +1030,8 @@ def sample_frames(
                     continue
                 n_frames = len(d["payload"]) // frame_size
                 for i in range(0, n_frames, every_n):
-                    for c in id_cols:
-                        rows[c].append(r[c])
+                    for c, v in zip(id_cols, ids):
+                        rows[c].append(v)
                     rows["frame_index"].append(i)
                     rows["frame"].append(
                         fakm_encode(

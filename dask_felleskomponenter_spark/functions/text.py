@@ -163,7 +163,16 @@ def word_shingles(text_col: str | Column, k: int = 3, distinct: bool = True) -> 
                     ),
                 )
         shingled = F.filter(acc, lambda s: s.isNotNull())
-    shingled = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(shingled)
+    # NULL text stays NULL on ANSI-off sessions too: size(NULL) is -1
+    # there (not NULL), so the short-document branch would fire and hand
+    # NULL docs a phantom [""] shingle — fingerprinting them identically
+    # to empty-string docs and diverging from rolling_fingerprint_df's
+    # normalize-to-NULL contract.
+    shingled = (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", toks)))
+        .otherwise(shingled)
+    )
     return F.array_distinct(shingled) if distinct else shingled
 
 

@@ -211,7 +211,10 @@ def strip_ewkb_srid_bytes(data: bytes | bytearray | None) -> bytes | None:
     if not isinstance(data, (bytes, bytearray)):
         return None
     if len(data) >= 9:
-        fmt = "<I" if data[0] == 1 else ">I"
+        # one byte-order rule everywhere: 0 → big-endian, anything else
+        # → little (matching geom_type_of_wkb / wkb_geom_type_col, so
+        # the surfaces can never disagree on the same malformed blob)
+        fmt = ">I" if data[0] == 0 else "<I"
         code = struct.unpack(fmt, bytes(data[1:5]))[0]
         if code & EWKB_SRID_FLAG:
             header = bytes([data[0]]) + struct.pack(fmt, code & ~EWKB_SRID_FLAG)
@@ -384,7 +387,8 @@ def _read_geom(r: _WkbReader) -> tuple[int, tuple[bool, bool], object]:
     dimensions (EWKB flag or ISO offset encoding) ride along as extra
     coordinates per point."""
     order = r.u8()
-    fmt = "<" if order == 1 else ">"
+    # same rule as every other surface: 0 → big-endian, else little
+    fmt = ">" if order == 0 else "<"
     code = r.u32(fmt)
     has_srid = bool(code & EWKB_SRID_FLAG)
     base, z, m = _decode_dims(code & ~EWKB_SRID_FLAG)

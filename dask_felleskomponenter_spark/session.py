@@ -147,6 +147,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        # the driver's events.parquet carries TIMESTAMP(NANOS); without
+        # this, any read that doesn't go through load_table fails with
+        # PARQUET_TYPE_ILLEGAL (load_table also sets it, but a tuned
+        # session should not depend on load_table having run first)
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(key, value)

@@ -69,12 +69,14 @@ def stream_events(
     ``nanos=True`` streams the RAW nanosecond-timestamp shape (the
     driver's ``events.parquet``): ``ts`` is read as int64 nanos and
     truncated to a microsecond timestamp, the same normalization
-    ``sources/tables.py::load_table`` applies batch-side (the session
-    must have ``spark.sql.legacy.parquet.nanosAsLong`` enabled, which
-    any ``load_table`` call — or ``tune_session`` — has already done).
+    ``sources/tables.py::load_table`` applies batch-side. The required
+    ``spark.sql.legacy.parquet.nanosAsLong`` conf is set HERE — relying
+    on a prior ``load_table`` call having set it made a fresh session's
+    first streaming read fail with PARQUET_TYPE_ILLEGAL.
     """
     if not nanos:
         return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = StructType(
         [
             StructField("event_id", LongType()),

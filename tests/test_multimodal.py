@@ -187,6 +187,55 @@ class TestWavCodec:
         assert decode_audio_wav(b"RIFFxxxxNOPE") is None
         assert decode_audio_wav(blob[:20]) is None  # truncated: no data chunk
 
+    def test_truncated_data_chunk_is_null_not_partial(self):
+        """A data chunk whose declared length overruns the buffer is a
+        truncated upload: the decode must be None, never a silently
+        partial n_frames/duration (round-6 review finding)."""
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_audio_wav,
+            wav_encode,
+        )
+
+        blob = wav_encode(8000, 1, b"\x01\x02\x03\x04\x05\x06\x07\x08")
+        assert decode_audio_wav(blob)["n_frames"] == 4
+        assert decode_audio_wav(blob[:-6]) is None
+
+    def test_sample_frames_rejects_nonpositive_step(self, spark):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            sample_frames,
+        )
+
+        df = spark.createDataFrame([(1, b"x")], "id int, media binary")
+        with pytest.raises(ValueError, match="every_n"):
+            sample_frames(df, "media", ["id"], every_n=0)
+        with pytest.raises(ValueError, match="every_n"):
+            sample_frames(df, "media", ["id"], every_n=-1)
+
+    def test_resize_encoder_is_injectable(self, spark):
+        """The encoder rides with the decoder: injecting only a decoder
+        must not silently transcode every image to FAKM (round-6 review
+        finding)."""
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            fakm_decode,
+            fakm_encode,
+            resize_images,
+        )
+
+        blob = fakm_encode("i", 4, 4, 1, bytes(range(16)))
+        df = spark.createDataFrame([(1, blob)], "id int, img binary")
+
+        def enc(media_type, w, h, ch, payload):
+            # executor-side: prove the injected encoder ran and saw the
+            # resized dims by stamping them into the output blob
+            tag = f"CUSTOM:{media_type}:{w}:{h}:{ch}:".encode()
+            return tag + payload
+
+        out = resize_images(df, "img", 2, 2, encoder=enc).collect()
+        assert out[0]["resized"].startswith(b"CUSTOM:i:2:2:1:")
+        # default stays FAKM round-trippable
+        dflt = resize_images(df, "img", 2, 2).collect()[0]["resized"]
+        assert fakm_decode(dflt)["width"] == 2
+
     def test_decode_audio_operator(self, spark):
         from dask_felleskomponenter_spark.functions.multimodal import (
             decode_audio,

@@ -50,7 +50,8 @@ def test_strip_srid_idempotent_and_length_sane(data):
     assert strip_ewkb_srid_bytes(once) == once
     # length shrinks by exactly 4 when an SRID was present, else unchanged
     if len(data) >= 9:
-        fmt = "<I" if data[0] == 1 else ">I"
+        # the engine-wide byte-order rule: 0 → big-endian, else little
+        fmt = ">I" if data[0] == 0 else "<I"
         code = struct.unpack(fmt, bytes(data[1:5]))[0]
         expected = len(data) - 4 if code & EWKB_SRID_FLAG else len(data)
         assert len(once) == expected
@@ -203,6 +204,51 @@ def test_shingles_match_python_reference(spark):
         }
         for i, t in enumerate(texts):
             assert got[i] == py_shingles(t, k), f"k={k} text={t!r}"
+
+
+def test_word_shingles_null_text_stays_null_without_ansi(spark):
+    """On ANSI-off sessions size(NULL) is -1, which used to satisfy the
+    short-document branch and hand NULL docs a phantom [''] shingle —
+    fingerprinting them identically to empty-string docs (round-6
+    review finding). NULL must stay NULL in both modes."""
+    from dask_felleskomponenter_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [Row(i=0, t=None), Row(i=1, t="")], schema="i long, t string"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            got = {
+                r["i"]: r["sh"]
+                for r in df.select(
+                    "i", word_shingles("t", 3).alias("sh")
+                ).collect()
+            }
+            assert got[0] is None, f"ansi={ansi}"
+            assert got[1] == [""], f"ansi={ansi}"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_wkb_surfaces_agree_on_malformed_byte_order():
+    """All WKB surfaces share one byte-order rule (0 → big, else
+    little); strip_ewkb_srid_bytes used to read non-{0,1} order bytes
+    big-endian while geom_type_of_wkb read them little-endian, so the
+    two could disagree about the SRID flag on the same blob (round-6
+    review finding)."""
+    import struct as _struct
+
+    # order byte 0x02, little-endian type word with the SRID flag set
+    code = 1 | EWKB_SRID_FLAG
+    blob = b"\x02" + _struct.pack("<I", code) + _struct.pack("<I", 4326) + b"\x00" * 16
+    assert geom_type_of_wkb(blob) == "Point"  # LE decode sees the flag
+    stripped = strip_ewkb_srid_bytes(blob)
+    # consistent LE interpretation: flag cleared, 4-byte SRID dropped
+    assert stripped[0] == 0x02
+    assert _struct.unpack("<I", stripped[1:5])[0] == 1
+    assert len(stripped) == len(blob) - 4
 
 
 def test_merge_upsert_matches_model(spark):

@@ -68,6 +68,22 @@ def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
     assert g == b and len(g) > 0
 
 
+def test_stream_events_nanos_sets_its_own_conf(spark):
+    """stream_events(nanos=True) must not depend on a prior load_table
+    call having enabled nanosAsLong — a fresh session's first streaming
+    read used to fail with PARQUET_TYPE_ILLEGAL (round-6 review
+    finding)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        stream_events(spark, "/root/testdata/sf0.001/events.parquet", nanos=True)
+        assert spark.conf.get(key) == "true"
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+
+
 def test_session_window_stream_runs(spark, events_dir, tmp_path):
     stream = sessionize_events(stream_events(spark, events_dir), gap="30 minutes")
     got = run_to_memory_sink(stream, "sessions_builtin", str(tmp_path / "ckpt"))
