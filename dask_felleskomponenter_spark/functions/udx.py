@@ -74,7 +74,12 @@ class ChunkDocument:
                 f"chunk_size and stride must be positive, got "
                 f"chunk_size={chunk_size}, stride={stride}"
             )
-        toks = _WS.split(text.strip())
+        # strip SPACES only, like SQL TRIM and the engine's F.trim-based
+        # column tokenizers: Python's bare strip() also removes \x0b/\t
+        # etc., which silently swallows the trailing empty token every
+        # other surface (Spark split, DuckDB string_split_regex)
+        # produces after a trailing non-space whitespace char
+        toks = _WS.split(text.strip(" "))
         n = len(toks)
         s = 0
         while s < n:

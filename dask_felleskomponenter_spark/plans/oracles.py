@@ -10,7 +10,14 @@ The twin rules that make hash-parity hold:
   order-independent — mirrors ``queries.dmoney``/``dsum``);
 - per-row double math written with the same operation order and the same
   explicit ROUND as the Spark expression;
-- rankings over computed doubles rank on the rounded value + id.
+- rankings over computed doubles rank on the rounded value + id;
+- whitespace classes spelled ``[\\s\\x0b]`` (and ``\\x0b`` added to every
+  negated class containing ``\\s``): Java's ``\\s`` includes vertical tab
+  U+000B, DuckDB's RE2 ``\\s`` does not — a document containing ``\\x0B``
+  would otherwise tokenize differently across the two engines;
+- ORDER BY on a NULLABLE key says ``NULLS FIRST`` explicitly: Spark ASC
+  sorts NULLs first, DuckDB defaults to NULLS LAST, and the driver's
+  value hash is order-sensitive.
 
 Queries deliberately absent (rows-only checks): agg_approx_distinct
 (different HLL implementations), neardup_minhash_lsh / simhash_documents
@@ -311,7 +318,7 @@ ORDER BY s_suppkey
 # shingle count and eval-overlap count.
 ORACLES["contamination_ngram_screen"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -344,7 +351,7 @@ ORACLES["pack_sequences_offsets"] = """
 WITH toks AS (
   SELECT doc_id,
          doc_id % 8 AS shard,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0b]'))
            AS n_tokens
   FROM documents
 ), placed AS (
@@ -387,7 +394,7 @@ ORDER BY d.lang
 
 ORACLES["unigram_logprob_score"] = """
 WITH tok AS (
-  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS term
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '[\\s\\x0b]+')) AS term
   FROM documents
 ), doc_term AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
@@ -422,7 +429,7 @@ ORDER BY l.l_returnflag
 
 ORACLES["repetition_profile_documents"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t
   FROM documents
 ), bigrams AS (
   SELECT doc_id,
@@ -555,7 +562,7 @@ SELECT g.user_id,
        hy.hour_avg IS NULL AS is_gap
 FROM grid g
 LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
-ORDER BY g.user_id, hour
+ORDER BY g.user_id NULLS FIRST, hour
 """
 
 ORACLES["spatial_box_join_counts"] = """
@@ -668,7 +675,7 @@ SELECT p.user_id, p.n_rows,
        ROUND(p.n_rows / t.total, 9) AS share,
        ROUND(CAST(p.n_rows AS DOUBLE) * t.n_keys / t.total, 6) AS skew_x
 FROM per_key p, t
-ORDER BY p.n_rows DESC, p.user_id
+ORDER BY p.n_rows DESC, p.user_id NULLS FIRST
 LIMIT 20
 """
 
@@ -876,7 +883,7 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM sessions
 GROUP BY user_id
-ORDER BY user_id
+ORDER BY user_id NULLS FIRST
 """
 
 # Native session_window twin. Spark merges an event into the open
@@ -909,7 +916,7 @@ SELECT user_id,
        ROUND(SUM(value), 6) AS sum_value
 FROM sessions
 GROUP BY user_id, sid
-ORDER BY user_id, session_start
+ORDER BY user_id NULLS FIRST, session_start
 """
 
 # Distribution-rank twin: identical (balance, custkey) sort key so the
@@ -976,7 +983,7 @@ SELECT
   COUNT(*) AS n_docs,
   ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
   ROUND(CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
-                      ELSE len(string_split_regex(TRIM(text), '\\s+')) END) AS DOUBLE)
+                      ELSE len(string_split_regex(TRIM(text), '[\\s\\x0b]+')) END) AS DOUBLE)
           / COUNT(*), 6) AS avg_tokens,
   MIN(n_chars) AS min_chars,
   MAX(n_chars) AS max_chars
@@ -993,7 +1000,7 @@ SELECT
   CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
-ORDER BY day, event_type
+ORDER BY day NULLS FIRST, event_type
 """
 
 ORACLES["tumbling_window_events"] = """
@@ -1064,7 +1071,7 @@ FROM documents
 # cap is actually removing shingles.
 ORACLES["neardup_jaccard_pairs"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -1106,7 +1113,7 @@ ORDER BY id_a, id_b
 # O(log n) large-star/small-star algorithm.
 ORACLES["neardup_cluster_assign"] = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -1157,12 +1164,12 @@ WITH base AS (
   SELECT doc_id,
          text,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) AS n_punct,
+              ELSE len(string_split_regex(TRIM(text), '[\\s\\x0b]+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0b]')) AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x)
+              ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x)
          END AS toks
   FROM documents
 ), scored AS (
@@ -1196,7 +1203,7 @@ ORACLES["tfidf_top_terms"] = """
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS t
+              ELSE string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+') END AS t
   FROM documents WHERE text IS NOT NULL
 ), terms AS (
   SELECT doc_id, UNNEST(t) AS term FROM toks
@@ -1227,7 +1234,7 @@ ORDER BY doc_id, rank
 ORACLES["ngram_top_bigrams"] = """
 WITH toks AS (
   SELECT CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS t
+              ELSE string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+') END AS t
   FROM documents WHERE text IS NOT NULL
 ), grams AS (
   SELECT CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
@@ -1291,8 +1298,8 @@ ORDER BY doc_id
 ORACLES["fuzzy_blocked_match"] = """
 WITH b AS (
   SELECT doc_id,
-         string_split_regex(TRIM(text), '\\s+')[1] AS blk,
-         COALESCE(string_split_regex(TRIM(text), '\\s+')[2], '') AS tok2,
+         string_split_regex(TRIM(text), '[\\s\\x0b]+')[1] AS blk,
+         COALESCE(string_split_regex(TRIM(text), '[\\s\\x0b]+')[2], '') AS tok2,
          substr(TRIM(text), 1, 40) AS pfx
   FROM documents
   WHERE text IS NOT NULL AND TRIM(text) != ''
@@ -1353,11 +1360,11 @@ ORACLES["pipeline_training_corpus"] = """
 WITH RECURSIVE base AS (
   SELECT doc_id, text, lang,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) AS n_punct,
+              ELSE len(string_split_regex(TRIM(text), '[\\s\\x0b]+')) END AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+              ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'),
                                   x -> x) END AS toks
   FROM documents
   WHERE text IS NOT NULL
@@ -1385,7 +1392,7 @@ WITH RECURSIVE base AS (
   FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS _mk FROM kept)
   WHERE doc_id = _mk
 ), toks2 AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM dedup
+  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t FROM dedup
 ), shingled AS (
   SELECT doc_id,
          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -1436,7 +1443,7 @@ ORACLES["lang_id_documents"] = """
 WITH toks AS (
   SELECT doc_id, lang,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS t
+              ELSE string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+') END AS t
   FROM documents
 ), hits AS (
   SELECT doc_id, lang,
@@ -1718,7 +1725,7 @@ SELECT
   ROUND(MAX(CAST(value AS DOUBLE)), 6) AS max_value
 FROM events
 GROUP BY user_id
-ORDER BY user_id
+ORDER BY user_id NULLS FIRST
 """
 
 # UDAF twin: geometric mean as EXP(AVG(LN(x))), rounded to 4 so
@@ -1736,7 +1743,7 @@ ORDER BY o_orderstatus
 # same trim + \s+ tokenization as the UDTF, chunk_index = start/stride.
 ORACLES["udtf_chunk_documents"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t FROM documents
 ),
 starts AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s FROM toks
@@ -1921,7 +1928,7 @@ ORDER BY c.event_id
 # (doc_id, pos, fp_hash) rows with 1-based pos.
 ORACLES["fingerprint_documents"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
   FROM documents
 ),
 sh AS (
@@ -1955,7 +1962,7 @@ ORDER BY doc_id, pos
 # the same 0-based positions Spark's posexplode emits.
 ORACLES["dedup_substring_spans"] = """
 WITH base AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS toks
   FROM documents
 ),
 sh AS (
@@ -2007,13 +2014,13 @@ ORACLES["quality_ensemble_buckets"] = """
 WITH base AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) AS n_punct,
+              ELSE len(string_split_regex(TRIM(text), '[\\s\\x0b]+')) END AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(LOWER(text)), '\\s+') END AS ltoks,
+              ELSE string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+') END AS ltoks,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(text), '\\s+') END AS toks
+              ELSE string_split_regex(TRIM(text), '[\\s\\x0b]+') END AS toks
   FROM documents
   WHERE text IS NOT NULL
 ), scored AS (
@@ -2088,8 +2095,8 @@ ORACLES["dedup_canonical_docs"] = """
 WITH c AS (
   SELECT doc_id,
          TRIM(regexp_replace(regexp_replace(
-             LOWER(substr(text, 1, 80)), '[^\\p{L}\\p{N}\\s_]', '', 'g'),
-             '\\s+', ' ', 'g')) AS canon
+             LOWER(substr(text, 1, 80)), '[^\\p{L}\\p{N}\\s\\x0b_]', '', 'g'),
+             '[\\s\\x0b]+', ' ', 'g')) AS canon
   FROM documents
 )
 SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs

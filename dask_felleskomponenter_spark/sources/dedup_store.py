@@ -267,9 +267,18 @@ def neardup_against_history(
     rows_per_band: int = 4,
     shingle_size: int = 3,
     max_history_bucket_width: int | None = 4096,
-) -> DataFrame:
+    return_buckets: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Screen a batch for near-duplicates against the signature history
     AND within itself; returns the surviving (novel) batch rows.
+
+    ``return_buckets=True`` additionally returns the SURVIVORS' band
+    buckets as a second DataFrame (``id_col``, bucket key) — computed
+    from ONE materialized signature pass (the band-bucket table is
+    ``localCheckpoint``-ed, an eager action), so a caller that records
+    the survivors afterwards (``record_novel_signatures(...,
+    buckets_df=...)``) does not pay the dominant MinHash stage twice.
+    The default stays fully lazy for plan-construction callers.
 
     Semantics (deterministic, replay-stable):
     - a document whose signature collides with ANY recorded band bucket
@@ -328,17 +337,24 @@ def neardup_against_history(
     bb = lsh_band_buckets(
         sigs, id_col, bands=bands, rows_per_band=rows_per_band
     ).select(F.col(id_col), F.col("bucket").alias(BUCKET_COL))
+    if return_buckets:
+        # one materialized signature pass feeds screen AND record
+        bb = bb.localCheckpoint(eager=True)
 
     drop_ids = None
     if history_exists(spark, table_name):
         history = spark.table(table_name)
         if max_history_bucket_width is not None:
-            # distinct eligible buckets, not raw history rows: the
-            # groupBy runs bucket-aligned (no history Exchange) and the
-            # semi-join's build side shrinks to one row per bucket
+            # width = DISTINCT documents, not raw rows: an at-least-once
+            # replay (the documented crash window) appends duplicate
+            # recordings, and a raw-row count would let those push a
+            # legitimately under-cap bucket over the cap and silently
+            # disable its screening forever. The groupBy still runs
+            # bucket-aligned (no history Exchange) and the semi-join's
+            # build side shrinks to one row per bucket.
             history = (
                 history.groupBy(BUCKET_COL)
-                .agg(F.count(F.lit(1)).alias("_bucket_width"))
+                .agg(F.count_distinct(F.col(SEEN_ID_COL)).alias("_bucket_width"))
                 .filter(F.col("_bucket_width") <= max_history_bucket_width)
             )
         drop_ids = (
@@ -363,7 +379,11 @@ def neardup_against_history(
     drop_ids = (
         intra_drops if drop_ids is None else drop_ids.unionByName(intra_drops)
     )
-    return batch_df.join(drop_ids, on=id_col, how="left_anti")
+    novel = batch_df.join(drop_ids, on=id_col, how="left_anti")
+    if return_buckets:
+        novel_buckets = bb.join(drop_ids, on=id_col, how="left_anti")
+        return novel, novel_buckets
+    return novel
 
 
 def overwide_signature_buckets(
@@ -376,7 +396,8 @@ def overwide_signature_buckets(
     return (
         spark.table(table_name)
         .groupBy(BUCKET_COL)
-        .agg(F.count(F.lit(1)).alias("bucket_width"))
+        # distinct documents, matching the screen's cap semantics
+        .agg(F.count_distinct(F.col(SEEN_ID_COL)).alias("bucket_width"))
         .filter(F.col("bucket_width") > max_width)
         .orderBy(F.col("bucket_width").desc())
     )
@@ -393,11 +414,31 @@ def record_novel_signatures(
     bands: int = 16,
     rows_per_band: int = 4,
     shingle_size: int = 3,
+    buckets_df: DataFrame | None = None,
 ) -> None:
     """Append the band buckets of already-screened novel rows to the
     signature history (bucketed on the bucket key). Signature
     parameters MUST match the screening call — the bucket values are a
-    function of them."""
+    function of them.
+
+    ``buckets_df`` (``id_col`` + bucket key, as returned by
+    ``neardup_against_history(return_buckets=True)``) skips the
+    signature recomputation entirely — without it every ingest batch
+    pays the dominant MinHash stage twice, once to screen and once to
+    record the identical buckets."""
+    if buckets_df is not None:
+        entries = buckets_df.select(
+            F.col(BUCKET_COL),
+            F.col(id_col).alias(SEEN_ID_COL),
+            F.lit(batch_label).alias(BATCH_COL),
+        )
+        (
+            entries.write.mode("append")
+            .bucketBy(n_buckets, BUCKET_COL)
+            .sortBy(BUCKET_COL)
+            .saveAsTable(table_name)
+        )
+        return
     from dask_felleskomponenter_spark.operators.dedup import (
         lsh_band_buckets,
         minhash_signatures,

@@ -827,7 +827,10 @@ def stream_neardup_ingest(
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        novel = neardup_against_history(
+        # return_buckets materializes the batch's band buckets once, so
+        # the record step below reuses them instead of paying the
+        # MinHash stage a second time per micro-batch
+        novel, buckets = neardup_against_history(
             batch_df.sparkSession,
             batch_df,
             id_col,
@@ -838,7 +841,9 @@ def stream_neardup_ingest(
             rows_per_band=rows_per_band,
             shingle_size=shingle_size,
             max_history_bucket_width=max_history_bucket_width,
-        ).localCheckpoint(eager=True)
+            return_buckets=True,
+        )
+        novel = novel.localCheckpoint(eager=True)
         novel.write.mode("append").parquet(corpus_path)
         record_novel_signatures(
             novel,
@@ -851,6 +856,7 @@ def stream_neardup_ingest(
             bands=bands,
             rows_per_band=rows_per_band,
             shingle_size=shingle_size,
+            buckets_df=buckets,
         )
 
     return (

@@ -398,6 +398,63 @@ def test_neardup_history_width_cap_skips_degenerate_buckets(
     rows = wide.collect()
     assert rows and all(r["bucket_width"] == 30 for r in rows)
 
+    # replay duplicates must NOT count toward the cap: re-record the
+    # same 30 docs (the documented at-least-once crash window) — raw
+    # rows double to 60 but distinct documents stay 30, so a cap of 40
+    # keeps the bucket screened instead of silently disabling it
+    # forever (round-6 review finding)
+    record_novel_signatures(
+        _batch(spark, seed), "doc_id", "text", table_name, "replay",
+        n_buckets=4,
+    )
+    kept_after_replay = neardup_against_history(
+        spark, _batch(spark, probe), "doc_id", "text", table_name,
+        max_history_bucket_width=40,
+    )
+    assert set(r["doc_id"] for r in kept_after_replay.collect()) == {501}
+    assert overwide_signature_buckets(
+        spark, table_name, max_width=40
+    ).isEmpty()
+
+
+def test_record_with_precomputed_buckets_matches_recompute(
+    spark, table_name
+):
+    """record_novel_signatures(buckets_df=...) — the single-signature-
+    pass streaming path — must append exactly the rows the recompute
+    path would (round-6 review finding: every micro-batch paid the
+    MinHash stage twice)."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        BATCH_COL,
+        BUCKET_COL,
+        SEEN_ID_COL,
+        neardup_against_history,
+        record_novel_signatures,
+    )
+
+    docs = [(i, f"alpha beta gamma doc{i} " + "x" * (i % 5)) for i in range(12)]
+    batch = _batch(spark, docs)
+    novel, buckets = neardup_against_history(
+        spark, batch, "doc_id", "text", table_name, return_buckets=True
+    )
+    record_novel_signatures(
+        novel, "doc_id", "text", table_name, "b0", n_buckets=4,
+        buckets_df=buckets,
+    )
+    via_buckets = {
+        (r[BUCKET_COL], r[SEEN_ID_COL], r[BATCH_COL])
+        for r in spark.table(table_name).collect()
+    }
+    spark.sql(f"DROP TABLE {table_name}")
+    record_novel_signatures(
+        novel, "doc_id", "text", table_name, "b0", n_buckets=4
+    )
+    via_recompute = {
+        (r[BUCKET_COL], r[SEEN_ID_COL], r[BATCH_COL])
+        for r in spark.table(table_name).collect()
+    }
+    assert via_buckets == via_recompute and via_buckets
+
     # and the width aggregate itself reads the store bucket-aligned:
     # grouping on the table's own bucket column needs no Exchange
     prevs = {

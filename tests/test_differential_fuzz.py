@@ -85,6 +85,11 @@ def _corpus(
             text = rows[rng.randrange(len(rows))][1]
         else:
             text = " ".join(words)
+            # plant vertical tab: Java's \s matches U+000B, RE2's does
+            # not — oracles must spell whitespace as [\s\x0b] (round-6
+            # review finding; the planted class keeps them honest)
+            if len(words) >= 2 and rng.random() < 0.15:
+                text = text.replace(" ", "\x0b", 1)
         rows.append(
             (i, text, rng.choice(["en", "de", "und"]), f"src{i % 3}", len(text))
         )
@@ -1263,3 +1268,65 @@ def test_fuzz_tws_timer_probe_protocol(spark, tmp_path, seed):
         assert r.n_rows == per_key, f"seed {seed} user {r.user_id}"
         assert r.n_reg == 1, f"seed {seed}: registered timer not listed"
         assert r.n_del == 0, f"seed {seed}: deleted timer still listed"
+
+
+# --- emit-order parity ----------------------------------------------------
+#
+# The driver's value hash is ORDER-SENSITIVE: a query and its oracle must
+# emit rows in the same order, not just the same set. Every comparison
+# above sorts before comparing (right for value semantics, blind to
+# ordering divergence) — this one does not. The hostile corpus plants the
+# two classes that historically diverged: NULL sort keys (Spark ASC is
+# NULLS FIRST, DuckDB defaults NULLS LAST — oracles must pin NULLS FIRST)
+# and \x0b whitespace (tokenization parity, affecting derived sort keys).
+
+def test_emit_order_matches_oracle_on_hostile_corpus(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        _events_corpus(4242, 300),
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
+    rows = _corpus(4242, 60)
+    rows += [
+        (100 + i, f"foo\x0bbar baz{i} qux\x0b", "en", "srcv", 12)
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+    ).coalesce(2).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+
+    diverged = []
+    for name in FUZZ_EVENT_QUERIES + FUZZ_QUERIES:
+        if name not in ORACLES or name == "join_salted_user_events":
+            continue  # salted join needs the customer table
+        sdf = QUERIES[name](spark, sf_dir)
+        got = [
+            tuple(_norm(r[c]) for c in sorted(sdf.columns))
+            for r in sdf.collect()
+        ]
+        cur = con.execute(ORACLES[name])
+        cols = [d[0] for d in cur.description]
+        want = [
+            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+            for row in cur.fetchall()
+        ]
+        if got != want:
+            kind = (
+                "ORDER"
+                if sorted(got, key=_SKEY) == sorted(want, key=_SKEY)
+                else "SET"
+            )
+            diverged.append(f"{kind}:{name}")
+    assert diverged == [], diverged
