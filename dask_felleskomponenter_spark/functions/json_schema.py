@@ -86,7 +86,18 @@ class JsonSchemaConverter:
     # -- public -----------------------------------------------------------
     def to_struct(self) -> StructType:
         node = self.schema
+        # A root-level $ref ({"$ref": "#/$defs/Root", "$defs": {...}}) is
+        # a common schema shape — resolve it so its properties are found.
+        if "$ref" in node and node["$ref"] not in self.circular:
+            merged = {k: v for k, v in node.items() if k != "$ref"}
+            node = {**self._resolve_ref(node["$ref"]), **merged}
         props = node.get("properties", {})
+        if not props:
+            # Same loud failure as the reference (schema.py:54): a
+            # property-less root would otherwise compile to an empty
+            # StructType and parse every record to zero columns with no
+            # error — silent empty output from a misconfigured schema.
+            raise ValueError("No properties found in JSON schema")
         required = set(node.get("required", []))
         return StructType(
             [
@@ -105,17 +116,21 @@ class JsonSchemaConverter:
     def _field(
         self, name: str, node: dict[str, Any], required: set[str], path: str
     ) -> StructField | None:
-        if "const" in node:
+        # Resolve a $ref BEFORE the const check: the reference drops a
+        # const field whether the const sits on the ref site or on the
+        # ref target (property2struct resolves first). An unresolvable
+        # ref raises here exactly as _type_of would — same error, one
+        # resolution instead of two.
+        resolved = node
+        if (
+            "$ref" in node
+            and node["$ref"] not in self.circular
+            and path not in self.circular
+        ):
+            resolved = {**self._resolve_ref(node["$ref"]), **node}
+        if "const" in resolved:
             return None  # const fields carry no data; dropped
         dtype = self._type_of(node, path)
-        if dtype is None:
-            return None
-        resolved = node
-        if "$ref" in node and node["$ref"] not in self.circular:
-            try:
-                resolved = {**self._resolve_ref(node["$ref"]), **node}
-            except Exception:
-                resolved = node  # unresolvable ref: fall back to raw node
         meta = {
             "path": path,
             # description may live on the $ref target, not the ref site

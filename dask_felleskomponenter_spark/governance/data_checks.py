@@ -51,12 +51,24 @@ def scan_text_pii(
     parts = (table or "").split(".")
     if len(parts) == 3:
         catalog, schema, tbl = parts
+    elif len(parts) == 2:  # the common 'schema.table' two-part form
+        catalog, (schema, tbl) = None, parts
     else:
         catalog, schema, tbl = None, None, table
     findings = []
     for key, n in row.asDict().items():
         col, kind = key.rsplit(" ", 1)  # column names may contain spaces
         if n and n > 0:
+            # The remedy must be EXECUTABLE: inside a Spark SQL
+            # single-quoted literal the default parser consumes
+            # backslashes ('\d' → 'd'), so the regex's backslashes (and
+            # any quote) must be escaped or the suggested SQL throws /
+            # over-redacts.
+            sql_pat = (
+                PII_PATTERNS[kind]
+                .replace("\\", "\\\\")
+                .replace("'", "\\'")
+            )
             findings.append(
                 MetadataError(
                     catalog=catalog,
@@ -69,7 +81,7 @@ def scan_text_pii(
                     ),
                     solution=(
                         f"SELECT regexp_replace(`{col}`, "
-                        f"'{PII_PATTERNS[kind]}', '[{kind.upper()}]') ..."
+                        f"'{sql_pat}', '[{kind.upper()}]') ..."
                     ),
                     for_field=f"pii.{kind}",
                     valid_values=[],

@@ -42,11 +42,24 @@ def erase_keys_parquet(
 
     import bisect
 
+    from dask_felleskomponenter_spark.ioutil import path_mutex
+
     key_set = set(keys)
     if not key_set:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
     sorted_keys = sorted(key_set)
 
+    # Serialize whole-directory erasure runs (same host-level advisory
+    # lock as the sync swaps): two overlapping runs would each rewrite
+    # from the pre-run file they opened, so the last replace RESURRECTS
+    # the other run's deleted subject rows — and the tmp-reaper below
+    # would delete a live run's in-flight tmp. Under the mutex, any tmp
+    # present at entry is necessarily crash residue.
+    with path_mutex(path):
+        return _erase_keys_locked(path, key_col, sorted_keys, pa, pc, pq, bisect)
+
+
+def _erase_keys_locked(path, key_col, sorted_keys, pa, pc, pq, bisect) -> dict:
     files = []
     for dp, _dn, fs in os.walk(path):
         for f in fs:

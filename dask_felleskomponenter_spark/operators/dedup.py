@@ -42,7 +42,11 @@ def exact_dedup(
     Grouping key is ``sha2(content, 256)`` so the dedup shuffle carries a
     fixed-width key regardless of document size.
     """
-    hcol = hash_out or "_content_sha"
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
+    # Collision-safe staging name: a fixed "_content_sha" would
+    # overwrite (and, below, drop) a same-named user column.
+    hcol = hash_out or fresh_name("_content_sha", df)
     out = keep_first(
         df.withColumn(hcol, content_hash(content_col)),
         partition_by=[hcol],

@@ -275,51 +275,72 @@ def cosine_neardup_pairs(
 
         lhs = pdf[pdf["_side"] == "L"]
         rhs = pdf[pdf["_side"] == "R"]
+        empty = pd.DataFrame({"id_a": [], "id_b": [], score_col: []})
         if lhs.empty or rhs.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], score_col: []})
-        a_ids = lhs["_id"].to_numpy()
-        b_ids = rhs["_id"].to_numpy()
-        a = np.stack(lhs["_v"].to_numpy())
-        b = np.stack(rhs["_v"].to_numpy())
-        # Zero vectors: floor the norm so 0/0 NaN scores (which compare
-        # False against the threshold only by accident and spray runtime
-        # warnings) become exact 0 scores — the _safe_norm convention of
-        # the JVM-side scorers.
-        a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-        b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
-        scores = np.round(a @ b.T, 9)
-        ia, ib = np.nonzero(scores >= thr)
-        id_a, id_b = a_ids[ia], b_ids[ib]
-        vals = scores[ia, ib]
-        if pdf["_b1"].iloc[0] == pdf["_b2"].iloc[0]:
-            # same-block tile: both sides hold the same rows, every
-            # unordered pair appears twice — keep the upper triangle
-            # (also drops self-pairs)
-            keep = id_a < id_b
-            id_a, id_b, vals = id_a[keep], id_b[keep], vals[keep]
-        else:
-            # cross-block tile: each unordered pair appears exactly once,
-            # but its side order is block order, not id order — emit in
-            # canonical (lo, hi) id order instead of filtering
-            lo = np.minimum(id_a, id_b)
-            id_b = np.maximum(id_a, id_b)
-            id_a = lo
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b, score_col: vals})
+            return empty
+        same_block = pdf["_b1"].iloc[0] == pdf["_b2"].iloc[0]
+        # Ragged corpora: cosine is defined per equal-length pair (the
+        # JVM zip_with twin scores a length-mismatched pair NULL = no
+        # match), so tile per distinct vector length — a single
+        # odd-dimension row must not crash np.stack and kill the job.
+        l_len = lhs["_v"].map(len).to_numpy()
+        r_len = rhs["_v"].map(len).to_numpy()
+        outs = []
+        for ln in np.intersect1d(np.unique(l_len), np.unique(r_len)):
+            lsub, rsub = lhs[l_len == ln], rhs[r_len == ln]
+            a_ids = lsub["_id"].to_numpy()
+            b_ids = rsub["_id"].to_numpy()
+            a = np.stack(lsub["_v"].to_numpy())
+            b = np.stack(rsub["_v"].to_numpy())
+            # Zero vectors: floor the norm so 0/0 NaN scores (which
+            # compare False against the threshold only by accident and
+            # spray runtime warnings) become exact 0 scores — the
+            # _safe_norm convention of the JVM-side scorers.
+            a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+            b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+            scores = np.round(a @ b.T, 9)
+            ia, ib = np.nonzero(scores >= thr)
+            id_a, id_b = a_ids[ia], b_ids[ib]
+            vals = scores[ia, ib]
+            if same_block:
+                # same-block tile: both sides hold the same rows, every
+                # unordered pair appears twice — keep the upper triangle
+                # (also drops self-pairs)
+                keep = id_a < id_b
+                id_a, id_b, vals = id_a[keep], id_b[keep], vals[keep]
+            else:
+                # cross-block tile: each unordered pair appears exactly
+                # once, but its side order is block order, not id order —
+                # emit in canonical (lo, hi) id order instead of filtering
+                lo = np.minimum(id_a, id_b)
+                id_b = np.maximum(id_a, id_b)
+                id_a = lo
+            outs.append(
+                pd.DataFrame({"id_a": id_a, "id_b": id_b, score_col: vals})
+            )
+        return pd.concat(outs) if outs else empty
 
     return grouped.groupBy("_b1", "_b2").applyInPandas(tile, schema=out_schema)
 
 
 def nearest_cell_col(
-    vec_col: Column, centroids: list[list[float]]
+    vec_col: Column, centroids: list[list[float]], nrm: Column | None = None
 ) -> Column:
     """Index of the centroid with the highest cosine similarity to the
     vector — a pure JVM expression (one dot product per centroid,
     ``array_max`` over (score, cell) structs; ties prefer the larger
-    cell id deterministically)."""
+    cell id deterministically).
+
+    ``nrm``: the vector's L2 norm as an attribute reference (a staged
+    column). Without it the ``_safe_norm`` aggregate tree is duplicated
+    once per centroid — the exact expression-size blowup the PQ encoder
+    stages ``_pq_nrm`` to avoid; callers evaluating this over a table
+    (``with_ivf_cell``, the Lloyd passes) stage the norm first."""
+    nrm_e = _safe_norm(vec_col) if nrm is None else nrm
     scored = []
     for i, c in enumerate(centroids):
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        score = dot(vec_col, literal_vector(c)) / (_safe_norm(vec_col) * F.lit(cn))
+        score = dot(vec_col, literal_vector(c)) / (nrm_e * F.lit(cn))
         scored.append(
             F.struct(score.alias("score"), F.lit(i).alias("cell"))
         )
@@ -344,6 +365,10 @@ def build_ivf_centroids(
     centroids (they are a tiny plan literal) and the ``with_ivf_cell``
     output, then queries are cell-pruned scans.
     """
+    # NULL embeddings: the scorers define them as no-match and skip
+    # them; a NULL among the n_cells lowest-id rows would otherwise
+    # abort the whole build with a bare TypeError from list(None).
+    emb_df = emb_df.filter(F.col(vec_col).isNotNull())
     v = as_double_vec(vec_col)
     seeds = (
         emb_df.orderBy(id_col)
@@ -353,13 +378,21 @@ def build_ivf_centroids(
     )
     if len(seeds) < n_cells:
         raise ValueError(
-            f"need at least n_cells={n_cells} rows to seed the IVF "
-            f"quantizer, got {len(seeds)}"
+            f"need at least n_cells={n_cells} non-null-embedding rows "
+            f"to seed the IVF quantizer, got {len(seeds)}"
         )
     centroids = [list(r["_v"]) for r in seeds]
     for _ in range(max(0, iters)):
+        # Stage the norm once per row (attribute reference) so the
+        # assignment expression doesn't duplicate the aggregate tree
+        # per centroid — mirrors with_ivf_cell / the PQ encoder.
         assigned = emb_df.select(
-            nearest_cell_col(v, centroids).alias("_cell"), v.alias("_v")
+            v.alias("_v"), _safe_norm(v).alias("_n")
+        ).select(
+            nearest_cell_col(
+                F.col("_v"), centroids, nrm=F.col("_n")
+            ).alias("_cell"),
+            "_v",
         )
         means = (
             assigned.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
@@ -387,10 +420,17 @@ def with_ivf_cell(
 ) -> DataFrame:
     """Attach the IVF cell id — the materialization step (at scale this
     DataFrame is written partitioned by ``out_col``, mirroring
-    ``with_lsh_bucket``)."""
-    return df.withColumn(
-        out_col, nearest_cell_col(as_double_vec(vec_col), centroids)
-    )
+    ``with_lsh_bucket``). The vector norm is staged as a real column so
+    the per-centroid score expressions reference an attribute instead of
+    ``n_cells`` copies of the norm's aggregate tree."""
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
+    v = as_double_vec(vec_col)
+    ncol = fresh_name("_ivf_nrm", df, extra={out_col})
+    staged = df.withColumn(ncol, _safe_norm(v))
+    return staged.withColumn(
+        out_col, nearest_cell_col(v, centroids, nrm=F.col(ncol))
+    ).drop(ncol)
 
 
 def ivf_topk(
@@ -592,13 +632,14 @@ def with_pq_codes(
     only (id, codes). The norm is staged as a real column so the
     centroid expressions reference an attribute, not copies of the
     norm's expression tree."""
-    staged = df.withColumn("_pq_nrm", _norm_expr(F.col(vec_col), dim))
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
+    ncol = fresh_name("_pq_nrm", df, extra={out_col})
+    staged = df.withColumn(ncol, _norm_expr(F.col(vec_col), dim))
     codes = F.array(
-        *_pq_argmin_cols(
-            F.col(vec_col), F.col("_pq_nrm"), codebooks, dim
-        )
+        *_pq_argmin_cols(F.col(vec_col), F.col(ncol), codebooks, dim)
     )
-    return staged.withColumn(out_col, codes).drop("_pq_nrm")
+    return staged.withColumn(out_col, codes).drop(ncol)
 
 
 def build_pq_codebooks(
@@ -627,6 +668,10 @@ def build_pq_codebooks(
     d = dim // m
     if d * m != dim:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    # NULL embeddings among the k lowest ids would abort the build with
+    # a bare TypeError (None is not subscriptable) — skip them, matching
+    # the scorers' no-match convention.
+    emb_df = emb_df.filter(F.col(vec_col).isNotNull())
     v = F.col(vec_col)
 
     staged = emb_df.withColumn("_pq_nrm", _norm_expr(v, dim))
@@ -705,7 +750,16 @@ def pq_adc_topk(
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1e-12
     q = [float(x) / qn for x in query_vec]
     m = len(codebooks)
-    d = len(q) // m
+    # The build path validates dims loudly (build_pq_codebooks raises on
+    # dim % m != 0); a mismatched query would otherwise silently
+    # truncate the subspace width and score against misaligned slices —
+    # valid-looking garbage ranks.
+    d = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+    if m * d != len(q):
+        raise ValueError(
+            f"query dim {len(q)} != m*d = {m}*{d} of the codebooks — "
+            "the query must match the encoded vector dimensionality"
+        )
     d2 = None
     for j, cb in enumerate(codebooks):
         dtab = [

@@ -20,14 +20,22 @@ def keep_first(
     partition_by: Sequence[str | Column],
     order_by: Sequence[Column],
     keep: int = 1,
-    rn_col: str = "_rn",
+    rn_col: str | None = None,
 ) -> DataFrame:
     """Keep the first ``keep`` rows per partition under a total order.
 
     The dedup keep-first primitive: ``row_number`` (not ``rank``) so exact
     ties still yield a single survivor; callers must pass a tie-breaking
     total order for determinism.
+
+    ``rn_col`` defaults to a collision-free generated name — a fixed
+    ``"_rn"`` default would overwrite (and then drop) a same-named user
+    column, the withColumn+drop hazard ``shuffle.fresh_name`` exists for.
     """
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
+    if rn_col is None:
+        rn_col = fresh_name("_rn", df)
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (
         df.withColumn(rn_col, F.row_number().over(w))
@@ -101,7 +109,12 @@ def lag_sessionize(
         if dtype.startswith("timestamp")
         else F.col(ts_col).cast("timestamp")
     )
-    order_w = Window.partitionBy(user_col).orderBy(ts_col)
+    # Order both windows by the CAST timestamp, not the raw column: for
+    # string input in a non-lexicographic format ('2024-01-01 9:00:00'
+    # sorts after '... 10:00:00' as text) raw-column order would pair
+    # lag() with the wrong neighbor — negative gaps never split, and the
+    # running sum assigns session ids in text order.
+    order_w = Window.partitionBy(user_col).orderBy(ts)
     prev_ts = F.lag(ts).over(order_w)
     is_new = F.when(
         prev_ts.isNull() | ((ts - prev_ts) > gap_itv),
@@ -109,7 +122,7 @@ def lag_sessionize(
     ).otherwise(F.lit(0))
     run_w = (
         Window.partitionBy(user_col)
-        .orderBy(ts_col)
+        .orderBy(ts)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flag_col = fresh_name("_new_session", df, extra={session_col})

@@ -182,6 +182,13 @@ def build_ann_store(
     )
     from dask_felleskomponenter_spark.sources.tables import load_table
 
+    # Snapshot the staleness marker BEFORE reading/indexing: the build
+    # runs long (minutes-to-hours at scale), and a source replaced
+    # mid-build would otherwise have its NEW size recorded against an
+    # index built from the OLD rows — a stale store that validates as
+    # current forever. Recording the before-size means such a store
+    # mismatches on the next load and rebuilds.
+    source_size = _source_size(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     path = _store_dir(sf_dir, bits, n_cells, iters, root, seed, dim)
     os.makedirs(path, exist_ok=True)
@@ -249,7 +256,7 @@ def build_ann_store(
                 spark.conf.set(k, val)
 
     meta = {
-        "source_size": _source_size(sf_dir),
+        "source_size": source_size,
         "bits": bits,
         "n_cells": n_cells,
         "iters": iters,

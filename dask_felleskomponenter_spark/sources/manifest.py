@@ -72,7 +72,13 @@ def _file_inventory(data_path: str) -> dict[str, int]:
     Hadoop ``FileSystem.listFiles`` walk.
     """
     files: dict[str, int] = {}
-    for base, _dirs, names in os.walk(data_path):
+    for base, dirs, names in os.walk(data_path):
+        # Prune Spark-invisible DIRECTORIES too (_temporary/,
+        # _spark_metadata/, .staging-*): their inner files often have
+        # plain names, and recording such residue as corpus identity
+        # makes its later cleanup — a no-op for Spark-visible data —
+        # fail verification as a false corruption alarm.
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in sorted(names):
             if f.startswith("_") or f.startswith("."):
                 continue

@@ -104,7 +104,14 @@ def refresh_incremental_summary(
         finally:
             if os.path.exists(staging):
                 shutil.rmtree(staging, ignore_errors=True)
-    return spark.read.parquet(summary_path)
+        # Materialize the returned summary WHILE still holding the
+        # mutex: a lazily-read DataFrame returned after release points
+        # at files a concurrent refresh's swap deletes, so the caller's
+        # later collect would fail on a refresh that reported success.
+        # The summary is per-key (small by contract) — an eager local
+        # checkpoint pins its rows independent of the directory.
+        refreshed = spark.read.parquet(summary_path).localCheckpoint(eager=True)
+    return refreshed
 
 
 def _recover_interrupted_swap(summary_path: str) -> None:

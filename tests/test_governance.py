@@ -534,3 +534,47 @@ def test_erasure_prunes_by_individual_keys(spark, tmp_path):
     stats = erase_keys_parquet(path, "k", [0, 299])
     assert stats["rows_deleted"] == 2
     assert stats["files_rewritten"] == 2, stats  # middle file untouched
+
+
+class TestPiiRemedyExecutability:
+    def test_two_part_table_name_splits_schema(self, spark):
+        from dask_felleskomponenter_spark.governance.data_checks import (
+            scan_text_pii,
+        )
+
+        df = spark.createDataFrame([(1, "mail a.b@example.org")], "id int, t string")
+        f = scan_text_pii(df, ["t"], table="raw.documents")[0]
+        assert (f.catalog, f.schema, f.table) == (None, "raw", "documents")
+
+    def test_remedy_sql_is_actually_executable(self, spark):
+        """The module's premise is findings with EXECUTABLE remedies —
+        the emitted regexp_replace must survive Spark SQL's
+        string-literal parser (which consumes backslashes), not throw a
+        dangling-quantifier error or over-redact ('\\.' degrading to
+        '.'). Run each finding's solution verbatim against the planted
+        row and require the PII gone."""
+        from dask_felleskomponenter_spark.governance.data_checks import (
+            scan_text_pii,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b@example.org or call +1-555-123-4567 now")],
+            "id int, t string",
+        )
+        df.createOrReplaceTempView("pii_remedy_v")
+        findings = scan_text_pii(df, ["t"])
+        assert findings, "scan must find the planted PII"
+        out = "mail a.b@example.org or call +1-555-123-4567 now"
+        for f in findings:
+            sql = f.solution.rstrip(". ").rstrip()
+            # the solution ends "...) ..." — complete it over the view
+            sql = sql[: sql.rfind(")") + 1] + " AS red FROM pii_remedy_v"
+            red = spark.sql(sql).first()["red"]
+            assert f.for_field.split(".", 1)[1].upper() in red, (f.for_field, red)
+            out = red if out is None else out
+        # email remedy must not over-redact the whole sentence
+        email_sol = [f for f in findings if f.for_field == "pii.email"][0]
+        sql = email_sol.solution.rstrip(". ").rstrip()
+        sql = sql[: sql.rfind(")") + 1] + " AS red FROM pii_remedy_v"
+        red = spark.sql(sql).first()["red"]
+        assert red.startswith("mail [EMAIL]") and "call +1-555" in red

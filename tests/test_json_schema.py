@@ -241,3 +241,46 @@ def test_json_pointer_array_index_and_escapes():
     assert st["x"].dataType.typeName() == "long" or "int" in st["x"].dataType.typeName()
     assert st["x"].metadata["description"] == "first"
     assert "double" in st["y"].dataType.typeName() or "float" in st["y"].dataType.typeName()
+
+
+def test_root_level_ref_resolves_to_properties():
+    """{'$ref': '#/$defs/Root', '$defs': ...} is a common schema shape —
+    the root ref must resolve rather than compile to zero columns."""
+    schema = {
+        "$ref": "#/$defs/Root",
+        "$defs": {
+            "Root": {
+                "type": "object",
+                "properties": {"a": {"type": "string"}},
+                "required": ["a"],
+            }
+        },
+    }
+    st = convert(schema)
+    assert [f.name for f in st.fields] == ["a"]
+    assert st["a"].nullable is False
+
+
+def test_no_properties_raises_like_reference():
+    """A property-less root raised loudly in the reference
+    (schema.py:54); an empty StructType would silently parse every
+    record to zero columns."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="No properties"):
+        convert({"type": "object"})
+
+
+def test_const_behind_ref_is_dropped():
+    """const-ness may live on the $ref TARGET: the reference resolves
+    before dropping, so must we."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "keep": {"type": "integer"},
+            "drop": {"$ref": "#/$defs/c"},
+        },
+        "$defs": {"c": {"const": "fixed", "type": "string"}},
+    }
+    st = convert(schema)
+    assert [f.name for f in st.fields] == ["keep"]

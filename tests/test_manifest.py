@@ -137,3 +137,32 @@ def test_checksum_detects_null_column_shifts(spark):
     a = spark.createDataFrame([("a", None)], "c1 string, c2 string")
     b = spark.createDataFrame([(None, "a")], "c1 string, c2 string")
     assert df_checksum(a, ["c1", "c2"])[0] != df_checksum(b, ["c1", "c2"])[0]
+
+
+def test_inventory_prunes_spark_invisible_directories(spark, tmp_path):
+    """Residue under underscore/dot-prefixed DIRECTORIES (_temporary/,
+    .staging-*/) is invisible to Spark readers, so it must not be
+    recorded as corpus identity: deleting it later — a no-op for the
+    data — must not fail verification as a phantom inventory change."""
+    import os
+
+    from dask_felleskomponenter_spark.sources.manifest import (
+        verify_corpus_manifest,
+        write_corpus_manifest,
+    )
+
+    path = str(tmp_path / "corpus")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    # plant abandoned-job residue with Spark-visible inner names
+    resid = os.path.join(path, "_temporary", "0")
+    os.makedirs(resid)
+    with open(os.path.join(resid, "part-00003.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    m = write_corpus_manifest(spark, path)
+    assert not any("part-00003" in f and "_temporary" in f for f in m["files"])
+    # cleaning up the residue must verify clean
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "_temporary"))
+    report = verify_corpus_manifest(spark, path)
+    assert report["ok"], report

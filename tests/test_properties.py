@@ -853,3 +853,139 @@ def test_canonicalize_text_matches_duckdb_chain(spark, duck):
             [s],
         ).fetchone()[0]
     assert got == want
+
+
+def test_lag_sessionize_string_timestamps_nonlexicographic(spark):
+    """Round-6 review finding: the session windows ordered by the RAW
+    ts column while gap math used the cast — string timestamps in a
+    non-lexicographic format ('... 9:00:00' sorts after '... 10:00:00'
+    as text) paired lag() with the wrong neighbor, so sessions that
+    should split stayed merged. Both windows now order by the cast."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.windows import lag_sessionize
+
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, ts="2024-01-01 9:00:00"),
+            Row(u=1, ts="2024-01-01 9:00:30"),     # same session
+            Row(u=1, ts="2024-01-01 10:00:00"),    # 59.5 min gap → new
+        ]
+    )
+    got = {
+        r["ts"]: r["session_id"]
+        for r in lag_sessionize(ev, "u", "ts", gap_seconds=60).collect()
+    }
+    assert got["2024-01-01 9:00:00"] == 1
+    assert got["2024-01-01 9:00:30"] == 1
+    assert got["2024-01-01 10:00:00"] == 2
+
+
+def test_helper_columns_do_not_clobber_user_columns(spark):
+    """keep_first's rank column and exact_dedup's hash column are
+    internal staging names; a user column that happens to be called
+    '_rn' or '_content_sha' must survive untouched (round-6 review:
+    withColumn overwrites, the final drop then deletes user data)."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.dedup import exact_dedup
+    from dask_felleskomponenter_spark.operators.windows import keep_first
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=10, _rn="keep-me-a", _content_sha="keep-me-b"),
+            Row(k=1, v=20, _rn="keep-me-c", _content_sha="keep-me-d"),
+            Row(k=2, v=30, _rn="keep-me-e", _content_sha="keep-me-f"),
+        ]
+    )
+    kf = keep_first(df, ["k"], [F.col("v").asc()])
+    assert set(kf.columns) == {"k", "v", "_rn", "_content_sha"}
+    assert {r["_rn"] for r in kf.collect()} == {"keep-me-a", "keep-me-e"}
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="same", _content_sha="user-x"),
+            Row(doc_id=2, text="same", _content_sha="user-y"),
+            Row(doc_id=3, text="other", _content_sha="user-z"),
+        ]
+    )
+    dd = exact_dedup(docs, "text", order_by=[F.col("doc_id").asc()])
+    assert set(dd.columns) == {"doc_id", "text", "_content_sha"}
+    assert {r["_content_sha"] for r in dd.collect()} == {"user-x", "user-z"}
+
+
+def test_cosine_neardup_pairs_ragged_vectors(spark):
+    """A single odd-dimension row must not crash the GEMM tile
+    (np.stack raises on ragged input): cosine is defined per
+    equal-length pair — mismatched-length pairs are no-match (the JVM
+    zip_with twin scores them NULL), same-length pairs still match."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),   # dup of 0
+        Row(vec_id=2, embedding=[1.0, 0.0]),              # ragged 2-dim
+        Row(vec_id=3, embedding=[1.0, 0.0]),              # dup of 2
+        Row(vec_id=4, embedding=[0.0, 1.0, 0.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows)
+    for n_blocks in (1, 4):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_neardup_pairs(
+                df, threshold=0.9, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == {(0, 1), (2, 3)}, f"n_blocks={n_blocks}"
+
+
+def test_pq_adc_topk_rejects_mismatched_query_dim(spark):
+    """The build path validates dims loudly; the query path must too —
+    a 60-dim query against 64-dim codebooks used to silently truncate
+    the subspace width and rank against misaligned slices."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.similarity import pq_adc_topk
+
+    codebooks = [[[0.0, 0.0], [1.0, 1.0]] for _ in range(2)]  # m=2, d=2
+    # the store writes pq_codes as array<int> (F.lit(code) literals)
+    codes = spark.createDataFrame(
+        [Row(vec_id=0, pq_codes=[0, 1])],
+        "vec_id bigint, pq_codes array<int>",
+    )
+    with _pytest.raises(ValueError, match="query dim"):
+        pq_adc_topk(codes, codebooks, query_vec=[1.0, 0.0, 0.0])  # dim 3 != 4
+    # matching dim still works
+    assert pq_adc_topk(codes, codebooks, query_vec=[1.0, 0.0, 0.0, 1.0]).count() == 1
+
+
+def test_ann_builders_skip_null_embeddings(spark):
+    """A NULL embedding among the lowest-id rows used to abort the
+    whole index build with a bare TypeError; the builders now skip
+    NULLs, matching the scorers' no-match convention."""
+    import random as _random
+
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.similarity import (
+        build_ivf_centroids,
+        build_pq_codebooks,
+    )
+
+    rng = _random.Random(3)
+    rows = [Row(vec_id=0, embedding=None)] + [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(4)])
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    cents = build_ivf_centroids(df, n_cells=2, iters=1)
+    assert len(cents) == 2 and all(len(c) == 4 for c in cents)
+    cbs = build_pq_codebooks(df, dim=4, m=2, k=2, iters=1)
+    assert len(cbs) == 2 and all(len(cb) == 2 for cb in cbs)

@@ -846,3 +846,21 @@ def test_merge_into_path_staged_swap_and_recovery(spark, tmp_path):
     assert os.path.exists(fresh), "fresh staging (concurrent run) must survive"
     got3 = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
     assert got3 == {(0, "zz"), (1, "new"), (3, "yy"), (4, "old")}
+
+
+def test_refresh_returned_summary_survives_next_swap(spark, tmp_path):
+    """The returned DataFrame must stay collectable after a LATER
+    refresh swaps the directory out from under it (round-6 review:
+    a lazily-read return pointed at files the next swap deletes)."""
+    from dask_felleskomponenter_spark.sync.incremental import (
+        refresh_incremental_summary,
+    )
+
+    path = str(tmp_path / "summary")
+    b1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    first = refresh_incremental_summary(spark, path, b1, ["k"], ["v"])
+    # a second refresh renames the dir first returned's files lived in
+    b2 = spark.createDataFrame([(1, 5)], "k int, v int")
+    refresh_incremental_summary(spark, path, b2, ["k"], ["v"])
+    rows = {r["k"]: r["v"] for r in first.collect()}  # must not raise
+    assert rows == {1: 10, 2: 20}
