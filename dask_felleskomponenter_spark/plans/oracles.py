@@ -539,7 +539,7 @@ SELECT c.cohort_week,
        COUNT(DISTINCT a.user_id) AS n_active
 FROM active a JOIN cohort c ON a.user_id = c.user_id
 GROUP BY c.cohort_week, week_offset
-ORDER BY c.cohort_week, week_offset
+ORDER BY c.cohort_week NULLS FIRST, week_offset NULLS FIRST
 """
 
 ORACLES["resample_ffill_events"] = """
@@ -871,6 +871,7 @@ WITH flagged AS (
                 OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessions AS (
   SELECT user_id,
@@ -901,6 +902,7 @@ WITH flagged AS (
                 OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessions AS (
   SELECT user_id, ts, value,
@@ -1000,7 +1002,7 @@ SELECT
   CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
-ORDER BY day NULLS FIRST, event_type
+ORDER BY day NULLS FIRST, event_type NULLS FIRST
 """
 
 ORACLES["tumbling_window_events"] = """
@@ -1009,8 +1011,9 @@ SELECT
   event_type,
   COUNT(*) AS n_events
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
-ORDER BY window_start, event_type
+ORDER BY window_start, event_type NULLS FIRST
 """
 
 ORACLES["json_fns_events"] = """
@@ -1023,7 +1026,7 @@ SELECT
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
-ORDER BY event_type
+ORDER BY event_type NULLS FIRST
 """
 
 ORACLES["math_fns_lineitem"] = """
@@ -1606,10 +1609,11 @@ ORACLES["asof_last_error_before_click"] = """
 WITH errors_dedup AS (
   SELECT user_id, ts AS err_ts, event_id, value
   FROM events
-  WHERE event_type = 'error'
+  WHERE event_type = 'error' AND ts IS NOT NULL
   QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
 ), clicks AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
 )
 SELECT c.event_id,
        c.user_id,
@@ -1657,7 +1661,7 @@ SELECT event_type,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM events
 GROUP BY event_type
-ORDER BY event_type
+ORDER BY event_type NULLS FIRST
 """
 
 ORACLES["map_fns_events"] = """
@@ -2105,4 +2109,156 @@ WHERE canon <> ''
 GROUP BY canon
 HAVING COUNT(*) > 1
 ORDER BY keep_id
+"""
+
+# Ordered-set aggregates: DuckDB string_agg supports an ORDER BY inside
+# the aggregate (same ANSI listagg semantics); deterministic mode is
+# spelled explicitly as count + row_number (most frequent, lowest value
+# on frequency ties) — the exact rule Spark's mode(col, true) applies.
+ORACLES["agg_listagg_mode_orders"] = """
+WITH freq AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), m AS (
+  SELECT o_orderstatus, o_orderpriority AS top_priority
+  FROM (
+    SELECT o_orderstatus, o_orderpriority,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY n DESC, o_orderpriority
+           ) AS rn
+    FROM freq
+  ) WHERE rn = 1
+)
+SELECT
+  o.o_orderstatus,
+  string_agg(DISTINCT o.o_orderpriority, '|' ORDER BY o.o_orderpriority)
+    AS priorities,
+  MIN(m.top_priority) AS top_priority,
+  COUNT(*) AS n_orders
+FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+# LATERAL correlated top-n: DuckDB executes the lateral directly; the
+# Spark side decorrelates the same SQL into a window top-n.
+ORACLES["lateral_topn_per_group"] = """
+SELECT c.c_custkey, t.o_orderkey, t.price, t.rnk
+FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9900.0
+) c,
+LATERAL (
+  SELECT o_orderkey,
+         ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey
+         ) AS rnk
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey
+  LIMIT 2
+) t
+ORDER BY c.c_custkey, t.rnk
+"""
+
+# Interval coalescing: the union-of-intervals rule spelled identically —
+# a new island starts only when start strictly exceeds the running max
+# end over all PRIOR rows. Exact epoch-micro bigints throughout.
+ORACLES["interval_coalesce_events"] = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + 300000000 AS end_us
+  FROM events WHERE ts IS NOT NULL
+), flagged AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN MAX(end_us) OVER (
+                PARTITION BY user_id ORDER BY start_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start_us > MAX(end_us) OVER (
+                PARTITION BY user_id ORDER BY start_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM ev
+), islands AS (
+  SELECT user_id,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY start_us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS island_id,
+         start_us, end_us
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island_id,
+         MIN(start_us) AS i_start, MAX(end_us) AS i_end,
+         COUNT(*) AS i_events
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       SUM(i_end - i_start) AS covered_us,
+       MAX(i_events) AS max_island_events
+FROM per_island
+GROUP BY user_id
+ORDER BY user_id NULLS FIRST
+"""
+
+# Time-weighted average as exact integer numerator/denominator; NULL
+# values weigh zero (COALESCE before the multiply), the open-ended last
+# reading per user is excluded by the lead() IS NOT NULL filter.
+ORACLES["twap_events"] = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS start_us,
+         COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0) AS cents
+  FROM events WHERE ts IS NOT NULL
+), seg AS (
+  SELECT user_id, cents,
+         LEAD(start_us) OVER (
+           PARTITION BY user_id ORDER BY start_us, event_id
+         ) - start_us AS dt_us
+  FROM ev
+)
+SELECT user_id,
+       COUNT(*) AS n_segments,
+       SUM(dt_us) AS active_us,
+       SUM(cents * dt_us) AS weighted_cents_us
+FROM seg WHERE dt_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id NULLS FIRST
+"""
+
+# Run-length (SCD-2) compression with the null-safe change predicate:
+# IS DISTINCT FROM treats NULL event_type as a value, exactly like
+# Spark's eqNullSafe negation.
+ORACLES["scd2_event_type_runs"] = """
+WITH flagged AS (
+  SELECT user_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS change,
+         ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+), runs_src AS (
+  SELECT user_id, event_type,
+         SUM(change) OVER (
+           PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS run_id
+  FROM flagged
+), runs AS (
+  SELECT user_id, run_id, event_type, COUNT(*) AS run_len
+  FROM runs_src GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, event_type,
+       COUNT(*) AS n_runs,
+       MAX(run_len) AS max_run_len,
+       SUM(run_len) AS total_events
+FROM runs
+GROUP BY user_id, event_type
+ORDER BY user_id NULLS FIRST, event_type NULLS FIRST
 """

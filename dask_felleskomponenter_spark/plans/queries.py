@@ -434,8 +434,14 @@ def window_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 
 def window_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-minute gap),
-    reduced to per-user session statistics."""
-    ev = load_table(spark, sf_dir, "events")
+    reduced to per-user session statistics.
+
+    A session is a TIME-chain, so timestamp-less events cannot chain:
+    NULL ts is excluded explicitly on both engines (otherwise Spark
+    sorts it FIRST in the user partition and DuckDB LAST, splitting the
+    session structure differently — caught by the planted NULL-ts fuzz
+    class)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     sessions = lag_sessionize(ev, "user_id", "ts", gap_seconds=1800)
     return (
         sessions.groupBy("user_id")
@@ -592,8 +598,14 @@ def date_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling windows via ``F.window`` (batch twin of the
-    Structured Streaming aggregation in ``streaming/``)."""
-    ev = load_table(spark, sf_dir, "events")
+    Structured Streaming aggregation in ``streaming/``).
+
+    NULL timestamps are excluded EXPLICITLY: Spark's TimeWindowing rule
+    silently injects ``ts IS NOT NULL`` under ``F.window`` while a SQL
+    ``date_trunc`` keeps the NULL group — the fuzz corpus' planted NULL
+    ts caught the engines disagreeing; the filter is now spelled on
+    both sides."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -620,8 +632,13 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, so keep this boundary wording exact); ``session_end`` is
     last-event + gap (Spark's window.end), reproduced in SQL as
     ``MAX(ts) + INTERVAL 30 MINUTE``. One shuffle on user_id; session
-    merging is per-key sorted state, no cross-key work."""
-    ev = load_table(spark, sf_dir, "events")
+    merging is per-key sorted state, no cross-key work.
+
+    NULL timestamps are excluded EXPLICITLY on both engines: Spark's
+    SessionWindowing rule injects ``ts IS NOT NULL`` silently; the
+    manual SQL twin would otherwise chain NULL-ts rows into whichever
+    session its NULL ordering put them next to."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     fmt = "yyyy-MM-dd HH:mm:ss"
     return (
         ev.groupBy(
@@ -1465,10 +1482,19 @@ def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives dense event streams, vs a range join's blowup. The build
     side is pre-deduped per (user_id, ts) keeping the max event_id so
     the as-of winner is well-defined on both engines; the oracle is
-    DuckDB's native ASOF LEFT JOIN."""
+    DuckDB's native ASOF LEFT JOIN.
+
+    NULL timestamps are excluded from BOTH sides explicitly: an
+    unstamped click cannot be attributed and an unstamped error cannot
+    be "before" anything — engine defaults differ (DuckDB's ASOF keeps
+    a NULL-ts probe row unmatched; the interleave sort would place it
+    by each engine's NULL order), so the rule is spelled, not
+    inherited."""
     from dask_felleskomponenter_spark.operators.joins import asof_join
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -3905,6 +3931,224 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_listagg_mode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates over orders (§2B agg surface, Spark 4):
+    ``listagg(DISTINCT …) WITHIN GROUP (ORDER BY …)`` — the ANSI
+    ordered string concatenation — plus deterministic ``mode()``
+    (lowest value among the most-frequent, ``deterministic=True``, so
+    frequency ties cannot flap the result across engines). DuckDB twin:
+    ``string_agg(DISTINCT … ORDER BY …)`` and a count+row_number
+    deterministic mode.
+
+    Scale: both are ordinary hash aggregates on the group key with
+    map-side partials; listagg's per-group payload is bounded by the
+    distinct-priority domain (5 values), never the row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT o_orderpriority, '|') "
+                "WITHIN GROUP (ORDER BY o_orderpriority)"
+            ).alias("priorities"),
+            F.mode("o_orderpriority", True).alias("top_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery (§2B subquery surface): each
+    high-balance customer joined laterally to its own top-2 orders by
+    price. Catalyst decorrelates the LIMIT-bearing lateral into a
+    window top-n over one join — no per-row re-execution — which is
+    exactly the plan the DataFrame twin ``window_topn_orders_per_
+    customer`` declares directly; this query pins the SQL front door.
+
+    Determinism: price ties broken by o_orderkey; final total order on
+    (c_custkey, rnk)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.price, t.rnk
+        FROM (
+          SELECT c_custkey FROM _lat_customer WHERE c_acctbal > 9900.0
+        ) c,
+        LATERAL (
+          SELECT o_orderkey,
+                 ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey
+                 ) AS rnk
+          FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey
+          LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, t.rnk
+        """
+    )
+
+
+def interval_coalesce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands over explicit interval
+    ENDS, §2B window/sessionize surface): each event spans
+    ``[ts, ts+300s]``; per user, overlapping-or-touching intervals merge
+    into islands (an event opens a new island only when it starts
+    strictly after the running max end of everything before it — the
+    union-of-intervals rule, distinct from gap-sessionize which chains
+    on the PREVIOUS event only). Output per user: island count, total
+    covered micros, densest island.
+
+    All arithmetic in exact epoch-micro bigints — no float compare.
+    NULL timestamps carry no interval and are filtered identically in
+    both engines; the NULL user partition is kept.
+
+    Scale: ONE hash shuffle on user_id — the window exchange's
+    partitioning (user_id) co-locates every later group
+    (user_id, island_id) and (user_id), so both groupBys reuse it;
+    running-max + running-sum are single-pass frames."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("start_us"),
+            (F.unix_micros("ts") + F.lit(300_000_000)).alias("end_us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_us") > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = (
+        flagged.withColumn(
+            "island_id",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.min("start_us").alias("i_start"),
+            F.max("end_us").alias("i_end"),
+            F.count(F.lit(1)).alias("i_events"),
+        )
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_us"),
+            F.max("i_events").alias("max_island_events"),
+        )
+        .orderBy(F.col("user_id").asc_nulls_first())
+    )
+
+
+def twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (§2B window surface), the
+    step-function integral every metering/pricing pipeline computes:
+    each reading holds until the next one, so its weight is the micros
+    until the user's next event; the final open-ended reading carries
+    no weight. Reported as EXACT INTEGER numerator/denominator
+    (value-cents × micros, active micros) — division would put a
+    cross-engine hash on a float boundary, the round-4 ROUND(AVG)
+    lesson.
+
+    NULL values weigh zero but their duration still elapses (the meter
+    kept running); NULL timestamps are filtered (no position on the
+    timeline) — identical rules on both engines.
+
+    Scale: one shuffle on user_id; lead() is a single-pass frame and
+    the per-user aggregate reuses the window exchange's partitioning."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("start_us"),
+            F.coalesce(
+                F.round(F.col("value") * 100).cast("long"), F.lit(0)
+            ).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    seg = ev.withColumn(
+        "dt_us", F.lead("start_us").over(w) - F.col("start_us")
+    ).where(F.col("dt_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt_us").alias("active_us"),
+            F.sum(F.col("cents") * F.col("dt_us")).alias(
+                "weighted_cents_us"
+            ),
+        )
+        .orderBy(F.col("user_id").asc_nulls_first())
+    )
+
+
+def scd2_event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compression of each user's event_type stream — the
+    SCD-2 collapse (consecutive equal values become one validity run,
+    a change opens the next). The change flag is the NULL-SAFE
+    ``lag(event_type) IS DISTINCT FROM event_type`` so a NULL type is a
+    value, not a wildcard — the classic SCD-2 trap where plain ``<>``
+    silently fuses runs across NULLs. Output bounded to
+    (user, event_type): run count, longest run, total events.
+
+    Scale: one shuffle on user_id; lag + running-sum are single-pass
+    frames over the same window, and both downstream groupBys
+    (user+run, then user+type) are co-located by the window exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
+    flagged = ev.withColumn(
+        "change",
+        (
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+        ).cast("int"),
+    )
+    runs = (
+        flagged.withColumn(
+            "run_id",
+            F.sum("change").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("max_run_len"),
+            F.sum("run_len").alias("total_events"),
+        )
+        .orderBy(
+            F.col("user_id").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
@@ -3917,6 +4161,12 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
+    # -- NEW round 6: never driver-sampled — stalest by definition -----------------
+    "agg_listagg_mode_orders": agg_listagg_mode_orders,
+    "lateral_topn_per_group": lateral_topn_per_group,
+    "interval_coalesce_events": interval_coalesce_events,
+    "twap_events": twap_events,
+    "scd2_event_type_runs": scd2_event_type_runs,
     # -- last driver-sampled round 2 -----------------------------------------------
     "window_topn_orders_per_customer": window_topn_orders_per_customer,
     "set_union_segments": set_union_segments,

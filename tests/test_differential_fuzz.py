@@ -171,6 +171,9 @@ FUZZ_EVENT_QUERIES = [
     "agg_salted_user_events",
     "theta_cohort_overlap",
     "join_salted_user_events",
+    "interval_coalesce_events",
+    "twap_events",
+    "scd2_event_type_runs",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -191,6 +194,12 @@ def _events_corpus(seed: int, n: int):
         ts = base + dt.timedelta(
             seconds=rng.randint(0, 6) * 3600 + step + i % 7
         )
+        # every 43rd ts is NULL: interval/ordering queries must either
+        # filter it or pin its sort position (NULLS FIRST) — engines
+        # disagree on the ASC default, and a timestamp-less event must
+        # never silently join a session/island
+        if i % 43 == 17:
+            ts = None
         # every 23rd props lacks the "k" key: map/variant extraction must
         # sentinel a missing key, not assume it (ANSI element_at class)
         props = (
@@ -203,7 +212,11 @@ def _events_corpus(seed: int, n: int):
                 i,
                 ts,
                 user,
-                rng.choice(_ETYPES),
+                # every 41st type is NULL: null-safe change detection
+                # (IS DISTINCT FROM) must treat it as a VALUE — plain <>
+                # would fuse runs across it — and equality filters must
+                # drop it identically on both engines
+                None if i % 41 == 13 else rng.choice(_ETYPES),
                 # every 31st value is NULL: an observed hour whose events
                 # are all NULL-valued has NULL hour_avg — resample must
                 # flag it as a gap and forward-fill it (not emit its own
