@@ -318,8 +318,17 @@ def _orders_corpus(seed: int, n: int):
                 i,
                 rng.randint(1, 12),
                 rng.choice(["F", "O", "P"]),
-                round(rng.randint(1, 40_000_000) / 100.0, 2),
-                base + dt.timedelta(days=day + (i % 3) * 7),
+                # every 19th price is NULL: ranking keys, percentiles and
+                # running sums must place/skip it identically per engine
+                None
+                if i % 19 == 5
+                else round(rng.randint(1, 40_000_000) / 100.0, 2),
+                # every 23rd date is NULL: calendar windows and running
+                # totals must pin its sort position (NULLS FIRST), never
+                # inherit the engine default
+                None
+                if i % 23 == 9
+                else base + dt.timedelta(days=day + (i % 3) * 7),
                 rng.choice(
                     ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
                 ),
@@ -332,20 +341,19 @@ def _orders_corpus(seed: int, n: int):
 @pytest.mark.parametrize("name", FUZZ_ORDER_QUERIES)
 def test_order_query_matches_oracle_on_random_orders(spark, tmp_path, name, seed):
     import duckdb
-    import pandas as pd
 
     rows = _orders_corpus(seed * 104729 + zlib.crc32(name.encode()) % 997, 250)
-    pdf = pd.DataFrame(
-        rows,
-        columns=[
-            "o_orderkey", "o_custkey", "o_orderstatus",
-            "o_totalprice", "o_orderdate", "o_orderpriority",
-        ],
-    )
     sf_dir = str(tmp_path)
-    spark.createDataFrame(pdf).coalesce(2).write.parquet(
-        f"{sf_dir}/orders.parquet"
-    )
+    # explicit DDL, NOT a pandas frame: pandas stores a None price as
+    # float64 NaN, which Spark ingests as NaN while a DuckDB register()
+    # of the same frame yields SQL NULL — the planted NULL class would
+    # reach the two engines as DIFFERENT values. Spark writes the
+    # parquet; DuckDB reads that same parquet (one ingestion path).
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/orders.parquet")
 
     sdf = QUERIES[name](spark, sf_dir)
     got = sorted(
@@ -354,7 +362,10 @@ def test_order_query_matches_oracle_on_random_orders(spark, tmp_path, name, seed
     )
 
     con = duckdb.connect()
-    con.register("orders", pdf)
+    con.execute(
+        f"CREATE VIEW orders AS "
+        f"SELECT * FROM '{sf_dir}/orders.parquet/*.parquet'"
+    )
     cur = con.execute(ORACLES[name])
     cols = [d[0] for d in cur.description]
     want = sorted(
