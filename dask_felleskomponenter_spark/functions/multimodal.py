@@ -338,6 +338,22 @@ def png_encode(
     )
 
 
+def png_encode_media(
+    media_type: str, width: int, height: int, channels: int, payload: bytes
+) -> bytes:
+    """``png_encode`` in the operator-encoder signature.
+
+    Image operators (``resize_images``, ``sample_frames``) call their
+    injected encoder as ``encoder(media_type, w, h, channels, payload)``
+    — ``fakm_encode``'s shape. Passing raw ``png_encode`` there would
+    bind ``width=media_type`` and crash the whole job inside the
+    executor with an unrelated-looking channel-count error; this adapter
+    makes the natural decode_image_png/png pairing injectable directly
+    (media_type is implicit: the container IS the type).
+    """
+    return png_encode(width, height, channels, payload)
+
+
 def decode_image_png(data: bytes | None) -> dict | None:
     """Real PNG decode: signature + chunk walk (CRC-verified) → IHDR →
     concatenated-IDAT inflate → per-scanline unfilter. Returns the same
@@ -954,8 +970,10 @@ def resize_images(
     tests; a real deployment injects a PIL-backed decoder/encoder PAIR —
     injecting only the decoder would silently transcode every image to
     the fixture format). ``encoder(media_type, w, h, channels, payload)``
-    must return the binary blob. Demonstrates the binary→binary
-    transform shape."""
+    must return the binary blob — for the in-module PNG codec inject
+    ``png_encode_media`` (NOT raw ``png_encode``, whose width-first
+    signature would bind the media type as the width and crash the
+    job). Demonstrates the binary→binary transform shape."""
     if width < 1 or height < 1:
         raise ValueError(f"target size {width}x{height} must be >= 1x1")
 
@@ -989,15 +1007,26 @@ def sample_frames(
     binary_col: str,
     id_cols: list[str],
     every_n: int = 2,
-    decoder: Decoder = fakm_decode,
+    decoder: Decoder = decode_video_avi,
+    frame_encoder=fakm_encode,
 ) -> DataFrame:
     """Video → frame rows: one output row per sampled frame (every
     ``every_n``-th), exploding inside ``mapInPandas`` so a 10k-frame
     video never materializes as a single array value.
 
-    FAKM videos store frames as consecutive ``width×height×channels``
-    planes; a real deployment injects an ffmpeg-backed decoder with the
-    same contract (payload = concatenated frames).
+    The default decoder is the real AVI codec — the SAME default as
+    ``decode_videos``, so the metadata and frame paths agree on what a
+    video blob is (a FAKM-default here once made the
+    decode-then-sample pipeline silently emit zero frames on real AVI
+    input). Decoder contract: payload = concatenated top-down
+    ``width×height×channels`` frames; an ffmpeg-backed decoder slots in
+    with the same contract.
+
+    Each emitted frame is re-encoded via ``frame_encoder(media_type,
+    width, height, channels, payload)`` — FAKM by default (the format
+    ``image_pixel_stats``' default decoder reads); inject an encoder
+    alongside a real decoder if downstream consumers need a real image
+    format, otherwise frames are silently fixture-wrapped.
     """
     if int(every_n) < 1:
         # a zero step would raise range()'s opaque ValueError inside the
@@ -1034,7 +1063,7 @@ def sample_frames(
                         rows[c].append(v)
                     rows["frame_index"].append(i)
                     rows["frame"].append(
-                        fakm_encode(
+                        frame_encoder(
                             "i",
                             d["width"],
                             d["height"],

@@ -639,6 +639,13 @@ def with_pq_codes(
     codes = F.array(
         *_pq_argmin_cols(F.col(vec_col), F.col(ncol), codebooks, dim)
     )
+    # A NULL embedding must encode to NULL codes, not [0]*m: every
+    # per-centroid objective is NULL and array_min's struct order sorts
+    # NULL first, so the argmin would resolve to code 0 everywhere —
+    # valid-looking codes for a vector that doesn't exist, which ADC
+    # scoring (codes-only, never re-reads the raw vector) would then
+    # rank as a real neighbor.
+    codes = F.when(F.col(vec_col).isNotNull(), codes)
     return staged.withColumn(out_col, codes).drop(ncol)
 
 
@@ -770,7 +777,11 @@ def pq_adc_topk(
             literal_vector(dtab), F.element_at(F.col(codes_col), j + 1) + 1
         )
         d2 = term if d2 is None else d2 + term
-    scored = codes_df.select(
+    # NULL codes (a NULL embedding at encode time) carry no position in
+    # the quantized space: exclude them loudly here rather than rely on
+    # NULL scores sorting last — with fewer than k real rows they would
+    # otherwise pad the result.
+    scored = codes_df.filter(F.col(codes_col).isNotNull()).select(
         F.col(id_col),
         F.round(F.lit(1.0) - d2 / F.lit(2.0), 9).alias(score_col),
     )

@@ -60,13 +60,21 @@ def _recover_history(spark: SparkSession, table_name: str) -> None:
     if not spark.catalog.tableExists(table_name) and spark.catalog.tableExists(
         old
     ):
-        spark.sql(f"ALTER TABLE {old} RENAME TO {table_name}")
-    elif spark.catalog.tableExists(table_name) and spark.catalog.tableExists(
-        old
-    ):
-        spark.sql(f"DROP TABLE {old}")
-    if spark.catalog.tableExists(scratch):
-        spark.sql(f"DROP TABLE {scratch}")
+        # Concurrent SCREENING calls can both observe this state and
+        # race the restore rename (catalog DDL is not idempotent): the
+        # loser's failure is benign iff the live table exists afterwards
+        # — someone restored it — so recheck instead of failing a
+        # read-only screen.
+        try:
+            spark.sql(f"ALTER TABLE {old} RENAME TO {table_name}")
+        except Exception:
+            if not spark.catalog.tableExists(table_name):
+                raise
+    if spark.catalog.tableExists(table_name):
+        # IF EXISTS: a concurrent recoverer may have dropped it between
+        # the check and the drop
+        spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
 
 
 def dedup_against_history(
@@ -118,6 +126,16 @@ def dedup_against_history(
     ingest time. ``tests/test_dedup_store.py`` pins the single-exchange
     plan under that recipe.
     """
+    if HASH_COL in batch_df.columns:
+        # the history schema fixes this name, so withColumn would
+        # silently OVERWRITE a caller's same-named column and hand the
+        # corrupted value back in the novel rows — the hazard
+        # operators/dedup.py::exact_dedup avoids with fresh_name; here
+        # the fixed name makes a loud error the only safe option
+        raise ValueError(
+            f"batch_df already has a column named {HASH_COL!r}, which "
+            "the history schema reserves — rename it before screening"
+        )
     # NULL content must still get a non-null key: sha2(NULL) is NULL,
     # a NULL anti-join key matches nothing, and every batch would
     # re-admit its NULL-content row as "novel" forever — breaking the
@@ -230,16 +248,28 @@ def compact_history(
     prev_scan = spark.conf.get(scan_key)
     spark.conf.set(scan_key, "false")
     try:
+        # Observation metrics ride the write action: the carried-over
+        # row count comes out of the SAME pass that writes the scratch
+        # copy — a corpus-sized history is not re-scanned just to
+        # produce the return value.
+        from dask_felleskomponenter_spark.operators.metrics import (
+            with_observed_metrics,
+        )
+
+        src, obs = with_observed_metrics(
+            spark.table(table_name),
+            "compact_history",
+            n_rows=F.count(F.lit(1)),
+        )
         (
-            spark.table(table_name)
-            .repartition(n_buckets, HASH_COL)
+            src.repartition(n_buckets, HASH_COL)
             .write.bucketBy(n_buckets, HASH_COL)
             .sortBy(HASH_COL)
             .saveAsTable(scratch)
         )
     finally:
         spark.conf.set(scan_key, prev_scan)
-    n = spark.table(scratch).count()
+    n = obs.get["n_rows"]
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {scratch} RENAME TO {table_name}")
@@ -254,6 +284,33 @@ def compact_history(
 #: band)``), so one 64-bit key carries both — the screen join needs a
 #: single equi-key, which is also the table's bucket spec.
 BUCKET_COL = "lsh_bucket_key"
+
+
+def _require_nonnull_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Fail the first ACTION loudly if any ``id_col`` value is NULL.
+
+    The near-dup store keys every per-document decision on the id: the
+    final screen is ``left_anti`` on ``id_col`` (a NULL key matches
+    nothing, so a flagged NULL-id duplicate would be silently
+    re-admitted — and re-recorded — on every batch), the intra-batch
+    rule compares ids, and the history width cap counts distinct seen
+    ids. None of those can be made well-defined for NULL (distinct
+    NULL-id documents are indistinguishable in the drop set), so the
+    contract is non-null ids — enforced in the row expression itself
+    (a ``when``/``raise_error`` wrapping every downstream read of the
+    id), which whole-stage codegen keeps effectively free and column
+    pruning cannot elide, the same loud-over-silent posture as
+    ``operators/graph.py``'s integral-id guard."""
+    guarded = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"near-dup history store: NULL {id_col!r} — the screen "
+                "anti-joins on the id, so NULL-id rows can never be "
+                "dropped; assign ids before screening"
+            )
+        ).cast(df.schema[id_col].dataType)
+    )
+    return df.withColumn(id_col, guarded)
 
 
 def neardup_against_history(
@@ -330,6 +387,7 @@ def neardup_against_history(
         minhash_signatures,
     )
 
+    batch_df = _require_nonnull_ids(batch_df, id_col)
     sigs = minhash_signatures(
         batch_df, id_col, text_col, num_hashes=num_hashes,
         shingle_size=shingle_size,
@@ -427,7 +485,7 @@ def record_novel_signatures(
     pays the dominant MinHash stage twice, once to screen and once to
     record the identical buckets."""
     if buckets_df is not None:
-        entries = buckets_df.select(
+        entries = _require_nonnull_ids(buckets_df, id_col).select(
             F.col(BUCKET_COL),
             F.col(id_col).alias(SEEN_ID_COL),
             F.lit(batch_label).alias(BATCH_COL),
@@ -445,8 +503,8 @@ def record_novel_signatures(
     )
 
     sigs = minhash_signatures(
-        novel_df, id_col, text_col, num_hashes=num_hashes,
-        shingle_size=shingle_size,
+        _require_nonnull_ids(novel_df, id_col), id_col, text_col,
+        num_hashes=num_hashes, shingle_size=shingle_size,
     )
     entries = (
         lsh_band_buckets(sigs, id_col, bands=bands, rows_per_band=rows_per_band)

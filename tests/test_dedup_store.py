@@ -596,3 +596,44 @@ def test_stream_neardup_ingest_cross_batch(spark, tmp_path, table_name):
     )
     q3.awaitTermination(120)
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == second
+
+
+def test_exact_screen_rejects_reserved_hash_column(spark, table_name):
+    """A caller column named like the history hash must raise, not be
+    silently overwritten (the withColumn hazard exact_dedup avoids with
+    fresh_name — here the history schema fixes the name)."""
+    from dask_felleskomponenter_spark.sources.dedup_store import HASH_COL
+
+    df = spark.createDataFrame(
+        [(1, "alpha", "precomputed")], ["doc_id", "text", HASH_COL]
+    )
+    with pytest.raises(ValueError, match=HASH_COL):
+        dedup_against_history(
+            spark, df, "doc_id", "text", table_name,
+            batch_label="b0", update=False,
+        )
+
+
+def test_neardup_screen_fails_loudly_on_null_ids(spark, table_name):
+    """NULL ids cannot be screened (the final anti-join keys on the id,
+    and NULL matches nothing): the guard must fail the action loudly
+    instead of silently re-admitting flagged NULL-id rows every batch."""
+    from pyspark.sql.utils import PythonException
+
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        neardup_against_history,
+    )
+
+    sig_table = f"{table_name}_sig"
+    try:
+        df = spark.createDataFrame(
+            [(1, "some repeated text body here"),
+             (None, "some repeated text body here")],
+            "doc_id bigint, text string",
+        )
+        with pytest.raises(Exception, match="NULL 'doc_id'"):
+            neardup_against_history(
+                spark, df, "doc_id", "text", sig_table
+            ).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sig_table}")

@@ -90,7 +90,9 @@ class TestSampleFrames:
         # video: 2x1 px, 1 channel, 6 frames -> payload 12 bytes
         video = fakm_encode("v", 2, 1, 1, bytes(range(12)))
         df = spark.createDataFrame([Row(vid="a", data=video), Row(vid="b", data=None)])
-        rows = sample_frames(df, "data", id_cols=["vid"], every_n=2).collect()
+        rows = sample_frames(
+            df, "data", id_cols=["vid"], every_n=2, decoder=fakm_decode
+        ).collect()
         assert [(r["vid"], r["frame_index"]) for r in rows] == [
             ("a", 0), ("a", 2), ("a", 4),
         ]
@@ -577,6 +579,25 @@ class TestAviCodec:
         assert sorted(got) == [0, 2, 4]
         for i, blob in got.items():
             assert fakm_decode(blob)["payload"] == frames[i]
+
+    def test_sample_frames_default_decoder_matches_decode_videos(self, spark):
+        """decode_videos and sample_frames must agree on what a video
+        blob is WITH DEFAULTS: a FAKM default on the frame path once
+        made decode-then-sample silently emit zero frames on real AVI
+        input (every blob decoded to None and was skipped)."""
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_videos,
+            sample_frames,
+        )
+
+        frames = self._frames(3, 2, 4)
+        df = spark.createDataFrame(
+            [(1, bytearray(avi_encode(3, 2, 10, frames)))], "id int, vid binary"
+        )
+        assert decode_videos(df, "vid").first()["video_meta"]["n_frames"] == 4
+        sampled = sample_frames(df, "vid", ["id"], every_n=2).collect()
+        assert [r["frame_index"] for r in sampled] == [0, 2]
 
 
 def test_geotiff_encode_large_dimension_uses_long_tags():

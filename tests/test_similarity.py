@@ -325,6 +325,53 @@ class TestProductQuantization:
         again = with_pq_codes(df, cbs, dim=64).select("pq_codes").collect()
         assert [r["pq_codes"] for r in codes] == [r["pq_codes"] for r in again]
 
+    def test_null_embedding_never_reaches_topk(self, spark):
+        """A NULL embedding must encode to NULL codes and never rank:
+        the per-centroid objective is NULL for every centroid and
+        array_min's struct order sorts NULL first, so an unguarded
+        encode resolved the argmin to code 0 everywhere — valid-looking
+        codes for a vector that doesn't exist, which ADC (codes-only,
+        never re-reading raw vectors) then scored as a real neighbor."""
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_pq_codebooks,
+            pq_adc_topk,
+            with_pq_codes,
+        )
+
+        rows = self._vocab_corpus(20) + [Row(vec_id=999, embedding=None)]
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        )
+        df = spark.createDataFrame(rows, schema)
+        cbs = build_pq_codebooks(df, dim=64, m=8, k=16, iters=1)
+        coded = with_pq_codes(df, cbs, dim=64)
+        null_codes = [
+            r["pq_codes"]
+            for r in coded.filter(F.col("vec_id") == 999)
+            .select("pq_codes")
+            .collect()
+        ]
+        assert null_codes == [None]
+        query = self._vocab_corpus(1)[0]["embedding"]
+        # k exceeds the number of real rows, so an unfiltered phantom
+        # would be forced into the result
+        got = pq_adc_topk(
+            coded.select("vec_id", "pq_codes"), cbs, query, k=50
+        ).collect()
+        assert 999 not in {r["vec_id"] for r in got}
+        assert len(got) == 20
+
 
 class TestPQRecallOnRealEmbeddings:
     """Statistical ground-truth pin for the PQ family (the sketch-rows
