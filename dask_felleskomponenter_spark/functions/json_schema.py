@@ -82,6 +82,13 @@ class JsonSchemaConverter:
         self.ref_fetcher = ref_fetcher
         self.map_open_objects = map_open_objects
         self._external_cache: dict[str, dict[str, Any]] = {}
+        # Base document for LOCAL ("#/...") ref resolution. A local ref
+        # inside an externally fetched document must resolve against
+        # THAT document, not the root schema — resolving against the
+        # root either KeyErrors or, worse, silently binds a same-named
+        # definition from the wrong document. _type_of pushes the
+        # owning document around each external subtree's recursion.
+        self._current_doc: dict[str, Any] = schema
 
     # -- public -----------------------------------------------------------
     def to_struct(self) -> StructType:
@@ -90,7 +97,10 @@ class JsonSchemaConverter:
         # a common schema shape — resolve it so its properties are found.
         if "$ref" in node and node["$ref"] not in self.circular:
             merged = {k: v for k, v in node.items() if k != "$ref"}
-            node = {**self._resolve_ref(node["$ref"]), **merged}
+            resolved, doc = self._resolve_ref_with_doc(node["$ref"])
+            node = {**resolved, **merged}
+            # an external root's local refs resolve against ITS document
+            self._current_doc = doc
         props = node.get("properties", {})
         if not props:
             # Same loud failure as the reference (schema.py:54): a
@@ -121,6 +131,12 @@ class JsonSchemaConverter:
         # ref target (property2struct resolves first). An unresolvable
         # ref raises here exactly as _type_of would — same error, one
         # resolution instead of two.
+        # This shallow resolve (const/description only) deliberately
+        # does NOT feed _type_of: the typing pass must go through
+        # _type_of's own $ref branch, which scopes _current_doc around
+        # the subtree so the target's nested local refs resolve against
+        # their owning document. The repeat walk is dict traversal only
+        # — external fetches are cached.
         resolved = node
         if (
             "$ref" in node
@@ -149,10 +165,15 @@ class JsonSchemaConverter:
             ref = node["$ref"]
             if ref in self.circular or path in self.circular:
                 return StringType()
-            resolved = self._resolve_ref(ref)
+            resolved, doc = self._resolve_ref_with_doc(ref)
             merged = {k: v for k, v in node.items() if k != "$ref"}
             merged = {**resolved, **merged}
-            return self._type_of(merged, path)
+            # the resolved subtree's local refs belong to ITS document
+            prev, self._current_doc = self._current_doc, doc
+            try:
+                return self._type_of(merged, path)
+            finally:
+                self._current_doc = prev
         if "enum" in node:
             return StringType()
         t = node.get("type")
@@ -196,8 +217,19 @@ class JsonSchemaConverter:
         return _PRIMITIVES.get(self.default_type, StringType)()
 
     def _resolve_ref(self, ref: str) -> dict[str, Any]:
+        node, _doc = self._resolve_ref_with_doc(ref)
+        return node
+
+    def _resolve_ref_with_doc(
+        self, ref: str
+    ) -> tuple[dict[str, Any], dict[str, Any]]:
+        """Resolve ``ref`` and return ``(node, owning_document)`` — the
+        document the node's own nested local refs must resolve against."""
         if ref.startswith("#"):
-            return self._walk_fragment(self.schema, ref)
+            return (
+                self._walk_fragment(self._current_doc, ref),
+                self._current_doc,
+            )
         base, _, fragment = ref.partition("#")
         if self.ref_fetcher is None:
             raise ValueError(
@@ -206,7 +238,10 @@ class JsonSchemaConverter:
         if base not in self._external_cache:
             self._external_cache[base] = self.ref_fetcher(base)
         doc = self._external_cache[base]
-        return self._walk_fragment(doc, "#" + fragment if fragment else "#")
+        return (
+            self._walk_fragment(doc, "#" + fragment if fragment else "#"),
+            doc,
+        )
 
     @staticmethod
     def _walk_fragment(doc: dict[str, Any], fragment: str) -> dict[str, Any]:

@@ -57,6 +57,10 @@ def generate_contours_wkb(
     mem_path = f"/vsimem/{uuid.uuid4().hex}"
     ds = None
     vec = None
+    # UseExceptions is PROCESS-GLOBAL GDAL state: flipping it per row
+    # would change error behavior (return codes → RuntimeError) for
+    # every other GDAL user in this Python worker. Save and restore.
+    prev_use_exc = gdal.GetUseExceptions()
     try:
         gdal.UseExceptions()
         gdal.FileFromMemBuffer(mem_path, raster_binary)
@@ -88,6 +92,8 @@ def generate_contours_wkb(
         vec = None
         if gdal.VSIStatL(mem_path):
             gdal.Unlink(mem_path)
+        if not prev_use_exc:
+            gdal.DontUseExceptions()
 
 
 # --- pure-Python contour engine (marching squares) -----------------------
@@ -130,6 +136,17 @@ def _tiff_read_entries(data: bytes, bo: str):
         if size is None:
             continue
         total = size * count
+        # Bound BEFORE building any count-sized format string: count is
+        # a raw 32-bit field, so a 30-byte corrupt blob can declare
+        # count=0xFFFFFFFF and force a multi-GB transient allocation
+        # (fmt * count) inside the row-wise decode — the executor pays
+        # an OOM for what the contract says is a cheap "malformed →
+        # None/raise" path. No legitimate value can exceed the blob.
+        if total > len(data):
+            raise ValueError(
+                f"corrupt TIFF: tag {tag} declares {total} value bytes "
+                f"in a {len(data)}-byte blob"
+            )
         off = base + 8 if total <= 4 else _struct.unpack_from(
             bo + "I", data, base + 8
         )[0]
@@ -176,7 +193,18 @@ def geotiff_encode(
     if compress:
         pixels = _zlib.compress(pixels, 6)
 
-    ox, sx, _rx, oy, _ry, nsy = geotransform
+    ox, sx, rx, oy, ry, nsy = geotransform
+    if rx or ry:
+        # ModelPixelScale/ModelTiepoint encode AXIS-ALIGNED transforms
+        # only; writing them for a rotated geotransform silently shears
+        # every coordinate off its true position on the decode side.
+        # A rotated raster needs a ModelTransformation tag (GDAL writes
+        # it) — raise like the reader does for unsupported features.
+        raise NotImplementedError(
+            f"rotated geotransform (rx={rx}, ry={ry}) needs the "
+            "ModelTransformation tag — write through GDAL (the [gdal] "
+            "extra); this writer covers the north-up case"
+        )
     sy = -float(nsy)
     def _dim(tag: int, n: int):
         # SHORT while it fits (keeps existing fixtures byte-identical),
@@ -203,6 +231,14 @@ def geotiff_encode(
         )),
     ]
     pixels_off = 8
+    # TIFF 6.0 requires every value (and the IFD) to begin on a word
+    # boundary; a deflate stream of odd length would otherwise put the
+    # 8-byte doubles of ModelPixelScale/ModelTiepoint and the IFD at odd
+    # offsets — tolerated by libtiff/GDAL and the in-repo reader, but
+    # rejected by strict validators. Strip byte count (tag 279) is
+    # already written, so the pad byte is outside the strip.
+    if len(pixels) % 2:
+        pixels += b"\x00"
     ext_off = pixels_off + len(pixels)
     ext = bytearray()
     ifd = bytearray()
@@ -599,7 +635,18 @@ def make_contours_udf(
     def contours_udf(
         rasters: pd.Series, interval: pd.Series, base: pd.Series
     ) -> pd.Series:
-        # interval/base arrive as lit() constants — one value per batch
+        # interval/base are declared lit() constants. A real varying
+        # column would silently apply batch row 0's value to EVERY
+        # raster in the batch (results changing with Arrow batch
+        # boundaries) — detect and fail loudly instead. NaN-safe:
+        # nunique ignores NaN, so count NaNs separately.
+        for name, s in (("interval", interval), ("base", base)):
+            if len(s) and (s.nunique(dropna=False) > 1):
+                raise ValueError(
+                    f"contours {name} must be a lit() constant, got "
+                    f"{s.nunique(dropna=False)} distinct values in one "
+                    "batch — per-tile parameters need a per-row core"
+                )
         iv = float(interval.iloc[0]) if len(interval) else 10.0
         bs = float(base.iloc[0]) if len(base) else 0.0
         return rasters.apply(lambda r: core_fn(r, iv, bs))

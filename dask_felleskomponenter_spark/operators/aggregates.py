@@ -63,19 +63,48 @@ def two_phase_salted_agg(
     salt_col = fresh_name("_salt", df, extra=set(aggs))
     salt = deterministic_row_salt(df, salt_buckets).alias(salt_col)
 
+    # Partial aliases get the same collision treatment as the salt: a
+    # grouping key literally named "_p_<out>" would otherwise make
+    # phase 2's merge reference AMBIGUOUS_REFERENCE (or bind the key).
+    partial_alias = {
+        out: fresh_name(f"_p_{out}", df, extra=set(aggs) | {salt_col})
+        for out in aggs
+    }
+
+    # The merge must reproduce the PLAIN groupBy's result schema, not
+    # just its values: sum-of-sum widens decimals twice (decimal(10,2)
+    # → (20,2) → (30,2)) and sum-of-count is nullable where count is
+    # not — either difference breaks a downstream unionByName /
+    # insertInto against the unsalted twin. Resolve the target dtypes
+    # from the unsalted plan (schema-only, nothing executes) and cast
+    # the merged columns back.
+    plain_schema = df.groupBy(*key_cols).agg(
+        *[
+            _MERGEABLE[fn][0](col).alias(out)
+            for out, (fn, col) in aggs.items()
+        ]
+    ).schema
+
     partial = (
         df.select(*df.columns, salt)
         .groupBy(*key_cols, salt_col)
         .agg(
             *[
-                _MERGEABLE[fn][0](col).alias(f"_p_{out}")
+                _MERGEABLE[fn][0](col).alias(partial_alias[out])
                 for out, (fn, col) in aggs.items()
             ]
         )
     )
+    def merge_col(out: str, fn: str):
+        merged = _MERGEABLE[fn][1](partial_alias[out])
+        if fn == "count":
+            # plain count() is NON-nullable; sum-of-partials is nullable
+            # by signature (never by value — every group has a partial
+            # row). coalesce with a non-null literal restores the exact
+            # nullability, which cast alone cannot.
+            merged = F.coalesce(merged, F.lit(0))
+        return merged.cast(plain_schema[out].dataType).alias(out)
+
     return partial.groupBy(*key_cols).agg(
-        *[
-            _MERGEABLE[fn][1](f"_p_{out}").alias(out)
-            for out, (fn, col) in aggs.items()
-        ]
+        *[merge_col(out, fn) for out, (fn, col) in aggs.items()]
     )

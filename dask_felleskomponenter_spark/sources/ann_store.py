@@ -88,6 +88,28 @@ def _source_size(sf_dir: str) -> int:
     return total
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the source parquet: per-file
+    (relative path, size, mtime_ns) digested. Total byte size alone
+    cannot see a same-size rewrite (plausible for fixed-width
+    encodings), which would serve a stale index FOREVER with no rebuild
+    ever triggered; mtime changes on any rewrite. Stat-only — no file
+    contents are read, so it stays safe in lazy plan construction."""
+    src = _source_path(sf_dir)
+    h = hashlib.sha256()
+    if os.path.isfile(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
+    else:
+        for base, dirs, files in os.walk(src):
+            dirs.sort()
+            for f in sorted(files):
+                st = os.stat(os.path.join(base, f))
+                rel = os.path.relpath(os.path.join(base, f), src)
+                h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
 def _store_dir(
     sf_dir: str,
     bits: int,
@@ -131,6 +153,10 @@ def load_ann_store(
     except (OSError, ValueError):
         return None
     if meta.get("source_size") != _source_size(sf_dir):
+        return None
+    # size alone misses same-size rewrites; the stat fingerprint (path,
+    # size, mtime) catches any regeneration of the source
+    if meta.get("source_fingerprint") != _source_fingerprint(sf_dir):
         return None
     if "pq_codebooks" not in meta:  # pre-PQ store layout — treat as stale
         return None
@@ -189,6 +215,7 @@ def build_ann_store(
     # current forever. Recording the before-size means such a store
     # mismatches on the next load and rebuilds.
     source_size = _source_size(sf_dir)
+    source_fingerprint = _source_fingerprint(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     path = _store_dir(sf_dir, bits, n_cells, iters, root, seed, dim)
     os.makedirs(path, exist_ok=True)
@@ -257,6 +284,7 @@ def build_ann_store(
 
     meta = {
         "source_size": source_size,
+        "source_fingerprint": source_fingerprint,
         "bits": bits,
         "n_cells": n_cells,
         "iters": iters,

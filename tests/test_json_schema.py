@@ -159,6 +159,38 @@ def test_external_ref_with_injectable_fetcher_and_memoization():
         convert(schema)  # offline compiler refuses to fetch silently
 
 
+def test_local_ref_inside_external_document_resolves_against_it():
+    """A '#/...' ref nested in a fetched document belongs to THAT
+    document. Resolving it against the root schema either KeyErrors or
+    — the dangerous case planted here — silently binds a same-named
+    root definition of a different type."""
+
+    def fetcher(url):
+        return {
+            "$defs": {
+                "point": {
+                    "type": "object",
+                    "properties": {
+                        "lat": {"type": "number"},
+                        # local to the EXTERNAL document
+                        "tag": {"$ref": "#/$defs/tag"},
+                    },
+                },
+                "tag": {"type": "integer"},
+            }
+        }
+
+    schema = {
+        "type": "object",
+        "properties": {"p": {"$ref": "https://ex.test/geo.json#/$defs/point"}},
+        # decoy: same fragment path exists in the ROOT with another type
+        "$defs": {"tag": {"type": "string"}},
+    }
+    st = convert(schema, ref_fetcher=fetcher)
+    assert st["p"].dataType["lat"].dataType == DoubleType()
+    assert st["p"].dataType["tag"].dataType == LongType()
+
+
 def test_circular_ref_cut_to_string():
     schema = {
         "type": "object",

@@ -642,3 +642,66 @@ def test_fakm_decode_survives_non_ascii_media_type():
     blob = b"FAKM" + b"\xff" + struct.pack(">IIH", 1, 1, 1) + b"\x00"
     d = fakm_decode(blob)
     assert d is not None and d["width"] == 1
+
+
+def test_corrupt_tiff_count_is_bounded_not_allocated():
+    """A tiny corrupt TIFF declaring count=0xFFFFFFFF on one IFD entry
+    must resolve to the cheap malformed-input path — never a multi-GB
+    transient format-string allocation inside the row-wise decode."""
+    import struct
+    import time
+
+    from dask_felleskomponenter_spark.functions.raster import (
+        decode_geotiff_grid,
+    )
+
+    # II*\0 + IFD offset 8 + one entry: tag 256, type SHORT, count 2^32-1
+    blob = (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHI", 256, 3, 0xFFFFFFFF)
+        + struct.pack("<I", 0)  # value offset
+        + struct.pack("<I", 0)  # next IFD
+    )
+    t0 = time.perf_counter()
+    assert decode_geotiff_grid(blob) is None
+    assert time.perf_counter() - t0 < 1.0  # no giant allocation happened
+
+
+def test_geotiff_encode_refuses_rotated_geotransform():
+    """ModelPixelScale/ModelTiepoint cannot express rotation — writing
+    them for a rotated geotransform silently shears every decoded
+    coordinate, so the writer must raise like the reader does for
+    unsupported features."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.functions.raster import geotiff_encode
+
+    g = np.zeros((2, 2), dtype=np.uint8)
+    with _pytest.raises(NotImplementedError, match="rotated"):
+        geotiff_encode(g, (0.0, 1.0, 0.5, 0.0, 0.3, -1.0))
+
+
+def test_geotiff_encode_word_aligns_offsets():
+    """External values and the IFD must start on even offsets (TIFF 6.0
+    word alignment) even when the deflate stream has odd length."""
+    import struct
+
+    import numpy as np
+
+    from dask_felleskomponenter_spark.functions.raster import (
+        decode_geotiff_grid,
+        geotiff_encode,
+    )
+
+    # hunt a grid whose compressed strip is odd-length so the pad path
+    # actually runs
+    for n in range(1, 64):
+        g = np.arange(n * 3, dtype=np.uint8).reshape(3, n)
+        data = geotiff_encode(g, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+        ifd_off = struct.unpack_from("<I", data, 4)[0]
+        assert ifd_off % 2 == 0, f"odd IFD offset at n={n}"
+        grid, gt = decode_geotiff_grid(data)
+        assert (grid == g).all()

@@ -864,3 +864,35 @@ def test_novelty_screen_is_anti_join_on_hash(spark):
     assert "LeftAnti" in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_ann_store_stale_on_same_size_source_rewrite(spark, tmp_path):
+    """A regenerated source that happens to keep the same total byte
+    size must still invalidate the store: size-only staleness served a
+    stale index forever; the stat fingerprint (path, size, mtime_ns)
+    catches any rewrite."""
+    import os
+    import shutil
+
+    from dask_felleskomponenter_spark.sources.ann_store import (
+        build_ann_store,
+        load_ann_store,
+    )
+
+    src_dir = str(tmp_path / "data")
+    os.makedirs(src_dir)
+    shutil.copy(  # single-file parquet at this SF
+        os.path.join(SF, "embeddings.parquet"),
+        os.path.join(src_dir, "embeddings.parquet"),
+    )
+    root = str(tmp_path / "ann")
+    build_ann_store(spark, src_dir, bits=4, n_cells=4, iters=1, root=root)
+    assert load_ann_store(src_dir, bits=4, n_cells=4, iters=1, root=root)
+
+    # same bytes, new mtime — exactly what a same-size rewrite looks
+    # like to a size-only check
+    os.utime(os.path.join(src_dir, "embeddings.parquet"))
+    assert (
+        load_ann_store(src_dir, bits=4, n_cells=4, iters=1, root=root)
+        is None
+    )

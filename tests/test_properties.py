@@ -989,3 +989,41 @@ def test_ann_builders_skip_null_embeddings(spark):
     assert len(cents) == 2 and all(len(c) == 4 for c in cents)
     cbs = build_pq_codebooks(df, dim=4, m=2, k=2, iters=1)
     assert len(cbs) == 2 and all(len(cb) == 2 for cb in cbs)
+
+
+def test_salted_agg_schema_matches_plain_groupby_exactly(spark):
+    """The salted twin must reproduce the PLAIN groupBy's result schema,
+    not just its values: sum-of-sum widens decimals twice and
+    sum-of-count is nullable where count is not — either breaks a
+    downstream unionByName/insertInto against the unsalted shape."""
+    from decimal import Decimal
+
+    from dask_felleskomponenter_spark.operators.aggregates import (
+        two_phase_salted_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, Decimal("1.25"), 3), (1, Decimal("2.50"), 4),
+         (2, Decimal("9.99"), 5)],
+        "k bigint, v decimal(10,2), n bigint",
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("n").alias("c"), F.min("n").alias("mn")
+    )
+    salted = two_phase_salted_agg(
+        df, ["k"],
+        {"s": ("sum", "v"), "c": ("count", "n"), "mn": ("min", "n")},
+        salt_buckets=4,
+    )
+    assert salted.schema == plain.schema  # dtypes AND nullability
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    # a grouping key named like a phase-1 partial alias must not make
+    # the merge reference ambiguous
+    out = two_phase_salted_agg(
+        df.withColumnRenamed("n", "_p_s"), ["_p_s"],
+        {"s": ("sum", "v")}, salt_buckets=4,
+    )
+    assert sorted(r["_p_s"] for r in out.collect()) == [3, 4, 5]
