@@ -130,18 +130,22 @@ def _erase_keys_locked(path, key_col, sorted_keys, pa, pc, pq, bisect) -> dict:
             if n_hit == 0:
                 os.remove(tmp)
                 continue  # range overlapped but no exact key present
+            # Hadoop's local FS keeps .<name>.crc sidecars; a stale one
+            # fails the next read with ChecksumException. Remove it
+            # BEFORE the replace: a crash between replace and a
+            # later removal would leave the mismatching sidecar against
+            # the new bytes — the exact failure this guards against —
+            # while a missing sidecar is always harmless.
+            crc = os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
             os.replace(tmp, f)
         finally:
             pf.close()  # all paths — a mid-rewrite error must not leak the fd
             if os.path.exists(tmp):
                 os.remove(tmp)
-        # Hadoop's local FS keeps .<name>.crc sidecars; a stale one
-        # fails the next read with ChecksumException
-        crc = os.path.join(
-            os.path.dirname(f), "." + os.path.basename(f) + ".crc"
-        )
-        if os.path.exists(crc):
-            os.remove(crc)
         rewritten += 1
         deleted += n_hit
     # parquet summary sidecars (written by some writers) would advertise

@@ -57,7 +57,14 @@ def profile_numeric_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     output schema (min/max/mean rounded to 6)."""
     from pyspark.sql import functions as F
 
-    v = {c: F.col(c).cast("double") for c in cols}
+    def qcol(name: str):
+        # backtick-quoted exact-name resolution: a bare F.col parses a
+        # dot as a struct-field accessor, so a column literally named
+        # 'price.usd' (or its 'price.usd__nn' aggregate alias) would
+        # raise UNRESOLVED_COLUMN
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    v = {c: qcol(c).cast("double") for c in cols}
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         aggs += [
@@ -65,7 +72,7 @@ def profile_numeric_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             # distinct on the NATIVE column: a double cast would merge
             # bigint/decimal values past 2^53 and silently under-count —
             # the exactness this profile's docstring promises
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.count_distinct(qcol(c)).alias(f"{c}__nd"),
             F.round(F.min(v[c]), 6).alias(f"{c}__mn"),
             F.round(F.max(v[c]), 6).alias(f"{c}__mx"),
             F.round(F.avg(v[c]), 6).alias(f"{c}__av"),
@@ -75,11 +82,11 @@ def profile_numeric_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         per_col += [
             F.lit(c),
-            F.col(f"{c}__nn"),
-            F.col(f"{c}__nd"),
-            F.col(f"{c}__mn"),
-            F.col(f"{c}__mx"),
-            F.col(f"{c}__av"),
+            qcol(f"{c}__nn"),
+            qcol(f"{c}__nd"),
+            qcol(f"{c}__mn"),
+            qcol(f"{c}__mx"),
+            qcol(f"{c}__av"),
         ]
     return row.select(
         F.col("_n_rows").alias("n_rows"),

@@ -25,11 +25,31 @@ from pyspark.sql import SparkSession
 DEFAULT_APP_NAME = "dask-felleskomponenter-spark"
 
 
+def _env_flag(name: str, default: str = "false") -> str:
+    """Normalize a truthy env var to the literal 'true'/'false' the JVM
+    boolean parser accepts ('1'/'yes' would fail at first use, not at
+    session build). One helper so the accepted-token list cannot drift
+    between knobs."""
+    return (
+        "true"
+        if os.environ.get(name, default).strip().lower()
+        in ("true", "1", "yes", "on")
+        else "false"
+    )
+
+
+def _env_positive_int(name: str) -> int | None:
+    """Positive integer from the environment, else None. isdigit alone
+    accepts '0', which builds an INVALID session (local[0] refuses to
+    start; shuffle.partitions=0 fails every shuffling query at runtime)
+    — the guard exists to make typo'd values fall back, so zero must
+    fall back too."""
+    raw = os.environ.get(name, "").strip()
+    return int(raw) if raw.isdigit() and int(raw) > 0 else None
+
+
 def _default_parallelism() -> int:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if cpus and cpus.isdigit():
-        return int(cpus)
-    return os.cpu_count() or 8
+    return _env_positive_int("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
 
 
 def _external_master_configured() -> bool:
@@ -64,12 +84,12 @@ def get_spark(
         if master is None and not _external_master_configured():
             master = f"local[{par}]"
     if shuffle_partitions is None:
-        raw_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
-        # isdigit-guarded like SPARK_GRAFT_CPUS: a typo'd value falls
-        # back instead of crashing session construction with ValueError
-        shuffle_partitions = (
-            int(raw_sp) if raw_sp.strip().isdigit() else max(par, 8)
-        )
+        # positive-int-guarded like SPARK_GRAFT_CPUS: a typo'd value —
+        # including '0' — falls back instead of building a session that
+        # fails at runtime
+        shuffle_partitions = _env_positive_int(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS"
+        ) or max(par, 8)
 
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
@@ -88,13 +108,7 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # normalize truthy env values — the JVM accepts only true/false
-        .config(
-            "spark.ui.enabled",
-            "true"
-            if os.environ.get("SPARK_UI_ENABLED", "false").strip().lower()
-            in ("true", "1", "yes", "on")
-            else "false",
-        )
+        .config("spark.ui.enabled", _env_flag("SPARK_UI_ENABLED"))
         .config("spark.driver.maxResultSize", "2g")
         # Local mode runs driver AND all executor threads in one JVM;
         # Spark's 1g default heap makes a 32-thread run GC-thrash once a
@@ -110,17 +124,9 @@ def get_spark(
         # applyInPandas stage measured 10-40s (vs 2s with fresh forks).
         # Linux fork via the pyspark daemon is cheap; measured no
         # regression on the non-UDF query set.
-        # Truthy-normalized like SPARK_UI_ENABLED: the JVM's boolean
-        # parser rejects '1'/'yes' at first worker launch, failing every
-        # Python stage at runtime instead of at session build.
         .config(
             "spark.python.worker.reuse",
-            "true"
-            if os.environ.get("SPARK_GRAFT_PY_WORKER_REUSE", "false")
-            .strip()
-            .lower()
-            in ("true", "1", "yes", "on")
-            else "false",
+            _env_flag("SPARK_GRAFT_PY_WORKER_REUSE"),
         )
         # The context cleaner only reclaims shuffle files/broadcasts when
         # driver GC collects their weak refs; with a 16g heap that can be

@@ -44,18 +44,24 @@ def df_checksum(df: DataFrame, cols: list[str] | None = None) -> tuple[int, int]
     default ANSI mode) and reduced mod 2^64 driver-side; the decimal
     sum itself cannot overflow below ~10^19 rows.
 
-    NULLs are hashed through a per-column sentinel: Spark's raw
+    NULLs are hashed through an explicit per-column IS-NULL FLAG
+    hashed alongside the (null-coalesced) value: Spark's raw
     ``xxhash64`` SKIPS null inputs, which made ``('a', NULL)`` and
     ``(NULL, 'a')`` hash identically — corruption that shifts a value
     across a NULL column would verify clean with probability 1, not
-    2^-64. Values are cast to string for sentinel coalescing; Spark's
-    casts are deterministic, and the checksum only needs determinism +
-    sensitivity, not numeric identity.
+    2^-64. A string SENTINEL alone reopened the same class: a real cell
+    holding the sentinel's exact text collided with NULL, so that
+    substitution also verified clean with probability 1; the flag
+    column removes every collision (no value can impersonate NULL).
+    Values are cast to string; Spark's casts are deterministic, and the
+    checksum only needs determinism + sensitivity, not numeric
+    identity.
     """
     use = cols or sorted(df.columns)
-    hashed = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>")) for c in use
-    ]
+    hashed = []
+    for c in use:
+        hashed.append(F.col(c).isNull().cast("string"))
+        hashed.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
     row = df.agg(
         F.sum(F.xxhash64(*hashed).cast("decimal(38,0)")).alias("_s"),
         F.count(F.lit(1)).alias("_n"),
@@ -105,7 +111,7 @@ def write_corpus_manifest(
     checksum, n_rows = df_checksum(df, cols)
     files = _file_inventory(data_path)
     manifest = {
-        "checksum_sum64": checksum,
+        "checksum_sum64_v2": checksum,
         "n_rows": n_rows,
         "columns": cols or sorted(df.columns),
         "files": files,
@@ -150,14 +156,15 @@ def verify_corpus_manifest(
     checksum, n_rows = df_checksum(df, recorded["columns"])
     if n_rows != recorded["n_rows"]:
         problems.append(f"row count {n_rows} != recorded {recorded['n_rows']}")
-    if "checksum_sum64" not in recorded:
-        # pre-sum-fold manifests recorded an XOR fold, which is not
-        # comparable (and was blind to even-multiplicity substitutions)
+    if "checksum_sum64_v2" not in recorded:
+        # earlier formats are not comparable: the XOR fold was blind to
+        # even-multiplicity substitutions, and the v1 sum fold's string
+        # sentinel collided with a real cell holding the sentinel text
         problems.append(
-            "manifest predates the sum-fold checksum; re-write it with "
+            "manifest predates the null-flag checksum; re-write it with "
             "write_corpus_manifest"
         )
-    elif checksum != recorded["checksum_sum64"]:
+    elif checksum != recorded["checksum_sum64_v2"]:
         problems.append("content checksum mismatch")
     if _file_inventory(data_path) != recorded["files"]:
         problems.append("file inventory changed")

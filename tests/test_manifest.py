@@ -139,6 +139,17 @@ def test_checksum_detects_null_column_shifts(spark):
     assert df_checksum(a, ["c1", "c2"])[0] != df_checksum(b, ["c1", "c2"])[0]
 
 
+def test_checksum_no_value_can_impersonate_null(spark):
+    """Regression on the regression: the v1 string SENTINEL collided
+    with a real cell holding the sentinel's exact text, so sentinel↔NULL
+    substitutions verified clean with probability 1. The is-null flag
+    hashed alongside the value removes the collision for EVERY value."""
+    for text in ("\x00<null>", ""):
+        real = spark.createDataFrame([(text,)], "c1 string")
+        nul = spark.createDataFrame([(None,)], "c1 string")
+        assert df_checksum(real, ["c1"])[0] != df_checksum(nul, ["c1"])[0]
+
+
 def test_inventory_prunes_spark_invisible_directories(spark, tmp_path):
     """Residue under underscore/dot-prefixed DIRECTORIES (_temporary/,
     .staging-*/) is invisible to Spark readers, so it must not be

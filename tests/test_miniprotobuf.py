@@ -281,7 +281,14 @@ def test_packageless_file_descriptor_loads():
         + ld(0x32, b".Outer.Inner")
     )
     outer = ld(0x0A, b"Outer") + ld(0x12, field) + ld(0x1A, inner)
-    fdp = ld(0x0A, b"packageless_test.proto") + ld(0x22, outer)
+    # syntax (field 12) spelled explicitly: an ABSENT syntax field means
+    # proto2 per descriptor.proto, which the mini-runtime now rejects
+    # loudly instead of silently modeling with proto3 presence rules
+    fdp = (
+        ld(0x0A, b"packageless_test.proto")
+        + ld(0x22, outer)
+        + ld(0x62, b"proto3")
+    )
     pool = descriptor_pool.DescriptorPool()
     file = pool.AddSerializedFile(fdp)
     desc = file.message_types_by_name["Outer"]
@@ -400,3 +407,62 @@ def test_fuzz_parser_never_desyncs_on_concatenation():
         expected.MergeFromString(a.SerializeToString())
         expected.MergeFromString(b.SerializeToString())
         assert combined == expected
+
+
+def test_parse_repeated_into_lazy_child_attaches_to_parent():
+    """Repeated-only content parsed into a lazily-obtained child must
+    attach the child to its parent: an unmarked store serialized the
+    parent as EMPTY, silently dropping e.g. a ListStatePut payload on
+    the wire to the JVM state server."""
+    sm = _pb2()
+    parent = sm.ListStateCall()
+    put = sm.ListStatePut()
+    put.value.append(b"abc")
+    payload = put.SerializeToString()
+    assert payload  # repeated content really is on the wire
+
+    parent.listStatePut.ParseFromString(payload)
+    assert parent.HasField("listStatePut")
+    assert list(parent.listStatePut.value) == [b"abc"]
+    assert parent.SerializeToString() != b""
+    rt = sm.ListStateCall()
+    rt.ParseFromString(parent.SerializeToString())
+    assert list(rt.listStatePut.value) == [b"abc"]
+
+
+def test_stale_lazy_reference_cannot_clobber_parsed_content():
+    """A reference obtained BEFORE a parse must not wholesale replace
+    content merged later: the real runtime keeps references valid, so
+    either the parse promotes the referenced object (same-field case)
+    or the stale object is detached (different-value case)."""
+    sm = _pb2()
+    src = sm.StateRequest()
+    src.statefulProcessorCall.setHandleState.state = 2
+    data = src.SerializeToString()
+
+    dst = sm.StateRequest()
+    ref = dst.statefulProcessorCall  # lazy child cached pre-parse
+    dst.MergeFromString(data)
+    # the parse merged INTO the referenced child (promotion), so the
+    # held reference sees the parsed content...
+    assert dst.statefulProcessorCall.setHandleState.state == 2
+    assert ref.setHandleState.state == 2
+    # ...and mutating through it composes instead of clobbering
+    ref.setHandleState.state = 3
+    rt = sm.StateRequest()
+    rt.ParseFromString(dst.SerializeToString())
+    assert rt.statefulProcessorCall.setHandleState.state == 3
+
+def test_proto2_descriptor_rejected_loudly():
+    """An absent syntax field means proto2; the proto3-only runtime must
+    refuse it rather than silently flip presence semantics."""
+    import pytest as _pytest
+
+    from google.protobuf import descriptor_pool
+
+    def ld(tag, payload):
+        return bytes([tag, len(payload)]) + payload
+
+    fdp = ld(0x0A, b"proto2_test.proto")  # no syntax field = proto2
+    with _pytest.raises(NotImplementedError, match="proto3 only"):
+        descriptor_pool.DescriptorPool().AddSerializedFile(fdp)
