@@ -1471,7 +1471,12 @@ ORDER BY doc_id
 ORACLES["cosine_topk_embeddings"] = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id IN (0, 1, 2)
+  FROM embeddings WHERE vec_id IN (0, 1, 2) AND embedding IS NOT NULL
+), cand AS (
+  -- NULL embeddings carry no position in the space: excluded on both
+  -- engines (Spark's scorer no-matches them; DuckDB's
+  -- list_dot_product ERRORS on a NULL list rather than skipping)
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ), scored AS (
   SELECT q.query_id, e.vec_id,
          ROUND(
@@ -1480,7 +1485,7 @@ WITH q AS (
                   CAST(e.embedding AS DOUBLE[]), x -> x * x))), 1e-12)
               * GREATEST(SQRT(list_sum(list_transform(
                   q.qv, x -> x * x))), 1e-12)), 9) AS c9
-  FROM embeddings e CROSS JOIN q
+  FROM cand e CROSS JOIN q
 ), ranked AS (
   SELECT query_id, vec_id, c9,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c9 DESC, vec_id) AS rn

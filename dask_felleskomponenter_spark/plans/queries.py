@@ -1258,12 +1258,18 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine_topk_per_query``, VERDICT r2 fix).
 
     Ranking is on the 9-decimal-rounded score with vec_id tie-break so
-    float ulp differences cannot reorder ranks across engines."""
+    float ulp differences cannot reorder ranks across engines.
+
+    NULL embeddings are excluded EXPLICITLY on both engines: the scorer
+    would no-match them anyway, but DuckDB's list_dot_product ERRORS on
+    a NULL list, so the rule is spelled rather than inherited."""
     from dask_felleskomponenter_spark.operators.similarity import (
         cosine_topk_per_query,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -647,10 +647,17 @@ def _embeddings_corpus(
             # throws on these; only the scalar array-fns query declares
             # support, the GEMM/ANN operators contract on fixed dim
             vec = []
+        elif i % 23 == 7:
+            # NULL embeddings: every scorer must yield no-match, and
+            # every encoder must emit NULL (the PQ [0]*m phantom-codes
+            # class), identically on both engines
+            vec = None
         elif i % 17 == 0:
             vec = [0.0] * dim  # zero vectors: the safe-norm path
-        elif i % 11 == 0 and rows:
-            vec = list(rows[rng.randrange(len(rows))][1])  # exact dup
+        elif i % 11 == 0 and any(r[1] is not None for r in rows):
+            # exact dup of an earlier NON-NULL vector
+            pool = [r[1] for r in rows if r[1] is not None]
+            vec = list(pool[rng.randrange(len(pool))])
         else:
             vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
         rows.append((i, vec, rng.randint(0, 3)))
