@@ -54,11 +54,34 @@ def _require_integral_ids(df: DataFrame, cols: list[str], op: str) -> None:
         )
 
 
+def _nonnull_guard(col: str, dtype, op: str):
+    """Row expression that raises on a NULL id the first time an action
+    touches it. The type guard above is plan-build-time and cannot see
+    VALUES; a NULL id would otherwise drop its edges silently (the
+    ``_u != _v`` filter is never true for NULL) or collapse every
+    NULL-id row into one shared NULL cluster downstream — corruption
+    with no error. Codegen folds the null check to ~free."""
+    return F.when(F.col(col).isNotNull(), F.col(col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op}: NULL {col!r} — ids must be non-null (a NULL id "
+                "cannot carry edges or name a cluster); assign ids first"
+            )
+        ).cast(dtype)
+    )
+
+
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge list as (a < b) long pairs, self-loops dropped."""
     _require_integral_ids(edges, [src, dst], "connected_components")
+    types = dict(edges.dtypes)
     e = edges.select(
-        F.col(src).cast("long").alias("_u"), F.col(dst).cast("long").alias("_v")
+        _nonnull_guard(src, types[src], "connected_components")
+        .cast("long")
+        .alias("_u"),
+        _nonnull_guard(dst, types[dst], "connected_components")
+        .cast("long")
+        .alias("_v"),
     ).where(F.col("_u") != F.col("_v"))
     return e.select(
         F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
@@ -170,6 +193,14 @@ def assign_components(
     # components (one giant NULL cluster) — exactly what
     # _require_integral_ids exists to prevent.
     _require_integral_ids(df, [id_col], "assign_components")
+    # Value-level twin of the type guard: a NULL id matches no cc row
+    # AND casts to a NULL component, so every NULL-id row would share
+    # one cluster and a keep-one-representative dedup would silently
+    # drop all but one of them.
+    df = df.withColumn(
+        id_col, _nonnull_guard(id_col, dict(df.dtypes)[id_col],
+                               "assign_components")
+    )
     cc = connected_components(pairs, src, dst).select(
         F.col("node").alias("_cc_id"), F.col("component").alias("_cc_comp")
     )

@@ -35,6 +35,17 @@ def pinned_repartition(df: DataFrame, *cols: str | Column) -> DataFrame:
     return df.repartition(n, *cols)
 
 
+def quoted_col(name: str) -> Column:
+    """Exact-name column reference: a bare ``F.col`` parses a dot as a
+    struct-field path, so a legal column literally named ``user.id``
+    would raise UNRESOLVED_COLUMN from every helper that feeds schema
+    names back into expressions. Backticks (doubled when embedded)
+    force exact resolution."""
+    from pyspark.sql import functions as F
+
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def deterministic_row_salt(df: DataFrame, buckets: int) -> Column:
     """Per-row salt in ``[0, buckets)``: hash of (partition id, every
     hashable column). Shared by ``joins.salted_join`` and
@@ -54,7 +65,9 @@ def deterministic_row_salt(df: DataFrame, buckets: int) -> Column:
     """
     from pyspark.sql import functions as F
 
-    hashable = hashable_columns(df.schema)
+    # quoted_col, not raw names: xxhash64(*names) resolves via col(),
+    # which would parse a dotted column name as a struct-field path
+    hashable = [quoted_col(c) for c in hashable_columns(df.schema)]
     return F.pmod(
         F.xxhash64(F.spark_partition_id(), *hashable), F.lit(buckets)
     )

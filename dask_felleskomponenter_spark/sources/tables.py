@@ -183,7 +183,7 @@ def zorder_key(cols: list[str], bits: int = 16) -> "Column":
 
     Pure codegen'd bit arithmetic (shift/and/or terms); inputs must be
     non-negative ints (pre-bucket floats via ``floor(x / cell)``)."""
-    from pyspark.sql import functions as _F
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
 
     n = len(cols)
     if not 1 <= n <= 4:
@@ -193,12 +193,12 @@ def zorder_key(cols: list[str], bits: int = 16) -> "Column":
     # shard, destroying locality) and Java shifts wrap mod 64 (silent
     # wrong interleaving). Clamp per-column bits to what fits.
     bits = min(int(bits), 63 // n)
-    key = _F.lit(0).cast("long")
+    key = F.lit(0).cast("long")
     for d, c in enumerate(cols):
-        col = _F.col(c).cast("long")
+        col = quoted_col(c).cast("long")
         for i in range(bits):
-            bit = _F.shiftright(col, i).bitwiseAND(_F.lit(1))
-            key = key.bitwiseOR(_F.shiftleft(bit, i * n + d))
+            bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + d))
     return key
 
 
@@ -218,12 +218,18 @@ def write_zordered(
 
     Scale: one range exchange on an 8-byte key plus per-partition
     sorts; no global single-reducer sort."""
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
+    # fresh_name, not a hardcoded '_zkey': a same-named USER column
+    # would be silently overwritten by withColumn and then deleted by
+    # drop — the dataset written to disk missing a column, no error
+    zk = fresh_name("_zkey", df)
     key = zorder_key(zorder_cols, bits=bits)
     out = (
-        df.withColumn("_zkey", key)
-        .repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        df.withColumn(zk, key)
+        .repartitionByRange(n_files, zk)
+        .sortWithinPartitions(zk)
+        .drop(zk)
     )
     out.write.mode(mode).parquet(path)
 
@@ -253,6 +259,36 @@ def compact_parquet(
     single filesystem); a crash between renaming the live directory
     away and renaming the staging in is recovered on the next call from
     the ``.old`` backup."""
+    import math
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from dask_felleskomponenter_spark.ioutil import (
+        commit_swap,
+        path_mutex,
+        recover_interrupted_swap,
+    )
+
+    # Same-host mutual exclusion as the other two swap call sites
+    # (sync/merge.py, sync/incremental.py): two concurrent compactions
+    # of one path could otherwise interleave recover/rename/rmtree —
+    # one run deleting the other's .old backup mid-swap leaves neither
+    # live nor backup intact. Multi-HOST writers need a transactional
+    # table format (the callers' documented posture).
+    with path_mutex(path):
+        return _compact_parquet_locked(
+            spark, path, target_file_bytes, sort_cols
+        )
+
+
+def _compact_parquet_locked(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int,
+    sort_cols: list[str] | None,
+) -> int:
     import math
     import os as _os
     import re as _re
@@ -334,10 +370,10 @@ def compact_parquet(
             # DATATYPE_MISMATCH.HASH_MAP_TYPE), so restrict the key to
             # the hashable subset — same rule deterministic_row_salt
             # uses; all-map data degrades to one chunk per partition.
-            from ..operators.shuffle import hashable_columns
+            from ..operators.shuffle import hashable_columns, quoted_col
 
             data_cols = [
-                c
+                quoted_col(c)
                 for c in hashable_columns(df.schema)
                 if c not in part_cols
             ]
@@ -348,7 +384,14 @@ def compact_parquet(
             )
             out = df.repartition(n_files, *part_cols, spread_key)
             if sort_cols:
-                out = out.sortWithinPartitions(*sort_cols)
+                # partition columns FIRST: the partitionBy writer
+                # requires its input ordered by the partition columns
+                # and would otherwise insert its own sort — Spark's
+                # external sort is not stable, so the requested
+                # sort_cols order inside each file would be destroyed.
+                # With the prefix satisfied, no extra sort is added and
+                # the within-file order survives.
+                out = out.sortWithinPartitions(*part_cols, *sort_cols)
             out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
         else:
             out = df.coalesce(n_files)

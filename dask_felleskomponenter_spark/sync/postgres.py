@@ -92,7 +92,28 @@ class PostgresTargetConfig:
         for int_field in ("port", "srid", "max_connections", "batch_size"):
             if int_field in env and env[int_field] is not None:
                 env[int_field] = int(env[int_field])
+        # Dict-typed field: a raw env string would pass the unknown-key
+        # check (the field exists) and only crash much later inside
+        # jdbc_options()'s dict.update, far from the cause — coerce at
+        # construction so a malformed value fails HERE, naming the var.
+        if isinstance(env.get("extra_jdbc_options"), str):
+            import json
+
+            try:
+                parsed = json.loads(env["extra_jdbc_options"])
+            except ValueError as exc:
+                raise ValueError(
+                    f"{prefix}EXTRA_JDBC_OPTIONS must be a JSON object, "
+                    f"got {env['extra_jdbc_options']!r}"
+                ) from exc
+            if not isinstance(parsed, dict):
+                raise ValueError(
+                    f"{prefix}EXTRA_JDBC_OPTIONS must be a JSON object, "
+                    f"got {type(parsed).__name__}"
+                )
+            env["extra_jdbc_options"] = {str(k): str(v) for k, v in parsed.items()}
         return cls(**env)
+
 
     @property
     def jdbc_url(self) -> str:
@@ -279,7 +300,14 @@ class PostgresSyncManager:
         (
             df.write.format("jdbc")
             .options(**self.config.jdbc_options())
-            .option("dbtable", self.config.staging_table)
+            # quote_ident, matching the generated publish SQL: Spark
+            # interpolates dbtable RAW into CREATE/INSERT, so an
+            # unquoted mixed-case name would be case-FOLDED by Postgres
+            # while snapshot_sql/merge_sql later read it quoted as
+            # written — 'relation "MyStaging" does not exist' after the
+            # full staging write. Quoting on both legs keeps the two
+            # naming the same relation for any identifier.
+            .option("dbtable", quote_ident(self.config.staging_table))
             .option("numPartitions", str(self.config.max_connections))
             .mode("overwrite")
             .option("truncate", "true")
@@ -303,6 +331,19 @@ class PostgresSyncManager:
         if mode not in ("snapshot", "merge"):
             raise ValueError(f"Unknown mode: {mode}")
         geometry_cols = list(geometry_cols or [])
+        # Fail BEFORE the staging write: a typo'd key/geometry column
+        # would otherwise surface only at the publish step, after the
+        # (potentially hours-long) full-DataFrame JDBC write completed.
+        missing = [
+            c
+            for c in [*(merge_keys or []), *geometry_cols]
+            if c not in df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"column(s) {missing} not in the DataFrame "
+                f"(columns: {df.columns})"
+            )
 
         self._write_to_staging(df)
         if mode == "snapshot":

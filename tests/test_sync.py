@@ -252,11 +252,15 @@ class TestJdbcWirePath:
 
     def _read_staging(self, spark, cfg):
         from dask_felleskomponenter_spark.sources.files import read_jdbc
+        from dask_felleskomponenter_spark.sync.postgres import quote_ident
 
+        # quoted, matching how _write_to_staging names the relation
+        # (exact case on both legs); Derby folds an UNQUOTED read-back
+        # to uppercase and would miss it
         return read_jdbc(
             spark,
             cfg.extra_jdbc_options["url"],
-            cfg.staging_table,
+            quote_ident(cfg.staging_table),
             driver=cfg.extra_jdbc_options["driver"],
         )
 
