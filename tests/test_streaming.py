@@ -302,8 +302,13 @@ def test_stream_to_jdbc_sync_lands_rows_in_real_db(spark, events_dir, tmp_path):
     staged_counts: list[int] = []
 
     def executor(sql: str) -> int:
+        from dask_felleskomponenter_spark.sync.postgres import quote_ident
+
+        # quoted, matching _write_to_staging's exact-case relation name
+        # (Derby folds an unquoted read-back to uppercase)
         n = read_jdbc(
-            spark, url, cfg.staging_table, driver=cfg.extra_jdbc_options["driver"]
+            spark, url, quote_ident(cfg.staging_table),
+            driver=cfg.extra_jdbc_options["driver"],
         ).count()
         staged_counts.append(n)
         assert "TRUNCATE TABLE" in sql
