@@ -139,6 +139,27 @@ def main() -> None:
         sys.exit(f"BENCH_REPEATS must be a positive integer, got {raw_repeats!r}")
     repeats = max(1, int(raw_repeats))
 
+    # Idle gate (round-6 protocol defect: a canonical prior captured on
+    # a hot box — 139.1s vs the same code's 101.9s — ratchets the
+    # outlier detector's baseline up and masks later real regressions,
+    # and isolated re-runs taken hot ran HOTTER than the sampled pass).
+    # A hot start still runs and prints the full result, but it may not
+    # claim bench_result.json and the isolated-rerun verdicts are
+    # skipped as meaningless.
+    try:
+        load_start = os.getloadavg()[0]
+    except OSError:  # non-unix fallback: never gate
+        load_start = 0.0
+    max_load = float(os.environ.get("BENCH_MAX_LOAD", "2.0"))
+    hot_box = load_start > max_load
+    if hot_box:
+        print(
+            f"bench: 1-min load {load_start:.1f} > {max_load:.1f} at start "
+            f"— hot box: result will not claim the canonical prior and "
+            f"isolated re-runs are skipped",
+            file=sys.stderr,
+        )
+
     spark = get_spark(app_name="dfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -205,7 +226,11 @@ def main() -> None:
     # the same queries as outliers under normal load every round —
     # in-set-vs-in-set comparisons keep the provenance uniform.
     reruns: dict[str, dict[str, float]] = {}
-    prior = {} if os.environ.get("BENCH_NO_RERUN") else load_prior(sf_num)
+    prior = (
+        {}
+        if os.environ.get("BENCH_NO_RERUN") or hot_box
+        else load_prior(sf_num)
+    )
     # worst drift FIRST: the rerun budget is capped below, and silently
     # dropping the biggest regression while re-timing mild ones would
     # read as "covered" exactly where coverage matters most
@@ -254,6 +279,10 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    try:
+        load_end = os.getloadavg()[0]
+    except OSError:
+        load_end = 0.0
     result = {
         "metric": "declared_query_set_runtime",
         "value": total,
@@ -261,7 +290,12 @@ def main() -> None:
         "queries": timings,
         "plan_hashes": hashes,
         "sf": sf_num,
+        # provenance for cross-round comparisons: a drifted total with
+        # unchanged plan hashes and a high loadavg is box noise
+        "loadavg": {"start": round(load_start, 2), "end": round(load_end, 2)},
     }
+    if hot_box:
+        result["hot_box"] = True
     if reruns:
         result["isolated_reruns"] = reruns
     if skipped_outliers:
@@ -280,7 +314,7 @@ def main() -> None:
     prior_sf = _prior_file_sf()
     result_file = os.environ.get("BENCH_RESULT_FILE") or (
         os.path.join(REPO_ROOT, "bench_result.json")
-        if not wanted and prior_sf in (None, sf_num)
+        if not wanted and prior_sf in (None, sf_num) and not hot_box
         else None
     )
     if result_file:

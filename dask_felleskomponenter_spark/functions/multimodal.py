@@ -1041,6 +1041,7 @@ def sample_frames(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        attempted = decoded = 0
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in id_cols}
             rows["frame_index"] = []
@@ -1051,9 +1052,12 @@ def sample_frames(
             for data, *ids in zip(
                 pdf[binary_col], *(pdf[c] for c in id_cols)
             ):
+                if data is not None:
+                    attempted += 1
                 d = decoder(data)
                 if d is None:
                     continue
+                decoded += 1
                 frame_size = d["width"] * d["height"] * d["channels"]
                 if frame_size == 0:
                     continue
@@ -1072,5 +1076,20 @@ def sample_frames(
                         )
                     )
             yield pd.DataFrame(rows)
+        # A decoder/format mismatch decodes NOTHING and would otherwise
+        # emit an empty frame table indistinguishable from "no videos"
+        # (the exact silent-empty mode a FAKM-vs-AVI default swap causes,
+        # in either direction) — fail the task loudly instead. A
+        # partition where only SOME blobs fail is legitimate corrupt
+        # input and still skips quietly.
+        if attempted > 0 and decoded == 0:
+            raise ValueError(
+                f"sample_frames: all {attempted} non-null '{binary_col}' "
+                f"blobs in this partition failed to decode with "
+                f"{getattr(decoder, '__name__', repr(decoder))} — "
+                f"decoder/format mismatch? Inject the matching decoder= "
+                f"(e.g. fakm_decode for fixture blobs, decode_video_avi "
+                f"for real AVI)."
+            )
 
     return df.mapInPandas(run, schema=out_schema)

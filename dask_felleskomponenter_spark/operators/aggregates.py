@@ -66,10 +66,15 @@ def two_phase_salted_agg(
     # Partial aliases get the same collision treatment as the salt: a
     # grouping key literally named "_p_<out>" would otherwise make
     # phase 2's merge reference AMBIGUOUS_REFERENCE (or bind the key).
-    partial_alias = {
-        out: fresh_name(f"_p_{out}", df, extra=set(aggs) | {salt_col})
-        for out in aggs
-    }
+    # Reserving each chosen alias as we go keeps two outputs from
+    # resolving to the same fresh name (a df column "_p_a" with outputs
+    # "a" and "a0" would otherwise both yield "_p_a0").
+    _taken = set(aggs) | {salt_col}
+    partial_alias: dict[str, str] = {}
+    for out in aggs:
+        alias = fresh_name(f"_p_{out}", df, extra=_taken)
+        partial_alias[out] = alias
+        _taken.add(alias)
 
     # The merge must reproduce the PLAIN groupBy's result schema, not
     # just its values: sum-of-sum widens decimals twice (decimal(10,2)

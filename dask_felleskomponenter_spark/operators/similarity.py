@@ -428,9 +428,16 @@ def with_ivf_cell(
     v = as_double_vec(vec_col)
     ncol = fresh_name("_ivf_nrm", df, extra={out_col})
     staged = df.withColumn(ncol, _safe_norm(v))
-    return staged.withColumn(
-        out_col, nearest_cell_col(v, centroids, nrm=F.col(ncol))
-    ).drop(ncol)
+    # Same NULL-in/NULL-out contract as with_pq_codes: with a NULL
+    # embedding every per-centroid score is NULL, the struct comparison
+    # sorts NULL scores equal-smallest, and array_max resolves the tie
+    # on the CELL field — NULL rows would land in the highest cell, a
+    # valid-looking id that misplaces them in cell-partitioned writes.
+    cell = F.when(
+        F.col(vec_col).isNotNull(),
+        nearest_cell_col(v, centroids, nrm=F.col(ncol)),
+    )
+    return staged.withColumn(out_col, cell).drop(ncol)
 
 
 def ivf_topk(

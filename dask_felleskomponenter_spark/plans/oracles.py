@@ -2205,7 +2205,7 @@ WITH ev AS (
 )
 SELECT user_id,
        COUNT(*) AS n_islands,
-       SUM(i_end - i_start) AS covered_us,
+       CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
        MAX(i_events) AS max_island_events
 FROM per_island
 GROUP BY user_id
@@ -2230,8 +2230,8 @@ WITH ev AS (
 )
 SELECT user_id,
        COUNT(*) AS n_segments,
-       SUM(dt_us) AS active_us,
-       SUM(cents * dt_us) AS weighted_cents_us
+       CAST(SUM(dt_us) AS BIGINT) AS active_us,
+       CAST(SUM(cents * dt_us) AS BIGINT) AS weighted_cents_us
 FROM seg WHERE dt_us IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id NULLS FIRST
@@ -2262,7 +2262,7 @@ WITH flagged AS (
 SELECT user_id, event_type,
        COUNT(*) AS n_runs,
        MAX(run_len) AS max_run_len,
-       SUM(run_len) AS total_events
+       CAST(SUM(run_len) AS BIGINT) AS total_events
 FROM runs
 GROUP BY user_id, event_type
 ORDER BY user_id NULLS FIRST, event_type NULLS FIRST

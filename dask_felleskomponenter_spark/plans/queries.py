@@ -3973,16 +3973,17 @@ def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer`` declares directly; this query pins the SQL front door.
 
     Determinism: price ties broken by o_orderkey; final total order on
-    (c_custkey, rnk)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "_lat_customer"
-    )
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    (c_custkey, rnk).
+
+    The relations are passed as spark.sql() DataFrame arguments, not
+    temp views — a fixed createOrReplaceTempView name would clobber
+    any same-named session view and leak catalog state after plan
+    construction (every other registry query is side-effect free)."""
     return spark.sql(
         """
         SELECT c.c_custkey, t.o_orderkey, t.price, t.rnk
         FROM (
-          SELECT c_custkey FROM _lat_customer WHERE c_acctbal > 9900.0
+          SELECT c_custkey FROM {lat_customer} WHERE c_acctbal > 9900.0
         ) c,
         LATERAL (
           SELECT o_orderkey,
@@ -3990,13 +3991,15 @@ def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROW_NUMBER() OVER (
                    ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey
                  ) AS rnk
-          FROM _lat_orders
+          FROM {lat_orders}
           WHERE o_custkey = c.c_custkey
           ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey
           LIMIT 2
         ) t
         ORDER BY c.c_custkey, t.rnk
-        """
+        """,
+        lat_customer=load_table(spark, sf_dir, "customer"),
+        lat_orders=load_table(spark, sf_dir, "orders"),
     )
 
 

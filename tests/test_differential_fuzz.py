@@ -221,8 +221,22 @@ def _events_corpus(seed: int, n: int):
                 # are all NULL-valued has NULL hour_avg — resample must
                 # flag it as a gap and forward-fill it (not emit its own
                 # NULL as an "observed" value), and the AVG/SUM oracles
-                # must skip NULLs identically on both engines
-                None if i % 31 == 3 else round(rng.uniform(-5, 100), 2),
+                # must skip NULLs identically on both engines.
+                # Every 13th value is an exact-.005 double-representation
+                # trap (1.005 stores as 1.00499…, 2.675 as 2.67499…):
+                # ROUND(value*100) and CAST(value AS DECIMAL(14,2)) sit on
+                # the engines' rounding-mode boundary there — twap_events
+                # and resample_ffill_events must quantize identically
+                None
+                if i % 31 == 3
+                else (
+                    rng.choice(
+                        [1.005, 2.675, 0.125, 0.135, -1.005, 3.555,
+                         100.005, 0.005, -2.675]
+                    )
+                    if i % 13 == 4
+                    else round(rng.uniform(-5, 100), 2)
+                ),
                 props,
             )
         )

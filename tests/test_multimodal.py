@@ -99,6 +99,34 @@ class TestSampleFrames:
         frame0 = fakm_decode(rows[0]["frame"])
         assert frame0["payload"] == bytes([0, 1])  # first 2x1 plane
 
+    def test_total_decode_mismatch_is_loud(self, spark):
+        """A decoder/format mismatch (every non-null blob fails) must
+        raise, not emit an empty frame table — the silent-empty mode a
+        FAKM-vs-AVI default swap causes in either direction."""
+        video = fakm_encode("v", 2, 1, 1, bytes(range(12)))
+        df = spark.createDataFrame(
+            [Row(vid="a", data=video), Row(vid="b", data=None)]
+        ).coalesce(1)
+        # default decoder is the real AVI codec; FAKM blobs all fail.
+        # The worker's ValueError surfaces re-wrapped (PythonException /
+        # Py4JJavaError depending on path) — match on the message.
+        with pytest.raises(Exception, match="decoder/format mismatch"):
+            sample_frames(df, "data", id_cols=["vid"]).collect()
+
+    def test_partial_decode_failure_stays_quiet(self, spark):
+        """Corrupt blobs among decodable ones skip silently — only the
+        ALL-fail case is a mismatch signal."""
+        video = fakm_encode("v", 2, 1, 1, bytes(range(12)))
+        df = spark.createDataFrame(
+            [Row(vid="a", data=video), Row(vid="c", data=b"garbage")]
+        ).coalesce(1)
+        rows = sample_frames(
+            df, "data", id_cols=["vid"], every_n=3, decoder=fakm_decode
+        ).collect()
+        assert [(r["vid"], r["frame_index"]) for r in rows] == [
+            ("a", 0), ("a", 3),
+        ]
+
 
 class TestMetadataAndSniffing:
     def test_media_encoding_declaration(self, spark):

@@ -71,3 +71,93 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+# --- type faithfulness -----------------------------------------------------
+#
+# The driver's value hash is TYPE-sensitive: an uncast DuckDB SUM(BIGINT)
+# widens to HUGEINT and fails hash_match even when every value matches
+# (round-6 lesson: interval_coalesce_events / twap_events /
+# scd2_event_type_runs). The value-level parity test above normalizes
+# Python values, so it is structurally blind to type drift — this check
+# compares DuckDB's DESCRIBE output against the Spark result schema at
+# the type-family level and hard-forbids HUGEINT/UHUGEINT.
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER",
+}
+_DUCK_FORBIDDEN = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+_DUCK_FLOAT = {"FLOAT", "REAL", "DOUBLE"}
+
+
+def _duck_family(t: str):
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return ("array", _duck_family(t[:-2]))
+    if t in _DUCK_FORBIDDEN:
+        return ("FORBIDDEN", t)
+    if t in _DUCK_INT:
+        return ("int",)
+    if t in _DUCK_FLOAT:
+        return ("float",)
+    if t.startswith("DECIMAL") or t.startswith("NUMERIC"):
+        return ("decimal",)
+    if t in {"VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"}:
+        return ("string",)
+    if t in {"BOOLEAN", "BOOL"}:
+        return ("bool",)
+    if t == "DATE":
+        return ("date",)
+    if t.startswith("TIMESTAMP") or t == "DATETIME":
+        return ("timestamp",)
+    if t in {"BLOB", "BYTEA", "BINARY"}:
+        return ("binary",)
+    return ("other", t)
+
+
+def _spark_family(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return ("array", _spark_family(dt.elementType))
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return ("int",)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return ("float",)
+    if isinstance(dt, T.DecimalType):
+        return ("decimal",)
+    if isinstance(dt, T.StringType):
+        return ("string",)
+    if isinstance(dt, T.BooleanType):
+        return ("bool",)
+    if isinstance(dt, T.DateType):
+        return ("date",)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return ("timestamp",)
+    if isinstance(dt, T.BinaryType):
+        return ("binary",)
+    return ("other", str(dt))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_oracle_types_match_spark(spark, duck, sf_dir, name):
+    """DESCRIBE the oracle in DuckDB; every column's type family must
+    match the Spark result schema, with HUGEINT/UHUGEINT forbidden
+    outright (they widen to pandas float64/object in the driver's hash
+    path and fail hash_match on identical values)."""
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_fams = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
+
+    desc = duck.execute(f"DESCRIBE ({ORACLES[name]})").fetchall()
+    duck_fams = {row[0]: _duck_family(row[1]) for row in desc}
+
+    assert set(duck_fams) == set(spark_fams), (
+        f"{name}: column set mismatch {sorted(spark_fams)} vs {sorted(duck_fams)}"
+    )
+    bad = []
+    for col in sorted(spark_fams):
+        dfam = duck_fams[col]
+        if "FORBIDDEN" in repr(dfam) or dfam != spark_fams[col]:
+            bad.append((col, "spark", spark_fams[col], "duckdb", dfam))
+    assert not bad, f"{name}: type-family drift (driver hash hazard): {bad}"

@@ -454,6 +454,27 @@ def test_operator_helper_columns_never_shadow_user_columns(spark):
     )
     assert agg.count() == 12 and agg.filter(F.col("n") != 1).isEmpty()
 
+    # two_phase_salted_agg: partial aliases must be reserved as they are
+    # chosen — a df column "_p_a" plus outputs "a" AND "a0" used to make
+    # fresh_name pick "_p_a0" twice (duplicate phase-1 alias → ambiguous
+    # merge reference)
+    tricky = spark.createDataFrame(
+        [Row(k=i % 2, _p_a=f"x{i}", v=i) for i in range(8)]
+    )
+    collide = two_phase_salted_agg(
+        tricky,
+        keys=["k"],
+        aggs={"a": ("sum", "v"), "a0": ("count", "v")},
+        salt_buckets=3,
+    )
+    plain = {
+        (r["k"], r["a"], r["a0"])
+        for r in tricky.groupBy("k")
+        .agg(F.sum("v").alias("a"), F.count("v").alias("a0"))
+        .collect()
+    }
+    assert {(r["k"], r["a"], r["a0"]) for r in collide.collect()} == plain
+
     # asof_join: left side carries "_asof_ts" as user data
     left = spark.createDataFrame(
         [Row(k=1, ts=10, _asof_ts="mine"), Row(k=1, ts=20, _asof_ts="also")]

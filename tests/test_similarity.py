@@ -214,6 +214,34 @@ class TestIvf:
         ]
         assert approx == exact
 
+    def test_null_embedding_gets_null_cell(self, spark):
+        """NULL-in/NULL-out, matching with_pq_codes: a NULL embedding
+        must get a NULL ivf_cell, not a valid-looking id. (Every
+        per-centroid score is NULL; the struct comparison would break
+        the tie on the cell field and park NULL rows in the HIGHEST
+        cell — misplacing them in cell-partitioned writes.)"""
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_ivf_centroids,
+            with_ivf_cell,
+        )
+
+        emb = self._emb(spark)
+        cents = build_ivf_centroids(emb, n_cells=4, iters=1)
+        dim = len(cents[0])
+        mixed = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0] * dim),
+                Row(vec_id=2, embedding=None),
+            ],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = {r["vec_id"]: r["ivf_cell"] for r in
+               with_ivf_cell(mixed, cents).collect()}
+        assert out[2] is None
+        assert out[1] is not None and 0 <= out[1] < len(cents)
+
     def test_probed_subset_results_come_from_probed_cells(self, spark):
         from dask_felleskomponenter_spark.operators.similarity import (
             build_ivf_centroids,
