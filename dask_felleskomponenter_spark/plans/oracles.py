@@ -2267,3 +2267,111 @@ FROM runs
 GROUP BY user_id, event_type
 ORDER BY user_id NULLS FIRST, event_type NULLS FIRST
 """
+
+# $500 bins on exact integer cents; integer division only (never float
+# width math). All SUMs cast back to BIGINT (the HUGEINT rule).
+ORACLES["histogram_orders_prices"] = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT cents // 50000 AS bin,
+       COUNT(*) AS n_orders,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM c
+GROUP BY bin
+ORDER BY bin NULLS FIRST
+"""
+
+# First-event exclusion via the lagged EVENT ID (never the lagged type:
+# NULL prev_type is ambiguous between "no predecessor" and "predecessor
+# with NULL type"); NULL event_type is a real state on both sides.
+ORACLES["markov_transitions_events"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur_type,
+         LAG(event_type) OVER w AS prev_type,
+         LAG(event_id) OVER w AS prev_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+)
+SELECT prev_type, cur_type,
+       COUNT(*) AS n_transitions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM seq
+WHERE prev_id IS NOT NULL
+GROUP BY prev_type, cur_type
+ORDER BY prev_type NULLS FIRST, cur_type NULLS FIRST
+"""
+
+# RANK (ties kept) on exact integer cents; rnk cast to INTEGER to match
+# Spark's rank() type, like the row_number queries.
+ORACLES["rank_ties_topn_priority"] = """
+SELECT o_orderpriority, o_orderkey, cents, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         RANK() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) DESC NULLS LAST
+         ) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+ORDER BY o_orderpriority, rnk, o_orderkey
+"""
+
+# First significant digit of the exact cents integer via its decimal
+# string — never floor(log10) float math.
+ORACLES["benford_first_digit_prices"] = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       COUNT(*) AS n_orders,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM c
+WHERE cents > 0
+GROUP BY digit
+ORDER BY digit
+"""
+
+# Per-source quota: at most 3 docs, longest first, doc_id tie-break.
+ORACLES["domain_quota_topn"] = """
+SELECT source, doc_id, n_chars, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC NULLS LAST, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 3
+ORDER BY source NULLS FIRST, rn
+"""
+
+# Latest change per key: row_number DESC = 1; timestamp-less changes
+# carry no position; ts ties break by event_id DESC.
+ORACLES["cdc_latest_per_key"] = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+  WHERE ts IS NOT NULL
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS last_value_cents,
+       epoch_us(ts) AS last_ts_us
+FROM ranked
+WHERE rn = 1
+ORDER BY user_id NULLS FIRST
+"""

@@ -4158,32 +4158,292 @@ def scd2_event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def histogram_orders_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over order value (§2B agg surface): $500
+    bins on exact integer cents — the profiling primitive every data
+    survey tool runs first. Bin id is integer division on cents (never
+    float log/width math, which puts bin edges on representation
+    boundaries); per-bin count, min/max/sum cents.
+
+    Scale: one map-side-combinable groupBy on a dense small key space
+    (~hundreds of bins at any data size) — no skew possible, the
+    aggregate collapses to one row per bin per task before the
+    shuffle."""
+    cents = (dmoney("o_totalprice") * 100).cast("long")
+    binned = (
+        load_table(spark, sf_dir, "orders")
+        .select(cents.alias("cents"))
+        .select("cents", F.expr("cents DIV 50000").alias("bin"))
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        # a NULL price has no bin: the NULL-bin group's sort position is
+        # pinned (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST)
+        .orderBy(F.col("bin").asc_nulls_first())
+    )
+
+
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event-type
+    sequences (§2B window surface): LAG pairs (prev → cur) per user
+    timeline, aggregated globally — the sequence-model / funnel-graph
+    input. NULL event_type is a real state (kept as a value on both
+    sides); the first event of each user has no predecessor and is
+    excluded via the lagged EVENT ID (never the lagged type — a NULL
+    prev_type is ambiguous between "no predecessor" and "predecessor
+    with NULL type"). NULL timestamps sort FIRST on both engines (pin).
+
+    Scale: one user_id shuffle for the window, then a
+    map-side-combinable groupBy on a tiny (|types|²) key space; the
+    distinct-user count shuffles (type, type, user) partials only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("event_id").over(w).alias("prev_id"),
+    ).where(F.col("prev_id").isNotNull())
+    return (
+        pairs.groupBy("prev_type", "cur_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(
+            F.col("prev_type").asc_nulls_first(),
+            F.col("cur_type").asc_nulls_first(),
+        )
+    )
+
+
+def rank_ties_topn_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority with RANK — ties KEPT (§2B ranking
+    surface beside the row_number top-n twin): a rank-k cut must admit
+    every order tied at the boundary, which row_number silently
+    truncates. Ranking is on exact integer cents so a float-ulp
+    difference can never split a tie across engines.
+
+    Scale: one shuffle on the 5-value priority key; per-partition sort
+    + rank is single-pass and the k-cut prunes before the output
+    exchange."""
+    cents = (dmoney("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("cents").desc())
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
+def benford_first_digit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile of order values (§2B
+    string/math surface; a standard fraud/data-quality screen). The
+    digit is the first character of the exact cents integer's decimal
+    string — never floor(log10) float math, whose powers sit on
+    representation boundaries. Positive amounts only (zero/negative
+    have no leading significant digit).
+
+    Scale: map-side-combinable groupBy on a 9-value key."""
+    cents = (dmoney("o_totalprice") * 100).cast("long")
+    digits = (
+        load_table(spark, sf_dir, "orders")
+        .select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(
+            "cents",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+    )
+    return (
+        digits.groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("digit")
+    )
+
+
+def domain_quota_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (LLM curation surface): keep at most 3
+    documents per source, preferring longer ones — the per-domain cap
+    every web-scale training corpus applies so boilerplate-heavy
+    domains cannot dominate the mixture. Deterministic: ties on length
+    break by doc_id.
+
+    Scale: one shuffle on source; row_number is a single-pass frame and
+    the quota cut prunes immediately after, so only ≤3 rows per domain
+    reach the output exchange. A skewed giant domain still sorts within
+    one partition — at 100 TB the same cut runs after a per-domain
+    pre-truncation (window over a salted two-phase top-k) if a single
+    domain exceeds executor memory; at any realistic doc count per
+    domain the direct window is the cheaper plan."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .orderBy(F.col("source").asc_nulls_first(), "rn")
+    )
+
+
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot compaction (§2B upsert surface, the read side of
+    MERGE): latest event per user — row_number DESC = 1 over the change
+    stream, the canonical "latest value wins" collapse every CDC /
+    upsert-table reader performs. Timestamp-less changes carry no
+    position and are excluded; ts ties break by event_id DESC (highest
+    change id wins). Value surfaced as exact integer cents.
+
+    Scale: one user_id shuffle; the rn=1 cut prunes to one row per key
+    before the output exchange, and at scale this is exactly the
+    map-group shape AQE coalesces well (dense keys, tiny output)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_id", "event_type", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round(F.col("value") * 100).cast("long").alias(
+                "last_value_cents"
+            ),
+            F.unix_micros("ts").alias("last_ts_us"),
+        )
+        .orderBy(F.col("user_id").asc_nulls_first())
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
 # The per-round correctness harness samples the FIRST 50 entries in
 # declaration order, so each round we front-load the queries with the
-# STALEST driver CORRECTNESS rows (round 6 cohort):
-#   positions 0-12  — last sampled in rounds 2-3
-#   positions 13-62 — last sampled in round 4
-#   remainder       — freshly verified in round 5
+# STALEST driver CORRECTNESS rows (round 7 cohort):
+#   positions 0-2   — the three round-6 hash-fail oracle fixes (re-sample)
+#   positions 3-8   — new round-7 queries (never driver-sampled)
+#   positions 9-26  — last sampled round 4 (missed round 6's 50-cut)
+#   positions 27-49 — last sampled round 5
+#   remainder       — freshly verified in round 5/6
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
-    # -- NEW round 6: never driver-sampled — stalest by definition -----------------
-    "agg_listagg_mode_orders": agg_listagg_mode_orders,
-    "lateral_topn_per_group": lateral_topn_per_group,
+    # -- round-6 hash-fail fixes: re-sample FIRST ----------------------------------
     "interval_coalesce_events": interval_coalesce_events,
     "twap_events": twap_events,
     "scd2_event_type_runs": scd2_event_type_runs,
-    # -- last driver-sampled round 2 -----------------------------------------------
+    # -- NEW round 7: never driver-sampled ------------------------------------------
+    "histogram_orders_prices": histogram_orders_prices,
+    "markov_transitions_events": markov_transitions_events,
+    "rank_ties_topn_priority": rank_ties_topn_priority,
+    "benford_first_digit_prices": benford_first_digit_prices,
+    "domain_quota_topn": domain_quota_topn,
+    "cdc_latest_per_key": cdc_latest_per_key,
+    # -- last driver-sampled round 4 (missed the round-6 50-cut) --------------------
+    "theta_cohort_overlap": theta_cohort_overlap,
+    "stats_regression_lineitem": stats_regression_lineitem,
+    "nullsafe_join_segments": nullsafe_join_segments,
+    "window_range_7day_spend": window_range_7day_spend,
+    "repetition_profile_documents": repetition_profile_documents,
+    "robust_stats_lineitem": robust_stats_lineitem,
+    "unigram_logprob_score": unigram_logprob_score,
+    "cohort_retention_events": cohort_retention_events,
+    "join_left_outer_counts": join_left_outer_counts,
+    "join_semi_customers": join_semi_customers,
+    "join_anti_customers": join_anti_customers,
+    "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
+    "join_full_outer_spend_freq": join_full_outer_spend_freq,
+    "join_salted_user_events": join_salted_user_events,
+    "skew_profile_event_keys": skew_profile_event_keys,
+    "embedding_quantize_stats": embedding_quantize_stats,
+    "exists_late_shipment_orders": exists_late_shipment_orders,
+    "scalar_subquery_small_qty": scalar_subquery_small_qty,
+    # -- last driver-sampled round 5 -------------------------------------------------
+    "neardup_crossbatch_screen": neardup_crossbatch_screen,
+    "agg_approx_percentiles": agg_approx_percentiles,
+    "window_distribution_ranks": window_distribution_ranks,
+    "session_window_events": session_window_events,
+    "variant_fns_events": variant_fns_events,
+    "neardup_cluster_assign": neardup_cluster_assign,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ngram_top_bigrams": ngram_top_bigrams,
+    "sample_hash_stratified": sample_hash_stratified,
+    "pii_redact_profile": pii_redact_profile,
+    "pipeline_training_corpus": pipeline_training_corpus,
+    "fuzzy_blocked_match": fuzzy_blocked_match,
+    "semantic_cluster_assign": semantic_cluster_assign,
+    "profile_lineitem_columns": profile_lineitem_columns,
+    "ann_pq_topk": ann_pq_topk,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_image_profile": multimodal_image_profile,
+    "multimodal_video_profile": multimodal_video_profile,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_cube_segment_status": agg_cube_segment_status,
+    "agg_percentiles_orders": agg_percentiles_orders,
+    "agg_rollup_status_priority": agg_rollup_status_priority,
+    "agg_salted_user_events": agg_salted_user_events,
+    # -- position 50+: below the sample window this round ---------------------------
+    # rest of the round-5 cohort
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "array_fns_embeddings": array_fns_embeddings,
+    "cosine_topk_embeddings": cosine_topk_embeddings,
+    "date_fns_events": date_fns_events,
+    "dedup_exact_docs": dedup_exact_docs,
+    "fingerprint_documents": fingerprint_documents,
+    "json_fns_events": json_fns_events,
+    "lang_id_documents": lang_id_documents,
+    "map_fns_events": map_fns_events,
+    "math_fns_lineitem": math_fns_lineitem,
+    "multimodal_audio_profile": multimodal_audio_profile,
+    "multimodal_decode_profile": multimodal_decode_profile,
+    "neardup_embedding_cosine": neardup_embedding_cosine,
+    "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "neardup_minhash_lsh": neardup_minhash_lsh,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "simhash_documents": simhash_documents,
+    "string_fns_documents": string_fns_documents,
+    "sync_merge_orders": sync_merge_orders,
+    "text_quality_profile": text_quality_profile,
+    "tumbling_window_events": tumbling_window_events,
+    "udaf_geomean_orders": udaf_geomean_orders,
+    "udtf_chunk_documents": udtf_chunk_documents,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "window_lag_sessionize": window_lag_sessionize,
+    "window_running_total": window_running_total,
+    # freshly driver-verified round 6 (greenest — back of the rotation)
+    "agg_listagg_mode_orders": agg_listagg_mode_orders,
+    "lateral_topn_per_group": lateral_topn_per_group,
     "window_topn_orders_per_customer": window_topn_orders_per_customer,
     "set_union_segments": set_union_segments,
     "set_except_inactive": set_except_inactive,
     "set_intersect_buyers": set_intersect_buyers,
     "topk_expensive_orders": topk_expensive_orders,
     "dedup_exact_summary": dedup_exact_summary,
-    # -- last driver-sampled round 3 -----------------------------------------------
     "filter_or_of_and_revenue": filter_or_of_and_revenue,
     "notexists_dormant_customers": notexists_dormant_customers,
     "conditional_promo_revenue": conditional_promo_revenue,
@@ -4191,7 +4451,6 @@ QUERIES: dict[str, QueryFn] = {
     "asof_last_error_before_click": asof_last_error_before_click,
     "range_join_error_context": range_join_error_context,
     "agg_orders_stats": agg_orders_stats,
-    # -- last driver-sampled round 4 -----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4224,75 +4483,6 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion_events": funnel_conversion_events,
     "sketch_rollup_users": sketch_rollup_users,
     "kll_quantile_rollup_prices": kll_quantile_rollup_prices,
-    "theta_cohort_overlap": theta_cohort_overlap,
-    "stats_regression_lineitem": stats_regression_lineitem,
-    "nullsafe_join_segments": nullsafe_join_segments,
-    "window_range_7day_spend": window_range_7day_spend,
-    "repetition_profile_documents": repetition_profile_documents,
-    "robust_stats_lineitem": robust_stats_lineitem,
-    "unigram_logprob_score": unigram_logprob_score,
-    "cohort_retention_events": cohort_retention_events,
-    "join_left_outer_counts": join_left_outer_counts,
-    "join_semi_customers": join_semi_customers,
-    "join_anti_customers": join_anti_customers,
-    "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
-    "join_full_outer_spend_freq": join_full_outer_spend_freq,
-    "join_salted_user_events": join_salted_user_events,
-    "skew_profile_event_keys": skew_profile_event_keys,
-    "embedding_quantize_stats": embedding_quantize_stats,
-    "exists_late_shipment_orders": exists_late_shipment_orders,
-    "scalar_subquery_small_qty": scalar_subquery_small_qty,
-    # -- position 63+: driver-sampled round 5 --------------------------
-    "neardup_crossbatch_screen": neardup_crossbatch_screen,
-    "agg_approx_percentiles": agg_approx_percentiles,
-    "window_distribution_ranks": window_distribution_ranks,
-    "session_window_events": session_window_events,
-    "variant_fns_events": variant_fns_events,
-    "neardup_cluster_assign": neardup_cluster_assign,
-    "tfidf_top_terms": tfidf_top_terms,
-    "ngram_top_bigrams": ngram_top_bigrams,
-    "sample_hash_stratified": sample_hash_stratified,
-    "pii_redact_profile": pii_redact_profile,
-    "pipeline_training_corpus": pipeline_training_corpus,
-    "fuzzy_blocked_match": fuzzy_blocked_match,
-    "semantic_cluster_assign": semantic_cluster_assign,
-    "profile_lineitem_columns": profile_lineitem_columns,
-    "ann_pq_topk": ann_pq_topk,
-    "multimodal_audio_features": multimodal_audio_features,
-    "multimodal_image_profile": multimodal_image_profile,
-    "multimodal_video_profile": multimodal_video_profile,
-    "agg_approx_distinct": agg_approx_distinct,
-    "agg_cube_segment_status": agg_cube_segment_status,
-    "agg_percentiles_orders": agg_percentiles_orders,
-    "agg_rollup_status_priority": agg_rollup_status_priority,
-    "agg_salted_user_events": agg_salted_user_events,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_bucketed": ann_lsh_bucketed,
-    "array_fns_embeddings": array_fns_embeddings,
-    "cosine_topk_embeddings": cosine_topk_embeddings,
-    "date_fns_events": date_fns_events,
-    "dedup_exact_docs": dedup_exact_docs,
-    "fingerprint_documents": fingerprint_documents,
-    "json_fns_events": json_fns_events,
-    "lang_id_documents": lang_id_documents,
-    "map_fns_events": map_fns_events,
-    "math_fns_lineitem": math_fns_lineitem,
-    "multimodal_audio_profile": multimodal_audio_profile,
-    "multimodal_decode_profile": multimodal_decode_profile,
-    "neardup_embedding_cosine": neardup_embedding_cosine,
-    "neardup_jaccard_pairs": neardup_jaccard_pairs,
-    "neardup_minhash_lsh": neardup_minhash_lsh,
-    "pivot_status_by_priority": pivot_status_by_priority,
-    "simhash_documents": simhash_documents,
-    "string_fns_documents": string_fns_documents,
-    "sync_merge_orders": sync_merge_orders,
-    "text_quality_profile": text_quality_profile,
-    "tumbling_window_events": tumbling_window_events,
-    "udaf_geomean_orders": udaf_geomean_orders,
-    "udtf_chunk_documents": udtf_chunk_documents,
-    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-    "window_lag_sessionize": window_lag_sessionize,
-    "window_running_total": window_running_total,
 }
 
 

@@ -637,3 +637,131 @@ def test_neardup_screen_fails_loudly_on_null_ids(spark, table_name):
             ).collect()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {sig_table}")
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_stream_neardup_crash_replay_fuzz(
+    spark, tmp_path, table_name, monkeypatch, seed
+):
+    """Randomized composition of the fixed-fixture crash-replay pin and
+    the stream≡batch parity fuzz: a random multi-file stream of planted
+    near-dup clusters + unique fillers runs through
+    ``stream_neardup_ingest`` (one file per micro-batch) with a
+    simulated failure between the corpus sink and
+    ``record_novel_signatures`` on a RANDOM micro-batch. After
+    checkpointed recovery the corpus must hold exactly one distinct
+    representative per cluster and every filler; the only doc_ids
+    appearing twice are the crashed batch's novel rows (the documented
+    duplicates-never-drops window), and a fresh-checkpoint re-run adds
+    nothing. Seeds are pinned in the parametrize list — a failure
+    message names the seed for replay."""
+    import os
+    import random
+
+    import dask_felleskomponenter_spark.sources.dedup_store as ds
+    from dask_felleskomponenter_spark.streaming.ops import (
+        stream_neardup_ingest,
+    )
+
+    rng = random.Random(seed)
+    n_clusters = rng.randint(2, 4)
+    bodies = [
+        " ".join(f"c{c}tok{j}" for j in range(60)) for c in range(n_clusters)
+    ]
+    docs, cluster_members, fillers = [], {c: [] for c in range(n_clusters)}, []
+    did = 0
+    for c in range(n_clusters):
+        for _ in range(rng.randint(2, 5)):
+            docs.append((did, f"{bodies[c]} tail{did}"))
+            cluster_members[c].append(did)
+            did += 1
+    for _ in range(rng.randint(5, 12)):
+        words = " ".join(
+            f"f{did}x{j}y{rng.randint(0, 9973)}" for j in range(20)
+        )
+        docs.append((did, words))
+        fillers.append(did)
+        did += 1
+    rng.shuffle(docs)
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    n_files = rng.randint(3, 5)
+    for fi in range(n_files):
+        chunk = docs[fi::n_files]
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+    crash_at = rng.randrange(n_files)
+    calls = {"n": 0}
+    crashed_novel: dict[str, list] = {}
+    real_record = ds.record_novel_signatures
+
+    def maybe_crash(novel, *args, **kwargs):
+        # foreachBatch runs DRIVER-side, so collecting here is safe —
+        # and it is the only way to learn the crashed batch's novel set
+        if calls["n"] == crash_at:
+            calls["n"] += 1
+            crashed_novel["ids"] = sorted(
+                r["doc_id"] for r in novel.collect()
+            )
+            raise RuntimeError("simulated crash between sink and record")
+        calls["n"] += 1
+        return real_record(novel, *args, **kwargs)
+
+    monkeypatch.setattr(ds, "record_novel_signatures", maybe_crash)
+    q = stream_neardup_ingest(
+        stream(), "doc_id", "text", table_name, corpus, ckpt, n_buckets=4
+    )
+    with pytest.raises(Exception, match="simulated crash"):
+        q.awaitTermination(180)
+
+    monkeypatch.setattr(ds, "record_novel_signatures", real_record)
+    q2 = stream_neardup_ingest(
+        stream(), "doc_id", "text", table_name, corpus, ckpt, n_buckets=4
+    )
+    q2.awaitTermination(180)
+
+    rows = [r["doc_id"] for r in spark.read.parquet(corpus).collect()]
+    counts: dict[int, int] = {}
+    for i in rows:
+        counts[i] = counts.get(i, 0) + 1
+    ids = set(counts)
+    # exactly one distinct representative per cluster, all fillers kept
+    for c, members in cluster_members.items():
+        assert len(ids & set(members)) == 1, (
+            f"seed {seed}: cluster {c} has {ids & set(members)}"
+        )
+    assert set(fillers) <= ids, (
+        f"seed {seed}: dropped fillers {set(fillers) - ids}"
+    )
+    assert ids <= set(fillers) | {
+        m for ms in cluster_members.values() for m in ms
+    }
+    # duplicates exactly = the crashed batch's novel rows, never drops
+    dup_ids = sorted(i for i, n in counts.items() if n > 1)
+    assert dup_ids == crashed_novel["ids"], (
+        f"seed {seed}: dup rows {dup_ids} != crashed batch's novel "
+        f"{crashed_novel['ids']}"
+    )
+    assert all(n <= 2 for n in counts.values()), f"seed {seed}: {counts}"
+
+    # idempotence restored: a fresh-checkpoint replay adds nothing
+    q3 = stream_neardup_ingest(
+        stream(), "doc_id", "text", table_name, corpus,
+        str(tmp_path / "ckpt2"), n_buckets=4,
+    )
+    q3.awaitTermination(180)
+    assert spark.read.parquet(corpus).count() == len(rows), (
+        f"seed {seed}: fresh replay changed the corpus"
+    )

@@ -23,6 +23,7 @@ from dask_felleskomponenter_spark.plans.queries import QUERIES
 
 #: Query names safe to fuzz with a documents-only corpus.
 FUZZ_QUERIES = [
+    "domain_quota_topn",
     "dedup_substring_spans",
     "dedup_canonical_docs",
     "dedup_cross_batch_novelty",
@@ -174,6 +175,8 @@ FUZZ_EVENT_QUERIES = [
     "interval_coalesce_events",
     "twap_events",
     "scd2_event_type_runs",
+    "markov_transitions_events",
+    "cdc_latest_per_key",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -314,6 +317,9 @@ FUZZ_ORDER_QUERIES = [
     "grouping_sets_orders",
     "agg_percentiles_orders",
     "sync_merge_orders",
+    "histogram_orders_prices",
+    "rank_ties_topn_priority",
+    "benford_first_digit_prices",
 ]
 
 
