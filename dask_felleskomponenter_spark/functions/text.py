@@ -50,21 +50,32 @@ def char_count(col: str | Column) -> Column:
 
 
 def tokens(col: str | Column) -> Column:
-    """Whitespace tokens as array<string> (empty string → empty array)."""
+    """Whitespace tokens as array<string>.
+
+    NULL and empty/blank text both yield an EMPTY ARRAY, never NULL:
+    ``size(NULL)`` is -1 with ANSI off and NULL with ANSI on (Spark 4's
+    default), so a NULL-propagating tokenizer makes every downstream
+    count/ratio/score depend on session config — a NULL document once
+    scored 0.7 "quality" under ANSI defaults (above the repo's own keep
+    threshold) and 0.3 without. With the guard here, every consumer
+    sees a deterministic 0 in both modes."""
     t = F.trim(_c(col))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, WS_PATTERN)
-    )
+    return F.when(
+        t.isNull() | (t == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(t, WS_PATTERN))
 
 
 def token_count(col: str | Column) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count (NULL text counts 0 tokens, see tokens)."""
     return F.size(tokens(col))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
-    """Tokenizer-style token-count estimate via ``regexp_count``."""
-    return F.regexp_count(_c(col), F.lit(BPE_ISH_PATTERN))
+    """Tokenizer-style token-count estimate via ``regexp_count``
+    (NULL text counts 0, matching ``token_count``)."""
+    return F.coalesce(
+        F.regexp_count(_c(col), F.lit(BPE_ISH_PATTERN)), F.lit(0)
+    )
 
 
 def punct_ratio(col: str | Column) -> Column:
@@ -258,7 +269,13 @@ def hamming64(a: Column, b: Column) -> Column:
 # (DuckDB), so the oracle-checked query and any external audit agree.
 
 PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE_PATTERN = r"\+?\d[\d-]{7,}\d"
+# At least NINE digits with optional single hyphens between them: an
+# ISO date (2024-01-15) carries exactly eight digits, so the old
+# "9+ digit-or-hyphen chars" form redacted every date and timestamp in
+# a corpus as a [PHONE]. Nine digits is the floor of real-world dialable
+# numbers (NANP 10-11, E.164 up to 15); long numeric ids remain
+# documented false positives. (?:...) is portable Java-regex + RE2.
+PII_PHONE_PATTERN = r"\+?\d(?:-?\d){8,}"
 
 PII_PATTERNS = {"email": PII_EMAIL_PATTERN, "phone": PII_PHONE_PATTERN}
 
@@ -278,16 +295,22 @@ def redact_pii(col: str | Column) -> Column:
     return out
 
 
-def rolling_fingerprint(col: str | Column, window: int = 8, keep: int = 4) -> Column:
+def rolling_fingerprint(
+    col: str | Column, window: int = 8, keep: int = 4, hash_fn=None
+) -> Column:
     """Winnowing-style document fingerprint: the ``keep`` smallest hashes
-    of ``window``-token shingles, as a sorted array<bigint>.
+    of ``window``-token shingles, as a sorted array (bigint under the
+    default ``xxhash64``; the element type follows ``hash_fn``).
 
     Two documents sharing long runs of text share fingerprint entries —
     the standard plagiarism/near-dup sketch (Schleimer et al. winnowing),
-    here as a single JVM-side expression.
+    here as a single JVM-side expression. The selection semantics live
+    ONLY here: ``rolling_fingerprint_md5`` is this with ``hash_fn=F.md5``
+    (one definition, so the two hash families can never drift apart).
     """
+    hash_fn = hash_fn or F.xxhash64
     shingled = word_shingles(_c(col), k=window, distinct=False)
-    hashed = F.array_sort(F.transform(shingled, lambda s: F.xxhash64(s)))
+    hashed = F.array_sort(F.transform(shingled, lambda s: hash_fn(s)))
     return F.slice(hashed, 1, keep)
 
 
@@ -375,9 +398,7 @@ def rolling_fingerprint_md5(
     production path; this twin exists for differential verification and
     costs ~4× the fingerprint bytes.
     """
-    shingled = word_shingles(_c(col), k=window, distinct=False)
-    hashed = F.array_sort(F.transform(shingled, lambda s: F.md5(s)))
-    return F.slice(hashed, 1, keep)
+    return rolling_fingerprint(col, window=window, keep=keep, hash_fn=F.md5)
 
 
 #: What canonicalization strips: anything that is not a Unicode letter,

@@ -392,6 +392,14 @@ def duplicated_spans(
 
     from dask_felleskomponenter_spark.functions.text import token_count
 
+    # validated like lsh_band_buckets: a typo'd family silently hashing
+    # with xxhash64 would produce shingle keys that never match the md5
+    # oracle the parameter exists for
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"unknown hash_family {hash_family!r}; "
+            f"expected 'xxhash64' or 'md5'"
+        )
     hasher = F.md5 if hash_family == "md5" else F.xxhash64
     shingled = (
         df.filter(token_count(text_col) >= k)

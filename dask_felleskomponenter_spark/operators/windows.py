@@ -103,7 +103,15 @@ def lag_sessionize(
     # spring-forward would measure 1h and wrongly share a session.
     # Subtraction is uniform wall-clock (NTZ) / absolute-time (LTZ)
     # arithmetic either way. Strings/dates still cast once, up front.
-    dtype = dict(df.dtypes).get(ts_col, "")
+    # Resolve the dtype the way Spark resolves the COLUMN — case-
+    # insensitively (a case-sensitive dict lookup on df.dtypes misses
+    # 'TS' for ts_col='ts', spuriously casts TIMESTAMP_NTZ through the
+    # session timezone, and reintroduces the DST bug above).
+    dtypes = df.dtypes
+    dtype = next(
+        (t for n, t in dtypes if n == ts_col),
+        next((t for n, t in dtypes if n.lower() == ts_col.lower()), ""),
+    )
     ts = (
         F.col(ts_col)
         if dtype.startswith("timestamp")

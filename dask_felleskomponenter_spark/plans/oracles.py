@@ -1273,7 +1273,7 @@ ORACLES["pii_redact_profile"] = """
 WITH planted AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@example.com or +1-555-'
+              || '@example.com or +1-555-555-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
   FROM documents
   WHERE text IS NOT NULL
@@ -1282,12 +1282,12 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(t,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
          AS n_emails,
-       CAST(len(regexp_extract_all(t, '\\+?\\d[\\d-]{7,}\\d')) AS INTEGER)
+       CAST(len(regexp_extract_all(t, '\\+?\\d(?:-?\\d){8,}')) AS INTEGER)
          AS n_phones,
        CAST(LENGTH(t) AS INTEGER) AS len_before,
        CAST(LENGTH(regexp_replace(regexp_replace(t,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-         '\\+?\\d[\\d-]{7,}\\d', '[PHONE]', 'g')) AS INTEGER) AS len_after
+         '\\+?\\d(?:-?\\d){8,}', '[PHONE]', 'g')) AS INTEGER) AS len_after
 FROM planted
 ORDER BY doc_id
 """

@@ -1030,7 +1030,7 @@ def pii_redact_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id"),
-        F.lit("@example.com or +1-555-"),
+        F.lit("@example.com or +1-555-555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" now"),
     )

@@ -323,6 +323,21 @@ class TestDuplicatedSpans:
             for r in out.collect()
         }
 
+    def test_unknown_hash_family_raises(self, spark):
+        """A typo'd hash_family must fail at plan-build time, not
+        silently hash with xxhash64 and never match the md5 oracle the
+        parameter exists for (round-7 review finding; same contract as
+        lsh_band_buckets' validation)."""
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.operators.dedup import (
+            duplicated_spans,
+        )
+
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="hash_family"):
+            duplicated_spans(df, "doc_id", "text", hash_family="md-5")
+
     def test_shared_passage_merges_to_one_maximal_span(self, spark):
         """A 12-token passage shared by two docs yields 5 overlapping
         8-gram hits per doc that must merge into ONE maximal span

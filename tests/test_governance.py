@@ -332,6 +332,74 @@ class TestPiiDataScan:
         assert "[EMAIL]" in out and "[PHONE]" in out
         assert "@" not in out
 
+    def test_dates_and_timestamps_are_not_phones(self, spark):
+        """Round-7 review finding: the old 9-char digit/hyphen phone
+        regex matched every ISO date (8 digits), so redact_pii corrupted
+        dates/timestamps to [PHONE] and pii_hits reported false
+        positives corpus-wide. Nine DIGITS is the floor now."""
+        from dask_felleskomponenter_spark.functions.text import (
+            pii_hits,
+            redact_pii,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("meeting on 2024-01-15 at noon", 0),
+                ("logged 2024-01-15 10:30:59 exactly", 0),
+                ("order 20240115 shipped", 0),  # 8-digit compact date
+                ("call +1-555-123-4567 now", 1),  # 11-digit NANP
+                ("id 123456789 matched", 1),  # 9+ digit run: documented FP
+            ],
+            "t string, want int",
+        )
+        rows = df.select(
+            "t", "want", pii_hits("t", "phone").alias("n"),
+            redact_pii("t").alias("r"),
+        ).collect()
+        for r in rows:
+            assert r["n"] == r["want"], (r["t"], r["n"])
+            if r["want"] == 0:
+                assert "[PHONE]" not in r["r"], r["r"]
+
+    def test_null_text_counts_and_scores_are_ansi_invariant(self, spark):
+        """Round-7 review finding: size(split(NULL)) is NULL under ANSI
+        (Spark 4 default) and -1 with ANSI off, so a NULL document once
+        scored 0.7 'quality' (above the near-dup keep threshold) under
+        one config and 0.3 under the other. tokens() now floors NULL to
+        an empty array: identical counts/scores in BOTH modes, and NULL
+        never outscores real text."""
+        from dask_felleskomponenter_spark.functions.text import (
+            bpe_ish_token_count,
+            quality_score,
+            token_count,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   ")], "id int, t string"
+        )
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        got = {}
+        try:
+            for mode in ("true", "false"):
+                spark.conf.set("spark.sql.ansi.enabled", mode)
+                got[mode] = {
+                    r["id"]: (r["n"], r["b"], r["q"])
+                    for r in df.select(
+                        "id",
+                        token_count("t").alias("n"),
+                        bpe_ish_token_count("t").alias("b"),
+                        quality_score("t").alias("q"),
+                    ).collect()
+                }
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+        assert got["true"] == got["false"], got
+        for _id, (n, b, q) in got["true"].items():
+            assert n == 0 and b == 0, got["true"]
+            assert q is not None and q < 0.7, got["true"]
+        # NULL scores exactly like empty text (one documented value)
+        assert got["true"][1] == got["true"][2]
+
 
 class TestErasure:
     def test_rewrite_tmp_is_hidden_and_stale_residue_reaped(

@@ -578,6 +578,29 @@ def test_lag_sessionize_fractional_gap_and_ntz_dst(spark):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     assert sessions == {1, 2}  # 7200s > 5400s gap → two sessions
 
+    # Case-insensitive dtype resolution (round-7 review finding): the
+    # column is declared 'TS' but referenced as 'ts' — Spark resolves
+    # the COLUMN case-insensitively, so the NTZ dtype must be found the
+    # same way or the silent cast-to-TIMESTAMP reintroduces the DST bug
+    ntz_uc = spark.createDataFrame(
+        [
+            Row(u=1, TS=dt.datetime(2026, 3, 29, 1, 30)),
+            Row(u=1, TS=dt.datetime(2026, 3, 29, 3, 30)),
+        ],
+        "u int, TS timestamp_ntz",
+    )
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Oslo")
+        sessions_uc = {
+            r["session_id"]
+            for r in lag_sessionize(
+                ntz_uc, "u", "ts", gap_seconds=5400
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert sessions_uc == {1, 2}
+
 
 def test_cosine_neardup_pairs_null_and_zero_vectors(spark):
     """NULL embeddings must be filtered (np.stack would raise on None)
