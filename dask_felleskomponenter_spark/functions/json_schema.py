@@ -92,30 +92,71 @@ class JsonSchemaConverter:
 
     # -- public -----------------------------------------------------------
     def to_struct(self) -> StructType:
-        node = self.schema
-        # A root-level $ref ({"$ref": "#/$defs/Root", "$defs": {...}}) is
-        # a common schema shape — resolve it so its properties are found.
-        if "$ref" in node and node["$ref"] not in self.circular:
-            merged = {k: v for k, v in node.items() if k != "$ref"}
-            resolved, doc = self._resolve_ref_with_doc(node["$ref"])
-            node = {**resolved, **merged}
-            # an external root's local refs resolve against ITS document
-            self._current_doc = doc
-        props = node.get("properties", {})
-        if not props:
-            # Same loud failure as the reference (schema.py:54): a
-            # property-less root would otherwise compile to an empty
-            # StructType and parse every record to zero columns with no
-            # error — silent empty output from a misconfigured schema.
-            raise ValueError("No properties found in JSON schema")
-        required = set(node.get("required", []))
-        return StructType(
-            [
-                f
-                for name, sub in props.items()
-                if (f := self._field(name, sub, required, f"$.{name}")) is not None
-            ]
-        )
+        # _current_doc is scoped and RESTORED so the converter is
+        # reusable: a second to_struct() on the same instance must not
+        # resolve the root ref against a leftover external document.
+        prev_doc = self._current_doc
+        try:
+            self._current_doc = self.schema
+            node: Any = self.schema
+            # Follow a root-level $ref CHAIN ({"$ref": "#/$defs/A"} →
+            # A = {"$ref": "#/$defs/B"} → ...), the same chain _type_of
+            # follows by recursion. Sibling keys override the final
+            # target WHOLESALE per key (dict-merge semantics: an outer
+            # "properties" replaces the target's entirely), and each
+            # kept key remembers the DOCUMENT it was declared in, so a
+            # root-document sibling's local "#/..." refs never resolve
+            # against whichever external document the chain ended in.
+            sibling: dict[str, Any] = {}
+            sib_doc: dict[str, Any] = {}
+            hops = 0
+            while (
+                isinstance(node, dict)
+                and "$ref" in node
+                and node["$ref"] not in self.circular
+            ):
+                hops += 1
+                if hops > 64:
+                    raise ValueError(
+                        "root $ref chain exceeds 64 hops — circular "
+                        "schema? List the ref in circular_references."
+                    )
+                for k, v in node.items():
+                    if k != "$ref" and k not in sibling:
+                        sibling[k] = v
+                        sib_doc[k] = self._current_doc
+                node, doc = self._resolve_ref_with_doc(node["$ref"])
+                self._current_doc = doc
+            if isinstance(node, bool):
+                # boolean schemas are valid JSON Schema; neither form
+                # declares properties, so both fail the loud check below
+                node = {}
+            if sibling.get("properties"):
+                props = sibling["properties"]
+                props_scope = sib_doc["properties"]
+            else:
+                props = node.get("properties", {})
+                props_scope = self._current_doc
+            if not props:
+                # Same loud failure as the reference (schema.py:54): a
+                # property-less root would otherwise compile to an empty
+                # StructType and parse every record to zero columns with
+                # no error — silent empty output from a misconfigured
+                # schema.
+                raise ValueError("No properties found in JSON schema")
+            required = set(sibling.get("required", node.get("required", [])))
+            # compile the properties in the document that DECLARED them
+            self._current_doc = props_scope
+            return StructType(
+                [
+                    f
+                    for name, sub in props.items()
+                    if (f := self._field(name, sub, required, f"$.{name}"))
+                    is not None
+                ]
+            )
+        finally:
+            self._current_doc = prev_doc
 
     # -- internals --------------------------------------------------------
     def _nullable(self, name: str, required: set[str]) -> bool:
@@ -126,6 +167,20 @@ class JsonSchemaConverter:
     def _field(
         self, name: str, node: dict[str, Any], required: set[str], path: str
     ) -> StructField | None:
+        # Boolean subschemas are valid JSON Schema (draft 6+): `false`
+        # admits NO value — the property can never legally be present,
+        # so it is dropped like a const field; `true` admits anything —
+        # compile to the permissive default dtype. Without this guard,
+        # '"$ref" in node' below raises TypeError on a bool.
+        if isinstance(node, bool):
+            if node is False:
+                return None
+            return StructField(
+                name,
+                self._default_dtype(),
+                self._nullable(name, required),
+                metadata={"path": path, "description": ""},
+            )
         # Resolve a $ref BEFORE the const check: the reference drops a
         # const field whether the const sits on the ref site or on the
         # ref target (property2struct resolves first). An unresolvable
@@ -161,6 +216,10 @@ class JsonSchemaConverter:
         return StructField(name, dtype, nullable, metadata=meta)
 
     def _type_of(self, node: dict[str, Any], path: str) -> DataType | None:
+        if isinstance(node, bool):
+            # boolean subschema in a type position (e.g. "items": true):
+            # no type information either way → permissive default
+            return self._default_dtype()
         if "$ref" in node:
             ref = node["$ref"]
             if ref in self.circular or path in self.circular:

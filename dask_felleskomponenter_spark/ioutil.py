@@ -128,3 +128,20 @@ def recover_interrupted_swap(
             continue  # vanished (e.g. its owner just completed its swap)
         if not alive and (now - newest) >= min_age_s:
             shutil.rmtree(full, ignore_errors=True)
+
+
+def atomic_json_dump(path: str, obj, **dump_kwargs) -> None:
+    """Write JSON to ``path`` crash-safely: tmp sibling + ``os.replace``.
+
+    A crash or ENOSPC mid-dump must not leave a truncated file (and on a
+    re-export must not have already destroyed the previous good copy).
+    Shared by the corpus manifest and the ANN store's meta.json — one
+    definition so a durability fix (e.g. fsync-before-replace) lands
+    everywhere at once.
+    """
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(obj, fh, **dump_kwargs)
+    os.replace(tmp, path)

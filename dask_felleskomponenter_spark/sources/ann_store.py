@@ -295,10 +295,9 @@ def build_ann_store(
         "pq_k": DEFAULT_PQ_K,
         "pq_codebooks": codebooks,
     }
-    tmp = os.path.join(path, "meta.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    from dask_felleskomponenter_spark.ioutil import atomic_json_dump
+
+    atomic_json_dump(os.path.join(path, "meta.json"), meta)
     return AnnStore(
         path=path,
         lsh_path=lsh_path,

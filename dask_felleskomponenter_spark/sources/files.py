@@ -246,6 +246,11 @@ def read_parquet_evolved(
     small metadata job); the conforming projection is codegen'd into
     the scan, and column pruning still applies — only target (and
     kept-extra) columns are read."""
+    if extras not in ("ignore", "keep"):
+        # validated BEFORE the mergeSchema read: that read is a real
+        # footer-union metadata job over every file, and a typo'd
+        # argument must fail in milliseconds, not after it
+        raise ValueError(f"extras must be 'ignore' or 'keep', got {extras!r}")
     target_schema = _resolve_schema(target_schema, with_corrupt_col=False)
     df = spark.read.option("mergeSchema", "true").parquet(path)
     # Column matching follows the session's resolution mode: Spark
@@ -264,12 +269,17 @@ def read_parquet_evolved(
     cols = []
     from pyspark.sql import functions as F
 
+    def _q(name: str):
+        # backtick-quoted access: a literal dot in a file column name
+        # must resolve as the top-level column, not nested-field access
+        return df["`" + name.replace("`", "``") + "`"]
+
     matched_file_cols = set()
     for field in target_schema.fields:
         actual = present.get(_key(field.name))
         if actual is not None:
             matched_file_cols.add(actual)
-            cols.append(df[actual].cast(field.dataType).alias(field.name))
+            cols.append(_q(actual).cast(field.dataType).alias(field.name))
         else:
             cols.append(
                 F.lit(None).cast(field.dataType).alias(field.name)
@@ -282,8 +292,6 @@ def read_parquet_evolved(
         )
         if unknown:
             cols.append(
-                F.struct(*[df[c] for c in unknown]).alias("_extras")
+                F.struct(*[_q(c) for c in unknown]).alias("_extras")
             )
-    elif extras != "ignore":
-        raise ValueError(f"extras must be 'ignore' or 'keep', got {extras!r}")
     return df.select(*cols)

@@ -60,8 +60,13 @@ def df_checksum(df: DataFrame, cols: list[str] | None = None) -> tuple[int, int]
     use = cols or sorted(df.columns)
     hashed = []
     for c in use:
-        hashed.append(F.col(c).isNull().cast("string"))
-        hashed.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        # backtick-quoted: a literal dot in a top-level column name
+        # (legal in parquet) would otherwise parse as nested-field
+        # access and fail resolution — the corpus could be written but
+        # never manifested/verified
+        qc = F.col("`" + c.replace("`", "``") + "`")
+        hashed.append(qc.isNull().cast("string"))
+        hashed.append(F.coalesce(qc.cast("string"), F.lit("")))
     row = df.agg(
         F.sum(F.xxhash64(*hashed).cast("decimal(38,0)")).alias("_s"),
         F.count(F.lit(1)).alias("_n"),
@@ -107,6 +112,13 @@ def write_corpus_manifest(
     manifest dict; writes ``_corpus_manifest.json`` inside the
     directory (underscore-prefixed files are invisible to Spark's
     parquet reader, like ``_SUCCESS``)."""
+    # Same staleness guard as the verify side: if this session listed
+    # the directory before a re-export rewrote it, the shared
+    # FileStatusCache would serve the OLD file listing — the checksum
+    # job would hit deleted part files or silently checksum the old
+    # content while _file_inventory (os.walk, always fresh) records the
+    # new files: a manifest that can never verify.
+    spark.catalog.refreshByPath(data_path)
     df = spark.read.parquet(data_path)
     checksum, n_rows = df_checksum(df, cols)
     files = _file_inventory(data_path)
@@ -117,15 +129,14 @@ def write_corpus_manifest(
         "files": files,
         "extra": extra or {},
     }
-    # tmp + atomic replace: a crash/ENOSPC mid-dump must not leave a
-    # truncated manifest (and on re-export must not have already
-    # destroyed the previous good one) — same commit pattern as the
-    # ANN store's meta.json.
-    final = os.path.join(data_path, MANIFEST_NAME)
-    tmp = final + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, final)
+    from dask_felleskomponenter_spark.ioutil import atomic_json_dump
+
+    atomic_json_dump(
+        os.path.join(data_path, MANIFEST_NAME),
+        manifest,
+        indent=1,
+        sort_keys=True,
+    )
     return manifest
 
 
@@ -153,19 +164,25 @@ def verify_corpus_manifest(
             "ok": False,
             "problems": [f"recorded column(s) missing from data: {missing}"],
         }
-    checksum, n_rows = df_checksum(df, recorded["columns"])
-    if n_rows != recorded["n_rows"]:
-        problems.append(f"row count {n_rows} != recorded {recorded['n_rows']}")
     if "checksum_sum64_v2" not in recorded:
-        # earlier formats are not comparable: the XOR fold was blind to
+        # Earlier formats are not comparable: the XOR fold was blind to
         # even-multiplicity substitutions, and the v1 sum fold's string
-        # sentinel collided with a real cell holding the sentinel text
+        # sentinel collided with a real cell holding the sentinel text.
+        # Checked BEFORE df_checksum — the full corpus scan's result
+        # would be known-unusable, and on the 100 TB corpus this module
+        # exists for that scan is hours; only the row count (a cheap
+        # parquet-metadata count) remains comparable.
         problems.append(
             "manifest predates the null-flag checksum; re-write it with "
             "write_corpus_manifest"
         )
-    elif checksum != recorded["checksum_sum64_v2"]:
-        problems.append("content checksum mismatch")
+        n_rows = df.count()
+    else:
+        checksum, n_rows = df_checksum(df, recorded["columns"])
+        if checksum != recorded["checksum_sum64_v2"]:
+            problems.append("content checksum mismatch")
+    if n_rows != recorded["n_rows"]:
+        problems.append(f"row count {n_rows} != recorded {recorded['n_rows']}")
     if _file_inventory(data_path) != recorded["files"]:
         problems.append("file inventory changed")
     return {"ok": not problems, "problems": problems}

@@ -668,3 +668,41 @@ def test_synthetic_batch_and_stream_rows_agree(spark, tmp_path):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in spark.table("synth_twin").collect()}
     assert b == s
+
+
+def test_read_parquet_evolved_validates_extras_before_reading(spark):
+    """A typo'd extras= must fail in milliseconds at function entry —
+    the old post-loop validation first paid the mergeSchema footer-
+    union job over every file (round-7 review finding). Proven by
+    passing a NONEXISTENT path: entry-time validation raises ValueError
+    before any read could fail on the path."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.sources.files import (
+        read_parquet_evolved,
+    )
+
+    with _pytest.raises(ValueError, match="extras"):
+        read_parquet_evolved(
+            spark, "/nonexistent/nowhere", "id bigint", extras="KEEP"
+        )
+
+
+def test_read_parquet_evolved_handles_dotted_file_columns(spark, tmp_path):
+    """File columns with literal dots must be carried into _extras (and
+    matched) via quoted access, not parsed as nested-field refs."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from dask_felleskomponenter_spark.sources.files import (
+        read_parquet_evolved,
+    )
+
+    path = str(tmp_path / "dotted_evo")
+    spark.createDataFrame(
+        [(1, 2.5)], ["id", "geo.lat"]
+    ).write.parquet(path)
+    target = StructType([StructField("id", LongType())])
+    kept = read_parquet_evolved(spark, path, target, extras="keep")
+    row = kept.first()
+    assert row["id"] == 1
+    assert row["_extras"]["geo.lat"] == 2.5

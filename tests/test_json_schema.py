@@ -16,6 +16,7 @@ from pyspark.sql.types import (
     DecimalType,
     DoubleType,
     FloatType,
+    IntegerType,
     LongType,
     MapType,
     StringType,
@@ -23,6 +24,9 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from dask_felleskomponenter_spark.functions.json_schema import (
+    JsonSchemaConverter,
+)
 from dask_felleskomponenter_spark.functions.json_schema import (
     convert_json_schema_to_spark as convert,
 )
@@ -316,3 +320,73 @@ def test_const_behind_ref_is_dropped():
     }
     st = convert(schema)
     assert [f.name for f in st.fields] == ["keep"]
+
+
+def test_boolean_subschemas_compile():
+    """Boolean subschemas are valid JSON Schema (draft 6+): `true`
+    admits anything → permissive default dtype; `false` admits nothing
+    → the property can never be present, dropped like a const field.
+    The old code raised TypeError('argument of type bool is not
+    iterable') on both (round-7 review finding)."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "anything": True,
+            "never": False,
+            "arr": {"type": "array", "items": True},
+            "keep": {"type": "integer"},
+        },
+    }
+    st = convert(schema)
+    assert [f.name for f in st.fields] == ["anything", "arr", "keep"]
+    assert isinstance(st["anything"].dataType, StringType)
+    assert isinstance(st["arr"].dataType, ArrayType)
+    assert isinstance(st["arr"].dataType.elementType, StringType)
+
+
+def test_root_ref_chain_resolves():
+    """A $ref chain at the ROOT ({'$ref': A} → A = {'$ref': B}) must
+    follow like _type_of's recursion does everywhere else; the old
+    single-hop resolve raised 'No properties found' on a valid schema
+    (round-7 review finding)."""
+    schema = {
+        "$ref": "#/$defs/A",
+        "$defs": {
+            "A": {"$ref": "#/$defs/B"},
+            "B": {
+                "type": "object",
+                "properties": {"x": {"type": "string"}},
+            },
+        },
+    }
+    st = convert(schema)
+    assert [f.name for f in st.fields] == ["x"]
+
+
+def test_root_external_ref_sibling_props_resolve_in_root_doc():
+    """Sibling keys merged over an EXTERNAL root $ref keep their own
+    document scope: a root-document sibling property whose local
+    '#/$defs/...' ref exists only in the ROOT document must compile
+    (the old code walked it in the external document → KeyError).
+    The converter must also be reusable — a second to_struct() call
+    resolves the root ref against the ROOT document again."""
+    external = {
+        "Base": {
+            "type": "object",
+            "properties": {"y": {"type": "integer"}},
+        }
+    }
+    root = {
+        "$ref": "https://ext.example/s.json#/Base",
+        "properties": {"x": {"$ref": "#/$defs/X"}},
+        "$defs": {"X": {"type": "integer"}},
+    }
+    conv = JsonSchemaConverter(
+        root, ref_fetcher=lambda url: external, enforce_required_field=False
+    )
+    st = conv.to_struct()
+    # dict-merge semantics: sibling 'properties' replaces wholesale
+    assert [f.name for f in st.fields] == ["x"]
+    assert isinstance(st["x"].dataType, LongType)
+    # reusability: same result, not a KeyError from leftover doc scope
+    assert conv.to_struct() == st

@@ -177,3 +177,73 @@ def test_inventory_prunes_spark_invisible_directories(spark, tmp_path):
     shutil.rmtree(os.path.join(path, "_temporary"))
     report = verify_corpus_manifest(spark, path)
     assert report["ok"], report
+
+
+def test_checksum_handles_dotted_column_names(spark, tmp_path):
+    """A literal dot in a top-level column name is legal parquet; the
+    checksum must quote it instead of parsing nested-field access
+    (round-7 review finding)."""
+    from dask_felleskomponenter_spark.sources.manifest import (
+        verify_corpus_manifest,
+        write_corpus_manifest,
+    )
+
+    path = str(tmp_path / "dotted")
+    spark.createDataFrame(
+        [(1, 2.5), (2, 3.5)], ["id", "geo.lat"]
+    ).write.parquet(path)
+    m = write_corpus_manifest(spark, path)
+    assert m["n_rows"] == 2 and "geo.lat" in m["columns"]
+    assert verify_corpus_manifest(spark, path)["ok"]
+
+
+def test_write_manifest_sees_rewritten_corpus(spark, tmp_path):
+    """write_corpus_manifest must refreshByPath like the verify side: a
+    session that listed the directory BEFORE a re-export would record a
+    checksum of stale file statuses against a fresh inventory — a
+    manifest that can never verify (round-7 review finding)."""
+    from dask_felleskomponenter_spark.sources.manifest import (
+        verify_corpus_manifest,
+        write_corpus_manifest,
+    )
+
+    path = str(tmp_path / "rewritten")
+    spark.createDataFrame([(1, "a")], ["id", "t"]).write.parquet(path)
+    # poison the session's file-status cache with the first listing
+    assert spark.read.parquet(path).count() == 1
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "t"]
+    ).write.mode("overwrite").parquet(path)
+    m = write_corpus_manifest(spark, path)
+    assert m["n_rows"] == 3
+    assert verify_corpus_manifest(spark, path)["ok"]
+
+
+def test_pre_v2_manifest_skips_the_checksum_scan(spark, tmp_path, monkeypatch):
+    """A manifest without checksum_sum64_v2 is known-incomparable: the
+    verify must report that WITHOUT paying the full corpus checksum
+    scan (hours at the 100 TB scale this module exists for); the row
+    count (cheap metadata count) is still compared."""
+    import json as _json
+    import os as _os
+
+    import dask_felleskomponenter_spark.sources.manifest as mod
+
+    path = str(tmp_path / "prev2")
+    spark.createDataFrame([(1, "a")], ["id", "t"]).write.parquet(path)
+    files = mod._file_inventory(path)
+    with open(_os.path.join(path, mod.MANIFEST_NAME), "w") as fh:
+        _json.dump(
+            {"n_rows": 1, "columns": ["id", "t"], "files": files,
+             "checksum_xor64": 12345, "extra": {}},
+            fh,
+        )
+
+    def boom(*a, **k):
+        raise AssertionError("df_checksum must not run for a pre-v2 manifest")
+
+    monkeypatch.setattr(mod, "df_checksum", boom)
+    out = mod.verify_corpus_manifest(spark, path)
+    assert not out["ok"]
+    assert any("predates" in p for p in out["problems"])
+    assert not any("checksum mismatch" in p for p in out["problems"])
