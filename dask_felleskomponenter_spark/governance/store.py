@@ -32,6 +32,21 @@ from dask_felleskomponenter_spark.governance.model import MetadataError, TableMe
 INTERNAL_PREFIXES = ("delta.", "spark.", "option.", "transient_lastDdlTime")
 
 
+def _parse_column_prop(key: str) -> tuple[str, str] | None:
+    """Split a ``columns.<col>.<prop>`` property key into (col, prop),
+    or None for a malformed key. The PROPERTY is the LAST dot-segment:
+    property names are simple identifiers while column names may
+    legally contain dots — partitioning on the first dot misattributed
+    column ``a.b``'s tags to a column named ``a`` (and the tag then
+    silently vanished from the column view). One definition shared by
+    get_table_metadata and get_table_column_metadata so the two views
+    can never disagree about which column owns a tag."""
+    col, _, prop = key[len("columns.") :].rpartition(".")
+    if not col or not prop:
+        return None
+    return col, prop
+
+
 class TblPropertiesMetadataStore:
     """Governance tags on Spark table properties."""
 
@@ -114,9 +129,13 @@ class TblPropertiesMetadataStore:
         self, schema: str, table: str, catalog: str | None = None
     ) -> str | None:
         # 'comment' is a reserved table property: SET TBLPROPERTIES routes
-        # it to the table comment and SHOW TBLPROPERTIES hides it
-        name = f"{catalog}.{schema}.{table}" if catalog else f"{schema}.{table}"
-        tbl = self.spark.catalog.getTable(name)
+        # it to the table comment and SHOW TBLPROPERTIES hides it.
+        # Backtick-quoted like every other identifier in the module
+        # (catalog.getTable parses its argument as a multipart
+        # identifier, so an unquoted dotted schema/table misresolves).
+        tbl = self.spark.catalog.getTable(
+            self._qualify(schema, table, catalog)
+        )
         return tbl.description or None
 
     def get_table_metadata(
@@ -132,9 +151,9 @@ class TblPropertiesMetadataStore:
             if any(k.startswith(p) for p in INTERNAL_PREFIXES):
                 continue
             if k.startswith("columns."):
-                rest = k[len("columns.") :]
-                col, _, prop = rest.partition(".")
-                if prop:
+                parsed = _parse_column_prop(k)
+                if parsed:
+                    col, prop = parsed
                     column_properties.setdefault(col, {})[prop] = v
                 continue
             keys[k] = v
@@ -194,9 +213,9 @@ class TblPropertiesMetadataStore:
         tag_rows = []
         for k, v in props.items():
             if k.startswith("columns."):
-                rest = k[len("columns.") :]
-                col, _, prop = rest.partition(".")
-                if prop:
+                parsed = _parse_column_prop(k)
+                if parsed:
+                    col, prop = parsed
                     tag_rows.append((catalog, schema, table, col, prop, v))
         tags_df = spark.createDataFrame(
             tag_rows,

@@ -119,6 +119,15 @@ def interval_join(
     # ids as user data).
     bkt_col = fresh_name("_rng_bkt", left, right)
     ts_tag = fresh_name("_rng_ts", left, right)
+    # The PREFIXED OUTPUT names are part of the API and cannot be
+    # fresh-named away — a left column already holding one would make
+    # the final projection ambiguous; fail loudly at plan-build time.
+    clash = {f"{prefix}{c}" for c in value_cols} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"prefixed output column(s) {sorted(clash)} collide with "
+            f"left columns; pass a different prefix"
+        )
 
     # cast("timestamp") is a no-op for LTZ input but keeps NTZ-typed
     # columns legal for unix_micros (identical wall-clock under a UTC
@@ -199,6 +208,13 @@ def asof_join(
         raise ValueError("asof_join needs at least one value column")
     key_cols = list(on)
     out_cols = list(left.columns)
+    clash = {f"{prefix}{c}" for c in value_cols} & set(out_cols)
+    if clash:
+        # the prefixed output names are API and can't be fresh-named
+        raise ValueError(
+            f"prefixed output column(s) {sorted(clash)} collide with "
+            f"left columns; pass a different prefix"
+        )
 
     # Internal stream-tag names must not shadow user columns — a left
     # column literally named "_asof_ts" would otherwise duplicate in the
@@ -333,6 +349,13 @@ def grid_box_join(
     # Helper names picked clear of both the left columns and the
     # prefixed right columns — withColumn must never replace user data.
     prefixed = {f"{prefix}{c}" for c in right.columns}
+    clash = prefixed & set(left.columns)
+    if clash:
+        # the box filter's F.col(f"{prefix}{rx}") would be ambiguous
+        raise ValueError(
+            f"prefixed right column(s) {sorted(clash)} collide with "
+            f"left columns; pass a different prefix"
+        )
     cx_col = fresh_name("_cell_x", left, extra=prefixed)
     cy_col = fresh_name("_cell_y", left, extra=prefixed | {cx_col})
     dx_col = fresh_name("_dx", left, extra=prefixed)
@@ -401,8 +424,18 @@ def multikey_blocking_candidates(
     from pyspark.sql import Window as _W
 
     from dask_felleskomponenter_spark.operators.shuffle import (
+        fresh_name,
         pinned_repartition,
     )
+
+    # Helper names picked clear of the payload columns (same contract
+    # as every sibling operator): a payload column literally named
+    # "_bs" would otherwise be silently REPLACED by block sizes, and
+    # "_id"/"_k" payloads would duplicate in the tagged select.
+    taken = set(payload_cols) | {id_col}
+    id_h = fresh_name("_id", df, extra=taken)
+    k_h = fresh_name("_k", df, extra=taken | {id_h})
+    bs_h = fresh_name("_bs", df, extra=taken | {id_h, k_h})
 
     # NULL and empty-string key values produce NULL entries and are
     # dropped: concat_ws would silently collapse NULLs to the bare
@@ -412,7 +445,7 @@ def multikey_blocking_candidates(
     # each other, at corpus scale usually the hottest block of the
     # family.
     tagged = df.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col).alias(id_h),
         *[F.col(c).alias(c) for c in payload_cols],
         F.explode(
             F.array(
@@ -427,21 +460,26 @@ def multikey_blocking_candidates(
                     for i, k in enumerate(key_cols)
                 ]
             )
-        ).alias("_k"),
-    ).filter(F.col("_k").isNotNull())
+        ).alias(k_h),
+    ).filter(F.col(k_h).isNotNull())
     # pinned: the self-join's comparison fan-out, not the shuffled
     # bytes, is the cost — keep AQE from coalescing it to one task
-    sized = pinned_repartition(tagged, "_k").withColumn(
-        "_bs", F.count(F.lit(1)).over(_W.partitionBy("_k"))
-    ).filter(F.col("_bs") <= int(max_block_size))
+    sized = pinned_repartition(tagged, k_h).withColumn(
+        bs_h, F.count(F.lit(1)).over(_W.partitionBy(k_h))
+    ).filter(F.col(bs_h) <= int(max_block_size))
     a, b = sized.alias("a"), sized.alias("b")
     pair = a.join(
         b,
-        (F.col("a._k") == F.col("b._k")) & (F.col("a._id") < F.col("b._id")),
+        (F.col(f"a.{k_h}") == F.col(f"b.{k_h}"))
+        & (F.col(f"a.{id_h}") < F.col(f"b.{id_h}")),
     ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
+        F.col(f"a.{id_h}").alias("id_a"),
+        F.col(f"b.{id_h}").alias("id_b"),
         *[F.col(f"a.{c}").alias(f"a_{c}") for c in payload_cols],
         *[F.col(f"b.{c}").alias(f"b_{c}") for c in payload_cols],
     )
-    return pair.distinct()
+    # Dedup on the ID PAIR, not the full payload-carrying row: payloads
+    # are functionally determined by the ids, and pairs sharing several
+    # blocking keys would otherwise shuffle both full payloads 2-3x
+    # through the widest exchange of the operator.
+    return pair.dropDuplicates(["id_a", "id_b"])

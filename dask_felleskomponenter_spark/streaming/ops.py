@@ -185,8 +185,18 @@ def _make_sessionizer(gap_us: int):
 
         ts_list: list[int] = []
         for pdf in pdfs:
-            ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+            # NULL event timestamps reach this operator (the late-row
+            # watermark filter keeps them: NULL < watermark is NULL) as
+            # NaT, whose .value is int64-min — one such row would open
+            # or clamp a session to year 1677. A timestamp-less event
+            # has no position on the timeline: drop it, matching the
+            # built-in session_window twin (which drops NULL ts rows).
+            ts_list.extend(
+                int(t.value // 1000) for t in pdf["ts"] if not pd.isna(t)
+            )
         ts_list.sort()
+        if not ts_list and not state.exists:
+            return  # batch carried only timestamp-less rows
 
         if state.exists:
             start_us, last_us, n = state.get
@@ -316,6 +326,17 @@ def stream_interval_join(
     from dask_felleskomponenter_spark.operators.joins import range_bounds_us
 
     lo_us, hi_us = range_bounds_us(lower_seconds, upper_seconds)
+
+    # Same API-collision guard as the batch twin: a left column already
+    # named like a prefixed right column would emit a DUPLICATE column
+    # in the output schema — and here the bad schema escapes silently
+    # into the sink instead of crashing inside the operator.
+    clash = {f"{prefix}{c}" for c in right.columns} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"prefixed right column(s) {sorted(clash)} collide with "
+            f"left columns; pass a different prefix"
+        )
 
     lhs = left.withWatermark(left_ts, watermark).alias("l")
     rename = [
@@ -648,10 +669,18 @@ def category_profile_stateful(
                 "per_cat", "category STRING", "n BIGINT, total DOUBLE"
             )
             self._recent = handle.getListState("recent", "v DOUBLE")
-            self._total = handle.getValueState("total", "n BIGINT")
+            # (event count, value sum of NULL-category rows): a NULL
+            # category is NOT a category (batch countDistinct excludes
+            # it — and astype(str) used to mint literal 'None'/'nan'
+            # categories here), but its VALUE still counts toward the
+            # total sum (batch SUM(value) is category-blind).
+            self._total = handle.getValueState("total", "n BIGINT, nullsum DOUBLE")
 
         def handleInputRows(self, key, rows, timer_values):
-            n_total = self._total.get()[0] if self._total.exists() else 0
+            if self._total.exists():
+                n_total, null_sum = self._total.get()
+            else:
+                n_total, null_sum = 0, 0.0
             tail: list[tuple] = []
             # Pre-aggregate per category IN PANDAS, then one state-server
             # round-trip pair per TOUCHED CATEGORY: the per-row form was
@@ -660,8 +689,13 @@ def category_profile_stateful(
             local: dict[str, tuple[int, float]] = {}
             for pdf in rows:
                 n_total += len(pdf)
-                grouped = pdf.groupby(pdf[cat_col].astype(str))[value_col].agg(
-                    ["count", "sum"]
+                cats = pdf[cat_col]
+                mask = cats.notna()
+                null_sum += float(pdf.loc[~mask, value_col].sum() or 0.0)
+                grouped = (
+                    pdf[mask]
+                    .groupby(cats[mask].astype(str))[value_col]
+                    .agg(["count", "sum"])
                 )
                 for cat, row in grouped.iterrows():
                     c0, s0 = local.get(cat, (0, 0.0))
@@ -678,9 +712,9 @@ def category_profile_stateful(
             existing = list(self._recent.get()) if self._recent.exists() else []
             merged = (existing + tail)[-recent_cap:]
             self._recent.put(merged)
-            self._total.update((n_total,))
+            self._total.update((n_total, null_sum))
             n_cats = 0
-            sum_all = 0.0
+            sum_all = null_sum
             for _cat_key, (n, total) in self._per_cat.iterator():
                 n_cats += 1
                 sum_all += total
@@ -896,7 +930,6 @@ def stream_dedup_ingest(
     Returns the started ``StreamingQuery`` (``availableNow`` trigger).
     """
     from dask_felleskomponenter_spark.sources.dedup_store import (
-        HASH_COL,
         dedup_against_history,
         record_novel,
     )

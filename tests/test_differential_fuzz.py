@@ -1211,7 +1211,11 @@ def test_fuzz_tws_category_profile_matches_batch(spark, tmp_path, seed):
     rows = [
         (
             rng.randrange(n_users),
-            f"cat{rng.randrange(n_cats)}",
+            # ~8% NULL categories: NOT a category (batch countDistinct
+            # excludes NULL) but the value still counts toward the sum —
+            # astype(str) in the operator once minted literal 'None'
+            # categories here (round-7 review finding)
+            None if rng.random() < 0.08 else f"cat{rng.randrange(n_cats)}",
             float(rng.randrange(0, 500)) * 0.25,
         )
         for _ in range(rng.randrange(120, 320))

@@ -646,3 +646,39 @@ class TestPiiRemedyExecutability:
         sql = sql[: sql.rfind(")") + 1] + " AS red FROM pii_remedy_v"
         red = spark.sql(sql).first()["red"]
         assert red.startswith("mail [EMAIL]") and "call +1-555" in red
+
+
+def test_column_properties_survive_dotted_column_names(spark, tmp_path):
+    """Round-7 review finding: 'columns.<col>.<prop>' used to split on
+    the FIRST dot, so a column named 'a.b' had its tags misattributed
+    to a column 'a' (and they vanished from the column-metadata join).
+    The property is the LAST dot-segment; both read paths share one
+    parser so the two views can never disagree."""
+    import shutil
+
+    from dask_felleskomponenter_spark.governance.store import (
+        TblPropertiesMetadataStore,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS gov_test")
+    spark.sql("DROP TABLE IF EXISTS gov_test.t_dotted")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/gov_test.db/t_dotted", ignore_errors=True)
+    spark.createDataFrame([(1, "x")], ["id", "geo.lat"]).write.mode(
+        "overwrite"
+    ).saveAsTable("gov_test.t_dotted")
+
+    store = TblPropertiesMetadataStore(spark)
+    store.set_column_properties(
+        "gov_test", "t_dotted", "geo.lat", {"geometri_encoding": "wkt"}
+    )
+    md = store.get_table_metadata("spark_catalog", "gov_test", "t_dotted")
+    assert md.column_properties == {"geo.lat": {"geometri_encoding": "wkt"}}
+
+    cm = store.get_table_column_metadata("spark_catalog", "gov_test", "t_dotted")
+    got = {
+        (r["column_name"], r["tag_name"]): r["tag_value"]
+        for r in cm.collect()
+        if r["tag_name"] is not None
+    }
+    assert got == {("geo.lat", "geometri_encoding"): "wkt"}

@@ -1071,3 +1071,81 @@ def test_salted_agg_schema_matches_plain_groupby_exactly(spark):
         {"s": ("sum", "v")}, salt_buckets=4,
     )
     assert sorted(r["_p_s"] for r in out.collect()) == [3, 4, 5]
+
+
+def test_prefixed_output_collisions_fail_loudly(spark):
+    """Round-7 review finding: the {prefix}{col} OUTPUT names are API
+    and cannot be fresh-named away — when a left column already holds
+    one, the operators must raise at plan-build time instead of
+    producing an ambiguous reference (batch) or a silently duplicated
+    output schema (streaming)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.joins import (
+        asof_join,
+        grid_box_join,
+        interval_join,
+    )
+    from dask_felleskomponenter_spark.streaming.ops import (
+        stream_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts="2024-01-01 00:00:00", rng_v="mine", asof_v="mine")]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [Row(k=1, rts="2024-01-01 00:00:00", v="x")]
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    with _pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                      lower_seconds=-300.0, upper_seconds=0.0,
+                      value_cols=["v"], prefix="rng_")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  value_cols=["v"], prefix="asof_")
+
+    pts_l = spark.createDataFrame([Row(x=0.0, y=0.0, nb_x="mine")])
+    pts_r = spark.createDataFrame([Row(x=0.1, y=0.1)])
+    with _pytest.raises(ValueError, match="collide"):
+        grid_box_join(pts_l, pts_r, left_xy=("x", "y"), right_xy=("x", "y"),
+                      radius=1.0, prefix="nb_")
+
+    # streaming twin: validated at plan-build, no query start needed
+    s_left = spark.readStream.format("rate").load().select(
+        F.col("timestamp").alias("ts"), F.col("value").alias("k"),
+        F.lit("mine").alias("rng_ts"),
+    )
+    s_right = spark.readStream.format("rate").load().select(
+        F.col("timestamp").alias("ts"), F.col("value").alias("k"),
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        stream_interval_join(s_left, s_right, on=["k"])
+
+
+def test_multikey_blocking_preserves_reserved_payload_names(spark):
+    """Round-7 review finding: payload columns named _bs/_k/_id used to
+    be silently overwritten (block sizes returned as user data) or to
+    duplicate in the tagged select — helper names are now fresh."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.joins import (
+        multikey_blocking_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc=1, key="a", _bs="keep1", _k="k1", _id="i1"),
+            Row(doc=2, key="a", _bs="keep2", _k="k2", _id="i2"),
+        ]
+    )
+    pairs = multikey_blocking_candidates(
+        df, id_col="doc", key_cols=["key"], payload_cols=["_bs", "_k", "_id"]
+    ).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["a__bs"], r["b__bs"]) == ("keep1", "keep2")
+    assert (r["a__k"], r["b__k"]) == ("k1", "k2")
+    assert (r["a__id"], r["b__id"]) == ("i1", "i2")

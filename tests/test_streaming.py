@@ -899,3 +899,56 @@ def test_stateful_sessionizer_handles_cross_batch_late_events(spark, tmp_path):
     expect_start = _dt.datetime(1970, 1, 1, 9, 55)
     expect_end = _dt.datetime(1970, 1, 1, 10, 30)
     assert (1, expect_start, expect_end, 4) in rows, rows
+
+
+def test_sessionize_stateful_drops_null_timestamps(spark, tmp_path):
+    """Round-7 review finding: a NULL event timestamp reaches the
+    stateful sessionizer as NaT (the late-row watermark filter keeps
+    it — NULL < watermark is NULL), and NaT.value is int64-min, so one
+    such row used to open or clamp a session to year 1677. A
+    timestamp-less event has no position on the timeline: it must be
+    dropped, matching the built-in session_window twin."""
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.streaming.ops import (
+        run_to_memory_sink,
+        sessionize_stateful,
+    )
+
+    M = 60 * 1_000_000
+    base = 10 * 60 * M  # 10:00 as minutes-of-day micros
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (1, None),            # NULL ts inside an open session
+            (1, base + 5 * M),
+            (2, None),            # user with ONLY a NULL-ts event
+            (1, base + 90 * M),   # closes the first session by gap
+        ],
+        "user_id long, us long",
+    ).select("user_id", F.expr("timestamp_micros(us)").alias("ts"))
+    df.coalesce(1).write.parquet(str(tmp_path / "in" / "b1"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    got = run_to_memory_sink(
+        sessionize_stateful(stream, gap_minutes=30),
+        "sessions_nullts",
+        str(tmp_path / "ckpt"),
+    )
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got.collect()
+    }
+    # the NULL row neither counts nor clamps: the closed session is
+    # exactly (10:00, 10:05, 2), and nothing starts in year 1677
+    import datetime as _dt
+
+    assert (
+        1, _dt.datetime(1970, 1, 1, 10, 0), _dt.datetime(1970, 1, 1, 10, 5), 2
+    ) in rows, rows
+    assert all(s.year >= 1970 for _, s, _, _ in rows), rows
+    assert not any(u == 2 for u, *_ in rows), rows
