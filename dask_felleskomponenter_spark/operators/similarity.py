@@ -393,11 +393,23 @@ def build_ivf_centroids(
                 F.col("_v"), centroids, nrm=F.col("_n")
             ).alias("_cell"),
             "_v",
+            "_n",
         )
+        # Spherical k-means update: average the NORMALIZED vectors.
+        # Assignment is by cosine (magnitude-invariant), so averaging
+        # RAW vectors would let one high-magnitude vector drag its
+        # cell's direction — the PQ build normalizes before averaging
+        # for the same reason, and the two quantizer builds must agree.
+        # (The mean of unit vectors is not re-normalized: the cosine
+        # argmin is scale-invariant, cf. nearest_cell_col.)
         means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
+            assigned.select(
+                "_cell",
+                F.posexplode("_v").alias("_dim", "_x"),
+                F.col("_n"),
+            )
             .groupBy("_cell", "_dim")
-            .agg(F.avg("_x").alias("_m"))
+            .agg(F.avg(F.col("_x") / F.col("_n")).alias("_m"))
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
@@ -520,7 +532,17 @@ def with_lsh_bucket(
     column (see ``plans/queries.py::ann_lsh_bucketed``).
     """
     planes = random_hyperplanes(dim, bits, seed)
-    return df.withColumn(bucket_col, signbit_bucket(as_double_vec(vec_col), planes))
+    # NULL-in/NULL-out, matching with_ivf_cell / with_pq_codes: a NULL
+    # (or shorter-than-dim) embedding has a NULL dot against every
+    # plane, and `when(dot >= 0, 1).otherwise(0)` would quietly turn
+    # that into bit 0 per plane — filing every NULL row inside the
+    # GENUINE bucket 0 of the partitioned store, indistinguishable from
+    # real members.
+    bucket = F.when(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim),
+        signbit_bucket(as_double_vec(vec_col), planes),
+    )
+    return df.withColumn(bucket_col, bucket)
 
 
 def query_bucket(query_vec: list[float], bits: int = 8, seed: int = 42) -> int:
@@ -553,13 +575,17 @@ def lsh_bucketed_cosine_topk(
     the stored column (single-bucket partition-pruned read); this helper
     exists so small/ad-hoc tables don't need the materialization step.
     """
+    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
+    # fresh-named: a caller column literally named "_lsh_bucket" (e.g.
+    # a precomputed bucket from a different bits/seed family) must not
+    # be silently clobbered and recomputed under this helper's family
+    bcol = fresh_name("_lsh_bucket", emb_df)
     bucketed = with_lsh_bucket(
-        emb_df, len(query_vec), bits, vec_col, "_lsh_bucket", seed
+        emb_df, len(query_vec), bits, vec_col, bcol, seed
     )
     q_bucket = query_bucket(query_vec, bits, seed)
-    in_bucket = bucketed.filter(F.col("_lsh_bucket") == F.lit(q_bucket)).drop(
-        "_lsh_bucket"
-    )
+    in_bucket = bucketed.filter(F.col(bcol) == F.lit(q_bucket)).drop(bcol)
     return cosine_topk(in_bucket, query_vec, k, id_col, vec_col, score_col)
 
 
@@ -584,10 +610,16 @@ def lsh_bucketed_cosine_topk(
 
 
 def _norm_expr(vec_col: Column, dim: int) -> Column:
-    """Codegen'd L2 norm: an unrolled sum of squares, zero-guarded."""
+    """Codegen'd L2 norm: an unrolled sum of squares, zero-guarded.
+
+    ``try_element_at``, not ``element_at``: a single embedding shorter
+    than ``dim`` (parquet schemas don't carry array lengths) must read
+    as NULL — under Spark 4's default ANSI mode a plain ``element_at``
+    past the end ABORTS the whole encode/build job with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
     s = None
     for i in range(dim):
-        e = F.element_at(vec_col, i + 1).cast("double")
+        e = F.try_element_at(vec_col, F.lit(i + 1)).cast("double")
         term = e * e
         s = term if s is None else s + term
     return F.greatest(F.sqrt(s), F.lit(1e-12))
@@ -614,9 +646,11 @@ def _pq_argmin_cols(
         for code, c in enumerate(cb):
             dot_jk = None
             for i in range(d):
-                term = F.element_at(vec_col, j * d + i + 1).cast(
-                    "double"
-                ) * F.lit(float(c[i]))
+                # try_element_at: ragged vectors NULL out (then the
+                # encode guard voids the row) instead of ANSI-aborting
+                term = F.try_element_at(
+                    vec_col, F.lit(j * d + i + 1)
+                ).cast("double") * F.lit(float(c[i]))
                 dot_jk = term if dot_jk is None else dot_jk + term
             c2 = sum(float(x) * float(x) for x in c)
             obj = F.lit(c2) * nrm - F.lit(2.0) * dot_jk
@@ -646,13 +680,15 @@ def with_pq_codes(
     codes = F.array(
         *_pq_argmin_cols(F.col(vec_col), F.col(ncol), codebooks, dim)
     )
-    # A NULL embedding must encode to NULL codes, not [0]*m: every
-    # per-centroid objective is NULL and array_min's struct order sorts
-    # NULL first, so the argmin would resolve to code 0 everywhere —
-    # valid-looking codes for a vector that doesn't exist, which ADC
-    # scoring (codes-only, never re-reads the raw vector) would then
-    # rank as a real neighbor.
-    codes = F.when(F.col(vec_col).isNotNull(), codes)
+    # A NULL embedding — and a RAGGED one, shorter than dim — must
+    # encode to NULL codes, not [0]*m: every per-centroid objective is
+    # NULL and array_min's struct order sorts NULL first, so the argmin
+    # would resolve to code 0 everywhere — valid-looking codes for a
+    # vector that doesn't exist, which ADC scoring (codes-only, never
+    # re-reads the raw vector) would then rank as a real neighbor.
+    codes = F.when(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim), codes
+    )
     return staged.withColumn(out_col, codes).drop(ncol)
 
 
@@ -683,16 +719,19 @@ def build_pq_codebooks(
     if d * m != dim:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     # NULL embeddings among the k lowest ids would abort the build with
-    # a bare TypeError (None is not subscriptable) — skip them, matching
-    # the scorers' no-match convention.
-    emb_df = emb_df.filter(F.col(vec_col).isNotNull())
+    # a bare TypeError (None is not subscriptable), and RAGGED vectors
+    # (shorter than dim) would ANSI-abort the element_at walk — skip
+    # both, matching the encoder's no-match convention.
+    emb_df = emb_df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim)
+    )
     v = F.col(vec_col)
 
     staged = emb_df.withColumn("_pq_nrm", _norm_expr(v, dim))
     nrm = F.col("_pq_nrm")
     unit = F.array(
         *[
-            F.element_at(v, i + 1).cast("double") / nrm
+            F.try_element_at(v, F.lit(i + 1)).cast("double") / nrm
             for i in range(dim)
         ]
     )

@@ -47,34 +47,84 @@ def history_exists(spark: SparkSession, table_name: str) -> bool:
     return spark.catalog.tableExists(table_name)
 
 
+#: A ``__compacting`` scratch table YOUNGER than this is assumed to be
+#: a live compaction's in-flight write and is left alone by the
+#: screening-path recovery (mirrors ``ioutil.STALE_STAGING_AGE_S`` for
+#: directory swaps — dropping a concurrent compactor's scratch would
+#: fail its corpus-sized rewrite).
+STALE_COMPACTION_AGE_S = 3600.0
+
+
+def _table_age_seconds(spark: SparkSession, name: str) -> float | None:
+    """Seconds since the table's catalog 'Created Time', or None when
+    the DESCRIBE output can't be parsed — callers stay conservative
+    (treat unknown age as young, never reap)."""
+    import datetime as _dt
+    import time as _time
+
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        created = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Created Time"),
+            None,
+        )
+        if not created:
+            return None
+        # Java Date.toString: "Sat Aug 15 17:30:00 UTC 2026" — only the
+        # unambiguous UTC form is parsed; anything else reads as young.
+        parts = created.split()
+        if len(parts) != 6 or parts[4] != "UTC":
+            return None
+        stamp = _dt.datetime.strptime(
+            f"{parts[1]} {parts[2]} {parts[3]} {parts[5]}",
+            "%b %d %H:%M:%S %Y",
+        ).replace(tzinfo=_dt.timezone.utc)
+        return _time.time() - stamp.timestamp()
+    except Exception:
+        return None
+
+
 def _recover_history(spark: SparkSession, table_name: str) -> None:
     """Roll an interrupted ``compact_history`` swap back to the
     original table. The swap is rename(live→old), rename(scratch→live),
     drop(old): a crash between the renames leaves the accumulated
     history under ``__old`` only — restore it; a crash before the final
     drop leaves the (complete) compacted live plus a stale ``__old`` —
-    drop the leftover. A ``__compacting`` scratch is always safe to
-    drop: it only becomes the live table inside a successful swap."""
+    drop the leftover.
+
+    Runs on EVERY screening call (via ``history_exists``), so the
+    steady state — no crash artifacts — issues ZERO catalog DDL: on a
+    Hive-metastore deployment unconditional DROPs here were two
+    metastore writes per micro-batch. And a ``__compacting`` scratch is
+    reaped only once it is demonstrably STALE: a young scratch is a
+    concurrent compactor's in-flight write, and dropping it would fail
+    that corpus-sized rewrite mid-flight."""
     old = f"{table_name}__old"
     scratch = f"{table_name}__compacting"
-    if not spark.catalog.tableExists(table_name) and spark.catalog.tableExists(
-        old
-    ):
-        # Concurrent SCREENING calls can both observe this state and
-        # race the restore rename (catalog DDL is not idempotent): the
-        # loser's failure is benign iff the live table exists afterwards
-        # — someone restored it — so recheck instead of failing a
-        # read-only screen.
-        try:
-            spark.sql(f"ALTER TABLE {old} RENAME TO {table_name}")
-        except Exception:
-            if not spark.catalog.tableExists(table_name):
-                raise
-    if spark.catalog.tableExists(table_name):
-        # IF EXISTS: a concurrent recoverer may have dropped it between
-        # the check and the drop
-        spark.sql(f"DROP TABLE IF EXISTS {old}")
-    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    old_exists = spark.catalog.tableExists(old)
+    scratch_exists = spark.catalog.tableExists(scratch)
+    if not old_exists and not scratch_exists:
+        return
+    if old_exists:
+        if not spark.catalog.tableExists(table_name):
+            # Concurrent SCREENING calls can both observe this state and
+            # race the restore rename (catalog DDL is not idempotent):
+            # the loser's failure is benign iff the live table exists
+            # afterwards — someone restored it — so recheck instead of
+            # failing a read-only screen.
+            try:
+                spark.sql(f"ALTER TABLE {old} RENAME TO {table_name}")
+            except Exception:
+                if not spark.catalog.tableExists(table_name):
+                    raise
+        if spark.catalog.tableExists(table_name):
+            # IF EXISTS: a concurrent recoverer may have dropped it
+            # between the check and the drop
+            spark.sql(f"DROP TABLE IF EXISTS {old}")
+    if scratch_exists:
+        age = _table_age_seconds(spark, scratch)
+        if age is not None and age > STALE_COMPACTION_AGE_S:
+            spark.sql(f"DROP TABLE IF EXISTS {scratch}")
 
 
 def dedup_against_history(
@@ -230,6 +280,25 @@ def compact_history(
     scratch = f"{table_name}__compacting"
     old = f"{table_name}__old"
     _recover_history(spark, table_name)
+    # SINGLE-WRITER contract: this compactor owns the scratch name, so
+    # any leftover (recovery reaps only STALE scratches) is dropped
+    # here before the rewrite.
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    # The key column follows the table: the exact-dedup history buckets
+    # on HASH_COL, the near-dup SIGNATURE history on BUCKET_COL — the
+    # hardcoded HASH_COL form left the signature store with no
+    # compaction path at all (UNRESOLVED_COLUMN after thousands of
+    # per-batch appends had already decayed its scan).
+    live_cols = spark.table(table_name).columns
+    if HASH_COL in live_cols:
+        key_col = HASH_COL
+    elif BUCKET_COL in live_cols:
+        key_col = BUCKET_COL
+    else:
+        raise ValueError(
+            f"{table_name} has neither {HASH_COL!r} nor {BUCKET_COL!r}; "
+            f"not a dedup history table"
+        )
     # Streams original → scratch (different table names, no self-read
     # hazard); never caches the history, which can be corpus-sized.
     #
@@ -262,9 +331,9 @@ def compact_history(
             n_rows=F.count(F.lit(1)),
         )
         (
-            src.repartition(n_buckets, HASH_COL)
-            .write.bucketBy(n_buckets, HASH_COL)
-            .sortBy(HASH_COL)
+            src.repartition(n_buckets, key_col)
+            .write.bucketBy(n_buckets, key_col)
+            .sortBy(key_col)
             .saveAsTable(scratch)
         )
     finally:
@@ -273,7 +342,10 @@ def compact_history(
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {scratch} RENAME TO {table_name}")
-    spark.sql(f"DROP TABLE {old}")
+    # IF EXISTS: a concurrent screen's recovery can drop __old between
+    # the rename above and here — a fully successful swap must not then
+    # raise TABLE_OR_VIEW_NOT_FOUND and read as a failed compaction.
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
     return n
 
 

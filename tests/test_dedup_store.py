@@ -765,3 +765,62 @@ def test_stream_neardup_crash_replay_fuzz(
     assert spark.read.parquet(corpus).count() == len(rows), (
         f"seed {seed}: fresh replay changed the corpus"
     )
+
+
+def test_compact_history_works_on_signature_table(spark, table_name):
+    """Round-7 review finding: compact_history hardcoded the exact-dedup
+    HASH_COL, leaving the near-dup SIGNATURE history (bucketed on
+    BUCKET_COL) with no compaction path at all — it must detect the key
+    column from the table and preserve screening semantics."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        compact_history,
+        neardup_against_history,
+        record_novel_signatures,
+    )
+
+    sig = f"{table_name}_sig"
+    try:
+        for b, salt in ((0, ""), (1, "x")):
+            batch = _batch(spark, _near_docs(10, salt=salt))
+            novel = neardup_against_history(
+                spark, batch, "doc_id", "text", sig
+            )
+            record_novel_signatures(
+                novel, "doc_id", "text", sig, f"b{b}", n_buckets=4
+            )
+        n = compact_history(spark, sig, n_buckets=4)
+        assert n > 0
+        # replaying batch 0 byte-identically still screens to zero novel
+        replay = neardup_against_history(
+            spark, _batch(spark, _near_docs(10)), "doc_id", "text", sig
+        )
+        assert replay.count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sig}")
+        spark.sql(f"DROP TABLE IF EXISTS {sig}__old")
+        spark.sql(f"DROP TABLE IF EXISTS {sig}__compacting")
+
+
+def test_recovery_leaves_young_scratch_and_reaps_stale(
+    spark, table_name, monkeypatch
+):
+    """Round-7 review finding: a screening call's recovery used to drop
+    the __compacting scratch UNCONDITIONALLY — destroying a concurrent
+    compactor's in-flight corpus-sized rewrite. A young scratch must
+    survive recovery; only a stale one (older than the threshold) is
+    reaped."""
+    import dask_felleskomponenter_spark.sources.dedup_store as ds
+
+    _novel_ids(spark, [(1, "alpha")], table_name, "b0")
+    scratch = f"{table_name}__compacting"
+    spark.createDataFrame([(1,)], "x int").write.saveAsTable(scratch)
+    try:
+        # young scratch: steady-state screen must not touch it
+        assert ds.history_exists(spark, table_name)
+        assert spark.catalog.tableExists(scratch), "young scratch reaped"
+        # stale scratch (threshold forced to -1): reaped
+        monkeypatch.setattr(ds, "STALE_COMPACTION_AGE_S", -1.0)
+        assert ds.history_exists(spark, table_name)
+        assert not spark.catalog.tableExists(scratch), "stale scratch kept"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {scratch}")

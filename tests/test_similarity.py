@@ -442,3 +442,79 @@ class TestPQRecallOnRealEmbeddings:
                 assert abs(exact[vid] - got[vid]) < 1e-9
         avg = sum(recalls) / len(recalls)
         assert avg >= 0.7, f"PQ reranked recall@10 too low: {recalls}"
+
+
+class TestRaggedAndNullVectors:
+    """Round-7 review findings: the PQ/LSH encoders' NULL-in/NULL-out
+    contract extended to RAGGED vectors (shorter than dim), which used
+    to ANSI-abort the PQ walk (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) or be
+    silently filed in LSH bucket 0."""
+
+    def test_pq_encode_survives_short_vector(self, spark):
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_pq_codebooks,
+            with_pq_codes,
+        )
+
+        dim, m, k = 8, 2, 2
+        rows = [
+            Row(vec_id=i, embedding=[float((i + j) % 5) + 0.1 for j in range(dim)])
+            for i in range(6)
+        ] + [Row(vec_id=99, embedding=[1.0, 2.0])]  # ragged: len 2 < dim 8
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cb = build_pq_codebooks(df, dim=dim, m=m, k=k, iters=1)
+        out = {r["vec_id"]: r["pq_codes"]
+               for r in with_pq_codes(df, cb, dim=dim).collect()}
+        assert out[99] is None  # ragged encodes to NULL, not garbage
+        assert all(out[i] is not None and len(out[i]) == m for i in range(6))
+
+    def test_lsh_bucket_null_and_ragged_are_null(self, spark):
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            with_lsh_bucket,
+        )
+
+        dim = 4
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+                Row(vec_id=2, embedding=None),
+                Row(vec_id=3, embedding=[1.0]),  # ragged
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: r["lsh_bucket"]
+               for r in with_lsh_bucket(df, dim=dim, bits=4).collect()}
+        assert out[1] is not None
+        assert out[2] is None and out[3] is None
+
+    def test_ivf_update_averages_normalized_vectors(self, spark):
+        """Spherical k-means: assignment is by cosine, so the centroid
+        update must average UNIT vectors — a single norm-1000 vector
+        used to drag its whole cell's direction."""
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_ivf_centroids,
+        )
+
+        rows = [
+            Row(vec_id=1, embedding=[1.0, 0.01]),
+            Row(vec_id=2, embedding=[0.01, 1.0]),  # seed 2: +y direction
+            Row(vec_id=3, embedding=[1.0, 0.02]),
+            Row(vec_id=4, embedding=[1.0, 0.03]),
+            # magnitude outlier, direction +x: lands in the +x cell and
+            # must NOT bend it toward... itself it agrees; make it +x
+            # with huge magnitude so a RAW mean would dwarf the unit rows
+            Row(vec_id=5, embedding=[1000.0, 200.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = build_ivf_centroids(df, n_cells=2, iters=1)
+        # cell 0 (seeded +x) holds ids 1,3,4,5; a NORMALIZED mean keeps
+        # the y-component tiny (~(0.05+0.2/1.02)/4 ≈ 0.06) while a raw
+        # mean would be (250.75, 50.01) — y/x ratio 0.2 vs ~0.06
+        cx, cy = cents[0]
+        assert cy / cx < 0.1, cents
