@@ -837,9 +837,15 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the step a dedup pipeline runs between candidate pairs and
     representative selection; O(log n) rounds, two shuffles per round,
     so a million-link boilerplate chain still terminates at 100 TB.
-    Cluster sizes come from a map-side-combinable groupBy + broadcast
-    join rather than a window, so a pathological giant cluster cannot
-    funnel all its rows through one reducer's sort."""
+    Cluster sizes come from a map-side-combinable groupBy joined back
+    WITHOUT a broadcast hint: ``sizes`` has one row per component and
+    singletons keep their own id, so its cardinality is O(n) — a forced
+    broadcast would exceed the 8 GiB cap at corpus scale. ``assigned``
+    is already hash-partitioned by ``component`` from the groupBy, so
+    the shuffled hash join co-partitions for free, and AQE still picks
+    a broadcast when the table is genuinely small. (A window over the
+    cluster stays off the table regardless: a pathological giant
+    cluster would funnel all its rows through one reducer's sort.)"""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
@@ -851,7 +857,7 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
-        assigned.join(F.broadcast(sizes), on="component")
+        assigned.join(sizes, on="component")
         .select("doc_id", "component", "cluster_size")
         .orderBy("doc_id")
     )
@@ -1338,8 +1344,11 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs→clusters→representatives shape as the text-Jaccard pipeline
     (``neardup_cluster_assign``) with the candidate generator swapped —
     the point of keeping pair generation and clustering as separate
-    operators. Cluster sizes via map-side-combinable groupBy +
-    broadcast join, never a window over the cluster."""
+    operators. Cluster sizes via map-side-combinable groupBy joined
+    back WITHOUT a broadcast hint (one row per component ⇒ O(n) rows —
+    a forced broadcast OOMs at corpus scale; the co-partitioned
+    shuffled join is free and AQE broadcasts when genuinely small),
+    never a window over the cluster."""
     from dask_felleskomponenter_spark.operators.similarity import (
         cosine_neardup_pairs,
     )
@@ -1351,7 +1360,7 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
-        assigned.join(F.broadcast(sizes), on="component")
+        assigned.join(sizes, on="component")
         .select("vec_id", "component", "cluster_size")
         .orderBy("vec_id")
     )

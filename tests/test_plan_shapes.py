@@ -896,3 +896,35 @@ def test_ann_store_stale_on_same_size_source_rewrite(spark, tmp_path):
         load_ann_store(src_dir, bits=4, n_cells=4, iters=1, root=root)
         is None
     )
+
+
+def _broadcast_exchange_blocks(plan: str) -> list[str]:
+    """Split a formatted plan's details section into per-operator blocks
+    and return the text of every BroadcastExchange block (header line
+    through the line before the next ``(N) Operator`` header)."""
+    blocks = re.split(r"(?m)^(?=\(\d+\) )", plan)
+    return [b for b in blocks if b.startswith("(") and "BroadcastExchange" in b.splitlines()[0]]
+
+
+@pytest.mark.parametrize(
+    "name", ["neardup_cluster_assign", "semantic_cluster_assign"]
+)
+def test_cluster_size_join_is_never_forced_broadcast(spark, name):
+    """The per-component size table has one row per input id (singletons
+    keep their own id as component), so it is O(n) rows — a broadcast
+    HINT on it guarantees an over-cap driver/executor OOM at 100 TB.
+    With auto-broadcast disabled, only hinted broadcasts survive
+    planning: assert no BroadcastExchange in the plan carries the
+    ``cluster_size`` aggregate. (The bounded hot-shingle correction in
+    ngram_jaccard_pairs may legitimately broadcast; it never carries
+    cluster_size.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    offenders = [b for b in _broadcast_exchange_blocks(plan) if "cluster_size" in b]
+    assert not offenders, offenders
+    # the sizes join must still exist as a co-partitioned shuffled join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
