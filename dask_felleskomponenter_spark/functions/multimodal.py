@@ -1002,6 +1002,15 @@ def resize_images(
     )
 
 
+#: Minimum non-null blobs a partition must have ATTEMPTED before an
+#: all-decode-failure raises as a decoder/format mismatch. Below this,
+#: a lone corrupt blob isolated in its own partition (small input,
+#: post-filter, skewed partitioning) would turn partition layout into
+#: job failure; a genuine format mismatch fails every blob, so any
+#: partition with this many attempts still trips the loud path.
+_MIN_ATTEMPTS_FOR_MISMATCH_ERROR = 4
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str,
@@ -1081,8 +1090,14 @@ def sample_frames(
         # (the exact silent-empty mode a FAKM-vs-AVI default swap causes,
         # in either direction) — fail the task loudly instead. A
         # partition where only SOME blobs fail is legitimate corrupt
-        # input and still skips quietly.
-        if attempted > 0 and decoded == 0:
+        # input and still skips quietly. The counter is per-partition,
+        # so a LONE corrupt blob that happens to sit alone in a
+        # partition (small input, post-filter, skewed partitioning)
+        # must not abort the job — that would make failure a property
+        # of the partitioning, not of the data. A real format mismatch
+        # fails EVERY blob, so requiring a handful of attempts keeps
+        # the loud path for the systematic case only.
+        if attempted >= _MIN_ATTEMPTS_FOR_MISMATCH_ERROR and decoded == 0:
             raise ValueError(
                 f"sample_frames: all {attempted} non-null '{binary_col}' "
                 f"blobs in this partition failed to decode with "

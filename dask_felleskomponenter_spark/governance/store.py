@@ -109,6 +109,23 @@ class TblPropertiesMetadataStore:
         props: dict[str, str],
         catalog: str | None = None,
     ) -> None:
+        # The read side (_parse_column_prop) takes the LAST dot-segment
+        # as the property name so that DOTTED COLUMN names parse
+        # correctly — which is only a safe convention if property names
+        # never contain dots. Enforce that here at write time: a key
+        # like 'tags.pii' on column 'a' would round-trip as property
+        # 'pii' on a phantom column 'a.tags' and silently vanish from
+        # column 'a'.
+        for k in props:
+            if "." in k:
+                raise ValueError(
+                    f"column property name {k!r} on "
+                    f"{schema}.{table}.{column} contains '.' — property "
+                    "names must be dot-free (the columns.<col>.<prop> "
+                    "encoding reserves the last dot-segment for the "
+                    "property, so a dotted name would silently "
+                    "misattribute the tag to a phantom column)"
+                )
         self.set_tags(
             schema,
             table,

@@ -445,8 +445,13 @@ def with_ivf_cell(
     # sorts NULL scores equal-smallest, and array_max resolves the tie
     # on the CELL field — NULL rows would land in the highest cell, a
     # valid-looking id that misplaces them in cell-partitioned writes.
+    # Ragged vectors (length ≠ centroid dim) hit the exact same mode:
+    # zip_with NULL-pads the shorter side, every dot is NULL, and the
+    # row lands in the highest cell — so length inequality gets a NULL
+    # cell too, consistent with with_lsh_bucket / with_pq_codes.
     cell = F.when(
-        F.col(vec_col).isNotNull(),
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == len(centroids[0])),
         nearest_cell_col(v, centroids, nrm=F.col(ncol)),
     )
     return staged.withColumn(out_col, cell).drop(ncol)
@@ -533,13 +538,17 @@ def with_lsh_bucket(
     """
     planes = random_hyperplanes(dim, bits, seed)
     # NULL-in/NULL-out, matching with_ivf_cell / with_pq_codes: a NULL
-    # (or shorter-than-dim) embedding has a NULL dot against every
-    # plane, and `when(dot >= 0, 1).otherwise(0)` would quietly turn
-    # that into bit 0 per plane — filing every NULL row inside the
-    # GENUINE bucket 0 of the partitioned store, indistinguishable from
-    # real members.
+    # or wrong-LENGTH embedding has a NULL dot against every plane
+    # (zip_with pads the shorter side with NULLs in BOTH directions —
+    # a longer-than-dim vector NULL-pads the dim-length plane just like
+    # a short vector NULL-pads itself), and `when(dot >= 0, 1)
+    # .otherwise(0)` would quietly turn that into bit 0 per plane —
+    # filing every such row inside the GENUINE bucket 0 of the
+    # partitioned store, indistinguishable from real members. Exact
+    # length equality is the only input class with a well-defined
+    # bucket.
     bucket = F.when(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim),
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim),
         signbit_bucket(as_double_vec(vec_col), planes),
     )
     return df.withColumn(bucket_col, bucket)

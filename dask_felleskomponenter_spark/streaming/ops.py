@@ -669,18 +669,26 @@ def category_profile_stateful(
                 "per_cat", "category STRING", "n BIGINT, total DOUBLE"
             )
             self._recent = handle.getListState("recent", "v DOUBLE")
-            # (event count, value sum of NULL-category rows): a NULL
-            # category is NOT a category (batch countDistinct excludes
-            # it — and astype(str) used to mint literal 'None'/'nan'
-            # categories here), but its VALUE still counts toward the
-            # total sum (batch SUM(value) is category-blind).
-            self._total = handle.getValueState("total", "n BIGINT, nullsum DOUBLE")
+            # "total" keeps its ORIGINAL 'n BIGINT' schema: widening it
+            # in place would fail the state-schema compatibility check
+            # on restart from any checkpoint written before the
+            # null-sum fix (or silently misread state where evolution
+            # is permissive). The null-category value sum lives under a
+            # NEW state name instead — missing on old checkpoints reads
+            # as 0.0, which matches what those checkpoints had counted.
+            self._total = handle.getValueState("total", "n BIGINT")
+            # value sum of NULL-category rows: a NULL category is NOT a
+            # category (batch countDistinct excludes it — and
+            # astype(str) used to mint literal 'None'/'nan' categories
+            # here), but its VALUE still counts toward the total sum
+            # (batch SUM(value) is category-blind).
+            self._null_sum = handle.getValueState("null_sum", "s DOUBLE")
 
         def handleInputRows(self, key, rows, timer_values):
-            if self._total.exists():
-                n_total, null_sum = self._total.get()
-            else:
-                n_total, null_sum = 0, 0.0
+            n_total = self._total.get()[0] if self._total.exists() else 0
+            null_sum = (
+                self._null_sum.get()[0] if self._null_sum.exists() else 0.0
+            )
             tail: list[tuple] = []
             # Pre-aggregate per category IN PANDAS, then one state-server
             # round-trip pair per TOUCHED CATEGORY: the per-row form was
@@ -712,7 +720,8 @@ def category_profile_stateful(
             existing = list(self._recent.get()) if self._recent.exists() else []
             merged = (existing + tail)[-recent_cap:]
             self._recent.put(merged)
-            self._total.update((n_total, null_sum))
+            self._total.update((n_total,))
+            self._null_sum.update((null_sum,))
             n_cats = 0
             sum_all = null_sum
             for _cat_key, (n, total) in self._per_cat.iterator():

@@ -682,3 +682,22 @@ def test_column_properties_survive_dotted_column_names(spark, tmp_path):
         if r["tag_name"] is not None
     }
     assert got == {("geo.lat", "geometri_encoding"): "wkt"}
+
+
+def test_dotted_property_name_rejected_at_write_time(spark):
+    """The read side takes the LAST dot-segment as the property name so
+    dotted COLUMN names parse; that is only an invariant if property
+    names are dot-free. A key like 'tags.pii' on column 'a' would
+    round-trip as property 'pii' on a phantom column 'a.tags' and
+    silently vanish from column 'a' — reject it at write time instead."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.governance.store import (
+        TblPropertiesMetadataStore,
+    )
+
+    store = TblPropertiesMetadataStore(spark)
+    with _pytest.raises(ValueError, match="dot-free"):
+        store.set_column_properties(
+            "gov_test", "t_any", "a", {"tags.pii": "true"}
+        )

@@ -102,16 +102,40 @@ class TestSampleFrames:
     def test_total_decode_mismatch_is_loud(self, spark):
         """A decoder/format mismatch (every non-null blob fails) must
         raise, not emit an empty frame table — the silent-empty mode a
-        FAKM-vs-AVI default swap causes in either direction."""
+        FAKM-vs-AVI default swap causes in either direction. Needs
+        enough attempts in one partition to clear the lone-corrupt-blob
+        threshold (_MIN_ATTEMPTS_FOR_MISMATCH_ERROR)."""
         video = fakm_encode("v", 2, 1, 1, bytes(range(12)))
         df = spark.createDataFrame(
-            [Row(vid="a", data=video), Row(vid="b", data=None)]
+            [Row(vid=f"v{i}", data=video) for i in range(5)]
+            + [Row(vid="b", data=None)]
         ).coalesce(1)
         # default decoder is the real AVI codec; FAKM blobs all fail.
         # The worker's ValueError surfaces re-wrapped (PythonException /
         # Py4JJavaError depending on path) — match on the message.
         with pytest.raises(Exception, match="decoder/format mismatch"):
             sample_frames(df, "data", id_cols=["vid"]).collect()
+
+    def test_lone_corrupt_blob_in_own_partition_stays_quiet(self, spark):
+        """One genuinely corrupt blob that happens to sit ALONE in a
+        partition must not abort the job — that would make failure a
+        property of the partitioning, not of the data. Below the
+        attempt threshold the all-fail partition skips quietly, like
+        the mixed-partition case."""
+        video = fakm_encode("v", 2, 1, 1, bytes(range(12)))
+        good = spark.createDataFrame([Row(vid="a", data=video)]).coalesce(1)
+        corrupt = spark.createDataFrame(
+            [Row(vid="c", data=b"garbage")]
+        ).coalesce(1)
+        # union keeps the two single-row partitions separate: the
+        # corrupt blob is guaranteed alone in its partition
+        df = good.union(corrupt)
+        rows = sample_frames(
+            df, "data", id_cols=["vid"], every_n=3, decoder=fakm_decode
+        ).collect()
+        assert sorted((r["vid"], r["frame_index"]) for r in rows) == [
+            ("a", 0), ("a", 3),
+        ]
 
     def test_partial_decode_failure_stays_quiet(self, spark):
         """Corrupt blobs among decodable ones skip silently — only the

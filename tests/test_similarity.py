@@ -234,12 +234,17 @@ class TestIvf:
             [
                 Row(vec_id=1, embedding=[1.0] * dim),
                 Row(vec_id=2, embedding=None),
+                # ragged vectors hit the same NULL-score tie as NULL
+                # embeddings (zip_with pads with NULLs both ways) and
+                # would land in the HIGHEST cell without a length guard
+                Row(vec_id=3, embedding=[1.0, 2.0]),  # shorter
+                Row(vec_id=4, embedding=[1.0] * (dim + 3)),  # longer
             ],
             "vec_id bigint, embedding array<double>",
         )
         out = {r["vec_id"]: r["ivf_cell"] for r in
                with_ivf_cell(mixed, cents).collect()}
-        assert out[2] is None
+        assert out[2] is None and out[3] is None and out[4] is None
         assert out[1] is not None and 0 <= out[1] < len(cents)
 
     def test_probed_subset_results_come_from_probed_cells(self, spark):
@@ -482,14 +487,18 @@ class TestRaggedAndNullVectors:
             [
                 Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
                 Row(vec_id=2, embedding=None),
-                Row(vec_id=3, embedding=[1.0]),  # ragged
+                Row(vec_id=3, embedding=[1.0]),  # ragged: shorter
+                # ragged: LONGER than dim — zip_with NULL-pads the
+                # dim-length plane, every dot is NULL, and a >=-dim
+                # guard would file the row in GENUINE bucket 0
+                Row(vec_id=4, embedding=[0.5, -1.0, 2.0, 4.0, 7.0]),
             ],
             "vec_id long, embedding array<double>",
         )
         out = {r["vec_id"]: r["lsh_bucket"]
                for r in with_lsh_bucket(df, dim=dim, bits=4).collect()}
         assert out[1] is not None
-        assert out[2] is None and out[3] is None
+        assert out[2] is None and out[3] is None and out[4] is None
 
     def test_ivf_update_averages_normalized_vectors(self, spark):
         """Spherical k-means: assignment is by cosine, so the centroid
