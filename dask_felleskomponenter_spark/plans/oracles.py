@@ -2375,3 +2375,90 @@ FROM ranked
 WHERE rn = 1
 ORDER BY user_id NULLS FIRST
 """
+
+# QUALIFY-style window filter: running per-customer spend cut at a
+# budget cap. DuckDB SUM(BIGINT) OVER widens to HUGEINT — cast back.
+ORACLES["qualify_running_budget_cut"] = """
+SELECT o_custkey, o_orderkey, cents, CAST(cum AS BIGINT) AS cum_cents
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate NULLS FIRST, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM orders
+)
+WHERE cum <= 30000000
+ORDER BY o_custkey NULLS FIRST, o_orderkey
+"""
+
+# GROUPING SETS with the grouping id surfaced; GROUPING() uses the same
+# leftmost-arg-is-MSB encoding as Spark's grouping_id().
+ORACLES["grouping_id_sales_matrix"] = """
+SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+# HOF chain: floor-quantized milliunits, sorted DESC (Spark reverses an
+# asc-NULLS-LAST sort, so DESC NULLS FIRST), top-8 slice, exact sums.
+# list_sum of BIGINTs widens to HUGEINT — cast; empty slice sums NULL on
+# both sides (Spark guards with size>0, DuckDB list_sum([]) is NULL).
+ORACLES["array_topk_quantized_embeddings"] = """
+WITH q AS (
+  SELECT vec_id,
+         list_slice(
+           list_sort(
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+             'DESC', 'NULLS FIRST'),
+           1, 8) AS t
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(list_sum(t) AS BIGINT) AS top8_sum,
+       t[1] AS top1,
+       t[8] AS top8
+FROM q
+ORDER BY vec_id
+"""
+
+# map_zip_with merge twin: the map machinery reduces to conditional
+# counts per (user, event_type); the batch split is event_id parity
+# (data-independent). NULL-type events are excluded on both sides (a
+# map key must be non-null in Spark).
+ORACLES["map_zip_with_merge_profiles"] = """
+SELECT user_id, event_type,
+       COUNT(*) FILTER (WHERE event_id % 2 = 0)  AS early_n,
+       COUNT(*) FILTER (WHERE event_id % 2 <> 0) AS late_n,
+       COUNT(*) AS total_n
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY user_id, event_type
+ORDER BY user_id NULLS FIRST, event_type
+"""
+
+# unionByName(allowMissingColumns=True) twin: UNION ALL with explicit
+# typed NULL backfill; SUM(BIGINT) widens to HUGEINT — cast.
+ORACLES["union_byname_backfill_ingest"] = """
+WITH unioned AS (
+  SELECT doc_id, text, lang, n_chars, 'documents' AS origin FROM documents
+  UNION ALL
+  SELECT event_id + 10000000, props, CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), 'events' FROM events
+)
+SELECT origin,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE lang IS NULL) AS n_null_lang,
+       COUNT(*) FILTER (WHERE n_chars IS NULL) AS n_backfilled,
+       CAST(SUM(COALESCE(n_chars, LENGTH(text))) AS BIGINT) AS sum_chars_filled
+FROM unioned
+GROUP BY origin
+ORDER BY origin
+"""

@@ -4347,76 +4347,242 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qualify_running_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-style window filter (the front door of keep-first /
+    budget-cut selection): per customer, orders in date order are kept
+    while the RUNNING spend stays under a budget cap — a filter on a
+    window aggregate in one logical SELECT, which Spark expresses as
+    window + where and DuckDB as QUALIFY. Exact integer cents so the
+    cumulative sum is ulp-free on both engines; NULL-priced orders
+    contribute nothing to the running sum but keep their position.
+
+    Scale: one shuffle on o_custkey; the running frame is single-pass
+    per partition and the cut prunes before the output exchange."""
+    cents = (dmoney("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_first(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents"))
+        .withColumn("cum_cents", F.sum("cents").over(w))
+        .where(F.col("cum_cents") <= 30_000_000)
+        .select("o_custkey", "o_orderkey", "cents", "cum_cents")
+        .orderBy(F.col("o_custkey").asc_nulls_first(), "o_orderkey")
+    )
+
+
+def grouping_id_sales_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with the grouping id SURFACED (§2B grouping
+    surface beside the coalesce-to-'ALL' twin): ((status), (priority),
+    ()) — disjoint single-column subtotals plus the grand total, with
+    ``grouping_id()`` disambiguating a subtotal NULL from a genuine
+    NULL group key, which the 'ALL' sentinel cannot.
+
+    Scale: all sets aggregate in one pass — partial aggregation expands
+    grouping ids map-side, one shuffle total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dmoney("o_totalprice")).alias("sum_total"),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority", "n_orders", "sum_total")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def array_topk_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function chain over embeddings (§2B array
+    surface): floor-quantize each component to exact integer
+    milliunits (floor is ulp-identical across engines where round's
+    half-way ties are not), sort descending, slice the top 8, and fold
+    sum/extremes — the transform → sort → slice → aggregate chain an
+    embedding-preprocessing pipeline runs before truncated storage.
+
+    Every intermediate is a REAL column (an HOF lambda capturing
+    another array expression re-evaluates it per element — O(dim²)
+    interpreted), and the single flat F.aggregate walk stays linear.
+
+    Scale: pure map-side column work; the only exchange is the output
+    ordering."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    staged = emb.select("vec_id", q.alias("_q")).withColumn(
+        "_t", F.slice(F.reverse(F.array_sort("_q")), 1, 8)
+    )
+    return (
+        staged.select(
+            "vec_id",
+            F.when(
+                F.size("_t") > 0,
+                F.aggregate(
+                    "_t", F.lit(0).cast("long"), lambda acc, x: acc + x
+                ),
+            ).alias("top8_sum"),
+            F.try_element_at("_t", F.lit(1)).alias("top1"),
+            F.try_element_at("_t", F.lit(8)).alias("top8"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def map_zip_with_merge_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-merge via ``map_zip_with`` (§2B map surface, the merge half):
+    per-user event-type count maps built independently over two ingest
+    batches (batch id = event_id parity — a data-independent split so
+    every corpus exercises both map sides), merged key-wise into a
+    combined profile, then exploded back to rows — the two-snapshot
+    profile merge a feature store runs when unioning historic and
+    fresh aggregates. The user join is NULL-SAFE so the NULL-user
+    profile merges instead of duplicating.
+
+    NULL event types cannot be map keys and are excluded (a map key
+    must be non-null in Spark).
+
+    Scale: two map-side-combinable groupBys + one co-partitioned join
+    on user_id; maps stay bounded by the event-type cardinality."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select("user_id", "event_type", "event_id")
+    )
+
+    def halfmap(df: DataFrame, alias: str) -> DataFrame:
+        counted = df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return counted.groupBy("user_id").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias(alias)
+        )
+
+    early = halfmap(ev.where(F.col("event_id") % 2 == 0), "m_early")
+    late = halfmap(ev.where(F.col("event_id") % 2 != 0), "m_late")
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<bigint>")
+    )
+    joined = early.join(
+        late.withColumnRenamed("user_id", "_uid"),
+        F.col("user_id").eqNullSafe(F.col("_uid")),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "_uid").alias("user_id"),
+        F.coalesce("m_early", empty).alias("m_early"),
+        F.coalesce("m_late", empty).alias("m_late"),
+    )
+    merged = joined.withColumn(
+        "m_total",
+        F.map_zip_with(
+            "m_early",
+            "m_late",
+            lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+        ),
+    )
+    return (
+        merged.select(
+            "user_id",
+            F.explode("m_total").alias("event_type", "total_n"),
+            "m_early",
+            "m_late",
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(
+                F.try_element_at("m_early", F.col("event_type")), F.lit(0)
+            ).alias("early_n"),
+            F.coalesce(
+                F.try_element_at("m_late", F.col("event_type")), F.lit(0)
+            ).alias("late_n"),
+            "total_n",
+        )
+        .orderBy(F.col("user_id").asc_nulls_first(), "event_type")
+    )
+
+
+def union_byname_backfill_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source ingest via ``unionByName(allowMissingColumns=True)``
+    (§2B multi-source surface): the documents table unioned with a
+    second feed synthesized from event payloads that LACKS the lang /
+    source / n_chars columns — the union backfills them as typed
+    NULLs, and the missing char count is then backfilled from the text
+    itself. The per-origin profile shows exactly how much of each
+    column each source actually supplied — the first QA query every
+    heterogeneous-corpus ingest runs.
+
+    Scale: union is plan-level (no shuffle); one map-side-combinable
+    groupBy on the 2-value origin key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.lit("documents").alias("origin"),
+    )
+    evd = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.col("props").alias("text"),
+        F.lit("events").alias("origin"),
+    )
+    unioned = docs.unionByName(evd, allowMissingColumns=True)
+    return (
+        unioned.select(
+            "origin",
+            "lang",
+            "n_chars",
+            F.coalesce("n_chars", F.length("text").cast("bigint")).alias(
+                "_chars_filled"
+            ),
+        )
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("lang").isNull(), 1)).alias("n_null_lang"),
+            F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_backfilled"),
+            F.sum("_chars_filled").alias("sum_chars_filled"),
+        )
+        .orderBy("origin")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
 # The per-round correctness harness samples the FIRST 50 entries in
 # declaration order, so each round we front-load the queries with the
-# STALEST driver CORRECTNESS rows (round 7 cohort):
-#   positions 0-2   — the three round-6 hash-fail oracle fixes (re-sample)
-#   positions 3-8   — new round-7 queries (never driver-sampled)
-#   positions 9-26  — last sampled round 4 (missed round 6's 50-cut)
-#   positions 27-49 — last sampled round 5
-#   remainder       — freshly verified in round 5/6
+# STALEST driver CORRECTNESS rows (round 8 cohort):
+#   positions 0-4   — new round-8 queries (never driver-sampled)
+#   positions 5-6   — the two cluster-assign queries whose broadcast hint
+#                     was removed this round (regression canaries)
+#   positions 7-33  — last driver-sampled round 5 (the stalest cohort)
+#   positions 34-49 — oldest of the round-6-verified block
+#   remainder       — rest of round 6, then the freshly round-7-sampled set
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
-    # -- round-6 hash-fail fixes: re-sample FIRST ----------------------------------
-    "interval_coalesce_events": interval_coalesce_events,
-    "twap_events": twap_events,
-    "scd2_event_type_runs": scd2_event_type_runs,
-    # -- NEW round 7: never driver-sampled ------------------------------------------
-    "histogram_orders_prices": histogram_orders_prices,
-    "markov_transitions_events": markov_transitions_events,
-    "rank_ties_topn_priority": rank_ties_topn_priority,
-    "benford_first_digit_prices": benford_first_digit_prices,
-    "domain_quota_topn": domain_quota_topn,
-    "cdc_latest_per_key": cdc_latest_per_key,
-    # -- last driver-sampled round 4 (missed the round-6 50-cut) --------------------
-    "theta_cohort_overlap": theta_cohort_overlap,
-    "stats_regression_lineitem": stats_regression_lineitem,
-    "nullsafe_join_segments": nullsafe_join_segments,
-    "window_range_7day_spend": window_range_7day_spend,
-    "repetition_profile_documents": repetition_profile_documents,
-    "robust_stats_lineitem": robust_stats_lineitem,
-    "unigram_logprob_score": unigram_logprob_score,
-    "cohort_retention_events": cohort_retention_events,
-    "join_left_outer_counts": join_left_outer_counts,
-    "join_semi_customers": join_semi_customers,
-    "join_anti_customers": join_anti_customers,
-    "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
-    "join_full_outer_spend_freq": join_full_outer_spend_freq,
-    "join_salted_user_events": join_salted_user_events,
-    "skew_profile_event_keys": skew_profile_event_keys,
-    "embedding_quantize_stats": embedding_quantize_stats,
-    "exists_late_shipment_orders": exists_late_shipment_orders,
-    "scalar_subquery_small_qty": scalar_subquery_small_qty,
-    # -- last driver-sampled round 5 -------------------------------------------------
-    "neardup_crossbatch_screen": neardup_crossbatch_screen,
-    "agg_approx_percentiles": agg_approx_percentiles,
-    "window_distribution_ranks": window_distribution_ranks,
-    "session_window_events": session_window_events,
-    "variant_fns_events": variant_fns_events,
+    # -- NEW round 8: never driver-sampled ------------------------------------------
+    "qualify_running_budget_cut": qualify_running_budget_cut,
+    "grouping_id_sales_matrix": grouping_id_sales_matrix,
+    "array_topk_quantized_embeddings": array_topk_quantized_embeddings,
+    "map_zip_with_merge_profiles": map_zip_with_merge_profiles,
+    "union_byname_backfill_ingest": union_byname_backfill_ingest,
+    # -- round-8 broadcast-hint removal: regression canaries -------------------------
     "neardup_cluster_assign": neardup_cluster_assign,
-    "tfidf_top_terms": tfidf_top_terms,
-    "ngram_top_bigrams": ngram_top_bigrams,
-    "sample_hash_stratified": sample_hash_stratified,
-    "pii_redact_profile": pii_redact_profile,
-    "pipeline_training_corpus": pipeline_training_corpus,
-    "fuzzy_blocked_match": fuzzy_blocked_match,
     "semantic_cluster_assign": semantic_cluster_assign,
-    "profile_lineitem_columns": profile_lineitem_columns,
-    "ann_pq_topk": ann_pq_topk,
-    "multimodal_audio_features": multimodal_audio_features,
-    "multimodal_image_profile": multimodal_image_profile,
-    "multimodal_video_profile": multimodal_video_profile,
-    "agg_approx_distinct": agg_approx_distinct,
-    "agg_cube_segment_status": agg_cube_segment_status,
-    "agg_percentiles_orders": agg_percentiles_orders,
-    "agg_rollup_status_priority": agg_rollup_status_priority,
-    "agg_salted_user_events": agg_salted_user_events,
-    # -- position 50+: below the sample window this round ---------------------------
-    # rest of the round-5 cohort
+    # -- last driver-sampled round 5 (stalest) ---------------------------------------
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "array_fns_embeddings": array_fns_embeddings,
@@ -4444,7 +4610,7 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "window_lag_sessionize": window_lag_sessionize,
     "window_running_total": window_running_total,
-    # freshly driver-verified round 6 (greenest — back of the rotation)
+    # -- oldest of the round-6-verified block ----------------------------------------
     "agg_listagg_mode_orders": agg_listagg_mode_orders,
     "lateral_topn_per_group": lateral_topn_per_group,
     "window_topn_orders_per_customer": window_topn_orders_per_customer,
@@ -4461,6 +4627,7 @@ QUERIES: dict[str, QueryFn] = {
     "range_join_error_context": range_join_error_context,
     "agg_orders_stats": agg_orders_stats,
     "q1_pricing_summary": q1_pricing_summary,
+    # -- position 50+: below the sample window this round ----------------------------
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q10_returned_customers": q10_returned_customers,
@@ -4492,6 +4659,55 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion_events": funnel_conversion_events,
     "sketch_rollup_users": sketch_rollup_users,
     "kll_quantile_rollup_prices": kll_quantile_rollup_prices,
+    # -- freshly round-7-sampled (greenest — back of the rotation) -------------------
+    "interval_coalesce_events": interval_coalesce_events,
+    "twap_events": twap_events,
+    "scd2_event_type_runs": scd2_event_type_runs,
+    "histogram_orders_prices": histogram_orders_prices,
+    "markov_transitions_events": markov_transitions_events,
+    "rank_ties_topn_priority": rank_ties_topn_priority,
+    "benford_first_digit_prices": benford_first_digit_prices,
+    "domain_quota_topn": domain_quota_topn,
+    "cdc_latest_per_key": cdc_latest_per_key,
+    "theta_cohort_overlap": theta_cohort_overlap,
+    "stats_regression_lineitem": stats_regression_lineitem,
+    "nullsafe_join_segments": nullsafe_join_segments,
+    "window_range_7day_spend": window_range_7day_spend,
+    "repetition_profile_documents": repetition_profile_documents,
+    "robust_stats_lineitem": robust_stats_lineitem,
+    "unigram_logprob_score": unigram_logprob_score,
+    "cohort_retention_events": cohort_retention_events,
+    "join_left_outer_counts": join_left_outer_counts,
+    "join_semi_customers": join_semi_customers,
+    "join_anti_customers": join_anti_customers,
+    "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
+    "join_full_outer_spend_freq": join_full_outer_spend_freq,
+    "join_salted_user_events": join_salted_user_events,
+    "skew_profile_event_keys": skew_profile_event_keys,
+    "embedding_quantize_stats": embedding_quantize_stats,
+    "exists_late_shipment_orders": exists_late_shipment_orders,
+    "scalar_subquery_small_qty": scalar_subquery_small_qty,
+    "neardup_crossbatch_screen": neardup_crossbatch_screen,
+    "agg_approx_percentiles": agg_approx_percentiles,
+    "window_distribution_ranks": window_distribution_ranks,
+    "session_window_events": session_window_events,
+    "variant_fns_events": variant_fns_events,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ngram_top_bigrams": ngram_top_bigrams,
+    "sample_hash_stratified": sample_hash_stratified,
+    "pii_redact_profile": pii_redact_profile,
+    "pipeline_training_corpus": pipeline_training_corpus,
+    "fuzzy_blocked_match": fuzzy_blocked_match,
+    "profile_lineitem_columns": profile_lineitem_columns,
+    "ann_pq_topk": ann_pq_topk,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_image_profile": multimodal_image_profile,
+    "multimodal_video_profile": multimodal_video_profile,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_cube_segment_status": agg_cube_segment_status,
+    "agg_percentiles_orders": agg_percentiles_orders,
+    "agg_rollup_status_priority": agg_rollup_status_priority,
+    "agg_salted_user_events": agg_salted_user_events,
 }
 
 

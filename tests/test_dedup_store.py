@@ -549,6 +549,71 @@ def test_stream_neardup_ingest_crash_duplicates_never_drops(
     assert spark.read.parquet(corpus).count() == 2 * len(sunk)
 
 
+def test_stream_dedup_ingest_crash_duplicates_never_drops(
+    spark, tmp_path, table_name, monkeypatch
+):
+    """Mirror of the near-dup crash fuzz for the EXACT-dedup streaming
+    ingest: a failure planted between the corpus append and
+    record_novel of one micro-batch. The corpus is written FIRST, so
+    the checkpointed replay must re-admit that batch's novel rows
+    (duplicates in the corpus, removable downstream), never silently
+    drop them — which a history-first ordering would cause (the replay
+    would screen the batch against its own hashes)."""
+    import os
+
+    import dask_felleskomponenter_spark.sources.dedup_store as ds
+    from dask_felleskomponenter_spark.streaming.ops import stream_dedup_ingest
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    # 12 docs, 6 distinct texts (exact duplicate pairs within the batch)
+    rows = [(i, f"exact text {i % 6}") for i in range(12)]
+    _batch(spark, rows).coalesce(1).write.mode("append").parquet(in_dir)
+
+    real_record = ds.record_novel
+
+    def crash_after_sink(*args, **kwargs):
+        raise RuntimeError("simulated crash between sink and record")
+
+    monkeypatch.setattr(ds, "record_novel", crash_after_sink)
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, ckpt, n_buckets=4,
+    )
+    with pytest.raises(Exception, match="simulated crash"):
+        q.awaitTermination(120)
+    # the corpus append of the failed batch landed; nothing recorded
+    sunk = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert sunk == {f"exact text {i}" for i in range(6)}
+    assert not spark.catalog.tableExists(table_name)
+
+    # recovery: same checkpoint, recording restored -> the batch replays
+    monkeypatch.setattr(ds, "record_novel", real_record)
+    q2 = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, ckpt, n_buckets=4,
+    )
+    q2.awaitTermination(120)
+    texts = [r["text"] for r in spark.read.parquet(corpus).collect()]
+    # every novel text is present (nothing dropped) and duplicated once
+    # (the replayed batch re-screened against a still-empty history)
+    assert set(texts) == sunk
+    assert len(texts) == 2 * len(sunk), "crash window duplicates, never drops"
+    assert spark.catalog.tableExists(table_name)
+
+    # a later fresh-checkpoint replay of the same input adds nothing:
+    # the history now records the batch, idempotence is restored
+    q3 = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        "doc_id", "text", table_name, corpus, str(tmp_path / "ckpt2"),
+        n_buckets=4,
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 2 * len(sunk)
+
+
 def test_stream_neardup_ingest_cross_batch(spark, tmp_path, table_name):
     """End-to-end streaming near-dup ingest: two availableNow passes
     over growing input; the second pass's near-dups of pass-one

@@ -177,6 +177,7 @@ FUZZ_EVENT_QUERIES = [
     "scd2_event_type_runs",
     "markov_transitions_events",
     "cdc_latest_per_key",
+    "map_zip_with_merge_profiles",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -320,6 +321,8 @@ FUZZ_ORDER_QUERIES = [
     "histogram_orders_prices",
     "rank_ties_topn_priority",
     "benford_first_digit_prices",
+    "qualify_running_budget_cut",
+    "grouping_id_sales_matrix",
 ]
 
 
@@ -339,10 +342,23 @@ def _orders_corpus(seed: int, n: int):
                 rng.randint(1, 12),
                 rng.choice(["F", "O", "P"]),
                 # every 19th price is NULL: ranking keys, percentiles and
-                # running sums must place/skip it identically per engine
+                # running sums must place/skip it identically per engine.
+                # Every 29th is NEGATIVE (a refund) and every 37th is
+                # exactly ZERO: sign-convention surfaces (Benford's
+                # cents>0 cut, histogram bin edges, DIV-vs-// truncation
+                # toward zero vs floor, running-sum budget cuts) must
+                # treat them identically per engine.
                 None
                 if i % 19 == 5
-                else round(rng.randint(1, 40_000_000) / 100.0, 2),
+                else (
+                    round(-rng.randint(1, 2_000_000) / 100.0, 2)
+                    if i % 29 == 11
+                    else (
+                        0.0
+                        if i % 37 == 17
+                        else round(rng.randint(1, 40_000_000) / 100.0, 2)
+                    )
+                ),
                 # every 23rd date is NULL: calendar windows and running
                 # totals must pin its sort position (NULLS FIRST), never
                 # inherit the engine default
@@ -653,7 +669,12 @@ FUZZ_EMBEDDING_QUERIES = [
     "semantic_cluster_assign",
     "array_fns_embeddings",
     "embedding_quantize_stats",
+    "array_topk_quantized_embeddings",
 ]
+
+#: Embedding-family queries that declare zero-LENGTH vector support
+#: (the corpus plants empty arrays only for these).
+_PLANT_EMPTY = {"array_fns_embeddings", "array_topk_quantized_embeddings"}
 
 
 def _embeddings_corpus(
@@ -695,7 +716,7 @@ def test_embedding_query_matches_oracle_on_random_vectors(
     rows = _embeddings_corpus(
         seed * 9973 + zlib.crc32(name.encode()) % 997,
         80,
-        plant_empty=(name == "array_fns_embeddings"),
+        plant_empty=(name in _PLANT_EMPTY),
     )
     pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     sf_dir = str(tmp_path)
@@ -727,6 +748,56 @@ def test_embedding_query_matches_oracle_on_random_vectors(
     )
     assert got == want, f"{name} diverged on seed {seed}: " \
         f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_union_ingest_matches_oracle_on_hostile_two_source(spark, tmp_path, seed):
+    """union_byname_backfill_ingest spans TWO tables, so it fits no
+    single-corpus family: build a documents corpus with planted NULL
+    n_chars (forcing the length() backfill on the documents side too)
+    and an events corpus with planted NULL props (a NULL text whose
+    backfill is itself NULL and must skip the SUM identically)."""
+    import duckdb
+
+    docs = [
+        # every 7th n_chars NULL: the backfill must kick in for docs too
+        (d, t, lg, s, None if i % 7 == 2 else n)
+        for i, (d, t, lg, s, n) in enumerate(_corpus(seed * 31 + 5, 60))
+    ]
+    events = []
+    for i, row in enumerate(_events_corpus(seed * 53 + 11, 150)):
+        row = list(row)
+        if i % 13 == 6:
+            row[5] = None  # NULL props → NULL text → NULL backfill
+        events.append(tuple(row))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).coalesce(2).write.parquet(f"{sf_dir}/documents.parquet")
+    spark.createDataFrame(
+        events,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
+
+    sdf = QUERIES["union_byname_backfill_ingest"](spark, sf_dir)
+    got = [tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    cur = con.execute(ORACLES["union_byname_backfill_ingest"])
+    cols = [d[0] for d in cur.description]
+    want = [
+        tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+        for row in cur.fetchall()
+    ]
+    # ordered compare — the driver hash is order-sensitive
+    assert got == want, f"diverged on seed {seed}: {got} vs {want}"
 
 
 #: Rows-only queries (no SQL oracle) exercised on random tables: the
