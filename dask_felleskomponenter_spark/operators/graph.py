@@ -60,8 +60,11 @@ def _nonnull_guard(col: str, dtype, op: str):
     VALUES; a NULL id would otherwise drop its edges silently (the
     ``_u != _v`` filter is never true for NULL) or collapse every
     NULL-id row into one shared NULL cluster downstream — corruption
-    with no error. Codegen folds the null check to ~free."""
-    return F.when(F.col(col).isNotNull(), F.col(col)).otherwise(
+    with no error. Codegen folds the null check to ~free. quoted_col:
+    a dotted id column must resolve exactly, not as a struct path."""
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
+    return F.when(quoted_col(col).isNotNull(), quoted_col(col)).otherwise(
         F.raise_error(
             F.lit(
                 f"{op}: NULL {col!r} — ids must be non-null (a NULL id "
@@ -201,11 +204,24 @@ def assign_components(
         id_col, _nonnull_guard(id_col, dict(df.dtypes)[id_col],
                                "assign_components")
     )
+    # fresh_name: hardcoded helper names would collide with same-named
+    # user columns — the join would raise AMBIGUOUS_REFERENCE (or the
+    # final drop would delete user data), the exact class fresh_name
+    # exists for.
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        fresh_name,
+        quoted_col,
+    )
+
+    id_name = fresh_name("_cc_id", df, extra={out_col})
+    comp_name = fresh_name("_cc_comp", df, extra={out_col, id_name})
     cc = connected_components(pairs, src, dst).select(
-        F.col("node").alias("_cc_id"), F.col("component").alias("_cc_comp")
+        F.col("node").alias(id_name), F.col("component").alias(comp_name)
     )
     return (
-        df.join(cc, on=df[id_col] == cc["_cc_id"], how="left")
-        .withColumn(out_col, F.coalesce("_cc_comp", F.col(id_col).cast("long")))
-        .drop("_cc_id", "_cc_comp")
+        df.join(cc, on=quoted_col(id_col) == cc[id_name], how="left")
+        .withColumn(
+            out_col, F.coalesce(comp_name, quoted_col(id_col).cast("long"))
+        )
+        .drop(id_name, comp_name)
     )

@@ -82,8 +82,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:
-    """Lazy scans for several tables; returns ``{name: DataFrame}``."""
-    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+    """Lazy scans for several tables; returns ``{name: DataFrame}``.
+
+    ``names=None`` means all tables; an explicit empty tuple means
+    none (a caller-computed subset that happens to be empty must not
+    silently load everything)."""
+    wanted = names if names is not None else TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in wanted}
 
 
 def write_bucketed(
@@ -161,8 +166,21 @@ def write_time_partitioned(
     """
     if granularity not in ("day", "month", "year"):
         raise ValueError(f"unsupported granularity {granularity!r}")
+    if partition_col in df.columns:
+        # withColumn would silently REPLACE the user's column and the
+        # written dataset would have its original values gone with no
+        # error (the same silent-overwrite class write_zordered was
+        # collision-proofed against). The partition column is an
+        # intentional output name here, so the fix is a loud error,
+        # not a fresh name.
+        raise ValueError(
+            f"partition_col {partition_col!r} already exists in the "
+            "DataFrame; pass a different partition_col"
+        )
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
     out = df.withColumn(
-        partition_col, F.date_trunc(granularity, F.col(ts_col)).cast("date")
+        partition_col, F.date_trunc(granularity, quoted_col(ts_col)).cast("date")
     )
     out.write.mode(mode).partitionBy(partition_col).parquet(path)
 
@@ -188,6 +206,11 @@ def zorder_key(cols: list[str], bits: int = 16) -> "Column":
     n = len(cols)
     if not 1 <= n <= 4:
         raise ValueError("zorder_key supports 1-4 columns")
+    if int(bits) < 1:
+        # a non-positive bits builds an empty interleave loop — the key
+        # is lit(0) for every row, one range partition, zero clustering
+        # and zero min/max pruning, with no error anywhere downstream
+        raise ValueError(f"bits must be >= 1, got {bits!r}")
     # The interleaved key must fit the 63 value bits of a signed long:
     # bit 63 is the sign (a set top bit range-partitions to the FIRST
     # shard, destroying locality) and Java shifts wrap mod 64 (silent
@@ -259,17 +282,7 @@ def compact_parquet(
     single filesystem); a crash between renaming the live directory
     away and renaming the staging in is recovered on the next call from
     the ``.old`` backup."""
-    import math
-    import os as _os
-    import re as _re
-    import shutil as _shutil
-    import uuid as _uuid
-
-    from dask_felleskomponenter_spark.ioutil import (
-        commit_swap,
-        path_mutex,
-        recover_interrupted_swap,
-    )
+    from dask_felleskomponenter_spark.ioutil import path_mutex
 
     # Same-host mutual exclusion as the other two swap call sites
     # (sync/merge.py, sync/incremental.py): two concurrent compactions
@@ -369,7 +382,11 @@ def _compact_parquet_locked(
             # Map-typed columns can't be hashed (Spark raises
             # DATATYPE_MISMATCH.HASH_MAP_TYPE), so restrict the key to
             # the hashable subset — same rule deterministic_row_salt
-            # uses; all-map data degrades to one chunk per partition.
+            # uses. spark_partition_id() is mixed in (it is fixed by
+            # the upstream scan's splits, so still retry-deterministic)
+            # because the row hash alone sends fully-IDENTICAL rows —
+            # common in event data — to one spread bucket, rebuilding
+            # the single giant file the spread exists to break.
             from ..operators.shuffle import hashable_columns, quoted_col
 
             data_cols = [
@@ -377,10 +394,8 @@ def _compact_parquet_locked(
                 for c in hashable_columns(df.schema)
                 if c not in part_cols
             ]
-            spread_key = (
-                F.pmod(F.xxhash64(*data_cols), F.lit(spread))
-                if data_cols
-                else F.lit(0)
+            spread_key = F.pmod(
+                F.xxhash64(F.spark_partition_id(), *data_cols), F.lit(spread)
             )
             out = df.repartition(n_files, *part_cols, spread_key)
             if sort_cols:

@@ -65,6 +65,8 @@ def merge_upsert(
     (each simply inserts; MERGE does not error) and NULL update_type
     rows fire no branch, so neither counts toward the duplicate check.
     """
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
     if update_type_col not in staging.columns:
         raise ValueError(
             f"staging is missing the update-type column {update_type_col!r}"
@@ -72,20 +74,27 @@ def merge_upsert(
     missing = [k for k in keys if k not in target.columns or k not in staging.columns]
     if missing:
         raise ValueError(f"merge keys absent from target or staging: {missing}")
+    # quoted_col throughout: a legal column literally named `order.id`
+    # must resolve exactly, not as a struct-field path (same class the
+    # salting/zorder helpers were fixed for).
     if validate_unique_keys:
-        fireable = staging.filter(F.col(update_type_col).isNotNull())
+        fireable = staging.filter(quoted_col(update_type_col).isNotNull())
         for k in keys:
-            fireable = fireable.filter(F.col(k).isNotNull())
+            fireable = fireable.filter(quoted_col(k).isNotNull())
         # Postgres MERGE errors only when one TARGET row is affected by
         # multiple source rows — duplicate source keys that match no
         # target row are legal (each fires NOT MATCHED independently;
         # duplicate tombstones in a CDC batch are the common case), so
         # the duplicate check must be scoped to target-matching keys.
         matching = fireable.join(
-            target.select(*keys).dropDuplicates(keys), on=list(keys), how="semi"
+            target.select(
+                *(quoted_col(k).alias(k) for k in keys)
+            ).dropDuplicates(list(keys)),
+            on=list(keys),
+            how="semi",
         )
         dup = (
-            matching.groupBy(*keys)
+            matching.groupBy(*(quoted_col(k).alias(k) for k in keys))
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -101,16 +110,21 @@ def merge_upsert(
     # SQL MERGE `ON t.k = s.k` null semantics: NULL never matches, so a
     # null-keyed target row survives and a null-keyed staging upsert
     # inserts. Spark's join condition has the same semantics natively.
-    cond = [target[k] == staging[k] for k in keys]
+    # Dataset.col accepts backquoted names, giving df-qualified exact
+    # resolution even for dotted column names.
+    def bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    cond = [target[bq(k)] == staging[bq(k)] for k in keys]
 
     # Only staging rows with a non-NULL update_type can fire a WHEN
     # MATCHED branch; a NULL-typed staging row must leave its matched
     # target row in place, so it is excluded from the anti-join side.
-    effective = staging.filter(F.col(update_type_col).isNotNull())
+    effective = staging.filter(quoted_col(update_type_col).isNotNull())
     untouched = target.join(effective, on=cond, how="left_anti")
     applied = (
-        staging.filter(F.col(update_type_col) != F.lit("delete"))
-        .select(*target.columns)
+        staging.filter(quoted_col(update_type_col) != F.lit("delete"))
+        .select(*(quoted_col(c).alias(c) for c in target.columns))
     )
     return untouched.unionByName(applied)
 
@@ -128,6 +142,7 @@ def merge_into_path(
     keys: Sequence[str],
     update_type_col: str = "update_type",
     fmt: str = "parquet",
+    validate_unique_keys: bool = False,
 ) -> DataFrame:
     """Read a Parquet/ORC target, merge the staging delta, write back.
 
@@ -176,16 +191,44 @@ def merge_into_path(
                     f"staging is missing the update-type column "
                     f"{update_type_col!r}"
                 )
+            # Validate the merge keys NOW, not on the second call: a
+            # typo'd key would otherwise bootstrap a durable table
+            # successfully and only error once the bad copy is already
+            # the published one. (Duplicate staging keys are legal here:
+            # an empty target has no row for several sources to hit, so
+            # Postgres MERGE would not raise either.)
+            missing = [k for k in keys if k not in staging.columns]
+            if missing:
+                raise ValueError(f"merge keys absent from staging: {missing}")
+            from dask_felleskomponenter_spark.operators.shuffle import (
+                quoted_col,
+            )
+
             merged = staging.filter(
-                F.col(update_type_col) != F.lit("delete")  # NULL-false too
+                quoted_col(update_type_col) != F.lit("delete")  # NULL-false
             ).drop(update_type_col)
         else:
             target = spark.read.format(fmt).load(target_path)
-            merged = merge_upsert(target, staging, keys, update_type_col)
+            merged = merge_upsert(
+                target,
+                staging,
+                keys,
+                update_type_col,
+                validate_unique_keys=validate_unique_keys,
+            )
         try:
             merged.write.format(fmt).mode("overwrite").save(staging_dir)
             commit_swap(target_path, staging_dir)
         finally:
             if os.path.exists(staging_dir):
                 shutil.rmtree(staging_dir, ignore_errors=True)
-    return spark.read.format(fmt).load(target_path)
+        # The return-read must bind to files INSIDE the mutex: a
+        # concurrent merge/compaction on the same path has a window
+        # between its two swap renames where the live dir is absent —
+        # an unlocked read races it (PATH_NOT_FOUND at listing time).
+        # The returned frame stays lazy: jobs run on it AFTER a later
+        # swap still see this merge's files only until that swap reaps
+        # them, which is the documented contract of any lazy reader
+        # over a swap-published path (re-read after a publish).
+        result = spark.read.format(fmt).load(target_path)
+    return result

@@ -706,3 +706,40 @@ def test_read_parquet_evolved_handles_dotted_file_columns(spark, tmp_path):
     row = kept.first()
     assert row["id"] == 1
     assert row["_extras"]["geo.lat"] == 2.5
+
+
+def test_load_tables_empty_subset_loads_nothing(spark):
+    """An explicit empty names tuple is 'none', not 'all' (falsy-
+    container class)."""
+    from dask_felleskomponenter_spark.sources.tables import load_tables
+
+    assert load_tables(spark, "/root/testdata/sf0.001", names=()) == {}
+
+
+def test_write_time_partitioned_rejects_colliding_partition_col(spark, tmp_path):
+    """withColumn would silently replace a same-named user column in
+    the written dataset — loud error instead."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sources.tables import (
+        write_time_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "user-data")],
+        "id long, ts string, _pdate string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="already exists"):
+        write_time_partitioned(df, str(tmp_path / "o"), "ts")
+
+
+def test_zorder_key_rejects_nonpositive_bits(spark):
+    """bits<=0 built an empty interleave loop — constant key, one range
+    partition, zero clustering, no error."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.sources.tables import zorder_key
+
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_key(["a", "b"], bits=0)

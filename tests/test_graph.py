@@ -125,3 +125,35 @@ def test_bridge_child_with_two_roots_converges_fully(spark):
     assert got == [
         (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (40, 40), (50, 40),
     ]
+
+
+def test_assign_components_survives_colliding_helper_names(spark):
+    """Round-8 review finding: hardcoded _cc_id/_cc_comp helper columns
+    collided with same-named user columns — AMBIGUOUS_REFERENCE on the
+    coalesce, or the final drop silently deleting user data."""
+    from dask_felleskomponenter_spark.operators.graph import assign_components
+
+    df = spark.createDataFrame(
+        [(1, "keep-a"), (2, "keep-b"), (9, "keep-c")],
+        "doc_id long, _cc_comp string",
+    ).withColumn("_cc_id", F.lit("user-data"))
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = assign_components(df, "doc_id", pairs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["component"] == 1 and rows[2]["component"] == 1
+    assert rows[9]["component"] == 9
+    # the user's same-named columns survive untouched
+    assert rows[9]["_cc_comp"] == "keep-c"
+    assert rows[9]["_cc_id"] == "user-data"
+
+
+def test_graph_operators_accept_dotted_id_columns(spark):
+    """Bare F.col parses a dot as a struct path; ids named like
+    'doc.id' must resolve exactly (quoted_col class)."""
+    from dask_felleskomponenter_spark.operators.graph import assign_components
+
+    df = spark.createDataFrame([(1,), (2,), (5,)], ["doc.id"])
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = assign_components(df, "doc.id", pairs)
+    rows = {r["doc.id"]: r["component"] for r in out.collect()}
+    assert rows == {1: 1, 2: 1, 5: 5}

@@ -868,3 +868,39 @@ def test_refresh_returned_summary_survives_next_swap(spark, tmp_path):
     refresh_incremental_summary(spark, path, b2, ["k"], ["v"])
     rows = {r["k"]: r["v"] for r in first.collect()}  # must not raise
     assert rows == {1: 10, 2: 20}
+
+
+def test_merge_upsert_accepts_dotted_key_columns(spark):
+    """Round-8 review finding: bare F.col / select(str) / df[k] parsed a
+    legal dotted column name as a struct path — UNRESOLVED_COLUMN on
+    valid input anywhere in the merge."""
+    from dask_felleskomponenter_spark.sync.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], ["order.id", "val"]
+    )
+    staging = spark.createDataFrame(
+        [(1, "new", "upsert"), (3, "ins", "upsert"), (2, None, "delete")],
+        ["order.id", "val", "update_type"],
+    )
+    out = merge_upsert(
+        target, staging, ["order.id"], validate_unique_keys=True
+    )
+    got = {r["order.id"]: r["val"] for r in out.collect()}
+    assert got == {1: "new", 3: "ins"}
+
+
+def test_merge_into_path_bootstrap_validates_keys(spark, tmp_path):
+    """A typo'd merge key must fail on the FIRST (bootstrap) call, not
+    after the bad table is already the durable published copy."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.sync.merge import merge_into_path
+
+    staging = spark.createDataFrame(
+        [(1, "a", "upsert")], ["order_id", "val", "update_type"]
+    )
+    with _pytest.raises(ValueError, match="merge keys absent"):
+        merge_into_path(str(tmp_path / "t"), staging, ["order_ky"])
+    import os
+    assert not os.path.exists(str(tmp_path / "t"))
