@@ -9,7 +9,8 @@ byte-identical — so on a key-sorted / z-ordered layout
 rewrite cost is O(files actually containing the subjects), not O(table).
 
 This driver-side implementation rewrites the few affected files with
-pyarrow (one footer read per file, one streamed rewrite per hit);
+pyarrow (the footer is parsed once per file and reused; stats-surviving
+files get a key-column-only presence scan before any write happens);
 memory is bounded by one record batch, not the file size, so a single
 multi-GB file cannot exhaust the driver. At cluster scale the same
 selection predicate drives a distributed variant (binaryFile listing →
@@ -29,25 +30,33 @@ def erase_keys_parquet(
     keys: Sequence,
 ) -> dict:
     """Delete every row whose ``key_col`` is in ``keys`` from the
-    parquet directory at ``path``. Returns a report dict:
-    ``{files_total, files_rewritten, rows_deleted}``.
+    parquet directory (or single parquet file) at ``path``. Returns a
+    report dict: ``{files_total, files_rewritten, rows_deleted}``.
 
-    Files are skipped via row-group min/max statistics; affected files
-    are rewritten in place through a temp file + atomic rename, so a
-    crash leaves either the old or the new complete file, never a
-    truncated one."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    Files are skipped via row-group min/max statistics; stats-surviving
+    files get a key-column-only presence scan (one column read, zero
+    writes) and only files actually holding a subject are rewritten —
+    in place through a fsync'd temp file + atomic rename, so a crash
+    (including power loss) leaves either the old or the new complete
+    file, never a truncated one.
 
-    import bisect
-
-    from dask_felleskomponenter_spark.ioutil import path_mutex
-
+    ``key_col`` must name a top-level primitive column: a compliance
+    run must never silently resolve a same-named NESTED leaf (e.g.
+    ``s.k`` when erasing by ``k``) — that would prune against the wrong
+    statistics and leave subject rows on disk with a clean report."""
     key_set = set(keys)
     if not key_set:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
+    if not (os.path.isdir(path) or os.path.isfile(path)):
+        # A missing/typo'd path would otherwise walk nothing and report
+        # an all-zero SUCCESS — the worst failure mode for an erasure
+        # API (caller believes the subjects are gone).
+        raise FileNotFoundError(
+            f"erase_keys_parquet: {path!r} is not a directory or file"
+        )
     sorted_keys = sorted(key_set)
+
+    from dask_felleskomponenter_spark.ioutil import path_mutex
 
     # Serialize whole-directory erasure runs (same host-level advisory
     # lock as the sync swaps): two overlapping runs would each rewrite
@@ -56,11 +65,40 @@ def erase_keys_parquet(
     # would delete a live run's in-flight tmp. Under the mutex, any tmp
     # present at entry is necessarily crash residue.
     with path_mutex(path):
-        return _erase_keys_locked(path, key_col, sorted_keys, pa, pc, pq, bisect)
+        return _erase_keys_locked(path, key_col, sorted_keys)
 
 
-def _erase_keys_locked(path, key_col, sorted_keys, pa, pc, pq, bisect) -> dict:
+def _fsync_file(p: str) -> None:
+    fd = os.open(p, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(p: str) -> None:
+    try:
+        fd = os.open(p, os.O_RDONLY)
+    except OSError:  # pragma: no cover — platform without dir-open
+        return
+    try:
+        os.fsync(fd)
+    except OSError:  # pragma: no cover
+        pass
+    finally:
+        os.close(fd)
+
+
+def _erase_keys_locked(path: str, key_col: str, sorted_keys: list) -> dict:
+    import bisect
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     files = []
+    if os.path.isfile(path):
+        files.append(path)
     for dp, _dn, fs in os.walk(path):
         for f in fs:
             if f.endswith(".rewrite.tmp"):
@@ -77,12 +115,36 @@ def _erase_keys_locked(path, key_col, sorted_keys, pa, pc, pq, bisect) -> dict:
     deleted = 0
     for f in files:
         md = pq.read_metadata(f)
-        if key_col not in md.schema.names:
+        # Top-level presence guard on the ARROW schema: the flattened
+        # leaf-name list (md.schema.names) also contains nested struct
+        # leaves, so a bare `key_col in names` would accept a file
+        # where only `s.key_col` exists and later KeyError mid-run.
+        arrow_schema = md.schema.to_arrow_schema()
+        if key_col not in arrow_schema.names:
             # schema evolution: files written before the key column
             # existed hold no subject rows — skip, don't abort the
             # compliance run halfway with a bare ValueError
             continue
-        idx = md.schema.names.index(key_col)
+        # Physical column index by FULL dotted path, never by leaf
+        # name: with columns s:struct<k> and a top-level k, the leaf
+        # list holds two 'k's and index() would return the NESTED one —
+        # pruning against the wrong statistics silently leaves subject
+        # rows on disk. A top-level primitive column's path is exactly
+        # its name.
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).path == key_col
+            ),
+            None,
+        )
+        if idx is None:
+            raise ValueError(
+                f"erase_keys_parquet: {key_col!r} in {f} is not a "
+                "top-level primitive column (nested/struct keys are "
+                "not supported)"
+            )
         overlap = False
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(idx).statistics
@@ -100,52 +162,77 @@ def _erase_keys_locked(path, key_col, sorted_keys, pa, pc, pq, bisect) -> dict:
                 break
         if not overlap:
             continue
-        # Stream batch-by-batch: never materialize the whole file on
-        # the driver. The tmp file is only swapped in when a key was
-        # actually present, preserving the byte-identical guarantee for
-        # files whose stats range overlapped but held no subject key.
-        pf = pq.ParquetFile(f)
-        # Dot-prefixed tmp name: Spark/Hadoop hide '.'/'_' files, so a
-        # hard crash between writer close and os.replace leaves residue
-        # that no reader ever sees — a visible `<f>.rewrite.tmp` would
-        # be read as data (duplicating, or even RESURRECTING, the rows
-        # this compliance operation must delete).
-        tmp = os.path.join(
-            os.path.dirname(f), "." + os.path.basename(f) + ".rewrite.tmp"
-        )
-        n_hit = 0
+        # Reuse the already-parsed footer (metadata=md): the default
+        # constructor would re-read and re-parse it — double metadata
+        # I/O on many-small-file stores.
+        pf = pq.ParquetFile(f, metadata=md)
         try:
-            with pq.ParquetWriter(tmp, pf.schema_arrow) as writer:
-                # 64k-row batches: driver memory is bounded by one batch
-                # regardless of file size; each batch lands as its own
-                # row group in the rewrite
-                for batch in pf.iter_batches(batch_size=65536):
-                    mask = pc.is_in(batch[key_col], value_set=value_set)
-                    hits = pc.sum(mask).as_py() or 0
-                    n_hit += hits
-                    if hits:
-                        batch = batch.filter(pc.invert(mask))
-                    if batch.num_rows:
-                        writer.write_batch(batch)
-            if n_hit == 0:
-                os.remove(tmp)
-                continue  # range overlapped but no exact key present
-            # Hadoop's local FS keeps .<name>.crc sidecars; a stale one
-            # fails the next read with ChecksumException. Remove it
-            # BEFORE the replace: a crash between replace and a
-            # later removal would leave the mismatching sidecar against
-            # the new bytes — the exact failure this guards against —
-            # while a missing sidecar is always harmless.
-            crc = os.path.join(
-                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+            # Presence pre-scan, key column ONLY (one column decoded,
+            # zero writes): a stats range can overlap without any exact
+            # key present — on an unsorted layout that is MOST files,
+            # and rewriting each to a tmp that is then thrown away
+            # turns an O(1) deletion into O(table) write I/O.
+            present = False
+            for batch in pf.iter_batches(batch_size=65536, columns=[key_col]):
+                hits = pc.sum(
+                    pc.is_in(batch[key_col], value_set=value_set)
+                ).as_py()
+                if hits:
+                    present = True
+                    break
+            if not present:
+                continue  # byte-identical guarantee: no write happened
+            # Stream batch-by-batch: never materialize the whole file
+            # on the driver. Dot-prefixed tmp name: Spark/Hadoop hide
+            # '.'/'_' files, so a hard crash between writer close and
+            # os.replace leaves residue no reader ever sees — a visible
+            # `<f>.rewrite.tmp` would be read as data (duplicating, or
+            # even RESURRECTING, the rows this compliance operation
+            # must delete).
+            tmp = os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".rewrite.tmp"
             )
-            if os.path.exists(crc):
-                os.remove(crc)
-            os.replace(tmp, f)
+            n_hit = 0
+            try:
+                with pq.ParquetWriter(tmp, pf.schema_arrow) as writer:
+                    # 64k-row batches: driver memory is bounded by one
+                    # batch regardless of file size; each batch lands as
+                    # its own row group in the rewrite
+                    for batch in pf.iter_batches(batch_size=65536):
+                        mask = pc.is_in(batch[key_col], value_set=value_set)
+                        hits = pc.sum(mask).as_py() or 0
+                        n_hit += hits
+                        if hits:
+                            batch = batch.filter(pc.invert(mask))
+                        if batch.num_rows:
+                            writer.write_batch(batch)
+                # fsync BEFORE the rename: os.replace is atomic against
+                # process crash, but on a power loss the journal can
+                # commit the rename before the data blocks flush,
+                # leaving a truncated file under the final name — both
+                # the old and the new bytes gone. fsync(tmp) then
+                # fsync(parent dir) is what makes the docstring's
+                # "old or new complete file, never truncated" true.
+                _fsync_file(tmp)
+                # Hadoop's local FS keeps .<name>.crc sidecars; a stale
+                # one fails the next read with ChecksumException.
+                # Remove it BEFORE the replace: a crash between replace
+                # and a later removal would leave the mismatching
+                # sidecar against the new bytes — the exact failure
+                # this guards against — while a missing sidecar is
+                # always harmless.
+                crc = os.path.join(
+                    os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
+                os.replace(tmp, f)
+                _fsync_dir(os.path.dirname(f) or ".")
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         finally:
-            pf.close()  # all paths — a mid-rewrite error must not leak the fd
-            if os.path.exists(tmp):
-                os.remove(tmp)
+            pf.close()  # all paths — an error must not leak the fd
         rewritten += 1
         deleted += n_hit
     # parquet summary sidecars (written by some writers) would advertise

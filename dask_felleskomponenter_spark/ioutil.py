@@ -44,8 +44,13 @@ def path_mutex(path: str):
     drops the other's contribution — lost update, no error. Multi-HOST
     writers need a transactional table format instead (Delta/Iceberg
     MERGE); that is already each caller's documented scale posture.
-    On platforms without ``fcntl`` the lock degrades to a no-op."""
-    lock_path = path + ".lock"
+    On platforms without ``fcntl`` the lock degrades to a no-op.
+
+    The lock key is the NORMALIZED real path: without that, callers
+    naming the same directory differently ('dir' vs 'dir/' vs a symlink)
+    would lock different sibling files and proceed concurrently —
+    collapsing the exact serialization this mutex exists to provide."""
+    lock_path = os.path.realpath(os.path.normpath(path)) + ".lock"
     try:
         import fcntl
     except ImportError:  # non-POSIX: best-effort, documented

@@ -57,6 +57,15 @@ def profile_numeric_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     output schema (min/max/mean rounded to 6)."""
     from pyspark.sql import functions as F
 
+    if not cols:
+        # a dynamically-derived empty list would otherwise reach
+        # stack() with the wrong arity and fail with an opaque Catalyst
+        # analysis error pointing nowhere near the real cause
+        raise ValueError(
+            "profile_numeric_columns: cols must be non-empty (the "
+            "DataFrame has no columns to profile)"
+        )
+
     def qcol(name: str):
         # backtick-quoted exact-name resolution: a bare F.col parses a
         # dot as a struct-field accessor, so a column literally named

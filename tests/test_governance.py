@@ -701,3 +701,108 @@ def test_dotted_property_name_rejected_at_write_time(spark):
         store.set_column_properties(
             "gov_test", "t_any", "a", {"tags.pii": "true"}
         )
+
+
+def test_erasure_resolves_top_level_key_not_nested_leaf(spark, tmp_path):
+    """Round-8 review finding (reproduced): md.schema.names is the
+    FLATTENED leaf list, so a nested struct field with the same leaf
+    name ('s.k' before top-level 'k') misresolved the statistics column
+    — pruning against the wrong stats silently left subject rows on
+    disk with a clean report."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_felleskomponenter_spark.governance.erasure import (
+        erase_keys_parquet,
+    )
+
+    path = str(tmp_path / "nested")
+    os.makedirs(path)
+    # struct column FIRST so its leaf 'k' precedes the top-level 'k'
+    table = pa.table(
+        {
+            "s": pa.array([{"k": 500 + i} for i in range(10)]),
+            "k": pa.array(list(range(10)), type=pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "part-0.parquet"))
+    report = erase_keys_parquet(path, "k", [1, 7])
+    assert report["rows_deleted"] == 2, report
+    got = sorted(pq.read_table(os.path.join(path, "part-0.parquet"))["k"].to_pylist())
+    assert got == [0, 2, 3, 4, 5, 6, 8, 9]
+
+
+def test_erasure_rejects_struct_key_and_missing_path(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.governance.erasure import (
+        erase_keys_parquet,
+    )
+
+    # a missing path must raise, never report all-zero success
+    with _pytest.raises(FileNotFoundError):
+        erase_keys_parquet(str(tmp_path / "nope"), "k", [1])
+
+    # a top-level STRUCT key has no leaf path equal to its name —
+    # loud error, not a silent wrong-column prune
+    path = str(tmp_path / "structkey")
+    os.makedirs(path)
+    pq.write_table(
+        pa.table({"s": pa.array([{"k": i} for i in range(5)])}),
+        os.path.join(path, "part-0.parquet"),
+    )
+    with _pytest.raises(ValueError, match="top-level primitive"):
+        erase_keys_parquet(path, "s", [1])
+
+
+def test_erasure_accepts_single_file_path(spark, tmp_path):
+    """A single parquet FILE path used to os.walk nothing and no-op
+    with an all-zero report."""
+    import glob as _glob
+
+    from dask_felleskomponenter_spark.governance.erasure import (
+        erase_keys_parquet,
+    )
+
+    d = str(tmp_path / "one")
+    spark.range(20).selectExpr("id as subject_id").coalesce(1).write.parquet(d)
+    f = _glob.glob(d + "/part-*.parquet")[0]
+    report = erase_keys_parquet(f, "subject_id", [3, 4])
+    assert report == {
+        "files_total": 1,
+        "files_rewritten": 1,
+        "rows_deleted": 2,
+    }
+    assert spark.read.parquet(d).count() == 18
+
+
+def test_path_mutex_normalizes_equivalent_paths(tmp_path):
+    """'dir' and 'dir/' must contend on the SAME lock file, or two
+    erasure/merge runs on one directory proceed concurrently."""
+    import os as _os
+
+    from dask_felleskomponenter_spark.ioutil import path_mutex
+
+    d = str(tmp_path / "locked")
+    _os.makedirs(d)
+    with path_mutex(d):
+        locks = [f for f in _os.listdir(str(tmp_path)) if f.endswith(".lock")]
+        assert locks == ["locked.lock"]
+    with path_mutex(d + "/"):
+        locks = [f for f in _os.listdir(str(tmp_path)) if f.endswith(".lock")]
+        assert locks == ["locked.lock"]
+
+
+def test_profile_numeric_columns_rejects_empty_cols(spark):
+    """An empty dynamically-derived column list reached stack() with
+    wrong arity and failed with an opaque Catalyst error."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.operators.metrics import (
+        profile_numeric_columns,
+    )
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        profile_numeric_columns(spark.range(3), [])
