@@ -106,13 +106,23 @@ def make_codelist_check(
         value = getattr(md, field)
         if not registry.is_valid(field, value):
             valid = registry.get(field)
+            # offline degradation (remote-backed codelist, no
+            # remote_loader): registry.get returns None — the hint must
+            # say the list is unavailable, not render Python's None as
+            # "gyldige verdier: None"
+            hint = (
+                f"gyldige verdier: {valid}"
+                if valid is not None
+                else "gyldige verdier: (codelist ikke tilgjengelig uten "
+                "remote_loader)"
+            )
             ctx.append(
                 _field_error(
                     md,
                     field,
                     type_name,
                     value is None,
-                    f"gyldige verdier: {valid}",
+                    hint,
                     valid_values=valid if valid is not None else "string",
                 )
             )
@@ -154,6 +164,10 @@ def check_geometri_encoding(
             continue
         encoding = props.get("geometri_encoding") or ""  # key may hold None
         if encoding.lower() not in VALID_GEOMETRI_ENCODING:
+            # the column name lands inside a SQL STRING literal in the
+            # remedy: double any apostrophe so a column named geom'd
+            # cannot terminate the literal (quote-everything contract)
+            col_lit = column.replace("'", "''")
             ctx.append(
                 MetadataError(
                     catalog=md.catalog,
@@ -169,7 +183,7 @@ def check_geometri_encoding(
                     ),
                     solution=(
                         f"ALTER TABLE {_qualified(md)} SET TBLPROPERTIES "
-                        f"( 'columns.{column}.geometri_encoding' = "
+                        f"( 'columns.{col_lit}.geometri_encoding' = "
                         f"'<<SETT_ROMLIG_REPRESENTASJONSTYPE_HER>>')"
                     ),
                 )
@@ -235,10 +249,18 @@ def get_mandatory_metadata_for_medaljongnivaa(
     out: dict[str, MetadataError] = {}
     reg = registry or DEFAULT_REGISTRY
     empty = TableMetadata(column_properties=column_properties or {})
-    # Same fallback as validate_table: a registry-custom level beyond
-    # bronze/silver/gold enumerates the strictest (gold) chain instead
-    # of raising a bare KeyError — the two entry points must agree on
-    # which levels are acceptable.
+    # The two entry points must agree on which levels are acceptable:
+    # validate_table gates against the registry's medaljongnivaa list,
+    # so enumeration must too — a typo'd level silently returning the
+    # gold requirements would tell the caller a nonexistent level is
+    # real. Registry-custom levels beyond bronze/silver/gold still
+    # enumerate the strictest (gold) chain instead of KeyError.
+    levels = reg.get("medaljongnivaa") or list(MEDALJONGNIVAA)
+    if medaljongnivaa not in levels:
+        raise ValueError(
+            f"unknown medaljongnivaa {medaljongnivaa!r}; the registry "
+            f"accepts {levels}"
+        )
     chains = checks_for_level(reg)
     for check in chains.get(medaljongnivaa, chains["gold"]):
         findings = check(empty, [])

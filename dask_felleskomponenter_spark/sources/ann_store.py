@@ -34,6 +34,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 #: Index parameters are part of the store identity — changing them
 #: builds a sibling store rather than silently mixing layouts.
@@ -77,37 +78,44 @@ def _source_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
 
-def _source_size(sf_dir: str) -> int:
-    """Byte size of the source parquet (file or directory tree)."""
-    src = _source_path(sf_dir)
-    if os.path.isfile(src):
-        return os.path.getsize(src)
-    total = 0
-    for base, _dirs, files in os.walk(src):
-        total += sum(os.path.getsize(os.path.join(base, f)) for f in files)
-    return total
+def _source_stat(sf_dir: str) -> tuple[int, str]:
+    """(total byte size, stat fingerprint) of the source parquet in ONE
+    walk — every store resolution needs both, and each declared ANN
+    query resolves the store during plan construction, so a second
+    full stat pass per load is pure waste on a many-file source.
 
-
-def _source_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the source parquet: per-file
-    (relative path, size, mtime_ns) digested. Total byte size alone
-    cannot see a same-size rewrite (plausible for fixed-width
-    encodings), which would serve a stale index FOREVER with no rebuild
-    ever triggered; mtime changes on any rewrite. Stat-only — no file
-    contents are read, so it stays safe in lazy plan construction."""
+    The fingerprint digests per-file (relative path, size, mtime_ns):
+    total byte size alone cannot see a same-size rewrite (plausible for
+    fixed-width encodings), which would serve a stale index FOREVER
+    with no rebuild ever triggered; mtime changes on any rewrite.
+    Stat-only — no file contents are read, so it stays safe in lazy
+    plan construction."""
     src = _source_path(sf_dir)
     h = hashlib.sha256()
+    total = 0
     if os.path.isfile(src):
         st = os.stat(src)
+        total = st.st_size
         h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
     else:
         for base, dirs, files in os.walk(src):
             dirs.sort()
             for f in sorted(files):
                 st = os.stat(os.path.join(base, f))
+                total += st.st_size
                 rel = os.path.relpath(os.path.join(base, f), src)
                 h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
-    return h.hexdigest()[:16]
+    return total, h.hexdigest()[:16]
+
+
+def _source_size(sf_dir: str) -> int:
+    """Byte size of the source parquet (file or directory tree)."""
+    return _source_stat(sf_dir)[0]
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Stat fingerprint of the source parquet (see ``_source_stat``)."""
+    return _source_stat(sf_dir)[1]
 
 
 def _store_dir(
@@ -152,11 +160,13 @@ def load_ann_store(
             meta = json.load(fh)
     except (OSError, ValueError):
         return None
-    if meta.get("source_size") != _source_size(sf_dir):
+    # one stat walk yields both staleness markers: size catches growth,
+    # and the stat fingerprint (path, size, mtime) catches the
+    # same-size rewrite that size alone misses
+    size, fingerprint = _source_stat(sf_dir)
+    if meta.get("source_size") != size:
         return None
-    # size alone misses same-size rewrites; the stat fingerprint (path,
-    # size, mtime) catches any regeneration of the source
-    if meta.get("source_fingerprint") != _source_fingerprint(sf_dir):
+    if meta.get("source_fingerprint") != fingerprint:
         return None
     if "pq_codebooks" not in meta:  # pre-PQ store layout — treat as stale
         return None
@@ -214,9 +224,24 @@ def build_ann_store(
     # index built from the OLD rows — a stale store that validates as
     # current forever. Recording the before-size means such a store
     # mismatches on the next load and rebuilds.
-    source_size = _source_size(sf_dir)
-    source_fingerprint = _source_fingerprint(sf_dir)
+    source_size, source_fingerprint = _source_stat(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    # Validate dim against the actual data BEFORE any write: a wrong
+    # dim passes silently through with_lsh_bucket's NULL-on-mismatch
+    # guard — every row lands in the NULL bucket, the build still
+    # commits, and every LSH query then returns zero rows forever (PQ
+    # meanwhile trains on truncated vectors). One bounded probe row;
+    # the build path already runs driver-side collects.
+    probe = (
+        emb.where(F.col("embedding").isNotNull())
+        .select(F.size("embedding").alias("n"))
+        .first()
+    )
+    if probe is not None and probe["n"] != dim:
+        raise ValueError(
+            f"build_ann_store: dim={dim} does not match the embedding "
+            f"length {probe['n']} in {sf_dir!r}"
+        )
     path = _store_dir(sf_dir, bits, n_cells, iters, root, seed, dim)
     os.makedirs(path, exist_ok=True)
     # Un-commit FIRST: a rebuild over an existing store must remove the

@@ -331,14 +331,14 @@ class PostgresSyncManager:
         if mode not in ("snapshot", "merge"):
             raise ValueError(f"Unknown mode: {mode}")
         geometry_cols = list(geometry_cols or [])
-        # Fail BEFORE the staging write: a typo'd key/geometry column
-        # would otherwise surface only at the publish step, after the
-        # (potentially hours-long) full-DataFrame JDBC write completed.
-        missing = [
-            c
-            for c in [*(merge_keys or []), *geometry_cols]
-            if c not in df.columns
-        ]
+        # Fail BEFORE the staging write: a typo'd key/geometry/
+        # update-type column would otherwise surface only at the
+        # publish step, after the (potentially hours-long)
+        # full-DataFrame JDBC write completed.
+        required = [*(merge_keys or []), *geometry_cols]
+        if mode == "merge":
+            required.append(self.config.update_type_col)
+        missing = [c for c in required if c not in df.columns]
         if missing:
             raise ValueError(
                 f"column(s) {missing} not in the DataFrame "

@@ -806,3 +806,34 @@ def test_profile_numeric_columns_rejects_empty_cols(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         profile_numeric_columns(spark.range(3), [])
+
+
+def test_mandatory_metadata_rejects_unknown_level():
+    """A typo'd level silently returned the gold requirements, telling
+    the caller a nonexistent level is real; the enumeration entry point
+    must gate against the registry like validate_table does."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.governance.checks import (
+        get_mandatory_metadata_for_medaljongnivaa,
+    )
+
+    with _pytest.raises(ValueError, match="golld"):
+        get_mandatory_metadata_for_medaljongnivaa("golld")
+
+
+def test_geometry_remedy_escapes_apostrophe_in_column_name():
+    """The column name lands inside a SQL string literal in the remedy;
+    an apostrophe must not terminate it (quote-everything contract)."""
+    from dask_felleskomponenter_spark.governance.checks import (
+        check_geometri_encoding,
+    )
+    from dask_felleskomponenter_spark.governance.model import TableMetadata
+
+    md = TableMetadata(
+        catalog="c", schema="s", table="t",
+        column_properties={"geom'd": {"epsg": "4326"}},
+    )
+    errs = check_geometri_encoding(md, [])
+    assert len(errs) == 1
+    assert "'columns.geom''d.geometri_encoding'" in errs[0].solution

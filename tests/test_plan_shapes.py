@@ -928,3 +928,18 @@ def test_cluster_size_join_is_never_forced_broadcast(spark, name):
     assert not offenders, offenders
     # the sizes join must still exist as a co-partitioned shuffled join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ann_store_build_rejects_wrong_dim(spark, tmp_path):
+    """Round-8 review finding: a wrong dim sailed through the
+    NULL-on-mismatch encoder guards — every row landed in the NULL
+    bucket/cell, the build still committed, and every LSH query then
+    returned zero rows forever. The build must validate dim against
+    the data before any write."""
+    from dask_felleskomponenter_spark.sources.ann_store import build_ann_store
+
+    with pytest.raises(ValueError, match="dim=32"):
+        build_ann_store(
+            spark, SF, bits=4, n_cells=4, iters=1,
+            root=str(tmp_path / "ann"), dim=32,
+        )

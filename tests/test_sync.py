@@ -904,3 +904,20 @@ def test_merge_into_path_bootstrap_validates_keys(spark, tmp_path):
         merge_into_path(str(tmp_path / "t"), staging, ["order_ky"])
     import os
     assert not os.path.exists(str(tmp_path / "t"))
+
+
+def test_merge_mode_validates_update_type_col_before_staging(spark):
+    """Round-8 review finding: a merge-mode frame missing the
+    update_type column only failed at the publish step, after the full
+    (potentially hours-long) staging write."""
+    from tests.test_sync import _config  # same module helper
+
+    writes = []
+    mgr = PostgresSyncManager(
+        _config(), sql_executor=lambda s: writes.append(s) or 0
+    )
+    mgr._write_to_staging = lambda df: writes.append("STAGING")  # spy
+    df = spark.createDataFrame([Row(id=1, val="x")])  # no update_type
+    with pytest.raises(ValueError, match="update_type"):
+        mgr.sync(df, mode="merge", merge_keys=["id"])
+    assert writes == []  # validation fired BEFORE the staging write
