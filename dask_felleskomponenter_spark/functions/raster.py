@@ -288,27 +288,35 @@ def decode_geotiff_grid(data: bytes):
     except Exception:
         return None  # malformed TIFF = GDAL's unopenable-raster None
 
+    def _tag1(tid: int, default):
+        # a malformed IFD may declare count=0 for a tag — the stored
+        # value list is then EMPTY and a bare [0] raises IndexError
+        # outside the parse try, crashing the task instead of honoring
+        # the malformed-TIFF→None contract
+        vals = tags.get(tid)
+        return vals[0] if vals else default
+
     if 322 in tags or 323 in tags:
         raise NotImplementedError(
             "tiled TIFF requires GDAL (install the [gdal] extra); "
             "strip-organized tiles decode without it"
         )
-    w = tags.get(256, [None])[0]
-    h = tags.get(257, [None])[0]
+    w = _tag1(256, None)
+    h = _tag1(257, None)
     if not w or not h:
         return None
-    comp = tags.get(259, [1])[0]
+    comp = _tag1(259, 1)
     if comp not in (1, 8, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} requires GDAL; "
             "uncompressed (1) and deflate (8/32946) decode without it"
         )
-    predictor = tags.get(317, [1])[0]
+    predictor = _tag1(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(
             f"TIFF predictor {predictor} requires GDAL"
         )
-    sfmt_early = tags.get(339, [1])[0]
+    sfmt_early = _tag1(339, 1)
     if predictor == 2 and sfmt_early == 3:
         # Predictor 2 (horizontal differencing) is defined for integer
         # samples only; applying the int64 cumsum to float data would
@@ -318,11 +326,11 @@ def decode_geotiff_grid(data: bytes):
             "TIFF horizontal predictor on floating-point samples "
             "requires GDAL"
         )
-    spp = tags.get(277, [1])[0]
-    if tags.get(284, [1])[0] != 1 and spp > 1:
+    spp = _tag1(277, 1)
+    if _tag1(284, 1) != 1 and spp > 1:
         raise NotImplementedError("planar TIFF layout requires GDAL")
-    bits = tags.get(258, [8])[0]
-    sfmt = tags.get(339, [1])[0]
+    bits = _tag1(258, 8)
+    sfmt = _tag1(339, 1)
     dt = {
         (8, 1): "u1", (16, 1): "u2", (32, 1): "u4",
         (8, 2): "i1", (16, 2): "i2", (32, 2): "i4",
@@ -550,12 +558,35 @@ def contours_from_grid(
     import numpy as np
 
     g = np.asarray(grid, dtype="float64")
-    if g.ndim != 2 or g.shape[0] < 2 or g.shape[1] < 2 or interval <= 0:
+    # `not (interval > 0)` and not `interval <= 0`: a NaN interval
+    # fails BOTH comparisons, and letting it through crashed at
+    # int(floor(NaN)) instead of honoring the malformed-input→None
+    # contract. Same guard for a non-finite base.
+    if (
+        g.ndim != 2
+        or g.shape[0] < 2
+        or g.shape[1] < 2
+        or not (interval > 0)
+        or not _math.isfinite(base)
+    ):
         return None
-    lo, hi = float(g.min()), float(g.max())
+    # lo/hi over FINITE values only: a NaN nodata pixel (standard in
+    # elevation rasters) made min/max NaN and crashed the level count.
+    finite = np.isfinite(g)
+    if not finite.any():
+        return None
+    lo, hi = float(g[finite].min()), float(g[finite].max())
     k0 = int(_math.floor((lo - base) / interval)) + 1
     k1 = int(_math.ceil((hi - base) / interval)) - 1
+    if k1 - k0 > 100_000:
+        # A huge FINITE nodata sentinel (float32 ±3.4e38) explodes the
+        # level range into ~1e37 marching-squares passes — an effective
+        # executor hang. A six-figure contour count never comes from
+        # real data at one tile: decline (None), matching the GDAL-free
+        # fallback's documented posture (mask sentinels to NaN first).
+        return None
     gt = geotransform
+    has_nonfinite = not finite.all()
     lines_wkb = []
     for k in range(k0, k1 + 1):
         level = base + k * interval
@@ -569,6 +600,15 @@ def contours_from_grid(
                 )
                 for c, r in line
             ]
+            if has_nonfinite and any(
+                not (_math.isfinite(x) and _math.isfinite(y))
+                for x, y in coords
+            ):
+                # a chain that interpolated through a nodata pixel has
+                # NaN vertices — drop it rather than emit garbage WKB
+                # (GDAL with a nodata mask splits such lines; the
+                # GDAL-free fallback documents the coarser behavior)
+                continue
             lines_wkb.append(
                 b"\x01"
                 + _struct.pack("<II", 2, len(coords))
@@ -647,8 +687,21 @@ def make_contours_udf(
                     f"{s.nunique(dropna=False)} distinct values in one "
                     "batch — per-tile parameters need a per-row core"
                 )
-        iv = float(interval.iloc[0]) if len(interval) else 10.0
-        bs = float(base.iloc[0]) if len(base) else 0.0
+        def const_of(s: pd.Series, default: float) -> float | None:
+            # lit(None) arrives as None/NaN: SQL null-in/null-out, not
+            # float(None) TypeError killing the whole batch (and not a
+            # NaN slipping past the interval>0 guard into the core)
+            if not len(s):
+                return default
+            v = s.iloc[0]
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return float(v)
+
+        iv = const_of(interval, 10.0)
+        bs = const_of(base, 0.0)
+        if iv is None or bs is None:
+            return pd.Series([None] * len(rasters), dtype="object")
         return rasters.apply(lambda r: core_fn(r, iv, bs))
 
     return contours_udf

@@ -184,7 +184,11 @@ def wkb_geom_type_col(col: str | Column, hex_input: bool = False) -> Column:
         pairs.append(F.lit(k).cast("long"))
         pairs.append(F.lit(v))
     name = F.coalesce(
-        F.element_at(F.create_map(*pairs), base),
+        # try_element_at, not element_at: under ANSI mode (the Spark 4
+        # default) element_at THROWS MAP_KEY_DOES_NOT_EXIST on an
+        # unknown geometry code, making the Unknown(n) fallback
+        # unreachable and failing the job on one corrupt blob
+        F.try_element_at(F.create_map(*pairs), base),
         F.format_string("Unknown(%d)", base),
     )
 
@@ -293,21 +297,25 @@ def _arc_points(
             )
         pts.append(p2)
         return pts
-    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-    scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(cx), abs(cy), 1.0)
+    # Local-origin translation (p0 at 0,0) BEFORE the collinearity test
+    # and circumcenter solve: both the tolerance and the (x²+y²) terms
+    # must scale with the ARC, not the global coordinate magnitude — at
+    # projected (UTM-scale) coordinates ~(5e5, 6.7e6) a global-scaled
+    # tolerance 1e-12·scale² ≈ 45 silently flattened every real arc of
+    # radius ≲ 30 m into straight chords (≈20 cm–1 m deviation on
+    # cadastral/road arcs), and the untranslated circumcenter formula
+    # cancels catastrophically at those magnitudes.
+    rbx, rby = bx - ax, by - ay
+    rcx, rcy = cx - ax, cy - ay
+    d = 2.0 * (rbx * rcy - rby * rcx)
+    scale = max(abs(rbx), abs(rby), abs(rcx), abs(rcy), 1.0)
     if abs(d) <= 1e-12 * scale * scale:
         # collinear (or repeated) control points: straight segments
         return [p0, p1, p2]
-    ux = (
-        (ax * ax + ay * ay) * (by - cy)
-        + (bx * bx + by * by) * (cy - ay)
-        + (cx * cx + cy * cy) * (ay - by)
-    ) / d
-    uy = (
-        (ax * ax + ay * ay) * (cx - bx)
-        + (bx * bx + by * by) * (ax - cx)
-        + (cx * cx + cy * cy) * (bx - ax)
-    ) / d
+    b2 = rbx * rbx + rby * rby
+    c2 = rcx * rcx + rcy * rcy
+    ux = ax + (b2 * rcy - c2 * rby) / d
+    uy = ay + (c2 * rbx - b2 * rcx) / d
     r = math.hypot(ax - ux, ay - uy)
     t0 = math.atan2(ay - uy, ax - ux)
     t1 = math.atan2(by - uy, bx - ux)
@@ -541,7 +549,26 @@ def curved_to_linear_wkb(
     """U2 as a vectorized pandas UDF; angle passed as a ``lit()``
     constant (read once per batch, like U3's interval/base —
     ``udf_tools.py:233-236``)."""
-    angle = float(max_angle_step_deg.iloc[0]) if len(max_angle_step_deg) else 0.0
+    if len(max_angle_step_deg):
+        # lit()-constant guard (same as U3's contours_udf): a VARYING
+        # angle column would silently apply batch row 0's value to
+        # every row, with results changing at Arrow batch boundaries
+        if max_angle_step_deg.nunique(dropna=False) > 1:
+            raise ValueError(
+                "curved_to_linear_wkb: max_angle_step_deg must be a "
+                "lit() constant, not a per-row column (the value is "
+                "read once per batch)"
+            )
+        first = max_angle_step_deg.iloc[0]
+        # lit(None) / NaN degrade to the OGR-default step, matching
+        # curved_to_linear_bytes(None) — never float(None) TypeError
+        angle = (
+            0.0
+            if first is None or (isinstance(first, float) and first != first)
+            else float(first)
+        )
+    else:
+        angle = 0.0
     return geometries.apply(lambda g: curved_to_linear_bytes(g, angle))
 
 
@@ -587,8 +614,17 @@ def point_in_polygon_bytes(
     """Even-odd ray-cast containment of (x, y) in a WKB Polygon /
     MultiPolygon (holes handled by parity; curved input: linearize with
     ``linearize_wkb_py`` first). None on null/unparsable input — the
-    same failure contract as the other WKB functions."""
+    same failure contract as the other WKB functions. The coordinate
+    side honors it too: a None x/y (or the NaN a SQL NULL becomes
+    through the Arrow float path) is 'unknown point', never a TypeError
+    and never a confident False."""
     if not isinstance(data, (bytes, bytearray)):
+        return None
+    try:
+        px, py = float(x), float(y)
+    except (TypeError, ValueError):
+        return None
+    if px != px or py != py:  # NaN
         return None
     try:
         geom = _read_geom(_WkbReader(bytes(strip_ewkb_srid_bytes(data))))
@@ -601,7 +637,7 @@ def point_in_polygon_bytes(
             pts = list(ring[2])  # ring = (type, dims, points)
             if pts and pts[0] != pts[-1]:
                 pts = pts + [pts[0]]
-            crossings += _ring_crossings(pts, float(x), float(y))
+            crossings += _ring_crossings(pts, px, py)
         return crossings
 
     code, _dims, payload = geom

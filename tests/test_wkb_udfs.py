@@ -891,3 +891,131 @@ class TestGeoTiffWriter:
             tiff = geotiff_encode(g8)
             assert generate_contours_py(fakm, 64.0, 0.0) == \
                 generate_contours_py(tiff, 64.0, 0.0)
+
+
+class TestRound8ReviewFindings:
+    def test_arc_linearizes_at_projected_coordinates(self):
+        """Round-8 review finding (reproduced): the collinearity
+        tolerance scaled with GLOBAL coordinate magnitude squared, so a
+        10 m-radius arc at UTM33 coordinates (~5e5, 6.7e6) was silently
+        flattened to straight chords — every sampled point must sit on
+        the true circle."""
+        import math
+
+        from dask_felleskomponenter_spark.functions.wkb import _arc_points
+
+        cx0, cy0, r = 500000.0, 6700000.0, 10.0
+
+        def pt(deg):
+            t = math.radians(deg)
+            return (cx0 + r * math.cos(t), cy0 + r * math.sin(t))
+
+        pts = _arc_points(pt(0), pt(23), pt(46), math.radians(4.0))
+        assert len(pts) > 3, "arc flattened to a chord"
+        err = max(abs(math.hypot(x - cx0, y - cy0) - r) for x, y, *_ in pts)
+        assert err < 1e-6, err
+        # genuinely collinear control points still emit straight segments
+        flat = _arc_points(
+            (500000.0, 6700000.0), (500010.0, 6700010.0),
+            (500020.0, 6700020.0), math.radians(4.0),
+        )
+        assert len(flat) == 3
+
+    def test_contours_nan_and_sentinel_nodata_decline(self):
+        """NaN nodata crashed with 'cannot convert float NaN to
+        integer'; the float32 sentinel -3.4e38 exploded the level range
+        into an effective hang. Both must follow the malformed-input →
+        None contract (or skip the contaminated chains)."""
+        import numpy as np
+
+        from dask_felleskomponenter_spark.functions.raster import (
+            contours_from_grid,
+        )
+
+        base_grid = np.outer(np.arange(8), np.ones(8)) * 10.0
+        g_nan = base_grid.copy()
+        g_nan[0, 0] = float("nan")
+        out = contours_from_grid(g_nan, interval=20.0, base=0.0)
+        assert out is None or isinstance(out, bytes)  # no crash
+        g_sent = base_grid.copy()
+        g_sent[0, 0] = -3.4e38
+        assert contours_from_grid(g_sent, interval=20.0, base=0.0) is None
+        # NaN interval / base: None, not int(NaN) crash
+        assert contours_from_grid(base_grid, interval=float("nan"), base=0.0) is None
+        assert contours_from_grid(base_grid, interval=10.0, base=float("nan")) is None
+
+    def test_geom_type_unknown_code_survives_ansi(self, spark):
+        """element_at on a literal map THROWS under ANSI (Spark 4
+        default) for an unknown geometry code — the Unknown(n) fallback
+        must be reachable."""
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions.wkb import (
+            wkb_geom_type_col,
+        )
+
+        # little-endian WKB header with absurd geometry code 25
+        blob = bytes([1]) + (25).to_bytes(4, "little") + b"\x00" * 8
+        df = spark.createDataFrame([(blob.hex(),)], ["wkb_hex"])
+        got = df.select(
+            wkb_geom_type_col(F.col("wkb_hex")).alias("t")
+        ).first()["t"]
+        # the exact decoded code depends on the column's hex-offset
+        # convention; the pinned behavior is that the Unknown(n)
+        # fallback is REACHED instead of element_at throwing
+        assert got.startswith("Unknown("), got
+
+    def test_curved_to_linear_rejects_varying_angle_column(self, spark):
+        """A varying angle column silently applied batch row 0's value
+        to every row — detect and fail loudly (lit()-constant guard,
+        mirroring contours_udf)."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions.wkb import (
+            curved_to_linear_wkb,
+        )
+        from tests.fixtures_wkb import CORPUS
+
+        circ = CORPUS["circularstring_2d"][0]
+        df = spark.createDataFrame(
+            [(circ, 4.0), (circ, 9.0)],
+            "g binary, a double",
+        ).coalesce(1)
+        with _pytest.raises(Exception, match="lit\\(\\) constant"):
+            df.select(curved_to_linear_wkb("g", F.col("a"))).collect()
+        # lit() constant still works; lit(None) degrades to the default
+        ok = df.select(
+            curved_to_linear_wkb("g", F.lit(4.0)).alias("w"),
+            curved_to_linear_wkb("g", F.lit(None).cast("double")).alias("wn"),
+        ).collect()
+        assert all(r["w"] is not None and r["wn"] is not None for r in ok)
+
+    def test_point_in_polygon_null_coords_are_null(self):
+        """None/NaN coordinates are 'unknown point' → None, never a
+        TypeError and never a confident False."""
+        from dask_felleskomponenter_spark.functions.wkb import (
+            point_in_polygon_bytes,
+        )
+        from tests.fixtures_wkb import CORPUS
+
+        poly = CORPUS["polygon_2d"][0]
+        assert point_in_polygon_bytes(poly, None, None) is None
+        assert point_in_polygon_bytes(poly, float("nan"), 1.0) is None
+
+    def test_tiff_count_zero_tag_returns_none(self):
+        """An IFD tag declaring count=0 stored an empty value list and
+        a bare [0] raised IndexError outside the parse try."""
+        import struct
+
+        from dask_felleskomponenter_spark.functions.raster import (
+            decode_geotiff_grid,
+        )
+
+        # minimal II TIFF: one IFD entry, tag 256 (ImageWidth), SHORT,
+        # count=0
+        hdr = b"II*\x00" + struct.pack("<I", 8)
+        ifd = struct.pack("<H", 1) + struct.pack(
+            "<HHI4s", 256, 3, 0, b"\x00" * 4
+        ) + struct.pack("<I", 0)
+        assert decode_geotiff_grid(hdr + ifd) is None
