@@ -74,6 +74,12 @@ IMAGE_FEATURES_SCHEMA = ArrayType(DoubleType())
 FAKM_MAGIC = b"FAKM"
 _FAKM_HEADER = struct.Struct(">4sc I I H")
 
+#: Unsigned 32-bit container header fields (WAV sample_rate, AVI
+#: rate/scale, FAKM/PNG width/height) flow into IntegerType output
+#: schemas: any value past this must decode to a NULL row, or the Arrow
+#: conversion kills the whole mapInPandas batch with ArrowInvalid.
+_INT32_MAX = 2**31 - 1
+
 
 def fakm_encode(
     media_type: str, width: int, height: int, channels: int, payload: bytes
@@ -94,6 +100,8 @@ def fakm_decode(data: bytes | None) -> dict | None:
     magic, mt, w, h, c = _FAKM_HEADER.unpack(bytes(data[: _FAKM_HEADER.size]))
     if magic != FAKM_MAGIC:
         return None
+    if w > _INT32_MAX or h > _INT32_MAX:
+        return None  # u32 header vs IntegerType schema (ArrowInvalid)
     return {
         "media_type": mt.decode("ascii", errors="replace"),
         "width": w,
@@ -126,11 +134,17 @@ def wav_encode(
     fmt = _FMT_PCM.pack(
         1, channels, sample_rate, byte_rate, block_align, bits_per_sample
     )
+    # RIFF chunks are word-aligned: an odd-length data chunk takes a
+    # trailing pad byte OUTSIDE the declared chunk length (the decoder's
+    # walk already assumes it via `off += clen + (clen & 1)`); omitting
+    # it emits spec-violating files that strict parsers misalign on.
+    pad = b"\x00" if len(pcm) & 1 else b""
     body = (
         _CHUNK.pack(b"fmt ", len(fmt))
         + fmt
         + _CHUNK.pack(b"data", len(pcm))
         + pcm
+        + pad
     )
     return _RIFF.pack(b"RIFF", 4 + len(body), b"WAVE") + body
 
@@ -173,6 +187,11 @@ def decode_audio_wav(data: bytes | None) -> dict | None:
         return None
     audio_format, channels, sample_rate, _byte_rate, _block, bits = fmt
     if audio_format != 1 or channels == 0 or sample_rate == 0 or bits == 0:
+        return None
+    if sample_rate > _INT32_MAX:
+        # the header field is unsigned 32-bit but the output schema is
+        # IntegerType: an unvalidated hostile value would kill the whole
+        # mapInPandas batch with ArrowInvalid instead of a NULL row
         return None
     block_align = channels * bits // 8
     n_frames = len(payload) // block_align if block_align else 0
@@ -395,11 +414,20 @@ def decode_image_png(data: bytes | None) -> dict | None:
         channels = _PNG_COLOR_CHANNELS.get(color)
         if channels is None or width == 0 or height == 0:
             return None
-        raw = zlib.decompress(bytes(idat))
-    except (struct.error, zlib.error):
+        if width > _INT32_MAX or height > _INT32_MAX:
+            return None  # u32 header vs IntegerType schema (ArrowInvalid)
+        stride = width * channels
+        expected = (stride + 1) * height
+        # Bounded inflate: the expected size is known from IHDR, so a
+        # decompression bomb (tiny IHDR, IDAT inflating to hundreds of
+        # MB of zeros) must never be fully materialized — cap at
+        # expected+1 and reject on overflow instead of paying a
+        # MemoryError that escapes the handler and kills the job.
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except (struct.error, zlib.error, OverflowError, MemoryError):
         return None
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected or dec.unconsumed_tail:
         return None
     # Row-at-a-time numpy unfiltering: None/Up are whole-row adds and
     # Sub is a per-channel-lane cumulative sum, so three of the five
@@ -632,6 +660,8 @@ def decode_video_avi(data: bytes | None) -> dict | None:
         payload += frame.tobytes()
     if rate == 0 or scale == 0:
         return None
+    if rate > _INT32_MAX or scale > _INT32_MAX:
+        return None  # u32 header vs IntegerType schema (ArrowInvalid)
     n_frames = len(dibs)
     return {
         "media_type": "v",
@@ -653,6 +683,17 @@ def media_size(col: str | Column) -> Column:
     return F.length(F.col(col) if isinstance(col, str) else col)
 
 
+def _tiff_magic_hex() -> list[str]:
+    """Uppercase-hex TIFF/BigTIFF magics from raster.py's constants —
+    one definition, no silent drift between sniffer and decoder."""
+    from dask_felleskomponenter_spark.functions.raster import (
+        _BIGTIFF_MAGICS,
+        _TIFF_MAGICS,
+    )
+
+    return [m.hex().upper() for m in _TIFF_MAGICS + _BIGTIFF_MAGICS]
+
+
 def sniff_media_type(col: str | Column) -> Column:
     """Container sniff from magic bytes, JVM-side (FAKM + common real
     magics so governance checks can run without decoding)."""
@@ -665,13 +706,11 @@ def sniff_media_type(col: str | Column) -> Column:
         .when(head.startswith("FFD8FF"), "jpeg")
         .when(head == "52494646", "riff")  # wav/avi
         .when(head.startswith("474946"), "gif")
-        # Full 4-byte TIFF magics (classic + BigTIFF), matching
-        # raster.py's _TIFF_MAGICS: a bare 'II'/'MM' prefix test would
+        # Full 4-byte TIFF magics (classic + BigTIFF), DERIVED from
+        # raster.py's constants so the sniffer cannot drift if the
+        # magic set changes: a bare 'II'/'MM' prefix test would
         # classify any blob starting with those ASCII pairs as TIFF.
-        .when(
-            head.isin("49492A00", "4D4D002A", "49492B00", "4D4D002B"),
-            "tiff",
-        )
+        .when(head.isin(*_tiff_magic_hex()), "tiff")
         .otherwise("unknown")
     )
 

@@ -43,7 +43,12 @@ def geometric_mean(v: pd.Series) -> float:
     return float(np.exp(logs.mean()))
 
 
-_WS = re.compile(r"\s+")
+# re.ASCII pins \s to Java's default set [ \t\n\x0B\f\r]: Python's
+# Unicode-aware \s also matches NBSP/U+2028/U+3000 etc. (common in
+# scraped text), which would split tokens the Spark-side Java regex and
+# the RE2-based DuckDB oracle keep whole — silently breaking the
+# udtf_chunk_documents hash parity on non-ASCII whitespace.
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 @udtf(returnType="chunk_index int, chunk_text string, n_tokens int")

@@ -76,12 +76,18 @@ def refresh_incremental_summary(
     other batch's contribution (lost update). Multi-host writers need a
     transactional table format — the module docstring's Delta/Iceberg
     note."""
-    from dask_felleskomponenter_spark.ioutil import commit_swap, path_mutex
+    from dask_felleskomponenter_spark.ioutil import (
+        commit_swap,
+        path_mutex,
+        recover_interrupted_swap,
+    )
 
     with path_mutex(summary_path):
-        _recover_interrupted_swap(summary_path)
+        # shared swap recovery: .old restore + age-guarded reap of
+        # orphaned .staging-<uuid> siblings (see ioutil)
+        recover_interrupted_swap(summary_path)
         delta = _aggregate(batch_df, keys, sum_cols)
-        if _exists(summary_path):
+        if os.path.exists(summary_path):
             old = spark.read.parquet(summary_path)
             merge_cols = [COUNT_COL, *sum_cols, *[_nn_col(c) for c in sum_cols]]
             # tolerate summaries written before per-column non-null counts
@@ -114,17 +120,6 @@ def refresh_incremental_summary(
     return refreshed
 
 
-def _recover_interrupted_swap(summary_path: str) -> None:
-    """Shared swap recovery (``ioutil.recover_interrupted_swap``): the
-    ``.old`` restore plus the age-guarded reap of orphaned
-    ``.staging-<uuid>`` siblings — the guard keeps an overlapping
-    scheduled refresh from deleting a concurrent run's in-progress
-    staging write."""
-    from dask_felleskomponenter_spark.ioutil import recover_interrupted_swap
-
-    recover_interrupted_swap(summary_path)
-
-
 def summary_with_avg(
     summary: DataFrame, sum_cols: Sequence[str]
 ) -> DataFrame:
@@ -144,6 +139,3 @@ def summary_with_avg(
         )
     return out
 
-
-def _exists(path: str) -> bool:
-    return os.path.exists(path)

@@ -91,6 +91,15 @@ def _corpus(
             # review finding; the planted class keeps them honest)
             if len(words) >= 2 and rng.random() < 0.15:
                 text = text.replace(" ", "\x0b", 1)
+            # plant NBSP (U+00A0): Java \s and RE2 \s do NOT match it
+            # (one token), but Python's Unicode-aware \s DOES — any
+            # Python-side tokenizer (UDTF/pandas-UDF) must pin re.ASCII
+            # or it splits tokens the JVM/oracle keep whole (round-8
+            # review finding in ChunkDocument)
+            if len(words) >= 3 and rng.random() < 0.12:
+                at = text.find(" ", 2)
+                if at > 0:
+                    text = text[:at] + " " + text[at + 1:]
         rows.append(
             (i, text, rng.choice(["en", "de", "und"]), f"src{i % 3}", len(text))
         )

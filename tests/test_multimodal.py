@@ -757,3 +757,89 @@ def test_geotiff_encode_word_aligns_offsets():
         assert ifd_off % 2 == 0, f"odd IFD offset at n={n}"
         grid, gt = decode_geotiff_grid(data)
         assert (grid == g).all()
+
+
+class TestRound8HostileHeaders:
+    # codec entry points imported per-test below
+    def test_u32_header_fields_null_not_arrowinvalid(self, spark):
+        """Unsigned 32-bit header fields that exceed INT32_MAX must
+        decode to a NULL row — an unvalidated value kills the whole
+        mapInPandas batch with ArrowInvalid."""
+        import struct
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_audio_wav,
+            decode_video_avi,
+            fakm_decode,
+            wav_encode,
+        )
+
+        # WAV with sample_rate = 0xFFFFFFF0
+        good = wav_encode(8000, 1, bytes(16))
+        hostile = bytearray(good)
+        # fmt chunk: RIFF(12) + 'fmt '+len(8) → fields at offset 20;
+        # sample_rate is the I at offset 20+4
+        hostile[24:28] = struct.pack("<I", 0xFFFFFFF0)
+        assert decode_audio_wav(bytes(hostile)) is None
+        assert decode_audio_wav(good) is not None
+
+        # FAKM with width = 0xFFFFFFFF
+        blob = bytearray(fakm_encode("i", 2, 2, 1, bytes(4)))
+        blob[5:9] = struct.pack(">I", 0xFFFFFFFF)
+        assert fakm_decode(bytes(blob)) is None
+
+        # sanity: a real AVI still decodes
+        frames = [bytes(2 * 1 * 3)] * 2
+        avi = avi_encode(2, 1, 10, frames)
+        assert decode_video_avi(avi) is not None
+
+    def test_png_decompression_bomb_is_bounded(self):
+        """A tiny IHDR with an IDAT inflating to hundreds of MB must be
+        rejected WITHOUT materializing the inflate (bounded decompress),
+        never a MemoryError escaping the handler."""
+        import struct
+        import zlib
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_image_png,
+            png_encode,
+        )
+
+        good = png_encode(2, 2, 1, bytes(4))
+        # rebuild with a bomb IDAT: 64 MB of zeros compresses to ~64 KB
+        sig = good[:8]
+        bomb_raw = zlib.compress(bytes(64 * 1024 * 1024), 9)
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        bomb = (
+            sig
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb_raw)
+            + chunk(b"IEND", b"")
+        )
+        assert decode_image_png(bomb) is None
+        assert decode_image_png(good) is not None
+
+    def test_wav_encode_pads_odd_data_chunk(self):
+        """RIFF chunks are word-aligned: an odd-length data chunk takes
+        a trailing pad byte outside the declared length; the roundtrip
+        must still hold."""
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_audio_wav,
+            wav_encode,
+        )
+
+        pcm = bytes(range(7))  # odd length, 8-bit mono
+        blob = wav_encode(8000, 1, pcm, bits_per_sample=8)
+        assert len(blob) % 2 == 0  # word-aligned container
+        d = decode_audio_wav(blob)
+        assert d is not None and d["payload"] == pcm
