@@ -31,16 +31,28 @@ def scan_text_pii(
     """Scan ``columns`` for PII; one finding per (column, kind) with at
     least one matching row. The remedy is the executable redaction
     expression (``functions/text.py::redact_pii``) for that column."""
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
+    # The alias round-trip below rsplits on the LAST space, which is
+    # only sound while PII kind keys are space-free identifiers —
+    # enforce the invariant where it is relied on, not by convention.
+    spaced = [k for k in PII_PATTERNS if " " in k]
+    if spaced:
+        raise ValueError(
+            f"PII kind keys must be space-free identifiers, got {spaced}"
+        )
     aggs = []
     for col in columns:
         for kind in PII_PATTERNS:
             # existence, not count: regexp_like short-circuits at the
             # first match, where regexp_count would keep scanning a
-            # PII-dense document to tally matches nobody consumes
+            # PII-dense document to tally matches nobody consumes.
+            # quoted_col: a governance gate must not abort on a legal
+            # dotted/backticked column name.
             aggs.append(
                 F.sum(
                     F.regexp_like(
-                        F.col(col), F.lit(PII_PATTERNS[kind])
+                        quoted_col(col), F.lit(PII_PATTERNS[kind])
                     ).cast("long")
                 ).alias(f"{col} {kind}")
             )
@@ -69,6 +81,10 @@ def scan_text_pii(
                 .replace("\\", "\\\\")
                 .replace("'", "\\'")
             )
+            # identifier escaping for the remedy too: an embedded
+            # backtick must be doubled or the suggested SQL is
+            # unparseable (unbalanced backtick)
+            col_ident = col.replace("`", "``")
             findings.append(
                 MetadataError(
                     catalog=catalog,
@@ -80,7 +96,7 @@ def scan_text_pii(
                         "redact before promotion."
                     ),
                     solution=(
-                        f"SELECT regexp_replace(`{col}`, "
+                        f"SELECT regexp_replace(`{col_ident}`, "
                         f"'{sql_pat}', '[{kind.upper()}]') ..."
                     ),
                     for_field=f"pii.{kind}",

@@ -31,7 +31,13 @@ def pinned_repartition(df: DataFrame, *cols: str | Column) -> DataFrame:
     try:
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # "auto" or unset → physical cores
-        n = df.sparkSession.sparkContext.defaultParallelism
+        # sparkContext is unavailable on Spark Connect — exactly the
+        # environment where shuffle.partitions='auto' is common — so
+        # the fallback must not dereference it unguarded.
+        try:
+            n = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            n = 200  # Spark's own shuffle-partitions default
     return df.repartition(n, *cols)
 
 
@@ -60,14 +66,23 @@ def deterministic_row_salt(df: DataFrame, buckets: int) -> Column:
     per-row driver state).
 
     Map-typed columns are excluded: Spark rejects hash expressions over
-    maps (DATATYPE_MISMATCH.HASH_MAP_TYPE), and a map column adds no
-    spread the remaining columns don't already provide.
+    maps (DATATYPE_MISMATCH.HASH_MAP_TYPE). A schema with NO hashable
+    column at all (every column contains a map) is a loud error: the
+    salt would collapse to one constant per partition, silently
+    rebuilding the hot reducer the salt exists to break — and there is
+    no retry-deterministic per-row value left to hash.
     """
     from pyspark.sql import functions as F
 
     # quoted_col, not raw names: xxhash64(*names) resolves via col(),
     # which would parse a dotted column name as a struct-field path
     hashable = [quoted_col(c) for c in hashable_columns(df.schema)]
+    if not hashable:
+        raise ValueError(
+            "deterministic_row_salt: no hashable columns (every column "
+            "contains a map) — the salt would be constant per "
+            "partition; add a hashable key column before salting"
+        )
     return F.pmod(
         F.xxhash64(F.spark_partition_id(), *hashable), F.lit(buckets)
     )
@@ -78,14 +93,21 @@ def fresh_name(base: str, *dfs: DataFrame, extra: set[str] | None = None) -> str
     of any ``dfs`` (nor ``extra`` names). Operators that stage internal
     helper columns (salts, buckets, cell ids) must not silently replace
     a same-named user column — ``withColumn`` overwrites and the final
-    ``drop`` would then delete user data (round-6 review finding)."""
-    taken = set(extra or ())
+    ``drop`` would then delete user data (round-6 review finding).
+
+    Collisions are checked CASE-INSENSITIVELY: Spark's default
+    ``spark.sql.caseSensitive=false`` makes withColumn/drop resolve a
+    user column ``_SALT`` against a helper named ``_salt`` — the exact
+    silent-overwrite-then-delete this helper exists to prevent. A
+    false positive under a case-sensitive session merely picks the
+    suffixed name, which is always safe."""
+    taken = {n.casefold() for n in (extra or ())}
     for df in dfs:
-        taken.update(df.columns)
-    if base not in taken:
+        taken.update(n.casefold() for n in df.columns)
+    if base.casefold() not in taken:
         return base
     i = 0
-    while f"{base}{i}" in taken:
+    while f"{base}{i}".casefold() in taken:
         i += 1
     return f"{base}{i}"
 

@@ -41,6 +41,17 @@ def _resolve_schema(
     return schema
 
 
+def _with_quarantine(reader, strict: bool, corrupt_col: bool = True):
+    """One definition of the malformed-row policy (PERMISSIVE quarantine
+    vs FAILFAST) shared by the CSV/JSON/XML readers — triplicated
+    copies had already drifted (XML set columnNameOfCorruptRecord with
+    no schema, so no field existed to receive it)."""
+    reader = reader.option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+    return reader
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -53,11 +64,9 @@ def read_csv(
     dict compiled via X1). Permissive by default: malformed rows land in
     ``_corrupt_record`` instead of failing the job."""
     resolved = _resolve_schema(schema, with_corrupt_col=not strict)
-    reader = (
-        spark.read.schema(resolved)
-        .option("header", str(header).lower())
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    reader = _with_quarantine(
+        spark.read.schema(resolved).option("header", str(header).lower()),
+        strict,
     )
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -79,11 +88,11 @@ def read_json(
     JSON is disallowed by Spark (SPARK-21610) — cache the frame or
     select a data column alongside it when auditing corrupt rows."""
     resolved = _resolve_schema(schema, with_corrupt_col=not strict)
-    reader = (
-        spark.read.schema(resolved)
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .option("multiLine", str(multiline).lower())
+    reader = _with_quarantine(
+        spark.read.schema(resolved).option(
+            "multiLine", str(multiline).lower()
+        ),
+        strict,
     )
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -141,11 +150,12 @@ def read_xml(
     explicit read schema; default PERMISSIVE mode keeps corrupt records
     in ``_corrupt_record`` instead of failing the job.
     """
-    reader = (
-        spark.read.format("xml")
-        .option("rowTag", row_tag)
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    # the corrupt-record column only exists when an explicit schema
+    # (which _resolve_schema extends with it) is declared
+    reader = _with_quarantine(
+        spark.read.format("xml").option("rowTag", row_tag),
+        strict,
+        corrupt_col=schema is not None,
     )
     if schema is not None:
         reader = reader.schema(_resolve_schema(schema, not strict))
@@ -291,7 +301,16 @@ def read_parquet_evolved(
             if f.name not in matched_file_cols
         )
         if unknown:
-            cols.append(
-                F.struct(*[_q(c) for c in unknown]).alias("_extras")
+            # collision-proof the struct alias: a target field
+            # literally named '_extras' would otherwise duplicate in
+            # the output and every downstream reference raises
+            # AMBIGUOUS_REFERENCE
+            from dask_felleskomponenter_spark.operators.shuffle import (
+                fresh_name,
             )
+
+            alias = fresh_name(
+                "_extras", extra={f.name for f in target_schema.fields}
+            )
+            cols.append(F.struct(*[_q(c) for c in unknown]).alias(alias))
     return df.select(*cols)

@@ -1149,3 +1149,81 @@ def test_multikey_blocking_preserves_reserved_payload_names(spark):
     assert (r["a__bs"], r["b__bs"]) == ("keep1", "keep2")
     assert (r["a__k"], r["b__k"]) == ("k1", "k2")
     assert (r["a__id"], r["b__id"]) == ("i1", "i2")
+
+
+class TestRound8ShuffleAndIngestFindings:
+    def test_fresh_name_is_case_insensitive(self, spark):
+        """Spark's default caseSensitive=false resolves _SALT against a
+        helper named _salt — withColumn would overwrite and the final
+        drop delete the user's column; fresh_name must detect the
+        case-variant collision."""
+        from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+
+        df = spark.createDataFrame([(1, "x")], ["id", "_SALT"])
+        assert fresh_name("_salt", df) not in ("_salt", "_SALT")
+        assert fresh_name("_salt", df).lower() != "_salt"
+
+    def test_row_salt_requires_a_hashable_column(self, spark):
+        """All-map schemas have no retry-deterministic per-row value:
+        the salt would be constant per partition, silently rebuilding
+        the hot reducer — loud error instead."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.operators.shuffle import (
+            deterministic_row_salt,
+        )
+
+        df = spark.range(4).select(
+            F.create_map(F.lit("k"), F.col("id")).alias("m")
+        )
+        with _pytest.raises(ValueError, match="hashable"):
+            deterministic_row_salt(df, 16)
+
+    def test_pii_scan_survives_dotted_column(self, spark):
+        """A governance gate must not abort on a legal dotted column
+        name (quoted_col class)."""
+        from dask_felleskomponenter_spark.governance.data_checks import (
+            scan_text_pii,
+        )
+
+        df = spark.createDataFrame(
+            [("mail me at a@b.no",), ("clean",)], ["user.contact"]
+        )
+        findings = scan_text_pii(df, ["user.contact"], table="s.t")
+        assert any(f.column == "user.contact" for f in findings)
+
+    def test_pii_remedy_doubles_backticks(self, spark):
+        from dask_felleskomponenter_spark.governance.data_checks import (
+            scan_text_pii,
+        )
+
+        df = spark.createDataFrame([("a@b.no",)], ["we`ird"])
+        findings = scan_text_pii(df, ["we`ird"], table="s.t")
+        assert findings and "`we``ird`" in findings[0].solution
+
+    def test_evolved_reader_extras_alias_collision_proof(self, spark, tmp_path):
+        """A target field literally named _extras must not duplicate in
+        the output (AMBIGUOUS_REFERENCE downstream)."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from dask_felleskomponenter_spark.sources.files import (
+            read_parquet_evolved,
+        )
+
+        p = str(tmp_path / "d")
+        spark.createDataFrame(
+            [(1, "keep", "extra-val")], ["id", "_extras", "surprise"]
+        ).write.parquet(p)
+        target = StructType(
+            [StructField("id", LongType()), StructField("_extras", StringType())]
+        )
+        out = read_parquet_evolved(spark, p, target, extras="keep")
+        assert len(out.columns) == len(set(out.columns)), out.columns
+        row = out.collect()[0]
+        assert row["_extras"] == "keep"
