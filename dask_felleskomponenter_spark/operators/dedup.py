@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dask_felleskomponenter_spark.functions.text import WS_PATTERN, word_shingles  # noqa: F401
+from dask_felleskomponenter_spark.functions.text import word_shingles
 from dask_felleskomponenter_spark.operators.windows import keep_first
 
 
@@ -354,9 +354,14 @@ def duplicated_spans(
 ) -> DataFrame:
     """Exact-substring duplicated-span detection (the ExactSubstr pass of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
-    Better"): maximal token spans of length >= ``k`` that appear verbatim
-    in at least two *distinct* documents. Unlike document-level Jaccard or
-    MinHash, this finds the boilerplate passage *inside* otherwise-unique
+    Better"): maximal merges of overlapping/adjacent ``k``-token windows
+    each of which appears verbatim in at least two *distinct* documents.
+    Every ``k``-gram inside a returned span is cross-document duplicated;
+    the merged span AS A WHOLE need not appear verbatim anywhere else
+    (its constituent ``k``-grams may be shared with *different* partner
+    documents) — callers wanting whole-span verbatim matches must verify
+    against the partner text. Unlike document-level Jaccard or MinHash,
+    this finds the boilerplate passage *inside* otherwise-unique
     documents — the license header, the navigation chrome, the quoted
     reply — which is what actually gets memorized at pretraining scale.
 

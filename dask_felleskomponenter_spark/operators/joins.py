@@ -108,7 +108,10 @@ def interval_join(
 
     Matched right value columns land as ``{prefix}{col}``.
     """
-    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_prefix_free,
+        fresh_name,
+    )
 
     key_cols = list(on)
     lo_us, hi_us = range_bounds_us(lower_seconds, upper_seconds)
@@ -122,12 +125,7 @@ def interval_join(
     # The PREFIXED OUTPUT names are part of the API and cannot be
     # fresh-named away — a left column already holding one would make
     # the final projection ambiguous; fail loudly at plan-build time.
-    clash = {f"{prefix}{c}" for c in value_cols} & set(left.columns)
-    if clash:
-        raise ValueError(
-            f"prefixed output column(s) {sorted(clash)} collide with "
-            f"left columns; pass a different prefix"
-        )
+    ensure_prefix_free(prefix, value_cols, left.columns)
 
     # cast("timestamp") is a no-op for LTZ input but keeps NTZ-typed
     # columns legal for unix_micros (identical wall-clock under a UTC
@@ -202,19 +200,17 @@ def asof_join(
     from pyspark.sql import Window
     from pyspark.sql.types import StructField, StructType
 
-    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_prefix_free,
+        fresh_name,
+    )
 
     if not value_cols:
         raise ValueError("asof_join needs at least one value column")
     key_cols = list(on)
     out_cols = list(left.columns)
-    clash = {f"{prefix}{c}" for c in value_cols} & set(out_cols)
-    if clash:
-        # the prefixed output names are API and can't be fresh-named
-        raise ValueError(
-            f"prefixed output column(s) {sorted(clash)} collide with "
-            f"left columns; pass a different prefix"
-        )
+    # the prefixed output names are API and can't be fresh-named
+    ensure_prefix_free(prefix, value_cols, out_cols)
 
     # Internal stream-tag names must not shadow user columns — a left
     # column literally named "_asof_ts" would otherwise duplicate in the
@@ -338,7 +334,10 @@ def grid_box_join(
 
     Matched right columns land as ``{prefix}{col}``.
     """
-    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_prefix_free,
+        fresh_name,
+    )
 
     lx, ly = left_xy
     rx, ry = right_xy
@@ -348,14 +347,9 @@ def grid_box_join(
 
     # Helper names picked clear of both the left columns and the
     # prefixed right columns — withColumn must never replace user data.
+    # (The box filter's F.col(f"{prefix}{rx}") would be ambiguous.)
     prefixed = {f"{prefix}{c}" for c in right.columns}
-    clash = prefixed & set(left.columns)
-    if clash:
-        # the box filter's F.col(f"{prefix}{rx}") would be ambiguous
-        raise ValueError(
-            f"prefixed right column(s) {sorted(clash)} collide with "
-            f"left columns; pass a different prefix"
-        )
+    ensure_prefix_free(prefix, right.columns, left.columns)
     cx_col = fresh_name("_cell_x", left, extra=prefixed)
     cy_col = fresh_name("_cell_y", left, extra=prefixed | {cx_col})
     dx_col = fresh_name("_dx", left, extra=prefixed)

@@ -112,6 +112,30 @@ def fresh_name(base: str, *dfs: DataFrame, extra: set[str] | None = None) -> str
     return f"{base}{i}"
 
 
+def ensure_prefix_free(
+    prefix: str, value_cols, against, what: str = "left"
+) -> None:
+    """Raise if any ``{prefix}{col}`` output name collides with a column
+    in ``against``. Prefixed output names are API (callers select them
+    by name), so unlike internal helper columns they can't be silently
+    ``fresh_name``-d away — a collision must be a loud error before the
+    join builds an ambiguous plan. Case-insensitive, matching
+    ``fresh_name`` and Spark's default ``spark.sql.caseSensitive=false``
+    resolution (a user column ``RNG_VALUE`` resolves against a prefixed
+    ``rng_value`` just as fatally as an exact-case twin)."""
+    taken = {n.casefold() for n in against}
+    clash = sorted(
+        f"{prefix}{c}"
+        for c in value_cols
+        if f"{prefix}{c}".casefold() in taken
+    )
+    if clash:
+        raise ValueError(
+            f"prefixed output column(s) {clash} collide with "
+            f"{what} columns; pass a different prefix"
+        )
+
+
 def hashable_columns(schema) -> list[str]:
     """Column names of ``schema`` safe to feed to ``xxhash64``/``hash``:
     everything except columns containing a MapType anywhere in their

@@ -38,8 +38,30 @@ def l2_norm(a: Column) -> Column:
 def _safe_norm(a: Column) -> Column:
     """L2 norm floored at 1e-12 for use as a divisor: a zero vector
     (empty document's embedding) must score 0, not kill the whole query
-    with ANSI DIVIDE_BY_ZERO. Mirrors the PQ encoder's ``_norm_expr``."""
+    with ANSI DIVIDE_BY_ZERO. Mirrors the PQ encoder's ``_norm_expr``.
+
+    TRAP: for an array containing a NULL *element*, ``l2_norm`` is NULL
+    and ``greatest(NULL, 1e-12)`` SKIPS the NULL — the floor becomes the
+    answer, so anywhere the norm divides individual elements (the index
+    builds) one dirty element would turn into a ~1e12-scale normalized
+    vector. Pure scorers are safe (their NULL numerator dominates), but
+    every build/encode path must exclude such rows first — see
+    ``elements_nonnull``."""
     return F.greatest(l2_norm(a), F.lit(1e-12))
+
+
+def elements_nonnull(col: str | Column) -> Column:
+    """True iff the array is non-NULL and contains no NULL element.
+
+    Element-NULL vectors NULL every aggregate built over them (``dot``,
+    ``l2_norm``) yet pass a bare ``isNotNull()`` + ``size()`` guard, so
+    without this check they would (a) poison centroid/codebook means via
+    the ``_safe_norm`` 1e-12 floor and (b) file into valid-looking
+    bucket-0 / highest-cell / code-0 slots of a partitioned ANN store.
+    All index builds and all bucket/cell/code guards treat them as
+    NULL-equivalent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & F.forall(c, lambda x: x.isNotNull())
 
 
 def with_vector_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
@@ -223,40 +245,65 @@ def cosine_neardup_pairs(
 
     from pyspark.sql.types import (
         DoubleType,
-        LongType,
         StructField,
         StructType,
     )
 
-    spark = emb_df.sparkSession
     # NULL embeddings would reach the numpy tile as None (np.stack
     # raises on ragged/None input, killing the whole job) and the JVM
     # scoring paths define them as no-match anyway — filter before the
-    # shuffle, mirroring cosine_topk_per_query's null handling.
-    tagged = emb_df.filter(F.col(vec_col).isNotNull()).select(
+    # shuffle, mirroring cosine_topk_per_query's null handling. NULL
+    # *elements* go too: they'd arrive as NaN/object cells and corrupt
+    # the GEMM, where the JVM zip_with twin scores such pairs NULL.
+    tagged = emb_df.filter(elements_nonnull(vec_col)).select(
         F.col(id_col).alias("_id"),
         as_double_vec(vec_col).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
-    # Block-pair table generated JVM-side with spark.range:
-    # createDataFrame would round-trip pickled rows through a driver temp
-    # file, which measures 10-20s in long-lived sessions under shuffle
-    # I/O pressure — for 36 rows.
-    pairs = (
-        spark.range(n_blocks * n_blocks)
-        .select(
-            (F.col("id") / n_blocks).cast("long").alias("_b1"),
-            F.pmod(F.col("id"), n_blocks).alias("_b2"),
-        )
-        .filter(F.col("_b1") <= F.col("_b2"))
+    # Each row's block-pair memberships come from ONE plan-literal
+    # lookup (an array of n_blocks membership lists, n_blocks+1 structs
+    # each) indexed by the row's block, then explode. A row in block b
+    # is the L side of every pair (b, b2>=b) and the R side of every
+    # pair (b1<=b, b) — the same replication as the textbook
+    # two-joins-against-a-pair-table formulation, but the corpus (the
+    # widest input of the operator) is SCANNED AND PROJECTED ONCE
+    # instead of twice.
+    memberships = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(blk).cast("long").alias("_b1"),
+                        F.lit(b2).cast("long").alias("_b2"),
+                        F.lit("L").alias("_side"),
+                    )
+                    for b2 in range(blk, n_blocks)
+                ],
+                *[
+                    F.struct(
+                        F.lit(b1).cast("long").alias("_b1"),
+                        F.lit(blk).cast("long").alias("_b2"),
+                        F.lit("R").alias("_side"),
+                    )
+                    for b1 in range(0, blk + 1)
+                ],
+            )
+            for blk in range(n_blocks)
+        ]
     )
-    left = pairs.join(tagged, tagged["_blk"] == pairs["_b1"]).select(
-        "_b1", "_b2", "_id", "_v", F.lit("L").alias("_side")
+    grouped = tagged.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.element_at(memberships, (F.col("_blk") + 1).cast("int"))
+        ).alias("_m"),
+    ).select(
+        F.col("_m._b1").alias("_b1"),
+        F.col("_m._b2").alias("_b2"),
+        "_id",
+        "_v",
+        F.col("_m._side").alias("_side"),
     )
-    right = pairs.join(tagged, tagged["_blk"] == pairs["_b2"]).select(
-        "_b1", "_b2", "_id", "_v", F.lit("R").alias("_side")
-    )
-    grouped = left.unionByName(right)
 
     # id fields take id_col's actual type — a hardcoded LongType breaks
     # Arrow conversion for string/int32 id columns
@@ -368,7 +415,11 @@ def build_ivf_centroids(
     # NULL embeddings: the scorers define them as no-match and skip
     # them; a NULL among the n_cells lowest-id rows would otherwise
     # abort the whole build with a bare TypeError from list(None).
-    emb_df = emb_df.filter(F.col(vec_col).isNotNull())
+    # Element-NULL embeddings must go too: their _safe_norm floors to
+    # 1e-12 (greatest skips the NULL norm) and avg(_x/_n) would average
+    # ~1e12-scale values into the cell mean — one dirty row corrupts
+    # the whole quantizer.
+    emb_df = emb_df.filter(elements_nonnull(vec_col))
     v = as_double_vec(vec_col)
     seeds = (
         emb_df.orderBy(id_col)
@@ -382,6 +433,19 @@ def build_ivf_centroids(
             f"to seed the IVF quantizer, got {len(seeds)}"
         )
     centroids = [list(r["_v"]) for r in seeds]
+    dims = {len(c) for c in centroids}
+    if len(dims) != 1:
+        raise ValueError(
+            f"seed embeddings have mixed lengths {sorted(dims)}; the "
+            f"quantizer dimension is defined by the corpus — clean "
+            f"ragged vectors before building"
+        )
+    # Ragged rows (length ≠ the seeds' dim) score NULL against every
+    # centroid (zip_with NULL-pads), tie to the highest cell, and their
+    # posexplode'd dims would misalign that cell's mean — or EXTEND it
+    # past dim. Exclude them, matching with_ivf_cell's NULL-cell
+    # contract for the same rows at encode time.
+    emb_df = emb_df.filter(F.size(F.col(vec_col)) == dims.pop())
     for _ in range(max(0, iters)):
         # Stage the norm once per row (attribute reference) so the
         # assignment expression doesn't duplicate the aggregate tree
@@ -448,9 +512,11 @@ def with_ivf_cell(
     # Ragged vectors (length ≠ centroid dim) hit the exact same mode:
     # zip_with NULL-pads the shorter side, every dot is NULL, and the
     # row lands in the highest cell — so length inequality gets a NULL
-    # cell too, consistent with with_lsh_bucket / with_pq_codes.
+    # cell too, consistent with with_lsh_bucket / with_pq_codes. So do
+    # element-NULL vectors of the RIGHT length: every dot is NULL the
+    # same way, and only elements_nonnull catches them.
     cell = F.when(
-        F.col(vec_col).isNotNull()
+        elements_nonnull(vec_col)
         & (F.size(F.col(vec_col)) == len(centroids[0])),
         nearest_cell_col(v, centroids, nrm=F.col(ncol)),
     )
@@ -504,12 +570,28 @@ def probed_cells(
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH (driver-side
     constants — tiny, shipped in the plan as literals)."""
+    if not 1 <= bits <= 63:
+        raise ValueError(
+            f"bits must be in [1, 63] (bucket ids pack into a signed "
+            f"bigint), got {bits}"
+        )
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
 def signbit_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: one bit per hyperplane, packed into a bigint."""
+    """Sign-LSH bucket id: one bit per hyperplane, packed into a bigint.
+
+    At most 63 planes: bit 63 is the bigint sign bit, and ``F.lit(2**63)``
+    overflows LongType at plan-build time with an opaque literal error —
+    validate loudly instead (and the driver-side ``query_bucket`` twin
+    computes in unbounded Python ints, so its id could never match a
+    wrapped JVM bucket anyway)."""
+    if len(planes) > 63:
+        raise ValueError(
+            f"signbit_bucket packs one bit per plane into a signed "
+            f"bigint; got {len(planes)} planes, max 63"
+        )
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         bit = F.when(dot(vec_col, literal_vector(plane)) >= 0, F.lit(1)).otherwise(
@@ -544,11 +626,13 @@ def with_lsh_bucket(
     # a short vector NULL-pads itself), and `when(dot >= 0, 1)
     # .otherwise(0)` would quietly turn that into bit 0 per plane —
     # filing every such row inside the GENUINE bucket 0 of the
-    # partitioned store, indistinguishable from real members. Exact
-    # length equality is the only input class with a well-defined
-    # bucket.
+    # partitioned store, indistinguishable from real members. A
+    # dim-length vector with a NULL *element* hits the identical mode
+    # (each dot is NULL), so the guard is elements_nonnull, not a bare
+    # isNotNull. Exact length equality with no NULL elements is the
+    # only input class with a well-defined bucket.
     bucket = F.when(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim),
+        elements_nonnull(vec_col) & (F.size(F.col(vec_col)) == dim),
         signbit_bucket(as_double_vec(vec_col), planes),
     )
     return df.withColumn(bucket_col, bucket)
@@ -689,14 +773,19 @@ def with_pq_codes(
     codes = F.array(
         *_pq_argmin_cols(F.col(vec_col), F.col(ncol), codebooks, dim)
     )
-    # A NULL embedding — and a RAGGED one, shorter than dim — must
-    # encode to NULL codes, not [0]*m: every per-centroid objective is
-    # NULL and array_min's struct order sorts NULL first, so the argmin
-    # would resolve to code 0 everywhere — valid-looking codes for a
-    # vector that doesn't exist, which ADC scoring (codes-only, never
-    # re-reads the raw vector) would then rank as a real neighbor.
+    # A NULL embedding — and a RAGGED one, EITHER direction — must
+    # encode to NULL codes, not [0]*m: shorter vectors NULL every
+    # per-centroid objective (array_min's struct order sorts NULL first,
+    # argmin resolves to code 0 everywhere), and a LONGER vector would
+    # silently encode from its first dim elements — non-NULL codes for
+    # a vector its siblings (with_ivf_cell / with_lsh_bucket) NULL out,
+    # which then occupies ADC shortlist slots the exact re-rank can only
+    # discard (zip_with scores the length-mismatched pair NULL),
+    # shrinking the re-rank pool below ``shortlist`` with no error.
+    # Element-NULL vectors of the right length hit the code-0 mode too
+    # (NULL objective per centroid), hence elements_nonnull.
     codes = F.when(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim), codes
+        elements_nonnull(vec_col) & (F.size(F.col(vec_col)) == dim), codes
     )
     return staged.withColumn(out_col, codes).drop(ncol)
 
@@ -728,11 +817,14 @@ def build_pq_codebooks(
     if d * m != dim:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     # NULL embeddings among the k lowest ids would abort the build with
-    # a bare TypeError (None is not subscriptable), and RAGGED vectors
-    # (shorter than dim) would ANSI-abort the element_at walk — skip
-    # both, matching the encoder's no-match convention.
+    # a bare TypeError (None is not subscriptable); RAGGED vectors
+    # (either direction) and element-NULL vectors poison the means —
+    # a NULL element floors _norm_expr to 1e-12 so `unit`/`_sv` blow up
+    # to ~1e12 scale, and an over-length vector trains on a truncated
+    # prefix the encoder now refuses to code. Keep exactly the input
+    # class the encoder encodes.
     emb_df = emb_df.filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim)
+        elements_nonnull(vec_col) & (F.size(F.col(vec_col)) == dim)
     )
     v = F.col(vec_col)
 

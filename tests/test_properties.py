@@ -1227,3 +1227,45 @@ class TestRound8ShuffleAndIngestFindings:
         assert len(out.columns) == len(set(out.columns)), out.columns
         row = out.collect()[0]
         assert row["_extras"] == "keep"
+
+
+def test_prefix_collision_is_case_insensitive(spark):
+    """ensure_prefix_free (round-8 consolidation of three copy-pasted
+    checks) must match CASE-INSENSITIVELY: under Spark's default
+    spark.sql.caseSensitive=false a left column RNG_V resolves against
+    the prefixed output rng_v just as ambiguously as an exact-case twin,
+    but the old `set &` checks let it through to a broken plan."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.joins import (
+        asof_join,
+        grid_box_join,
+        interval_join,
+    )
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_prefix_free,
+    )
+
+    ensure_prefix_free("p_", ["a"], ["x", "y"])  # no clash: no raise
+    with _pytest.raises(ValueError, match="collide"):
+        ensure_prefix_free("p_", ["a"], ["P_A"])
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts="2024-01-01 00:00:00", RNG_V="mine", ASOF_V="mine")]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [Row(k=1, rts="2024-01-01 00:00:00", v="x")]
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                      lower_seconds=-300.0, upper_seconds=0.0,
+                      value_cols=["v"], prefix="rng_")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  value_cols=["v"], prefix="asof_")
+    pts_l = spark.createDataFrame([Row(x=0.0, y=0.0, NB_X="mine")])
+    pts_r = spark.createDataFrame([Row(x=0.1, y=0.1)])
+    with _pytest.raises(ValueError, match="collide"):
+        grid_box_join(pts_l, pts_r, left_xy=("x", "y"), right_xy=("x", "y"),
+                      radius=1.0, prefix="nb_")

@@ -527,3 +527,148 @@ class TestRaggedAndNullVectors:
         # mean would be (250.75, 50.01) — y/x ratio 0.2 vs ~0.06
         cx, cy = cents[0]
         assert cy / cx < 0.1, cents
+
+
+class TestElementNullVectors:
+    """Round-8 review findings: embeddings whose ARRAY is non-NULL but
+    contain a NULL element pass bare isNotNull/size guards, NULL every
+    aggregate built over them, and — via greatest(NULL, 1e-12) in
+    _safe_norm — poison any path dividing elements by the norm."""
+
+    def _df(self, spark, extra_rows=()):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(vec_id=i, embedding=[float((i * 3 + j) % 7) + 0.25 for j in range(4)])
+            for i in range(8)
+        ] + list(extra_rows)
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_guards_null_out_element_null_vectors(self, spark):
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_ivf_centroids,
+            build_pq_codebooks,
+            with_ivf_cell,
+            with_lsh_bucket,
+            with_pq_codes,
+        )
+
+        dirty = Row(vec_id=99, embedding=[1.0, None, 2.0, 3.0])  # right length!
+        df = self._df(spark, [dirty])
+        cents = build_ivf_centroids(df, n_cells=2, iters=1)
+        cbs = build_pq_codebooks(df, dim=4, m=2, k=2, iters=1)
+        cells = {r["vec_id"]: r["ivf_cell"] for r in with_ivf_cell(df, cents).collect()}
+        bkts = {r["vec_id"]: r["lsh_bucket"] for r in with_lsh_bucket(df, dim=4, bits=4).collect()}
+        codes = {r["vec_id"]: r["pq_codes"] for r in with_pq_codes(df, cbs, dim=4).collect()}
+        assert cells[99] is None and bkts[99] is None and codes[99] is None
+        assert all(cells[i] is not None for i in range(8))
+        assert all(bkts[i] is not None for i in range(8))
+        assert all(codes[i] is not None for i in range(8))
+
+    def test_builds_ignore_dirty_rows_entirely(self, spark):
+        """Centroids/codebooks trained with element-NULL and ragged rows
+        present must equal the clean-corpus build — one dirty row used
+        to contribute ~1e12-scale terms to its cell's mean."""
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_ivf_centroids,
+            build_pq_codebooks,
+        )
+
+        dirty = [
+            Row(vec_id=90, embedding=[1.0, None, 2.0, 3.0]),
+            Row(vec_id=91, embedding=[1.0, 2.0]),            # short
+            Row(vec_id=92, embedding=[1.0, 2.0, 3.0, 4.0, 5.0]),  # long
+        ]
+        clean_df, full_df = self._df(spark), self._df(spark, dirty)
+        assert build_ivf_centroids(full_df, n_cells=2, iters=2) == \
+            build_ivf_centroids(clean_df, n_cells=2, iters=2)
+        assert build_pq_codebooks(full_df, dim=4, m=2, k=2, iters=2) == \
+            build_pq_codebooks(clean_df, dim=4, m=2, k=2, iters=2)
+
+    def test_ivf_build_rejects_mixed_length_seeds(self, spark):
+        import pytest
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_ivf_centroids,
+        )
+
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[1.0, 2.0]),
+             Row(vec_id=2, embedding=[1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="mixed lengths"):
+            build_ivf_centroids(df, n_cells=2, iters=1)
+
+    def test_pq_codes_null_for_over_length_vector(self, spark):
+        """>= dim guard truncated longer vectors into valid-looking
+        codes its siblings NULL out; the contract is == dim."""
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            build_pq_codebooks,
+            with_pq_codes,
+        )
+
+        df = self._df(spark, [Row(vec_id=77, embedding=[1.0, 2.0, 3.0, 4.0, 5.0])])
+        cbs = build_pq_codebooks(df, dim=4, m=2, k=2, iters=1)
+        codes = {r["vec_id"]: r["pq_codes"] for r in with_pq_codes(df, cbs, dim=4).collect()}
+        assert codes[77] is None
+
+    def test_neardup_pairs_exclude_element_null_rows(self, spark):
+        from pyspark.sql import Row
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            cosine_neardup_pairs,
+        )
+
+        rows = [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.001]),
+            Row(vec_id=3, embedding=[1.0, None]),  # must not crash the tile
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {(r["id_a"], r["id_b"]) for r in
+               cosine_neardup_pairs(df, threshold=0.9, n_blocks=2).collect()}
+        assert got == {(1, 2)}
+
+
+class TestLshBitsValidation:
+    def test_bits_64_raises_loudly(self, spark):
+        import pytest
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            query_bucket,
+            random_hyperplanes,
+            signbit_bucket,
+            with_lsh_bucket,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match=r"\[1, 63\]"):
+            with_lsh_bucket(df, dim=2, bits=64)
+        with pytest.raises(ValueError, match=r"\[1, 63\]"):
+            random_hyperplanes(2, 0)
+        with pytest.raises(ValueError, match=r"\[1, 63\]"):
+            query_bucket([1.0, 2.0], bits=64)
+        planes = [[1.0, 0.0]] * 64
+        with pytest.raises(ValueError, match="max 63"):
+            signbit_bucket(F.col("embedding"), planes)
+
+    def test_bits_63_is_the_supported_max(self, spark):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            with_lsh_bucket,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0] * 4)], "vec_id long, embedding array<double>"
+        )
+        [row] = with_lsh_bucket(df, dim=4, bits=63).collect()
+        assert row["lsh_bucket"] is not None and row["lsh_bucket"] >= 0
