@@ -51,7 +51,19 @@ def rank_topn_per_group(
     n: int,
     rank_col: str = "rn",
 ) -> DataFrame:
-    """Top-N rows per group, rank exposed in ``rank_col``."""
+    """Top-N rows per group, rank exposed in ``rank_col``.
+
+    ``rank_col`` is part of the OUTPUT contract (callers select it by
+    name), so unlike ``keep_first``'s internal ``rn_col`` it can't be
+    fresh-named away — ``withColumn`` would silently overwrite a
+    same-named user column with the rank and then FILTER on it, so a
+    collision is a loud error instead (case-insensitive, matching
+    Spark's default resolution)."""
+    if any(c.casefold() == rank_col.casefold() for c in df.columns):
+        raise ValueError(
+            f"rank_col {rank_col!r} collides with an existing column; "
+            f"pass a different rank_col"
+        )
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= n
@@ -79,6 +91,14 @@ def lag_sessionize(
     windows ``[t, t+gap]`` merge on single-point overlap, so two events
     exactly one gap apart share a session). All three sessionization
     paths agree at the boundary.
+
+    NULL timestamps are DROPPED, matching both streaming twins:
+    ``F.session_window``'s
+    SessionWindowing rule injects ``ts IS NOT NULL`` silently and the
+    stateful sessionizer filters them explicitly — while here a NULL ts
+    would make ``lag`` NULL for the row AND its successor, emitting one
+    phantom session per NULL row and breaking the three-path agreement
+    this docstring claims.
     """
     from decimal import Decimal
 
@@ -117,6 +137,12 @@ def lag_sessionize(
         if dtype.startswith("timestamp")
         else F.col(ts_col).cast("timestamp")
     )
+    # A session is a time-chain: timestamp-less rows can't chain (see
+    # docstring — the streaming twins drop them, and lag() would mint a
+    # phantom session per NULL row here). Malformed STRINGS still abort
+    # loudly (ANSI cast), as they always did — this filter is for
+    # genuine NULLs.
+    df = df.filter(ts.isNotNull())
     # Order both windows by the CAST timestamp, not the raw column: for
     # string input in a non-lexicographic format ('2024-01-01 9:00:00'
     # sorts after '... 10:00:00' as text) raw-column order would pair

@@ -564,6 +564,25 @@ def __getattr__(name: str):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
+def _col_dtype(df: DataFrame, col: str) -> str:
+    """Resolve a column's dtype the way Spark resolves the COLUMN —
+    case-insensitively under the default ``spark.sql.caseSensitive=
+    false``. A plain ``dict(df.dtypes)[col]`` raises a bare KeyError for
+    ``'USER_ID'`` against a ``user_id`` column that ``groupBy`` itself
+    accepts (the bug class ``lag_sessionize`` fixed; the TWS operators
+    reintroduced it)."""
+    dtypes = df.dtypes
+    for n, t in dtypes:
+        if n == col:
+            return t
+    for n, t in dtypes:
+        if n.lower() == col.lower():
+            return t
+    raise ValueError(
+        f"column {col!r} not found; have {[n for n, _ in dtypes]}"
+    )
+
+
 def _require_tws() -> None:
     """Shared gate for the transformWithState operators: one message,
     one place (three operators guard on it)."""
@@ -616,7 +635,7 @@ def running_totals_stateful(
         def close(self) -> None:
             pass
 
-    key_type = dict(events.dtypes)[key_col]
+    key_type = _col_dtype(events, key_col)
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_RunningTotals(),
         outputStructType=(
@@ -708,7 +727,14 @@ def category_profile_stateful(
                 for cat, row in grouped.iterrows():
                     c0, s0 = local.get(cat, (0, 0.0))
                     local[cat] = (c0 + int(row["count"]), s0 + float(row["sum"]))
-                tail.extend((float(v),) for v in pdf[value_col])
+                # Only the last recent_cap values can survive — slice
+                # BEFORE tupling. The per-row form allocated one tuple
+                # per input row just to throw all but 8 away: O(batch)
+                # memory per key in an operator advertising O(1) state.
+                tail.extend(
+                    (float(v),) for v in pdf[value_col].iloc[-recent_cap:]
+                )
+                del tail[:-recent_cap]
             for cat, (c_new, s_new) in local.items():
                 cat_key = (cat,)
                 if self._per_cat.containsKey(cat_key):
@@ -740,7 +766,7 @@ def category_profile_stateful(
         def close(self) -> None:
             pass
 
-    key_type = dict(events.dtypes)[key_col]
+    key_type = _col_dtype(events, key_col)
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_CategoryProfile(),
         outputStructType=(
@@ -814,7 +840,7 @@ def timer_probe_stateful(events: DataFrame, key_col: str = "user_id") -> DataFra
         def close(self) -> None:
             pass
 
-    key_type = dict(events.dtypes)[key_col]
+    key_type = _col_dtype(events, key_col)
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_TimerProbe(),
         outputStructType=(
@@ -887,6 +913,14 @@ def stream_neardup_ingest(
             return_buckets=True,
         )
         novel = novel.localCheckpoint(eager=True)
+        # buckets' lineage still holds the history-table scan, the
+        # bucket-width aggregate, and the screens — record_novel_
+        # signatures appends to that same history table, so evaluating
+        # the plan lazily there is the read-while-mutating pattern
+        # dedup_against_history localCheckpoints against, AND it pays
+        # the whole history screen a second time per micro-batch
+        # (exactly what return_buckets exists to avoid).
+        buckets = buckets.localCheckpoint(eager=True)
         novel.write.mode("append").parquet(corpus_path)
         record_novel_signatures(
             novel,

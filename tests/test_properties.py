@@ -1269,3 +1269,61 @@ def test_prefix_collision_is_case_insensitive(spark):
     with _pytest.raises(ValueError, match="collide"):
         grid_box_join(pts_l, pts_r, left_xy=("x", "y"), right_xy=("x", "y"),
                       radius=1.0, prefix="nb_")
+
+
+def test_lag_sessionize_drops_null_timestamps(spark):
+    """Round-8 finding: a NULL ts made lag() NULL for the row AND its
+    successor — one phantom session per NULL row, diverging from both
+    streaming twins (session_window and the stateful sessionizer drop
+    NULL-ts rows). The batch operator now drops them too."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.windows import lag_sessionize
+
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, ts="2024-01-01 00:00:00"),
+            Row(u=1, ts="2024-01-01 00:10:00"),  # same session (gap 600s)
+            Row(u=1, ts=None),
+            Row(u=1, ts=None),
+            Row(u=1, ts=None),
+        ],
+        "u long, ts string",
+    )
+    out = lag_sessionize(ev, "u", "ts", gap_seconds=1800).collect()
+    assert len(out) == 2  # NULL/uncastable rows are gone, not sessions
+    assert {r["session_id"] for r in out} == {1}
+
+
+def test_rank_topn_rejects_colliding_rank_col(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.windows import (
+        rank_topn_per_group,
+    )
+
+    df = spark.createDataFrame([Row(k=1, v=2, rn=9)])
+    with _pytest.raises(ValueError, match="rank_col"):
+        rank_topn_per_group(df, ["k"], [F.col("v").desc()], n=1)
+    with _pytest.raises(ValueError, match="rank_col"):  # case-insensitive
+        rank_topn_per_group(
+            df, ["k"], [F.col("v").desc()], n=1, rank_col="RN"
+        )
+    out = rank_topn_per_group(
+        df, ["k"], [F.col("v").desc()], n=1, rank_col="rank2"
+    ).collect()
+    assert out[0]["rn"] == 9 and out[0]["rank2"] == 1
+
+
+def test_streaming_col_dtype_is_case_insensitive(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.streaming.ops import _col_dtype
+
+    df = spark.createDataFrame([Row(user_id=1, value=2.0)])
+    assert _col_dtype(df, "user_id") == "bigint"
+    assert _col_dtype(df, "USER_ID") == "bigint"  # groupBy accepts this
+    with _pytest.raises(ValueError, match="not found"):
+        _col_dtype(df, "nope")
