@@ -2462,3 +2462,97 @@ FROM unioned
 GROUP BY origin
 ORDER BY origin
 """
+
+# arg_max/arg_min twin of max_by/min_by. Ties are unspecified in both
+# engines, so the ordering values are composite strings with the unique
+# orderkey tie-break; cents are offset positive before lpad so planted
+# negative prices keep lexicographic order.
+ORACLES["argminmax_orders_priority"] = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  arg_max(o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') || '#'
+            || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS latest_orderkey,
+  arg_min(o_orderkey,
+          lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + 10000000000 AS VARCHAR), 14, '0') || '#'
+            || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS cheapest_orderkey
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+"""
+
+# Bitwise aggregate twin: hour-of-day presence bitmap per user, profiled
+# by popcount. NULL ts excluded explicitly on both engines.
+ORACLES["bitmap_hour_activity"] = """
+WITH per_user AS (
+  SELECT user_id,
+         bit_or((1::BIGINT) << EXTRACT(hour FROM ts)::INT) AS hour_mask
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id
+)
+SELECT CAST(bit_count(hour_mask) AS INT) AS n_active_hours,
+       COUNT(*) AS n_users,
+       MIN(hour_mask) AS min_mask,
+       MAX(hour_mask) AS max_mask
+FROM per_user
+GROUP BY 1
+ORDER BY 1
+"""
+
+# TRY_CAST twin; SUM(BIGINT) widens to HUGEINT and count_if returns
+# HUGEINT — cast both back.
+ORACLES["try_cast_typed_backfill"] = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(count_if(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL) AS BIGINT) AS n_cast_ok,
+  CAST(count_if(json_extract_string(props, '$.k') IS NOT NULL
+                AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      IS NULL) AS BIGINT) AS n_cast_bad,
+  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type NULLS FIRST
+"""
+
+# generate_series/UNNEST twin of the sequence/explode date spine;
+# generate_series over DATE bounds yields timestamps — cast back, same
+# as the Spark side.
+ORACLES["date_spine_order_gaps"] = """
+WITH o AS (
+  SELECT DISTINCT o_custkey, o_orderdate FROM orders
+  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    AND o_custkey IS NOT NULL
+), span AS (
+  SELECT o_custkey, MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+  FROM o GROUP BY 1 HAVING COUNT(*) >= 2
+), spine AS (
+  SELECT o_custkey,
+         UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                INTERVAL 1 DAY))::DATE AS d
+  FROM span
+), miss AS (
+  SELECT s.o_custkey, s.d
+  FROM spine s LEFT JOIN o
+    ON o.o_custkey = s.o_custkey AND o.o_orderdate = s.d
+  WHERE o.o_orderdate IS NULL
+)
+SELECT o_custkey, COUNT(*) AS gap_days,
+       MIN(d) AS first_gap, MAX(d) AS last_gap
+FROM miss GROUP BY 1 ORDER BY o_custkey
+"""
+
+# bool_and/bool_or/count_if twin; NULL balances skip the bool aggregates
+# and count false in count_if on both engines.
+ORACLES["bool_flags_by_segment"] = """
+SELECT c_mktsegment,
+  COUNT(*) AS n_customers,
+  bool_and(c_acctbal > 0) AS all_positive,
+  bool_or(c_acctbal < 0) AS any_negative,
+  CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_wealthy
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment NULLS FIRST
+"""

@@ -4558,21 +4558,218 @@ def union_byname_backfill_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def argminmax_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by``/``min_by`` (SQL ``arg_max``/``arg_min``) per priority:
+    the orderkey of the LATEST order and of the CHEAPEST order — the
+    one-pass alternative to a keep-first window when only one witness
+    column is wanted.
+
+    Determinism: both engines leave arg-extrema ties UNSPECIFIED, so the
+    ordering value is a composite string key with the unique orderkey as
+    tie-break. The cheapest key offsets exact integer cents by 1e10
+    before ``lpad`` so planted NEGATIVE prices (refunds fuzz class) stay
+    lexicographically ordered — '-' sorts above digits and would invert
+    the comparison. Rows with a NULL ordering value (NULL date/price
+    nulls the concat) are ignored by both engines' arg-extrema, by
+    definition.
+
+    Scale: one partial-aggregating shuffle on the 5-value priority key;
+    the composite keys are computed map-side, no window, no second
+    scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    okey = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    cents = (dmoney("o_totalprice") * 100).cast("long")
+    latest_key = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("#"), okey
+    )
+    cheap_key = F.concat(
+        F.lpad((cents + F.lit(10_000_000_000)).cast("string"), 14, "0"),
+        F.lit("#"),
+        okey,
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max_by("o_orderkey", latest_key).alias("latest_orderkey"),
+            F.min_by("o_orderkey", cheap_key).alias("cheapest_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def bitmap_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-aggregate activity bitmap (§2B math/agg surface): each
+    user's active hours-of-day OR-folded into one bigint
+    (``bit_or(1 << hour)``), then the user population profiled by
+    ``bit_count`` — the classic compressed-set idiom where a 24-slot
+    presence set rides in 8 bytes through the shuffle instead of a
+    collect_set.
+
+    NULL timestamps are excluded explicitly on both engines (an hour of
+    nothing sets no bit, and Spark's ``hour(NULL)`` row would vanish
+    from ``bit_or`` anyway — the filter makes it symmetric and pushes
+    to the scan).
+
+    Scale: two aggregates, both partial-before-shuffle; state per user
+    is ONE long regardless of event count."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), hour(ts))")).alias(
+            "hour_mask"
+        )
+    )
+    return (
+        per_user.select(
+            "hour_mask",
+            F.bit_count("hour_mask").cast("int").alias("n_active_hours"),
+        )
+        .groupBy("n_active_hours")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("hour_mask").alias("min_mask"),
+            F.max("hour_mask").alias("max_mask"),
+        )
+        .orderBy("n_active_hours")
+    )
+
+
+def try_cast_typed_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-ingest typed backfill via ``try_cast`` (SQL ``TRY_CAST``):
+    extract a JSON field as STRING, cast it NULL-on-error, and profile
+    parse health per event type — the never-abort ingestion contract
+    (ANSI ``CAST`` would kill a 100 TB job on the first malformed cell;
+    ``try_cast`` quarantines it as a countable NULL instead).
+
+    ``n_cast_bad`` distinguishes present-but-malformed from absent —
+    the two NULL sources a data-quality dashboard must not conflate.
+
+    Scale: pure map-side expression work into one partial-aggregated
+    shuffle on the low-cardinality type key."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.get_json_object("props", "$.k")
+    return (
+        ev.select(
+            "event_type",
+            raw.alias("_raw"),
+            raw.try_cast("bigint").alias("_k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("_k").isNotNull()).alias("n_cast_ok"),
+            F.count_if(
+                F.col("_raw").isNotNull() & F.col("_k").isNull()
+            ).alias("n_cast_bad"),
+            F.sum("_k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def date_spine_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-densify then find the holes: per customer active in
+    1995 (>= 2 distinct order dates), the count and bounds of calendar
+    days between their first and last order with NO order placed —
+    ``sequence``/``explode`` as the date-spine generator (DuckDB
+    ``generate_series``/``UNNEST``), anti-joined back against the
+    actual order dates.
+
+    Scale: the spine is bounded by 365 rows per (customer, year) — the
+    explode amplifies by calendar span, never by order count — and the
+    anti-join shuffles on (custkey, day), a uniform composite key. The
+    year filter pushes to the parquet scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    o95 = (
+        orders.filter(
+            F.col("o_orderdate").between(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+            )
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_custkey", "o_orderdate")
+        .distinct()
+    )
+    span = (
+        o95.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("d0"),
+            F.max("o_orderdate").alias("d1"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+    )
+    # sequence(date, date, interval) yields timestamps — cast back to
+    # date in a second select (a generator can't nest inside cast).
+    spine = span.select(
+        "o_custkey",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "d"
+        ),
+    ).select("o_custkey", F.col("d").cast("date").alias("d"))
+    miss = spine.join(
+        o95,
+        (spine["o_custkey"] == o95["o_custkey"])
+        & (spine["d"] == o95["o_orderdate"]),
+        "left_anti",
+    )
+    return (
+        miss.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("gap_days"),
+            F.min("d").alias("first_gap"),
+            F.max("d").alias("last_gap"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def bool_flags_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates per market segment: ``bool_and``/``bool_or``
+    over a balance predicate plus ``count_if`` — the SQL:2023 trio both
+    engines ship natively. NULL balances are skipped by the bool
+    aggregates (SQL aggregate NULL semantics) and count FALSE-y in
+    ``count_if`` — identical on both engines, pinned by the planted
+    NULL-balance fuzz class.
+
+    Scale: one partial-aggregated shuffle on the 5-value segment key;
+    every flag folds map-side to one boolean."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+            F.count_if(F.col("c_acctbal") > 5000).alias("n_wealthy"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
 # The per-round correctness harness samples the FIRST 50 entries in
 # declaration order, so each round we front-load the queries with the
 # STALEST driver CORRECTNESS rows (round 8 cohort):
-#   positions 0-4   — new round-8 queries (never driver-sampled)
-#   positions 5-6   — the two cluster-assign queries whose broadcast hint
+#   positions 0-9   — new round-8 queries, both batches (never
+#                     driver-sampled)
+#   positions 10-11 — the two cluster-assign queries whose broadcast hint
 #                     was removed this round (regression canaries)
-#   positions 7-33  — last driver-sampled round 5 (the stalest cohort)
-#   positions 34-49 — oldest of the round-6-verified block
+#   positions 12-38 — last driver-sampled round 5 (the stalest cohort)
+#   positions 39-49 — oldest of the round-6-verified block
 #   remainder       — rest of round 6, then the freshly round-7-sampled set
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
+    # -- NEW round 8, second batch: never driver-sampled -----------------------------
+    "argminmax_orders_priority": argminmax_orders_priority,
+    "bitmap_hour_activity": bitmap_hour_activity,
+    "try_cast_typed_backfill": try_cast_typed_backfill,
+    "date_spine_order_gaps": date_spine_order_gaps,
+    "bool_flags_by_segment": bool_flags_by_segment,
     # -- NEW round 8: never driver-sampled ------------------------------------------
     "qualify_running_budget_cut": qualify_running_budget_cut,
     "grouping_id_sales_matrix": grouping_id_sales_matrix,

@@ -187,6 +187,10 @@ FUZZ_EVENT_QUERIES = [
     "markov_transitions_events",
     "cdc_latest_per_key",
     "map_zip_with_merge_profiles",
+    "bitmap_hour_activity",
+    "try_cast_typed_backfill",
+    # reads only the small customer dim this family also writes
+    "bool_flags_by_segment",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -332,6 +336,12 @@ FUZZ_ORDER_QUERIES = [
     "benford_first_digit_prices",
     "qualify_running_budget_cut",
     "grouping_id_sales_matrix",
+    # NULL dates/prices + planted negatives exercise the composite
+    # arg-extrema keys (the lpad sign offset in particular).
+    # date_spine_order_gaps is NOT fuzzable here: its 1995 calendar
+    # filter never overlaps this corpus's 1997 base, so the comparison
+    # would be empty-vs-empty.
+    "argminmax_orders_priority",
 ]
 
 
