@@ -67,7 +67,14 @@ class TblPropertiesMetadataStore:
 
     @staticmethod
     def _quote_value(value: str) -> str:
-        return "'" + str(value).replace("'", "''") + "'"
+        # Backslashes FIRST: Spark's default lexer treats backslash as
+        # an escape inside string literals, so a value ending in '\'
+        # (a Windows path) would swallow the closing quote and every
+        # write path would die with PARSE_SYNTAX_ERROR — and doubling
+        # them first guarantees no stray backslash ever precedes the
+        # doubled quote.
+        escaped = str(value).replace("\\", "\\\\").replace("'", "''")
+        return "'" + escaped + "'"
 
     # -- writes ------------------------------------------------------------
     def set_tags(
@@ -219,12 +226,17 @@ class TblPropertiesMetadataStore:
         ``columns.*`` properties."""
         spark = self.spark
         fields = spark.table(self._qualify(schema, table, catalog)).schema.fields
+        # Explicit DDL schema, not inference: with catalog=None (a
+        # spelling _qualify and every other read/write accepts) the
+        # all-None column cannot be inferred and createDataFrame dies
+        # with CANNOT_DETERMINE_TYPE.
         cols_df = spark.createDataFrame(
             [
                 (catalog, schema, table, f.name, f.dataType.simpleString(), i)
                 for i, f in enumerate(fields)
             ],
-            ["table_catalog", "table_schema", "table_name", "column_name", "data_type", "ordinal_position"],
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, data_type string, ordinal_position int",
         )
         props = self.get_properties(schema, table, catalog)
         tag_rows = []
@@ -236,18 +248,26 @@ class TblPropertiesMetadataStore:
                     tag_rows.append((catalog, schema, table, col, prop, v))
         tags_df = spark.createDataFrame(
             tag_rows,
-            ["catalog_name", "schema_name", "table_name2", "column_name2", "tag_name", "tag_value"],
-        ) if tag_rows else spark.createDataFrame(
-            [],
             "catalog_name string, schema_name string, table_name2 string, "
             "column_name2 string, tag_name string, tag_value string",
         )
+        # eqNullSafe on catalog: a None catalog is a legal spelling, and
+        # NULL == NULL is NULL — a plain equality would drop EVERY tag
+        # for catalog-less stores. column_name compares LOWERCASED:
+        # Spark identifiers are case-insensitive, so a tag written as
+        # 'NAVN' legitimately describes the schema's 'navn' field — a
+        # case-sensitive join silently dropped it from this view while
+        # get_table_metadata still showed it, and the two read views
+        # must never disagree about which column owns a tag.
         joined = cols_df.join(
             tags_df,
-            (cols_df["table_catalog"] == tags_df["catalog_name"])
+            cols_df["table_catalog"].eqNullSafe(tags_df["catalog_name"])
             & (cols_df["table_schema"] == tags_df["schema_name"])
             & (cols_df["table_name"] == tags_df["table_name2"])
-            & (cols_df["column_name"] == tags_df["column_name2"]),
+            & (
+                F.lower(cols_df["column_name"])
+                == F.lower(tags_df["column_name2"])
+            ),
             "left",
         )
         return joined.drop("table_name2", "column_name2")

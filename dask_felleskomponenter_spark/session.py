@@ -106,6 +106,12 @@ def get_spark(
         # are identical, but NTZ is rejected by unix_micros & friends and
         # DuckDB oracles compare as naive-in-UTC either way.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Same nanos handling as tune_session: the driver testdata's
+        # events.parquet carries TIMESTAMP(NANOS), and a get_spark
+        # session must be able to read it directly — not only through
+        # load_table (which also sets this). The two engine-defaults
+        # surfaces must not drift.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # normalize truthy env values — the JVM accepts only true/false
         .config("spark.ui.enabled", _env_flag("SPARK_UI_ENABLED"))

@@ -837,3 +837,105 @@ def test_geometry_remedy_escapes_apostrophe_in_column_name():
     errs = check_geometri_encoding(md, [])
     assert len(errs) == 1
     assert "'columns.geom''d.geometri_encoding'" in errs[0].solution
+
+
+def test_backslash_values_round_trip(spark):
+    """Round-8 finding: _quote_value doubled quotes but not backslashes,
+    so a value ending in '\\' (a Windows path) swallowed the closing
+    quote and every write died with PARSE_SYNTAX_ERROR."""
+    import shutil
+
+    from dask_felleskomponenter_spark.governance.store import (
+        TblPropertiesMetadataStore,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS gov_test")
+    spark.sql("DROP TABLE IF EXISTS gov_test.t_bslash")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/gov_test.db/t_bslash", ignore_errors=True)
+    spark.createDataFrame([(1,)], ["id"]).write.mode("overwrite").saveAsTable(
+        "gov_test.t_bslash"
+    )
+    store = TblPropertiesMetadataStore(spark)
+    hostile = {
+        "trail": "C:\\data\\",           # trailing backslash
+        "quoted": "it's a \\' trap",     # backslash-before-quote
+        "plain": "ok",
+    }
+    store.set_tags("gov_test", "t_bslash", hostile)
+    got = store.get_properties("gov_test", "t_bslash")
+    for k, v in hostile.items():
+        assert got[k] == v, (k, got.get(k))
+
+
+def test_column_tags_join_case_insensitively(spark):
+    """Round-8 finding: tags written under a different CASE than the
+    schema's canonical field name vanished from the column view while
+    get_table_metadata still showed them — the two read views must
+    agree. Spark identifiers are case-insensitive, so 'NAVN' is a
+    legitimate spelling of column 'navn'."""
+    import shutil
+
+    from dask_felleskomponenter_spark.governance.store import (
+        TblPropertiesMetadataStore,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS gov_test")
+    spark.sql("DROP TABLE IF EXISTS gov_test.t_case")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/gov_test.db/t_case", ignore_errors=True)
+    spark.createDataFrame([(1, "a")], ["id", "navn"]).write.mode(
+        "overwrite"
+    ).saveAsTable("gov_test.t_case")
+    store = TblPropertiesMetadataStore(spark)
+    store.set_column_properties("gov_test", "t_case", "NAVN", {"pii": "yes"})
+    cm = store.get_table_column_metadata("spark_catalog", "gov_test", "t_case")
+    got = {
+        (r["column_name"], r["tag_name"]): r["tag_value"]
+        for r in cm.collect()
+        if r["tag_name"] is not None
+    }
+    assert got == {("navn", "pii"): "yes"}
+
+
+def test_column_metadata_with_none_catalog(spark):
+    """Round-8 finding: catalog=None (legal everywhere else in the
+    store) crashed get_table_column_metadata with CANNOT_DETERMINE_TYPE
+    (inferred schema over an all-None column), and the plain catalog
+    equality in the join would have dropped every tag (NULL == NULL is
+    NULL) — eqNullSafe + explicit DDL schemas."""
+    import shutil
+
+    from dask_felleskomponenter_spark.governance.store import (
+        TblPropertiesMetadataStore,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS gov_test")
+    spark.sql("DROP TABLE IF EXISTS gov_test.t_nocat")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/gov_test.db/t_nocat", ignore_errors=True)
+    spark.createDataFrame([(1, "a")], ["id", "navn"]).write.mode(
+        "overwrite"
+    ).saveAsTable("gov_test.t_nocat")
+    store = TblPropertiesMetadataStore(spark)
+    store.set_column_properties("gov_test", "t_nocat", "navn", {"pii": "yes"})
+    cm = store.get_table_column_metadata(None, "gov_test", "t_nocat")
+    got = {
+        (r["column_name"], r["tag_name"]): r["tag_value"]
+        for r in cm.collect()
+        if r["tag_name"] is not None
+    }
+    assert got == {("navn", "pii"): "yes"}
+    assert {r["table_catalog"] for r in cm.collect()} == {None}
+
+
+def test_get_spark_reads_nanos_parquet_directly(spark):
+    """Round-8 finding: get_spark lacked the nanosAsLong conf that
+    tune_session sets, so a direct spark.read.parquet of the driver's
+    nanosecond events.parquet failed unless load_table had run first.
+    The session fixture is get_spark-built; a direct read must work."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    assert df.count() > 0
