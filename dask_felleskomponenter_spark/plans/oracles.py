@@ -1016,14 +1016,20 @@ GROUP BY 1, 2
 ORDER BY window_start, event_type NULLS FIRST
 """
 
+# TRY_CAST, not CAST, and the avg denominator counts PARSED values:
+# Spark's from_json NULLs a non-numeric k ("zz") and F.count("_k")
+# excludes it, so a plain CAST would crash the oracle on malformed data
+# and a COUNT of the raw string would inflate the denominator. (Quoted
+# NUMERICS are a documented divergence: from_json rejects "7" where
+# TRY_CAST coerces it — the fuzz plants only non-numeric malformed.)
 ORACLES["json_fns_events"] = """
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-          / COUNT(json_extract_string(props, '$.k')), 6) AS avg_k,
-  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  ROUND(CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+          / COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type NULLS FIRST
@@ -1656,11 +1662,11 @@ ORDER BY segment, status
 ORACLES["variant_fns_events"] = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
          AS sum_k,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
          AS min_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
          AS max_k,
        CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
@@ -1669,13 +1675,19 @@ GROUP BY event_type
 ORDER BY event_type NULLS FIRST
 """
 
+# TRY_CAST so a malformed k can't crash the oracle. Known asymmetry
+# kept OUT of this corpus: Spark's from_json(map<string,bigint>) NULLs
+# the WHOLE map when any value fails conversion, while per-key
+# TRY_CAST only NULLs that key — the malformed-props fuzz therefore
+# targets try_cast_typed_backfill (get_json_object path), never the
+# map query.
 ORACLES["map_fns_events"] = """
 SELECT
   event_id,
-  COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k_val,
+  COALESCE(TRY_CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k_val,
   COALESCE(array_to_string(list_sort(json_keys(props)), ','), '') AS prop_keys,
   COALESCE(CAST(len(json_keys(props)) AS INTEGER), -1) AS n_props,
-  COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) * 2, -1) AS k_doubled
+  COALESCE(TRY_CAST(json_extract(props, '$.k') AS BIGINT) * 2, -1) AS k_doubled
 FROM events
 ORDER BY event_id
 """

@@ -1475,3 +1475,71 @@ def test_emit_order_matches_oracle_on_hostile_corpus(spark, tmp_path):
             )
             diverged.append(f"{kind}:{name}")
     assert diverged == [], diverged
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_malformed_props_match_oracle(spark, tmp_path, seed):
+    """Planted malformed-JSON-number class: every 17th props carries a
+    NON-NUMERIC k ('{"k": "zz"}'). try_cast_typed_backfill must count it
+    as present-but-malformed (n_cast_bad > 0 — the column this class
+    exists to exercise), and the json/variant profiles must NULL it
+    identically per engine (their oracles moved to TRY_CAST with parsed
+    denominators for exactly this corpus).
+
+    Quoted NUMERICS ('{"k": "7"}') are deliberately NOT planted:
+    from_json rejects a quoted number where TRY_CAST coerces it — a
+    real, documented divergence — and from_json(map<...>) NULLs the
+    WHOLE map on any bad value where per-key TRY_CAST only NULLs that
+    key, so map_fns_events is excluded from this corpus too."""
+    import duckdb
+
+    rows = [
+        list(r)
+        for r in _events_corpus(seed * 6007 + 13, 300)
+    ]
+    n_malformed = 0
+    for i, r in enumerate(rows):
+        if i % 17 == 5:
+            r[5] = '{"k": "zz"}'
+            n_malformed += 1
+    rows = [tuple(r) for r in rows]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    for name in (
+        "try_cast_typed_backfill",
+        "json_fns_events",
+        "variant_fns_events",
+    ):
+        sdf = QUERIES[name](spark, sf_dir)
+        got = sorted(
+            (tuple(_norm(r[c]) for c in sorted(sdf.columns))
+             for r in sdf.collect()),
+            key=_SKEY,
+        )
+        cur = con.execute(ORACLES[name])
+        cols = [d[0] for d in cur.description]
+        want = sorted(
+            (tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+             for row in cur.fetchall()),
+            key=_SKEY,
+        )
+        assert got == want, f"{name} diverged on malformed corpus: " \
+            f"{got[:3]} vs {want[:3]}"
+
+    bad = (
+        QUERIES["try_cast_typed_backfill"](spark, sf_dir)
+        .groupBy()
+        .sum("n_cast_bad")
+        .collect()[0][0]
+    )
+    assert bad == n_malformed, (bad, n_malformed)
