@@ -87,6 +87,11 @@ def load_prior(sf_num) -> dict[str, float]:
                 prior = json.load(fh)
         except (OSError, ValueError):
             continue
+        # a prior whose top level isn't an object (list, string, …)
+        # is just as unreadable as bad JSON — skip, don't crash the
+        # bench after the timing loop already ran
+        if not isinstance(prior, dict):
+            continue
         if prior.get("sf") == sf_num and isinstance(prior.get("queries"), dict):
             return prior["queries"]
     return {}
@@ -100,9 +105,11 @@ def _prior_file_sf():
     protocol for the sf the file actually tracked."""
     try:
         with open(os.path.join(REPO_ROOT, "bench_result.json")) as fh:
-            return json.load(fh).get("sf")
+            prior = json.load(fh)
     except (OSError, ValueError):
         return None
+    # non-object top level = unreadable, same as bad JSON
+    return prior.get("sf") if isinstance(prior, dict) else None
 
 
 def main() -> None:

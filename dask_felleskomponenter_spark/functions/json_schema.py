@@ -82,6 +82,10 @@ class JsonSchemaConverter:
         self.ref_fetcher = ref_fetcher
         self.map_open_objects = map_open_objects
         self._external_cache: dict[str, dict[str, Any]] = {}
+        # depth of the _type_of $ref recursion — bounds non-root ref
+        # chains with the same actionable 64-hop error as to_struct's
+        # root chain
+        self._ref_hops = 0
         # Base document for LOCAL ("#/...") ref resolution. A local ref
         # inside an externally fetched document must resolve against
         # THAT document, not the root schema — resolving against the
@@ -198,7 +202,16 @@ class JsonSchemaConverter:
             and node["$ref"] not in self.circular
             and path not in self.circular
         ):
-            resolved = {**self._resolve_ref(node["$ref"]), **node}
+            target = self._resolve_ref(node["$ref"])
+            if isinstance(target, bool):
+                # Boolean REF TARGETS are as legal as inline boolean
+                # subschemas (draft 6+): a ref to `false` admits no
+                # value — drop the field like the inline form — and a
+                # ref to `true` carries no const/description to merge.
+                if target is False:
+                    return None
+            else:
+                resolved = {**target, **node}
         if "const" in resolved:
             return None  # const fields carry no data; dropped
         dtype = self._type_of(node, path)
@@ -224,15 +237,49 @@ class JsonSchemaConverter:
             ref = node["$ref"]
             if ref in self.circular or path in self.circular:
                 return StringType()
+            # Same 64-hop guard the root chain gets (to_struct): a
+            # non-root cycle not listed in circular_references must
+            # raise the ACTIONABLE error, not a ~1000-frame
+            # RecursionError that never mentions circular_references.
+            self._ref_hops += 1
+            if self._ref_hops > 64:
+                # un-count this frame: outer frames' finally blocks
+                # unwind their own increments, keeping the converter
+                # reusable after the raise
+                self._ref_hops -= 1
+                raise ValueError(
+                    f"$ref chain exceeds 64 hops at {path} — circular "
+                    f"schema? List the ref in circular_references."
+                )
             resolved, doc = self._resolve_ref_with_doc(ref)
-            merged = {k: v for k, v in node.items() if k != "$ref"}
-            merged = {**resolved, **merged}
-            # the resolved subtree's local refs belong to ITS document
-            prev, self._current_doc = self._current_doc, doc
+            if isinstance(resolved, bool):
+                # boolean ref target in a type position: no type info
+                # either way (same as an inline boolean subschema) —
+                # siblings may still refine, and they belong to the
+                # CURRENT document, not the target's.
+                resolved, doc = {}, self._current_doc
+            sibs = {k: v for k, v in node.items() if k != "$ref"}
+            merged = {**resolved, **sibs}
+            # The subtree the recursion walks belongs to whichever
+            # document DECLARED it (per-key wholesale merge, mirroring
+            # to_struct's sib_doc tracking): a root-document sibling's
+            # "properties"/"items" must resolve its local refs against
+            # the ROOT doc even when the ref target is external —
+            # typing them under the target doc either KeyErrors or
+            # silently binds a same-named definition from the wrong
+            # document.
+            subtree_keys = ("properties", "items", "additionalProperties")
+            use_doc = (
+                self._current_doc
+                if any(k in sibs for k in subtree_keys)
+                else doc
+            )
+            prev, self._current_doc = self._current_doc, use_doc
             try:
                 return self._type_of(merged, path)
             finally:
                 self._current_doc = prev
+                self._ref_hops -= 1
         if "enum" in node:
             return StringType()
         t = node.get("type")

@@ -58,6 +58,7 @@ def two_phase_salted_agg(
     from dask_felleskomponenter_spark.operators.shuffle import (
         deterministic_row_salt,
         fresh_name,
+        quoted_col,
     )
 
     salt_col = fresh_name("_salt", df, extra=set(aggs))
@@ -101,7 +102,12 @@ def two_phase_salted_agg(
         )
     )
     def merge_col(out: str, fn: str):
-        merged = _MERGEABLE[fn][1](partial_alias[out])
+        # quoted_col, not a bare string: an output name containing a
+        # dot ("p.total") aliases the partial as "_p_p.total", which an
+        # unquoted reference parses as struct field 'total' of column
+        # '_p_p' — failing where the plain groupBy twin succeeds and
+        # breaking the exact-equality contract above.
+        merged = _MERGEABLE[fn][1](quoted_col(partial_alias[out]))
         if fn == "count":
             # plain count() is NON-nullable; sum-of-partials is nullable
             # by signature (never by value — every group has a partial

@@ -390,3 +390,88 @@ def test_root_external_ref_sibling_props_resolve_in_root_doc():
     assert isinstance(st["x"].dataType, LongType)
     # reusability: same result, not a KeyError from leftover doc scope
     assert conv.to_struct() == st
+
+
+def test_boolean_ref_targets():
+    """Round-8 finding: a $ref to a boolean schema crashed the shallow
+    merge ({**True, ...} → TypeError) although inline boolean
+    subschemas are supported. A ref to `true` compiles to the
+    permissive default; a ref to `false` drops the field like the
+    inline form."""
+    from pyspark.sql.types import StringType
+
+    from dask_felleskomponenter_spark.functions.json_schema import (
+        convert_json_schema_to_spark,
+    )
+
+    schema = {
+        "properties": {
+            "anything": {"$ref": "#/$defs/T"},
+            "never": {"$ref": "#/$defs/F"},
+            "keep": {"type": "integer"},
+        },
+        "$defs": {"T": True, "F": False},
+    }
+    st = convert_json_schema_to_spark(schema)
+    names = [f.name for f in st.fields]
+    assert "never" not in names           # ref'd false == inline false
+    assert "anything" in names and "keep" in names
+    assert st["anything"].dataType == StringType()  # permissive default
+
+
+def test_nonroot_circular_ref_raises_actionable_error():
+    """Round-8 finding: a non-root $ref cycle not listed in
+    circular_references died with a raw RecursionError; it now gets the
+    same actionable 64-hop error as the root chain."""
+    import pytest
+
+    from dask_felleskomponenter_spark.functions.json_schema import (
+        convert_json_schema_to_spark,
+    )
+
+    schema = {
+        "properties": {"x": {"$ref": "#/$defs/A"}},
+        "$defs": {"A": {"$ref": "#/$defs/B"}, "B": {"$ref": "#/$defs/A"}},
+    }
+    with pytest.raises(ValueError, match="circular_references"):
+        convert_json_schema_to_spark(schema)
+    # the converter stays reusable after the raise: listing the ref
+    # resolves the cycle to the documented StringType cutoff
+    st = convert_json_schema_to_spark(
+        schema, circular_references=["#/$defs/A"]
+    )
+    assert st["x"].dataType.typeName() == "string"
+
+
+def test_ref_sibling_subtree_resolves_in_declaring_document():
+    """Round-8 finding: sibling keys of a $ref node were typed under
+    the ref TARGET's document, so a root-document sibling's local
+    '#/...' refs resolved against the external doc (KeyError, or a
+    silently wrong same-named type)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from dask_felleskomponenter_spark.functions.json_schema import (
+        convert_json_schema_to_spark,
+    )
+
+    external = {
+        "$defs": {
+            "Box": {"type": "array"},
+            # same-named def with a DIFFERENT type: wrong-document
+            # resolution would silently bind string, not integer
+            "LocalItem": {"type": "string"},
+        }
+    }
+    root = {
+        "properties": {
+            "x": {
+                "$ref": "https://ext/s.json#/$defs/Box",
+                "items": {"$ref": "#/$defs/LocalItem"},
+            }
+        },
+        "$defs": {"LocalItem": {"type": "integer"}},
+    }
+    st = convert_json_schema_to_spark(
+        root, ref_fetcher=lambda url: external
+    )
+    assert st["x"].dataType == ArrayType(LongType(), True)

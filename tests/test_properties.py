@@ -1327,3 +1327,49 @@ def test_streaming_col_dtype_is_case_insensitive(spark):
     assert _col_dtype(df, "USER_ID") == "bigint"  # groupBy accepts this
     with _pytest.raises(ValueError, match="not found"):
         _col_dtype(df, "nope")
+
+
+def test_salted_agg_dotted_output_name_matches_plain(spark):
+    """Round-8 finding: the phase-2 merge referenced the partial alias
+    by bare string, so an output name containing a dot parsed as a
+    struct path and crashed where plain groupBy succeeds — breaking the
+    exact-equality contract. quoted_col restores it."""
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.aggregates import (
+        two_phase_salted_agg,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i % 3, v=float(i)) for i in range(30)]
+    )
+    salted = two_phase_salted_agg(
+        df, ["k"], {"p.total": ("sum", "v"), "n": ("count", "v")}
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("p.total"), F.count("v").alias("n")
+    )
+    assert salted.schema == plain.schema
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_bench_prior_readers_skip_non_object_json(tmp_path, monkeypatch):
+    """Round-8 finding: a prior file whose top-level JSON is a list
+    reached .get() and crashed the bench AFTER the timing loop; it must
+    be skipped like any unreadable prior."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = bench
+    spec.loader.exec_module(bench)
+
+    bad = tmp_path / "prior.json"
+    bad.write_text('["not", "an", "object"]')
+    monkeypatch.setenv("BENCH_PRIOR_FILE", str(bad))
+    assert bench.load_prior(0.1) == {}
