@@ -1023,14 +1023,32 @@ ORDER BY window_start, event_type NULLS FIRST
 # NUMERICS are a documented divergence: from_json rejects "7" where
 # TRY_CAST coerces it — the fuzz plants only non-numeric malformed.)
 ORACLES["json_fns_events"] = """
+WITH typed AS (
+  -- Mirror from_json's accept set over the raw JSON TOKEN
+  -- (json_extract, NOT json_extract_string — the unquoting would make
+  -- a quoted "12" indistinguishable from the number 12, which
+  -- from_json with a bigint schema REJECTS). A JSON integer token is
+  -- exactly '-?[0-9]+'; decimals ('1.5'), scientific ('1e2') and
+  -- quoted strings ('"12"') all fail the gate, matching from_json's
+  -- NULL. json_valid guards the DuckDB-aborts-on-invalid-JSON class.
+  SELECT event_type,
+         CASE WHEN json_valid(props) THEN
+           CASE WHEN regexp_matches(
+                       CAST(json_extract(props, '$.k') AS VARCHAR),
+                       '^-?[0-9]+$')
+                THEN TRY_CAST(
+                       CAST(json_extract(props, '$.k') AS VARCHAR)
+                       AS BIGINT) END
+         END AS k
+  FROM events
+)
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  ROUND(CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-          / COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k,
+  MAX(k) AS max_k
+FROM typed
 GROUP BY event_type
 ORDER BY event_type NULLS FIRST
 """
@@ -1682,13 +1700,20 @@ ORDER BY event_type NULLS FIRST
 # targets try_cast_typed_backfill (get_json_object path), never the
 # map query.
 ORACLES["map_fns_events"] = """
+WITH valid AS (
+  -- json_valid guard: json_extract/json_keys ABORT on invalid JSON
+  -- where from_json yields a NULL map (then the sentinels apply)
+  SELECT event_id,
+         CASE WHEN json_valid(props) THEN props END AS props
+  FROM events
+)
 SELECT
   event_id,
   COALESCE(TRY_CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k_val,
   COALESCE(array_to_string(list_sort(json_keys(props)), ','), '') AS prop_keys,
   COALESCE(CAST(len(json_keys(props)) AS INTEGER), -1) AS n_props,
   COALESCE(TRY_CAST(json_extract(props, '$.k') AS BIGINT) * 2, -1) AS k_doubled
-FROM events
+FROM valid
 ORDER BY event_id
 """
 
@@ -2422,13 +2447,20 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 # asc-NULLS-LAST sort, so DESC NULLS FIRST), top-8 slice, exact sums.
 # list_sum of BIGINTs widens to HUGEINT — cast; empty slice sums NULL on
 # both sides (Spark guards with size>0, DuckDB list_sum([]) is NULL).
+# Finite-elements-only, mirroring the Spark side's F.filter: NULL
+# elements NULL-propagate Spark's aggregate fold where list_sum skips
+# them, and NaN/inf ABORT this CAST(... AS BIGINT) where Spark's
+# non-ANSI cast quietly maps them — filtering identically on both
+# sides is the only portable semantics.
 ORACLES["array_topk_quantized_embeddings"] = """
 WITH q AS (
   SELECT vec_id,
          list_slice(
            list_sort(
-             list_transform(embedding,
-                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+             list_transform(
+               list_filter(embedding,
+                           x -> x IS NOT NULL AND isfinite(CAST(x AS DOUBLE))),
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
              'DESC', 'NULLS FIRST'),
            1, 8) AS t
   FROM embeddings
@@ -2444,14 +2476,17 @@ ORDER BY vec_id
 # map_zip_with merge twin: the map machinery reduces to conditional
 # counts per (user, event_type); the batch split is event_id parity
 # (data-independent). NULL-type events are excluded on both sides (a
-# map key must be non-null in Spark).
+# map key must be non-null in Spark), and so are NULL-id events — the
+# parity split assigns them to NEITHER batch (both % 2 predicates are
+# NULL), so an unfiltered COUNT(*) here would count rows the Spark
+# side structurally drops.
 ORACLES["map_zip_with_merge_profiles"] = """
 SELECT user_id, event_type,
        COUNT(*) FILTER (WHERE event_id % 2 = 0)  AS early_n,
        COUNT(*) FILTER (WHERE event_id % 2 <> 0) AS late_n,
        COUNT(*) AS total_n
 FROM events
-WHERE event_type IS NOT NULL
+WHERE event_type IS NOT NULL AND event_id IS NOT NULL
 GROUP BY user_id, event_type
 ORDER BY user_id NULLS FIRST, event_type
 """
@@ -2515,16 +2550,31 @@ ORDER BY 1
 # TRY_CAST twin; SUM(BIGINT) widens to HUGEINT and count_if returns
 # HUGEINT — cast both back.
 ORACLES["try_cast_typed_backfill"] = """
+WITH extracted AS (
+  -- json_valid guard: DuckDB json_extract_string ABORTS on
+  -- structurally invalid JSON where Spark's get_json_object returns
+  -- NULL — the never-abort contract must hold on the oracle side too
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS raw
+  FROM events
+), typed AS (
+  -- integer-literal gate mirroring Spark's try_cast accept set
+  -- (optional sign, digits, surrounding ASCII whitespace): DuckDB's
+  -- TRY_CAST additionally COERCES '1.5'/'1e2' where Spark rejects
+  -- them. Overflow passes the gate and NULLs identically on both.
+  SELECT event_type, raw,
+         CASE WHEN regexp_matches(raw,
+                     '^[\s\x0b]*[+-]?[0-9]+[\s\x0b]*$')
+              THEN TRY_CAST(raw AS BIGINT) END AS k
+  FROM extracted
+)
 SELECT event_type,
   COUNT(*) AS n_events,
-  CAST(count_if(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                  IS NOT NULL) AS BIGINT) AS n_cast_ok,
-  CAST(count_if(json_extract_string(props, '$.k') IS NOT NULL
-                AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                      IS NULL) AS BIGINT) AS n_cast_bad,
-  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-       AS BIGINT) AS sum_k
-FROM events
+  CAST(count_if(k IS NOT NULL) AS BIGINT) AS n_cast_ok,
+  CAST(count_if(raw IS NOT NULL AND k IS NULL) AS BIGINT) AS n_cast_bad,
+  CAST(SUM(k) AS BIGINT) AS sum_k
+FROM typed
 GROUP BY event_type
 ORDER BY event_type NULLS FIRST
 """
@@ -2534,8 +2584,14 @@ ORDER BY event_type NULLS FIRST
 # as the Spark side.
 ORACLES["date_spine_order_gaps"] = """
 WITH o AS (
-  SELECT DISTINCT o_custkey, o_orderdate FROM orders
-  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+  -- day granularity, mirroring the Spark side's to_date: a TIMESTAMP
+  -- o_orderdate with time-of-day must neither split one day into two
+  -- "distinct dates" nor miss the spine's midnight DATE values; the
+  -- half-open upper bound keeps a Dec-31 afternoon inside the year
+  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate <  DATE '1996-01-01'
     AND o_custkey IS NOT NULL
 ), span AS (
   SELECT o_custkey, MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1

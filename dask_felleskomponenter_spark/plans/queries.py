@@ -4419,8 +4419,20 @@ def array_topk_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     Scale: pure map-side column work; the only exchange is the output
     ordering."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Keep only FINITE elements before quantizing — the three dirty
+    # element classes each diverge or crash one engine: a NULL element
+    # NULL-propagates through Spark's F.aggregate fold where DuckDB's
+    # list_sum skips it; NaN casts to 0 under Spark's non-ANSI cast but
+    # ABORTS DuckDB's CAST(... AS BIGINT); infinities likewise. Both
+    # sides filter identically, so "top 8" means top 8 finite values.
+    finite = F.filter(
+        F.col("embedding"),
+        lambda x: x.isNotNull()
+        & ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+    )
     q = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        finite, lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
     staged = emb.select("vec_id", q.alias("_q")).withColumn(
         "_t", F.slice(F.reverse(F.array_sort("_q")), 1, 8)
@@ -4452,13 +4464,20 @@ def map_zip_with_merge_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile merges instead of duplicating.
 
     NULL event types cannot be map keys and are excluded (a map key
-    must be non-null in Spark).
+    must be non-null in Spark). NULL event IDS are excluded too, and
+    EXPLICITLY: the parity split assigns them to neither batch (both
+    ``% 2`` predicates evaluate NULL), so without the filter they
+    silently vanished from early/late counts while the oracle's
+    unfiltered ``COUNT(*)`` still counted them in total_n — an id-less
+    event has no batch assignment on either engine.
 
     Scale: two map-side-combinable groupBys + one co-partitioned join
     on user_id; maps stay bounded by the event-type cardinality."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("event_type").isNotNull())
+        .where(
+            F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+        )
         .select("user_id", "event_type", "event_id")
     )
 
@@ -4680,15 +4699,22 @@ def date_spine_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join shuffles on (custkey, day), a uniform composite key. The
     year filter pushes to the parquet scan."""
     orders = load_table(spark, sf_dir, "orders")
+    # to_date AFTER the pushable raw-column filter: the declared
+    # semantics are DAY granularity, and o_orderdate may arrive as
+    # TIMESTAMP — distinct over raw timestamps would count two
+    # same-day orders at different times as two "dates", and the
+    # spine anti-join (DATE vs TIMESTAMP) would only match midnight
+    # rows, flagging a day with a 10:30 order as a gap.
     o95 = (
         orders.filter(
-            F.col("o_orderdate").between(
-                F.lit("1995-01-01").cast("date"),
-                F.lit("1995-12-31").cast("date"),
-            )
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            # half-open upper bound, not BETWEEN ... DATE '1995-12-31':
+            # a Dec-31 TIMESTAMP with any time-of-day sorts after the
+            # date literal and would fall out of the year
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
             & F.col("o_custkey").isNotNull()
         )
-        .select("o_custkey", "o_orderdate")
+        .select("o_custkey", F.to_date("o_orderdate").alias("o_orderdate"))
         .distinct()
     )
     span = (
@@ -4759,7 +4785,11 @@ def bool_flags_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   positions 10-11 — the two cluster-assign queries whose broadcast hint
 #                     was removed this round (regression canaries)
 #   positions 12-38 — last driver-sampled round 5 (the stalest cohort)
-#   positions 39-49 — oldest of the round-6-verified block
+#   positions 39-49 — oldest of the round-6-verified block; the second
+#                     round-8 batch pushed that block's five LEAST-stale
+#                     entries (grouping_sets_orders … q1_pricing_summary)
+#                     past position 49 — they sit first in line for the
+#                     round-9 window
 #   remainder       — rest of round 6, then the freshly round-7-sampled set
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.

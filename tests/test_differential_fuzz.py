@@ -275,21 +275,29 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string",
     ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
-    # small consistent customer dim for the stream⋈dim queries
+    # small consistent customer dim for the stream⋈dim queries.
+    # Explicit DDL + one ingestion path (Spark writes, DuckDB reads the
+    # same parquet), NOT a registered pandas frame: a None balance in a
+    # pandas float64 column is NaN, which Spark would ingest as NaN
+    # while DuckDB register() yields SQL NULL — the planted NULL class
+    # would reach the engines as DIFFERENT values.
     rng = random.Random(seed)
-    cust = pd.DataFrame(
-        [
-            (c, f"Customer#{c}", rng.randint(0, 4),
-             round(rng.randint(-9999, 99999) / 100.0, 2),
-             rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"]))
-            for c in range(1, 7)  # fewer customers than user_ids: misses
-        ],
-        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
-                 "c_mktsegment"],
-    )
-    spark.createDataFrame(cust).coalesce(1).write.parquet(
-        f"{sf_dir}/customer.parquet"
-    )
+    cust_rows = [
+        (c, f"Customer#{c}", rng.randint(0, 4),
+         # customer 3's balance is NULL: bool_and/bool_or must SKIP
+         # it (SQL aggregate semantics) while count_if counts it
+         # false — the three-valued-logic class bool_flags_by_segment
+         # pins
+         None if c == 3
+         else round(rng.randint(-9999, 99999) / 100.0, 2),
+         rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"]))
+        for c in range(1, 7)  # fewer customers than user_ids: misses
+    ]
+    spark.createDataFrame(
+        cust_rows,
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/customer.parquet")
 
     sdf = QUERIES[name](spark, sf_dir)
     got = sorted(
@@ -304,7 +312,10 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
         f"CREATE VIEW events AS "
         f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
     )
-    con.register("customer", cust)
+    con.execute(
+        f"CREATE VIEW customer AS "
+        f"SELECT * FROM '{sf_dir}/customer.parquet/*.parquet'"
+    )
     cur = con.execute(ORACLES[name])
     cols = [d[0] for d in cur.description]
     want = sorted(
@@ -1543,3 +1554,132 @@ def test_malformed_props_match_oracle(spark, tmp_path, seed):
         .collect()[0][0]
     )
     assert bad == n_malformed, (bad, n_malformed)
+
+
+def _compare(spark, con, name, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns))
+         for r in sdf.collect()),
+        key=_SKEY,
+    )
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        (tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+         for row in cur.fetchall()),
+        key=_SKEY,
+    )
+    assert got == want, f"{name} diverged: {got[:3]} vs {want[:3]} " \
+        f"({len(got)} vs {len(want)} rows)"
+
+
+@pytest.mark.parametrize("seed", [13, 41])
+def test_array_topk_hostile_elements_match_oracle(spark, tmp_path, seed):
+    """Round-8 review: element-level dirt diverged or crashed one
+    engine — a NULL element NULL-propagates Spark's aggregate fold
+    where list_sum skips it; NaN/±inf abort DuckDB's CAST where
+    Spark's non-ANSI cast quietly maps them. Both sides now filter to
+    finite elements; this corpus plants all three classes."""
+    import duckdb
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(60):
+        vec = [round(rng.uniform(-1, 1), 3) for _ in range(12)]
+        if i % 5 == 1:
+            vec[rng.randrange(12)] = None
+        if i % 7 == 2:
+            vec[rng.randrange(12)] = float("nan")
+        if i % 11 == 3:
+            vec[rng.randrange(12)] = float("inf") * rng.choice([1, -1])
+        if i % 19 == 4:
+            vec = None
+        rows.append((i, vec, 0))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(2).write.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    _compare(spark, con, "array_topk_quantized_embeddings", sf_dir)
+
+
+@pytest.mark.parametrize("seed", [3, 59])
+def test_numeric_format_props_match_oracle(spark, tmp_path, seed):
+    """Round-8 review: DuckDB TRY_CAST COERCES '1.5'/'1e2' where Spark
+    try_cast rejects them, and json_extract ABORTS on structurally
+    invalid JSON where get_json_object returns NULL. The oracles now
+    gate on an integer-literal regex + json_valid; this corpus plants
+    every class — decimals, scientific, quoted integers, quoted junk,
+    leading-zero (invalid JSON), bare non-JSON, empty string, and
+    bigint overflow. variant_fns is excluded: parse_json ABORTS on
+    invalid JSON by design (its never-abort twin is try_parse_json);
+    map_fns is excluded for the whole-map-null asymmetry documented at
+    its oracle."""
+    import duckdb
+
+    hostile = [
+        '{"k": 1.5}',      # decimal: duck coerces to 2, Spark rejects
+        '{"k": 1e2}',      # scientific
+        '{"k": 1.0}',      # integral-valued decimal
+        '{"k": "12"}',     # quoted integer: from_json rejects
+        '{"k": "zz"}',     # quoted junk
+        '{"k": 01}',       # leading zero = INVALID JSON
+        'not json',
+        '',
+        '{"k": 9223372036854775808}',  # bigint overflow: NULL both
+        '{"x": 4}',        # missing key
+        '{"k": 7}',        # clean
+    ]
+    rng = random.Random(seed)
+    rows = [
+        list(r) for r in _events_corpus(seed * 523 + 7, 220)
+    ]
+    for i, r in enumerate(rows):
+        if i % 3 == 1:
+            r[5] = rng.choice(hostile)
+    rows = [tuple(r) for r in rows]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    _compare(spark, con, "try_cast_typed_backfill", sf_dir)
+    _compare(spark, con, "json_fns_events", sf_dir)
+
+
+@pytest.mark.parametrize("seed", [23])
+def test_map_zip_null_event_id_matches_oracle(spark, tmp_path, seed):
+    """Round-8 review: a NULL event_id entered NEITHER parity batch on
+    the Spark side (both % 2 predicates NULL) while the oracle's
+    unfiltered COUNT(*) still counted it in total_n. Both sides now
+    exclude id-less events explicitly; this corpus plants them."""
+    import duckdb
+
+    rows = [list(r) for r in _events_corpus(seed * 911 + 1, 180)]
+    for i, r in enumerate(rows):
+        if i % 9 == 2:
+            r[0] = None  # NULL event_id, event_type often non-NULL
+    rows = [tuple(r) for r in rows]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    _compare(spark, con, "map_zip_with_merge_profiles", sf_dir)
