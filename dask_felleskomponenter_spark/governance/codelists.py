@@ -134,14 +134,20 @@ class CodelistRegistry:
         # Consult overrides/cache FIRST: a constructor override for
         # 'medaljongnivaa' must win over the built-in list (the old
         # special-case short-circuit silently ignored it).
+        # Always hand out a COPY: the cache stores the module-level
+        # codelist constants themselves, so returning them unwrapped
+        # let a caller's sort()/append() mutate TILGANGSNIVAA in place
+        # — silently changing validation results for every registry
+        # instance in the process (the medaljongnivaa branch always
+        # copied; now all branches do).
         if key in self._cache:
-            return self._cache[key]
+            return list(self._cache[key])
         if key == "medaljongnivaa":
             return list(MEDALJONGNIVAA)
         if key in CODELIST_URLS and self.remote_loader is not None:
             doc = self.remote_loader(CODELIST_URLS[key])
             self._cache[key] = entries_from_registry_json(doc)
-            return self._cache[key]
+            return list(self._cache[key])
         return None
 
     def is_valid(self, key: str, value: str | None) -> bool:

@@ -11,6 +11,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
+#: Engine-internal table-property prefixes never surfaced as governance
+#: tags (the reference skips ``delta.*`` at ``main.py:27-29``; Spark
+#: additionally stamps ``spark.*``/``option.*``/``transient_lastDdlTime``).
+#: Defined HERE (the leaf module) and imported by the store so the two
+#: filters — the store's read path and TableMetadata's absorb loop —
+#: can never drift.
+INTERNAL_PREFIXES = ("delta.", "spark.", "option.", "transient_lastDdlTime")
+
 #: Medallion levels, in maturity order (``common.py:8``).
 MEDALJONGNIVAA = ["bronze", "silver", "gold"]
 
@@ -84,11 +92,17 @@ class TableMetadata:
                 value = {}
             setattr(self, name, value)
         for key, value in kwargs.items():
-            # prefix match, mirroring the store's INTERNAL_PREFIXES
-            # filter — a substring test would silently drop user tags
-            # merely CONTAINING "delta." (e.g. "pre_delta.note")
-            if key not in self.__dataclass_fields__ and not key.startswith(
-                "delta."
+            # THE store's INTERNAL_PREFIXES filter (shared constant,
+            # not a re-spelled subset): absorbing spark.*/option.*/
+            # transient_lastDdlTime here would make a TableMetadata
+            # built straight from SHOW TBLPROPERTIES output disagree
+            # with the store-built twin, and round-tripping its
+            # optional_params through set_tags would write
+            # engine-internal properties as governance tags. Prefix
+            # match, not substring — a user tag merely CONTAINING
+            # "delta." (e.g. "pre_delta.note") must survive.
+            if key not in self.__dataclass_fields__ and not any(
+                key.startswith(p) for p in INTERNAL_PREFIXES
             ):
                 self.optional_params[key] = value
 

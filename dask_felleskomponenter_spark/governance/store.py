@@ -25,11 +25,11 @@ from pyspark.sql import functions as F
 
 from dask_felleskomponenter_spark.governance.checks import quote_ident, validate_table
 from dask_felleskomponenter_spark.governance.codelists import CodelistRegistry
-from dask_felleskomponenter_spark.governance.model import MetadataError, TableMetadata
-
-#: Engine-internal property prefixes never surfaced as governance tags
-#: (the reference skips ``delta.*`` at ``main.py:27-29``).
-INTERNAL_PREFIXES = ("delta.", "spark.", "option.", "transient_lastDdlTime")
+from dask_felleskomponenter_spark.governance.model import (
+    INTERNAL_PREFIXES,
+    MetadataError,
+    TableMetadata,
+)
 
 
 def _parse_column_prop(key: str) -> tuple[str, str] | None:

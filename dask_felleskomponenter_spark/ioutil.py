@@ -56,6 +56,13 @@ def path_mutex(path: str):
     except ImportError:  # non-POSIX: best-effort, documented
         yield
         return
+    # First-run bootstrap: callers lock BEFORE their first write (the
+    # write that would have created the parent dirs), so a fresh
+    # summary/store path under a not-yet-existing parent must not die
+    # in os.open with ENOENT.
+    parent = os.path.dirname(lock_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
@@ -88,6 +95,15 @@ def recover_interrupted_swap(
     old_dir = path + ".old"
     if not os.path.exists(path) and os.path.exists(old_dir):
         os.rename(old_dir, path)
+    elif os.path.exists(path) and os.path.exists(old_dir):
+        # Crash AFTER the publish rename: live is complete and `.old`
+        # is a dataset-sized obsolete copy that nothing else will ever
+        # reap (a one-shot job never swaps this path again) — drop it,
+        # mirroring the catalog twin (dedup_store._recover_history's
+        # leftover-__old drop). ignore_errors: a concurrent
+        # commit_swap's own final rmtree may race us here; either
+        # winner leaves the same state.
+        shutil.rmtree(old_dir, ignore_errors=True)
     parent = os.path.dirname(os.path.abspath(path)) or "."
     prefix = os.path.basename(path) + ".staging-"
     if not os.path.isdir(parent):

@@ -176,7 +176,10 @@ def dedup_against_history(
     ingest time. ``tests/test_dedup_store.py`` pins the single-exchange
     plan under that recipe.
     """
-    if HASH_COL in batch_df.columns:
+    # Case-INSENSITIVE, matching withColumn's resolution under the
+    # default spark.sql.caseSensitive=false: a user column 'Content_SHA'
+    # passes an exact-match check yet still gets silently REPLACED.
+    if any(c.casefold() == HASH_COL.casefold() for c in batch_df.columns):
         # the history schema fixes this name, so withColumn would
         # silently OVERWRITE a caller's same-named column and hand the
         # corrupted value back in the novel rows — the hazard
@@ -186,6 +189,11 @@ def dedup_against_history(
             f"batch_df already has a column named {HASH_COL!r}, which "
             "the history schema reserves — rename it before screening"
         )
+    # NULL ids break the determinism contract below (keep_first ties on
+    # id_col → partition-order-dependent survivor) and would record
+    # NULL first_seen_id provenance — reject them loudly, exactly like
+    # the near-dup store's screen.
+    batch_df = _require_nonnull_ids(batch_df, id_col)
     # NULL content must still get a non-null key: sha2(NULL) is NULL,
     # a NULL anti-join key matches nothing, and every batch would
     # re-admit its NULL-content row as "novel" forever — breaking the
@@ -340,8 +348,28 @@ def compact_history(
         spark.conf.set(scan_key, prev_scan)
     n = obs.get["n_rows"]
     spark.sql(f"DROP TABLE IF EXISTS {old}")
-    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
-    spark.sql(f"ALTER TABLE {scratch} RENAME TO {table_name}")
+    # The two-rename swap has an unavoidable window (catalog DDL is not
+    # transactional): a concurrent screen's _recover_history running
+    # between rename(live→__old) and rename(scratch→live) observes
+    # live-missing + __old-present and RESTORES __old to the live name
+    # — then our second rename fails TABLE_ALREADY_EXISTS and the whole
+    # corpus-sized rewrite would be wasted. The window is two catalog
+    # ops wide (milliseconds) against micro-batch-cadence screens, so a
+    # bounded retry makes the spurious failure vanishingly unlikely
+    # instead of merely acknowledged.
+    for attempt in range(3):
+        spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
+        try:
+            spark.sql(f"ALTER TABLE {scratch} RENAME TO {table_name}")
+            break
+        except Exception:
+            restored = spark.catalog.tableExists(table_name)
+            if restored and spark.catalog.tableExists(scratch) and attempt < 2:
+                # recovery won the race: live is back, scratch intact —
+                # drop the (now duplicate) __old leg and swap again
+                spark.sql(f"DROP TABLE IF EXISTS {old}")
+                continue
+            raise
     # IF EXISTS: a concurrent screen's recovery can drop __old between
     # the rename above and here — a fully successful swap must not then
     # raise TABLE_OR_VIEW_NOT_FOUND and read as a failed compaction.
@@ -361,7 +389,10 @@ BUCKET_COL = "lsh_bucket_key"
 def _require_nonnull_ids(df: DataFrame, id_col: str) -> DataFrame:
     """Fail the first ACTION loudly if any ``id_col`` value is NULL.
 
-    The near-dup store keys every per-document decision on the id: the
+    Shared by BOTH stores: the exact-dedup screen's keep-first ties on
+    the id (a NULL id makes the surviving row partition-order-dependent
+    and records NULL first_seen_id provenance), and the near-dup store
+    keys every per-document decision on the id: the
     final screen is ``left_anti`` on ``id_col`` (a NULL key matches
     nothing, so a flagged NULL-id duplicate would be silently
     re-admitted — and re-recorded — on every batch), the intra-batch
@@ -376,9 +407,10 @@ def _require_nonnull_ids(df: DataFrame, id_col: str) -> DataFrame:
     guarded = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
         F.raise_error(
             F.lit(
-                f"near-dup history store: NULL {id_col!r} — the screen "
-                "anti-joins on the id, so NULL-id rows can never be "
-                "dropped; assign ids before screening"
+                f"dedup history store: NULL {id_col!r} — per-document "
+                "decisions key on the id (anti-join screens, keep-first "
+                "tie-breaks, provenance), so NULL-id rows are "
+                "undefined; assign ids before screening"
             )
         ).cast(df.schema[id_col].dataType)
     )

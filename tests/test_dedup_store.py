@@ -889,3 +889,77 @@ def test_recovery_leaves_young_scratch_and_reaps_stale(
         assert not spark.catalog.tableExists(scratch), "stale scratch kept"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+
+
+def test_exact_screen_rejects_reserved_column_case_insensitively(spark, table_name):
+    """Round-8 finding: the HASH_COL collision guard compared
+    case-sensitively while withColumn resolves case-insensitively — a
+    user column 'Content_SHA' passed the guard and got silently
+    replaced with hashes."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        dedup_against_history,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "t", "user data")], "doc_id bigint, text string, Content_SHA string"
+    )
+    with pytest.raises(ValueError, match="content_sha"):
+        dedup_against_history(
+            spark, df, "doc_id", "text", table_name, update=False
+        )
+
+
+def test_exact_screen_fails_loudly_on_null_ids(spark, table_name):
+    """Round-8 finding: the exact store accepted NULL ids, making the
+    keep-first survivor partition-order-dependent and recording NULL
+    first_seen_id provenance, while the near-dup store rejected them."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        dedup_against_history,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (None, "same text")], "doc_id bigint, text string"
+    )
+    with pytest.raises(Exception, match="NULL 'doc_id'"):
+        dedup_against_history(
+            spark, df, "doc_id", "text", table_name, update=False
+        ).collect()
+
+
+def test_compaction_swap_survives_concurrent_screen_recovery(
+    spark, table_name, monkeypatch
+):
+    """Round-8 finding: a screen's _recover_history running between the
+    compactor's two renames restores __old to the live name, failing
+    the scratch→live rename after the corpus-sized rewrite completed.
+    The bounded retry must absorb exactly that interleaving."""
+    from dask_felleskomponenter_spark.sources import dedup_store as ds
+
+    batch = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(20)], "doc_id bigint, text string"
+    )
+    ds.dedup_against_history(
+        spark, batch, "doc_id", "text", table_name, update=True,
+        batch_label="b0",
+    )
+    real_sql = spark.sql
+    fired = {"n": 0}
+    scratch_rename = f"ALTER TABLE {table_name}__compacting RENAME TO {table_name}"
+
+    def racing_sql(q, *a, **kw):
+        if q.strip() == scratch_rename and fired["n"] == 0:
+            fired["n"] += 1
+            # simulate the concurrent screen: live is missing, __old
+            # present → recovery restores it, then the rename below
+            # collides
+            ds._recover_history(spark, table_name)
+        return real_sql(q, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", racing_sql)
+    n = ds.compact_history(spark, table_name)
+    monkeypatch.undo()
+    assert fired["n"] >= 1  # the race actually fired
+    assert n == 20
+    assert spark.table(table_name).count() == 20
+    assert not spark.catalog.tableExists(f"{table_name}__old")
+    assert not spark.catalog.tableExists(f"{table_name}__compacting")

@@ -743,3 +743,36 @@ def test_zorder_key_rejects_nonpositive_bits(spark):
 
     with _pytest.raises(ValueError, match="bits"):
         zorder_key(["a", "b"], bits=0)
+
+
+def test_path_mutex_bootstraps_missing_parent(tmp_path):
+    """Round-8 finding: path_mutex os.open(O_CREAT) died with ENOENT
+    when the target's parent directory did not exist yet — yet the
+    Spark write it guards would have created the dirs itself."""
+    from dask_felleskomponenter_spark.ioutil import path_mutex
+
+    target = tmp_path / "fresh" / "nested" / "summary"
+    with path_mutex(str(target)):
+        pass  # no ENOENT: first-run bootstrap
+
+
+def test_recover_interrupted_swap_reaps_leftover_old(tmp_path):
+    """Round-8 finding: a crash between the publish rename and the
+    final rmtree left a dataset-sized {path}.old that no recovery ever
+    removed (one-shot jobs never swap the same path again)."""
+    import os
+
+    from dask_felleskomponenter_spark.ioutil import recover_interrupted_swap
+
+    live = tmp_path / "data"
+    old = tmp_path / "data.old"
+    live.mkdir(); (live / "part-0").write_text("new")
+    old.mkdir(); (old / "part-0").write_text("obsolete")
+    recover_interrupted_swap(str(live))
+    assert live.exists() and (live / "part-0").read_text() == "new"
+    assert not old.exists()
+
+    # the restore path still works: live missing, .old present
+    os.rename(str(live), str(old))
+    recover_interrupted_swap(str(live))
+    assert live.exists() and not old.exists()

@@ -939,3 +939,44 @@ def test_get_spark_reads_nanos_parquet_directly(spark):
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     df = spark.read.parquet(f"{sf}/events.parquet")
     assert df.count() > 0
+
+
+def test_table_metadata_filters_all_internal_prefixes():
+    """Round-8 finding: the absorb loop dropped only delta.* while the
+    store filters the full INTERNAL_PREFIXES tuple — a TableMetadata
+    built straight from SHOW TBLPROPERTIES output absorbed spark.*/
+    option.*/transient_lastDdlTime into optional_params and disagreed
+    with the store-built twin."""
+    from dask_felleskomponenter_spark.governance.model import TableMetadata
+
+    md = TableMetadata(
+        tittel="t",
+        **{
+            "delta.minReaderVersion": "1",
+            "spark.sql.create.version": "4.1.2",
+            "option.serialization.format": "1",
+            "transient_lastDdlTime": "123",
+            "pre_delta.note": "user tag that merely CONTAINS a prefix",
+            "custom": "keep",
+        },
+    )
+    assert md.optional_params == {
+        "pre_delta.note": "user tag that merely CONTAINS a prefix",
+        "custom": "keep",
+    }
+
+
+def test_codelist_registry_get_returns_copies():
+    """Round-8 finding: get() handed out the module-level codelist
+    lists themselves — caller mutation corrupted every registry
+    instance in the process."""
+    from dask_felleskomponenter_spark.governance.codelists import (
+        CodelistRegistry,
+    )
+
+    r1 = CodelistRegistry()
+    entries = r1.get("tilgangsnivaa")
+    before = list(entries)
+    entries.clear()  # hostile caller
+    assert CodelistRegistry().get("tilgangsnivaa") == before
+    assert r1.get("tilgangsnivaa") == before
