@@ -191,6 +191,16 @@ def assign_components(
     """Attach a cluster id to every row of ``df``: the component minimum
     for rows that near-dup with anything, the row's own id otherwise
     (singleton clusters)."""
+    # out_col is an OUTPUT-contract name (callers select it), so a
+    # collision can't be fresh-named away like the internal join
+    # columns below — withColumn would silently REPLACE a user column
+    # (e.g. a hardware 'component' id) with cluster ids.
+    # Case-insensitive, matching Spark's default resolution.
+    if any(c.casefold() == out_col.casefold() for c in df.columns):
+        raise ValueError(
+            f"out_col {out_col!r} collides with an existing column; "
+            f"pass a different out_col"
+        )
     # Same loud guard the edge side gets: the singleton fallback below
     # is cast('long'), which would silently turn string ids into NULL
     # components (one giant NULL cluster) — exactly what

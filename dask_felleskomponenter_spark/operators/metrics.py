@@ -66,12 +66,13 @@ def profile_numeric_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             "DataFrame has no columns to profile)"
         )
 
-    def qcol(name: str):
-        # backtick-quoted exact-name resolution: a bare F.col parses a
-        # dot as a struct-field accessor, so a column literally named
-        # 'price.usd' (or its 'price.usd__nn' aggregate alias) would
-        # raise UNRESOLVED_COLUMN
-        return F.col("`" + name.replace("`", "``") + "`")
+    # backtick-quoted exact-name resolution, shared with the join/agg
+    # helpers: a bare F.col parses a dot as a struct-field accessor, so
+    # a column literally named 'price.usd' (or its 'price.usd__nn'
+    # aggregate alias) would raise UNRESOLVED_COLUMN
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        quoted_col as qcol,
+    )
 
     v = {c: qcol(c).cast("double") for c in cols}
     aggs = [F.count(F.lit(1)).alias("_n_rows")]

@@ -157,3 +157,23 @@ def test_graph_operators_accept_dotted_id_columns(spark):
     out = assign_components(df, "doc.id", pairs)
     rows = {r["doc.id"]: r["component"] for r in out.collect()}
     assert rows == {1: 1, 2: 1, 5: 5}
+
+
+def test_assign_components_rejects_colliding_out_col(spark):
+    """Round-8 finding: a pre-existing user column named out_col
+    (default 'component') was silently overwritten with cluster ids;
+    out_col is an output-contract name so a collision is a loud error,
+    case-insensitively (Spark's default resolution)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dask_felleskomponenter_spark.operators.graph import (
+        assign_components,
+    )
+
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    df = spark.createDataFrame([Row(doc_id=1, Component="hardware")])
+    with _pytest.raises(ValueError, match="out_col"):
+        assign_components(df, "doc_id", pairs)
+    out = assign_components(df, "doc_id", pairs, out_col="cluster_id")
+    assert out.collect()[0]["Component"] == "hardware"

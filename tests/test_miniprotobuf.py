@@ -466,3 +466,60 @@ def test_proto2_descriptor_rejected_loudly():
     fdp = ld(0x0A, b"proto2_test.proto")  # no syntax field = proto2
     with _pytest.raises(NotImplementedError, match="proto3 only"):
         descriptor_pool.DescriptorPool().AddSerializedFile(fdp)
+
+
+def test_int32_fields_truncate_like_java_on_parse():
+    """Round-8 finding: the parse path stored int32/uint32/enum varints
+    at full 64-bit width, silently reading DIFFERENT values than
+    protobuf-java (which truncates to the declared width) from the same
+    bytes — and re-serializing them out of range."""
+    from google.protobuf import descriptor_pool
+    from google.protobuf.internal import wire
+
+    def ld(tag, payload):
+        return bytes([tag, len(payload)]) + payload
+
+    # message Scalars { int32 i32 = 1; uint32 u32 = 2; }
+    f_i32 = ld(0x0A, b"i32") + b"\x18\x01\x20\x01\x28\x05"
+    f_u32 = ld(0x0A, b"u32") + b"\x18\x02\x20\x01\x28\x0d"
+    msg = ld(0x0A, b"Scalars") + ld(0x12, f_i32) + ld(0x12, f_u32)
+    fdp = (
+        ld(0x0A, b"scalars_trunc_test.proto")
+        + ld(0x22, msg)
+        + ld(0x62, b"proto3")
+    )
+    from google.protobuf.internal.python_message import make_message_class
+
+    pool = descriptor_pool.DescriptorPool()
+    file = pool.AddSerializedFile(fdp)
+    msg_cls = make_message_class(file.message_types_by_name["Scalars"])
+
+    def roundtrip(field_number: int, raw_value: int):
+        out = bytearray()
+        wire.encode_tag(field_number, wire.WIRETYPE_VARINT, out)
+        wire.encode_varint(raw_value, out)
+        m = msg_cls()
+        m.ParseFromString(bytes(out))
+        return m
+
+    # int32 field: 2**31 wraps to INT32_MIN, like readRawVarint32
+    assert roundtrip(1, 2**31).i32 == -(2**31)
+    # uint32 field: 2**35 masks to 0
+    assert roundtrip(2, 2**35).u32 == 0
+    # in-range values unchanged
+    assert roundtrip(1, 7).i32 == 7
+    # the stored value re-serializes legally (assignment-range check
+    # would reject an untruncated 2**31)
+    m = roundtrip(1, 2**31)
+    m2 = msg_cls(); m2.ParseFromString(m.SerializeToString())
+    assert m2.i32 == -(2**31)
+
+
+def test_varint_bits_above_64_discarded_like_java():
+    from google.protobuf.internal import wire
+
+    # 10-byte varint whose 10th byte carries bits above 64: java masks
+    buf = b"\xff" * 9 + b"\x7f"
+    decoded, pos = wire.decode_varint(buf, 0)
+    assert pos == 10
+    assert decoded == (1 << 64) - 1  # masked to 64 bits

@@ -88,6 +88,22 @@ def main() -> None:
 
     for name, keys in OFFSET_COLS.items():
         base = load_table(spark, src, name)
+        # LOUD key-range guard: the per-copy offset scheme is only
+        # collision-free while every source key fits under KEY_OFFSET.
+        # A larger source (e.g. sf10, max o_orderkey 60M > 10M) would
+        # silently interleave copy k's offset keys into copy k+1's
+        # range — duplicate keys, corrupted join fan-out, and every
+        # downstream scaling measurement wrong with no error.
+        maxes = base.select(
+            *[F.max(F.col(c)).alias(c) for c in keys]
+        ).collect()[0]
+        for c in keys:
+            if maxes[c] is not None and maxes[c] >= KEY_OFFSET:
+                raise SystemExit(
+                    f"{name}.{c} max key {maxes[c]} >= KEY_OFFSET "
+                    f"{KEY_OFFSET}: offset copies would collide — "
+                    f"raise KEY_OFFSET for this source"
+                )
         dest = os.path.join(out, f"{name}.parquet")
         n_files = FILES_PER_COPY.get(name, 1)
         for k in range(factor):
