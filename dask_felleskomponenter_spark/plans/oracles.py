@@ -2624,3 +2624,55 @@ FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment NULLS FIRST
 """
+
+
+# inline (struct-array generator) twin: UNNEST of a list of structs,
+# recursive:=true to splat the struct fields into columns. Tax is
+# FLOOR(cents / 10.0) on BOTH engines — integer division would diverge
+# on refund-negative prices (Spark cast truncates toward zero, // floors).
+ORACLES["inline_order_charges"] = """
+WITH c AS (
+  SELECT o_orderkey,
+         UNNEST([
+           {'kind': 'base', 'cents': cents},
+           {'kind': 'tax',
+            'cents': CAST(FLOOR(cents / 10.0) AS BIGINT)},
+           {'kind': 'fee',  'cents': LEAST(cents, 500)}
+         ], recursive := true)
+  FROM (SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM orders WHERE o_totalprice IS NOT NULL)
+)
+SELECT kind,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MAX(cents) AS max_cents
+FROM c
+GROUP BY kind
+ORDER BY kind
+"""
+
+# first_value/last_value IGNORE NULLS twin over the identical unbounded
+# frame; NULL ts/user excluded on both engines (a timeline needs a
+# position and an owner).
+ORACLES["window_first_last_ignore_nulls"] = """
+WITH w AS (
+  SELECT user_id,
+         first_value(value IGNORE NULLS) OVER win AS fv,
+         last_value(event_type IGNORE NULLS) OVER win AS lt,
+         COUNT(*) OVER win AS n
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       ROUND(ANY_VALUE(fv), 6) AS first_value_seen,
+       ANY_VALUE(lt) AS last_type_seen,
+       ANY_VALUE(n) AS n_events
+FROM w
+GROUP BY user_id
+ORDER BY user_id
+"""

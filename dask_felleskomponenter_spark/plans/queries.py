@@ -4774,26 +4774,109 @@ def bool_flags_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inline_order_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.inline`` — the struct-array generator (§2B array surface,
+    UNNEST-of-structs twin): each order expands into typed charge rows
+    (base / tax / fee) built as an array of structs and inlined back to
+    columns, then profiled per charge kind — the row-multiplying
+    normalization an order-lines ingest runs.
+
+    Tax is FLOOR(cents / 10.0) explicitly on both engines: an integer
+    division would diverge on planted refund-negative prices (Spark's
+    cast truncates toward zero, DuckDB's ``//`` floors).
+
+    Scale: a constant ×3 map-side explode into one partial-aggregated
+    shuffle on a 3-value key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (dmoney("o_totalprice") * 100).cast("long")
+    charges = F.array(
+        F.struct(F.lit("base").alias("kind"), cents.alias("cents")),
+        F.struct(
+            F.lit("tax").alias("kind"),
+            F.floor(cents / F.lit(10.0)).cast("long").alias("cents"),
+        ),
+        F.struct(
+            F.lit("fee").alias("kind"),
+            F.least(cents, F.lit(500)).alias("cents"),
+        ),
+    )
+    return (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", F.inline(charges))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("kind")
+    )
+
+
+def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``first``/``last`` with IGNORE NULLS over the full user timeline
+    (§2B analytic-window surface): the first non-NULL value and last
+    non-NULL event type each user ever produced — the
+    carry-across-gaps primitive behind attribution and
+    last-known-state queries, here with an UNBOUNDED frame rather than
+    resample_ffill's running frame.
+
+    NULL timestamps / users are excluded explicitly on both engines (a
+    timeline needs a position and an owner); the planted NULL value /
+    NULL type fuzz classes are what IGNORE NULLS must skip
+    identically.
+
+    Scale: one shuffle on user_id; the unbounded frame is a single
+    in-partition pass, and the collapse to one row per user reuses the
+    same partitioning."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("value", ignorenulls=True).over(w).alias("_fv"),
+            F.last("event_type", ignorenulls=True).over(w).alias("_lt"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.first("_fv"), 6).alias("first_value_seen"),
+            F.first("_lt").alias("last_type_seen"),
+            F.first("_n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
 # The per-round correctness harness samples the FIRST 50 entries in
 # declaration order, so each round we front-load the queries with the
 # STALEST driver CORRECTNESS rows (round 8 cohort):
-#   positions 0-9   — new round-8 queries, both batches (never
+#   positions 0-11  — new round-8 queries, three batches (never
 #                     driver-sampled)
-#   positions 10-11 — the two cluster-assign queries whose broadcast hint
+#   positions 12-13 — the two cluster-assign queries whose broadcast hint
 #                     was removed this round (regression canaries)
-#   positions 12-38 — last driver-sampled round 5 (the stalest cohort)
-#   positions 39-49 — oldest of the round-6-verified block; the second
-#                     round-8 batch pushed that block's five LEAST-stale
-#                     entries (grouping_sets_orders … q1_pricing_summary)
-#                     past position 49 — they sit first in line for the
-#                     round-9 window
+#   positions 14-40 — last driver-sampled round 5 (the stalest cohort)
+#   positions 41-49 — oldest of the round-6-verified block; the later
+#                     round-8 batches pushed that block's seven
+#                     LEAST-stale entries (conditional_promo_revenue …
+#                     q1_pricing_summary) past position 49 — they sit
+#                     first in line for the round-9 window
 #   remainder       — rest of round 6, then the freshly round-7-sampled set
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
+    # -- NEW round 8, third batch: never driver-sampled ------------------------------
+    "inline_order_charges": inline_order_charges,
+    "window_first_last_ignore_nulls": window_first_last_ignore_nulls,
     # -- NEW round 8, second batch: never driver-sampled -----------------------------
     "argminmax_orders_priority": argminmax_orders_priority,
     "bitmap_hour_activity": bitmap_hour_activity,

@@ -189,6 +189,9 @@ FUZZ_EVENT_QUERIES = [
     "map_zip_with_merge_profiles",
     "bitmap_hour_activity",
     "try_cast_typed_backfill",
+    # planted NULL value / NULL type classes are what IGNORE NULLS
+    # must skip identically per engine
+    "window_first_last_ignore_nulls",
     # reads only the small customer dim this family also writes
     "bool_flags_by_segment",
 ]
@@ -353,6 +356,8 @@ FUZZ_ORDER_QUERIES = [
     # filter never overlaps this corpus's 1997 base, so the comparison
     # would be empty-vs-empty.
     "argminmax_orders_priority",
+    # planted refund-negative prices pin the FLOOR-division tax lane
+    "inline_order_charges",
 ]
 
 
