@@ -228,7 +228,15 @@ class JsonSchemaConverter:
         nullable = self._nullable(name, required) or declares_null
         return StructField(name, dtype, nullable, metadata=meta)
 
-    def _type_of(self, node: dict[str, Any], path: str) -> DataType | None:
+    def _type_of(
+        self,
+        node: dict[str, Any],
+        path: str,
+        key_docs: dict[str, dict[str, Any]] | None = None,
+    ) -> DataType | None:
+        """``key_docs`` maps a subtree key ("properties"/"items") of a
+        MERGED ref+sibling node to the document that declared it; absent
+        keys belong to the ambient ``_current_doc``."""
         if isinstance(node, bool):
             # boolean subschema in a type position (e.g. "items": true):
             # no type information either way → permissive default
@@ -241,44 +249,54 @@ class JsonSchemaConverter:
             # non-root cycle not listed in circular_references must
             # raise the ACTIONABLE error, not a ~1000-frame
             # RecursionError that never mentions circular_references.
+            # The increment is unwound in the finally below even when
+            # resolution itself raises (unresolvable ref / fetcher
+            # failure) — otherwise a reused converter leaks one hop per
+            # failed resolution and eventually mis-raises the 64-hop
+            # error on valid schemas.
             self._ref_hops += 1
-            if self._ref_hops > 64:
-                # un-count this frame: outer frames' finally blocks
-                # unwind their own increments, keeping the converter
-                # reusable after the raise
-                self._ref_hops -= 1
-                raise ValueError(
-                    f"$ref chain exceeds 64 hops at {path} — circular "
-                    f"schema? List the ref in circular_references."
-                )
-            resolved, doc = self._resolve_ref_with_doc(ref)
-            if isinstance(resolved, bool):
-                # boolean ref target in a type position: no type info
-                # either way (same as an inline boolean subschema) —
-                # siblings may still refine, and they belong to the
-                # CURRENT document, not the target's.
-                resolved, doc = {}, self._current_doc
-            sibs = {k: v for k, v in node.items() if k != "$ref"}
-            merged = {**resolved, **sibs}
-            # The subtree the recursion walks belongs to whichever
-            # document DECLARED it (per-key wholesale merge, mirroring
-            # to_struct's sib_doc tracking): a root-document sibling's
-            # "properties"/"items" must resolve its local refs against
-            # the ROOT doc even when the ref target is external —
-            # typing them under the target doc either KeyErrors or
-            # silently binds a same-named definition from the wrong
-            # document.
-            subtree_keys = ("properties", "items", "additionalProperties")
-            use_doc = (
-                self._current_doc
-                if any(k in sibs for k in subtree_keys)
-                else doc
-            )
-            prev, self._current_doc = self._current_doc, use_doc
             try:
-                return self._type_of(merged, path)
+                if self._ref_hops > 64:
+                    raise ValueError(
+                        f"$ref chain exceeds 64 hops at {path} — circular "
+                        f"schema? List the ref in circular_references."
+                    )
+                resolved, doc = self._resolve_ref_with_doc(ref)
+                if isinstance(resolved, bool):
+                    # boolean ref target in a type position: no type info
+                    # either way (same as an inline boolean subschema) —
+                    # siblings may still refine, and they belong to the
+                    # CURRENT document, not the target's.
+                    resolved, doc = {}, self._current_doc
+                sibs = {k: v for k, v in node.items() if k != "$ref"}
+                merged = {**resolved, **sibs}
+                # Each subtree the recursion walks belongs to whichever
+                # document DECLARED it, tracked PER KEY (mirroring
+                # to_struct's sib_doc): a root-document sibling's
+                # "properties" must resolve its local refs against the
+                # ROOT doc while a target-contributed "items" in the
+                # SAME merged node resolves against the target doc —
+                # an all-or-nothing choice types one of them wrong.
+                # Sibling keys inherit their outer owner when this node
+                # is itself the product of a merge (ref chain).
+                new_key_docs = {
+                    k: (
+                        (key_docs or {}).get(k, self._current_doc)
+                        if k in sibs
+                        else doc
+                    )
+                    for k in ("properties", "items")
+                    if k in merged
+                }
+                # Ambient doc for the merged node is the TARGET's: the
+                # only ref-bearing non-subtree key a merged node can
+                # carry is a chained "$ref", which the target declared.
+                prev, self._current_doc = self._current_doc, doc
+                try:
+                    return self._type_of(merged, path, new_key_docs)
+                finally:
+                    self._current_doc = prev
             finally:
-                self._current_doc = prev
                 self._ref_hops -= 1
         if "enum" in node:
             return StringType()
@@ -293,12 +311,22 @@ class JsonSchemaConverter:
                     return MapType(StringType(), self._default_dtype())
                 return self._default_dtype()
             required = set(node.get("required", []))
-            fields = [
-                f
-                for name, sub in props.items()
-                if (f := self._field(name, sub, required, f"{path}.{name}"))
-                is not None
-            ]
+            # descend in the document that declared "properties"
+            prev_doc = self._current_doc
+            self._current_doc = (key_docs or {}).get(
+                "properties", self._current_doc
+            )
+            try:
+                fields = [
+                    f
+                    for name, sub in props.items()
+                    if (
+                        f := self._field(name, sub, required, f"{path}.{name}")
+                    )
+                    is not None
+                ]
+            finally:
+                self._current_doc = prev_doc
             return StructType(fields)
         if t == "array":
             items = node.get("items")
@@ -306,7 +334,15 @@ class JsonSchemaConverter:
                 items = items[0] if items else None
             if not items:
                 return ArrayType(self._default_dtype())
-            elem = self._type_of(items, f"{path}[]")
+            # descend in the document that declared "items"
+            prev_doc = self._current_doc
+            self._current_doc = (key_docs or {}).get(
+                "items", self._current_doc
+            )
+            try:
+                elem = self._type_of(items, f"{path}[]")
+            finally:
+                self._current_doc = prev_doc
             return ArrayType(elem if elem is not None else self._default_dtype())
         if t in _PRIMITIVES:
             # format-aware refinement: JSON Schema idiom "type": "string"

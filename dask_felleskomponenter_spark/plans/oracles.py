@@ -1702,9 +1702,14 @@ ORDER BY event_type NULLS FIRST
 ORACLES["map_fns_events"] = """
 WITH valid AS (
   -- json_valid guard: json_extract/json_keys ABORT on invalid JSON
-  -- where from_json yields a NULL map (then the sentinels apply)
+  -- where from_json yields a NULL map (then the sentinels apply).
+  -- The json_type = 'OBJECT' gate closes the valid-but-non-object
+  -- class ('[1,2]', '7'): Spark's from_json(map<...>) yields a NULL
+  -- map there (sentinels -1/'') while json_keys would yield []
+  -- (0/'') — NULL both sides so the sentinels agree.
   SELECT event_id,
-         CASE WHEN json_valid(props) THEN props END AS props
+         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+              THEN props END AS props
   FROM events
 )
 SELECT

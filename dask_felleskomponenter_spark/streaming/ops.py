@@ -575,9 +575,19 @@ def _col_dtype(df: DataFrame, col: str) -> str:
     for n, t in dtypes:
         if n == col:
             return t
-    for n, t in dtypes:
-        if n.lower() == col.lower():
-            return t
+    # Mirror Spark's own resolution: when two columns differ only by
+    # case and neither matches exactly, Spark raises
+    # AMBIGUOUS_REFERENCE — silently returning the first match could
+    # hand back the WRONG column's dtype.
+    ci = [(n, t) for n, t in dtypes if n.lower() == col.lower()]
+    if len(ci) > 1:
+        raise ValueError(
+            f"ambiguous column reference {col!r}: matches "
+            f"{[n for n, _ in ci]} case-insensitively (mirroring "
+            f"Spark's AMBIGUOUS_REFERENCE)"
+        )
+    if ci:
+        return ci[0][1]
     raise ValueError(
         f"column {col!r} not found; have {[n for n, _ in dtypes]}"
     )

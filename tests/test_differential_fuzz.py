@@ -1691,3 +1691,35 @@ def test_map_zip_null_event_id_matches_oracle(spark, tmp_path, seed):
         f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
     )
     _compare(spark, con, "map_zip_with_merge_profiles", sf_dir)
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_nonobject_json_props_match_oracle(spark, tmp_path, seed):
+    """Round-9 finding (ADVICE): valid-but-non-object JSON ('[1,2]',
+    '7', '"s"', 'true') passed the oracle's json_valid gate, so DuckDB
+    json_keys yielded [] (n_props 0) while Spark's
+    from_json(map<...>) yields a NULL map (sentinel -1). The oracle now
+    also gates on json_type = 'OBJECT'; this corpus plants all four
+    non-object classes plus a null literal."""
+    import duckdb
+
+    rows = [list(r) for r in _events_corpus(seed * 4093 + 29, 300)]
+    planted = ["[1, 2]", "7", '"scalar"', "true", "null"]
+    for i, r in enumerate(rows):
+        if i % 13 == 6:
+            r[5] = planted[(i // 13) % len(planted)]
+    rows = [tuple(r) for r in rows]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    for name in ("map_fns_events", "json_fns_events", "variant_fns_events"):
+        _compare(spark, con, name, sf_dir)

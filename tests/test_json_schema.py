@@ -475,3 +475,86 @@ def test_ref_sibling_subtree_resolves_in_declaring_document():
         root, ref_fetcher=lambda url: external
     )
     assert st["x"].dataType == ArrayType(LongType(), True)
+
+
+def test_failed_ref_resolution_does_not_leak_hop_budget():
+    """Round-9 finding (ADVICE): _ref_hops was incremented before the
+    try/finally, so each FAILED resolution (unresolvable ref, fetcher
+    error) leaked one hop and a long-lived converter eventually raised
+    a spurious 64-hop error on valid schemas."""
+    import pytest
+
+    from dask_felleskomponenter_spark.functions.json_schema import (
+        JsonSchemaConverter,
+    )
+
+    schema = {
+        "properties": {
+            "bad": {"$ref": "#/$defs/missing"},
+            "good": {"$ref": "#/$defs/Num"},
+        },
+        "$defs": {"Num": {"type": "number"}},
+    }
+    conv = JsonSchemaConverter({"properties": schema["properties"],
+                                "$defs": schema["$defs"]})
+    for _ in range(70):  # > the 64-hop budget if any hop leaks
+        with pytest.raises(KeyError):
+            conv.to_struct()
+    assert conv._ref_hops == 0
+    # a valid schema still compiles on the same (reused) converter class
+    ok = JsonSchemaConverter(
+        {"properties": {"good": {"$ref": "#/$defs/Num"}},
+         "$defs": {"Num": {"type": "number"}}}
+    )
+    # reuse the SAME instance 70 times: no hop leak, no spurious raise
+    for _ in range(70):
+        st = ok.to_struct()
+    assert st["good"].dataType.typeName() == "double"
+
+
+def test_mixed_ownership_merged_ref_subtrees():
+    """Round-9 finding (ADVICE): use_doc was all-or-nothing — when a
+    sibling contributed 'properties', a TARGET-contributed 'items' in
+    the same merged node was also typed under the current document,
+    resolving its local refs against the wrong doc. Ownership is now
+    per key."""
+    from pyspark.sql.types import ArrayType, LongType, StringType
+
+    from dask_felleskomponenter_spark.functions.json_schema import (
+        convert_json_schema_to_spark,
+    )
+
+    external = {
+        "$defs": {
+            # target contributes ONLY "items", whose local ref must
+            # resolve against THIS document
+            "Box": {"type": "array", "items": {"$ref": "#/$defs/Elem"}},
+            "Elem": {"type": "integer"},
+        }
+    }
+    root = {
+        "properties": {
+            "x": {
+                "$ref": "https://ext/s.json#/$defs/Box",
+                # sibling contributes an unrelated subtree key — under
+                # the old all-or-nothing rule its presence flipped the
+                # WHOLE merged node to the root doc, where #/$defs/Elem
+                # binds the decoy (string) or KeyErrors
+                "description": "sibling-refined box",
+            },
+            # sibling-contributed properties beside a target items:
+            # both must type under their own documents
+            "y": {
+                "$ref": "https://ext/s.json#/$defs/Box",
+                "type": "object",
+                "properties": {"n": {"$ref": "#/$defs/LocalN"}},
+            },
+        },
+        "$defs": {"Elem": {"type": "string"}, "LocalN": {"type": "integer"}},
+    }
+    st = convert_json_schema_to_spark(root, ref_fetcher=lambda url: external)
+    # x: items from the target doc → integer elements, NOT the root decoy
+    assert st["x"].dataType == ArrayType(LongType(), True)
+    # y: sibling properties resolve in the ROOT doc
+    assert st["y"].dataType["n"].dataType == LongType()
+    assert st["y"].dataType["n"].dataType != StringType()

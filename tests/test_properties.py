@@ -1327,6 +1327,17 @@ def test_streaming_col_dtype_is_case_insensitive(spark):
     assert _col_dtype(df, "USER_ID") == "bigint"  # groupBy accepts this
     with _pytest.raises(ValueError, match="not found"):
         _col_dtype(df, "nope")
+    # Round-9 finding (ADVICE): two columns differing only by case with
+    # no exact match must raise like Spark's AMBIGUOUS_REFERENCE, not
+    # silently return the first match's dtype.
+    amb = df.select(
+        F.col("user_id").alias("Key"),
+        F.col("value").alias("KEY"),
+    )
+    with _pytest.raises(ValueError, match="ambiguous"):
+        _col_dtype(amb, "key")
+    # an exact match still wins over the case-insensitive twin
+    assert _col_dtype(amb, "KEY") == "double"
 
 
 def test_salted_agg_dotted_output_name_matches_plain(spark):
