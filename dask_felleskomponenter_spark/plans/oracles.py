@@ -2554,7 +2554,7 @@ ORDER BY 1
 
 # TRY_CAST twin; SUM(BIGINT) widens to HUGEINT and count_if returns
 # HUGEINT — cast both back.
-ORACLES["try_cast_typed_backfill"] = """
+ORACLES["try_cast_typed_backfill"] = r"""
 WITH extracted AS (
   -- json_valid guard: DuckDB json_extract_string ABORTS on
   -- structurally invalid JSON where Spark's get_json_object returns
@@ -2680,4 +2680,118 @@ SELECT user_id,
 FROM w
 GROUP BY user_id
 ORDER BY user_id
+"""
+
+
+# Array set-algebra twin: recomputed WITHOUT array set ops — per-token
+# parity flags (1-based ordinality: odd ↔ Spark's 0-based even) +
+# count_if give the same set cardinalities. [\s\x0b] = Java \s.
+ORACLES["set_algebra_token_halves"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS idx
+  FROM (SELECT doc_id,
+               string_split_regex(lower(text), '[\\s\\x0b]+') AS l
+        FROM documents WHERE text IS NOT NULL)
+), flags AS (
+  SELECT doc_id, tok,
+         bool_or(idx % 2 = 1) AS in_even,
+         bool_or(idx % 2 = 0) AS in_odd
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  CAST(count_if(in_even AND in_odd) AS INT) AS n_common,
+  CAST(count_if(in_even AND NOT in_odd) AS INT) AS n_only_even,
+  CAST(COUNT(*) AS INT) AS n_union
+FROM flags
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# str_to_map round-trip twin: the oracle never parses a k=v string —
+# it derives the same profile straight from the base columns, checking
+# serialize → str_to_map → element_at → cast against an independent
+# path. COALESCE sentinels mirror the wire format's NULL-lossiness.
+ORACLES["str_to_map_event_kv"] = """
+SELECT COALESCE(event_type, '?') AS t_key,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT COALESCE(user_id, -1)) AS BIGINT) AS n_users,
+       MIN(COALESCE(user_id, -1)) AS min_user,
+       MAX(COALESCE(user_id, -1)) AS max_user
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+# percentile_disc twin: both engines implement the SQL standard's
+# ordered-set discrete quantile (first value with cume_dist >= p), so
+# the values are actual data points — exact, no interpolation FP.
+ORACLES["percentile_disc_prices"] = """
+SELECT o_orderpriority,
+       COUNT(o_totalprice) AS n_priced,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+"""
+
+# regexp_extract_all twin: [a-z]{4,} is dialect-safe (Java ≡ RE2);
+# COUNT(DISTINCT doc_id) widens like COUNT(*) → BIGINT on both.
+ORACLES["regexp_extract_all_words"] = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]{4,}')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT word, COUNT(*) AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM words
+GROUP BY word
+HAVING COUNT(*) >= 5
+ORDER BY word
+"""
+
+# map_filter/map_concat twin: no map functions at all — the exploded
+# rows are HAVING-filtered per-type counts UNION ALL a per-user total
+# row under the reserved '__n__' key (impossible as an event type).
+ORACLES["map_filter_concat_profile"] = """
+WITH typed AS (
+  SELECT user_id, event_type FROM events WHERE event_type IS NOT NULL
+)
+SELECT user_id, k, v FROM (
+  SELECT user_id, event_type AS k, COUNT(*) AS v
+  FROM typed GROUP BY user_id, event_type HAVING COUNT(*) >= 2
+  UNION ALL
+  SELECT user_id, '__n__' AS k, COUNT(*) AS v
+  FROM typed GROUP BY user_id
+)
+ORDER BY user_id NULLS FIRST, k
+"""
+
+# width_bucket twin: DuckDB lacks width_bucket — the oracle mirrors
+# the standard's formula in plain arithmetic. Bin width 50000.0 =
+# (600000-0)/12 is exact in binary, so FLOOR((x-0)/width)+1 is the
+# same IEEE divide+floor on both engines; underflow → 0, overflow
+# (x >= max) → 13, NULL price → NULL bucket.
+ORACLES["width_bucket_price_histogram"] = """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+              WHEN o_totalprice < 0.0 THEN 0
+              WHEN o_totalprice >= 600000.0 THEN 13
+              ELSE CAST(FLOOR((o_totalprice - 0.0)
+                              / ((600000.0 - 0.0) / 12)) AS BIGINT) + 1
+         END AS bucket,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+)
+SELECT bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM b
+GROUP BY bucket
+ORDER BY bucket NULLS FIRST
 """

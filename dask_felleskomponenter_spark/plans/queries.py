@@ -4854,82 +4854,259 @@ def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def set_algebra_token_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (§2B array surface, the set-op half):
+    ``array_intersect`` / ``array_except`` / ``array_union`` over each
+    document's even- vs odd-position token sets — the
+    vocabulary-overlap profile a self-similarity screen computes
+    between two halves of a text. The split is POSITIONAL (element
+    index parity), so every corpus exercises both sides.
+
+    Both halves are ``array_distinct``-ed first, making the set-op
+    sizes pure set cardinalities (|A∩B|, |A∖B|, |A∪B|) that the oracle
+    recomputes independently via per-token parity flags + count_if —
+    two different formulations, one answer. Empty-token filtering and
+    the ``[\\s\\x0b]`` whitespace class keep the tokenizations
+    identical (Java ``\\s`` includes U+000B, RE2's does not). Docs
+    with zero tokens (NULL/whitespace-only text) are excluded on both
+    engines — an empty text has no halves to compare.
+
+    Scale: pure map-side array work; the only exchange is the output
+    ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"[\s\x0b]+"), lambda x: x != ""
+    )
+    a = F.array_distinct(F.filter(toks, lambda x, i: i % 2 == 0))
+    b = F.array_distinct(F.filter(toks, lambda x, i: i % 2 == 1))
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", a.alias("_a"), b.alias("_b"))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("_a", "_b")).alias("n_common"),
+            F.size(F.array_except("_a", "_b")).alias("n_only_even"),
+            F.size(F.array_union("_a", "_b")).alias("n_union"),
+        )
+        .filter(F.col("n_union") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def str_to_map_event_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``str_to_map`` front door (§2B map surface, the parse half): a
+    key=value;key=value wire string — the flat config/tag format every
+    log pipeline carries — parsed back into a map, extracted, typed,
+    and profiled. The oracle never parses: it recomputes the expected
+    profile straight from the base columns, so the round-trip
+    (serialize → str_to_map → element_at → cast) is checked against an
+    independent derivation.
+
+    NULLs ride through COALESCE sentinels ('?' / -1) because a k=v
+    string cannot represent a NULL value — exactly the lossy-encoding
+    semantics the query documents.
+
+    Scale: pure map-side string work into one partial-aggregated
+    shuffle on the low-cardinality type key."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = F.concat_ws(
+        ";",
+        F.concat(F.lit("t="), F.coalesce("event_type", F.lit("?"))),
+        F.concat(
+            F.lit("u="),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("-1")),
+        ),
+    )
+    m = F.str_to_map(kv, F.lit(";"), F.lit("="))
+    return (
+        ev.select(
+            F.try_element_at(m, F.lit("t")).alias("t_key"),
+            F.try_element_at(m, F.lit("u")).cast("bigint").alias("_u"),
+        )
+        .groupBy("t_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("_u").alias("n_users"),
+            F.min("_u").alias("min_user"),
+            F.max("_u").alias("max_user"),
+        )
+        .orderBy("t_key")
+    )
+
+
+def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_disc`` beside the existing ``_cont`` queries (§2B
+    percentile surface): the DISCRETE quantile — first actual data
+    value whose cumulative distribution reaches p, per the SQL
+    standard — so the output is always an existing price, never an
+    interpolation. Exact cross-engine by construction (both engines
+    implement the standard's cume_dist >= p pick; no FP interpolation
+    to diverge), which the planted NULL / negative / zero price fuzz
+    classes pin: NULLs are skipped by ordered-set aggregates on both
+    engines, negatives sort below zero identically.
+
+    Scale: one shuffle on the 5-value priority key; percentile_disc
+    needs the sorted group but the groups are per-priority partitions,
+    never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_pdisc")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(o_totalprice) AS n_priced,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p25,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p90
+        FROM _orders_pdisc
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def regexp_extract_all_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` + explode (§2B string surface, the
+    all-matches half): every 4+-letter lowercase word pulled from each
+    document in one regex pass, exploded to a token stream, and
+    profiled per word — the match-harvest shape behind keyword mining
+    and PII sweeps, where ``regexp_extract`` (first match only) would
+    silently drop the tail. The ``[a-z]{4,}`` class is dialect-safe
+    (identical in Java regex and RE2).
+
+    The n >= 5 cut keeps the output the frequent-vocabulary profile
+    (and bounded) on any corpus; ``n_docs`` counts distinct documents
+    so a word repeated in one doc can't masquerade as corpus-wide.
+
+    Scale: one map-side extract + explode (amplification bounded by
+    text length), one partial-aggregated shuffle on the word key —
+    the tokenize-then-count shape, never a self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{4,}"), 0)
+            ).alias("word"),
+        )
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n") >= 5)
+        .orderBy("word")
+    )
+
+
+def map_filter_concat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``map_filter`` + ``map_concat`` front doors beside the existing
+    ``map_zip_with`` merge (§2B map surface): each user's event-type
+    count map filtered to repeated types (count >= 2), concatenated
+    with a reserved summary entry ('__n__' → total typed events), and
+    exploded back to rows — the enrich-then-flatten shape a profile
+    store runs before serving. The reserved key cannot collide with a
+    data key ('__n__' is not an event type; map_concat raises on
+    duplicates under Spark's default EXCEPTION dedup policy, so a
+    collision would be LOUD, not silent).
+
+    The oracle recomputes the rows as HAVING-filtered counts UNION ALL
+    per-user totals — no map functions at all — so the
+    build→filter→concat→explode chain is checked against a flat
+    relational derivation.
+
+    Scale: one partial-aggregated shuffle on (user, type), one
+    map-side rollup to maps per user; map sizes stay bounded by the
+    event-type cardinality."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    enriched = per_user.select(
+        "user_id",
+        F.map_concat(
+            F.map_filter("m", lambda k, v: v >= 2),
+            F.create_map(F.lit("__n__"), F.col("total")),
+        ).alias("m2"),
+    )
+    return (
+        enriched.select(
+            "user_id", F.explode("m2").alias("k", "v")
+        ).orderBy(F.col("user_id").asc_nulls_first(), "k")
+    )
+
+
+def width_bucket_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``width_bucket`` equi-width histogram (§2B math surface) beside
+    the hand-binned ``histogram_orders_prices``: prices bucketed into
+    12 equal bins over [0, 600k) with the standard's underflow (0) and
+    overflow (13) buckets — so planted refund-negative prices land in
+    a VISIBLE bucket instead of distorting bin 1, and NULL prices
+    group as a NULL bucket. DuckDB lacks width_bucket; the oracle
+    mirrors the standard's formula (FLOOR((x-min)/width)+1 with
+    boundary clamps) in plain arithmetic — bin width 50000.0 is exact
+    in binary, so the division is the same IEEE op on both engines.
+
+    Scale: one map-side expression into a partial-aggregated shuffle
+    on a ≤14-value key."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12)
+    )
+    return (
+        orders.select(
+            bucket.alias("bucket"),
+            (dmoney("o_totalprice") * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_cents").alias("sum_cents"),
+            F.min("_cents").alias("min_cents"),
+            F.max("_cents").alias("max_cents"),
+        )
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
 # The per-round correctness harness samples the FIRST 50 entries in
 # declaration order, so each round we front-load the queries with the
-# STALEST driver CORRECTNESS rows (round 8 cohort):
-#   positions 0-11  — new round-8 queries, three batches (never
-#                     driver-sampled)
-#   positions 12-13 — the two cluster-assign queries whose broadcast hint
-#                     was removed this round (regression canaries)
-#   positions 14-40 — last driver-sampled round 5 (the stalest cohort)
-#   positions 41-49 — oldest of the round-6-verified block; the later
-#                     round-8 batches pushed that block's seven
-#                     LEAST-stale entries (conditional_promo_revenue …
-#                     q1_pricing_summary) past position 49 — they sit
-#                     first in line for the round-9 window
-#   remainder       — rest of round 6, then the freshly round-7-sampled set
+# STALEST driver CORRECTNESS rows (round 9 cohort):
+#   positions 0-5   — new round-9 queries (never driver-sampled)
+#   positions 6-43  — the 38-query cohort last driver-checked in round 6
+#                     (all TPC-H shapes q1-q21, raster_contours_tiles,
+#                     dedup_substring_spans, quality/resample/recursive-
+#                     CTE/sketch/funnel/asof/range_join/...) — checked
+#                     BEFORE the round-8 churn in operators/windows.py,
+#                     session.py nanos default, and the shuffle helpers
+#   positions 44-49 — head of the round-7-checked cohort
+#   remainder       — rest of round 7, then the round-8-checked set
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
-    # -- NEW round 8, third batch: never driver-sampled ------------------------------
-    "inline_order_charges": inline_order_charges,
-    "window_first_last_ignore_nulls": window_first_last_ignore_nulls,
-    # -- NEW round 8, second batch: never driver-sampled -----------------------------
-    "argminmax_orders_priority": argminmax_orders_priority,
-    "bitmap_hour_activity": bitmap_hour_activity,
-    "try_cast_typed_backfill": try_cast_typed_backfill,
-    "date_spine_order_gaps": date_spine_order_gaps,
-    "bool_flags_by_segment": bool_flags_by_segment,
-    # -- NEW round 8: never driver-sampled ------------------------------------------
-    "qualify_running_budget_cut": qualify_running_budget_cut,
-    "grouping_id_sales_matrix": grouping_id_sales_matrix,
-    "array_topk_quantized_embeddings": array_topk_quantized_embeddings,
-    "map_zip_with_merge_profiles": map_zip_with_merge_profiles,
-    "union_byname_backfill_ingest": union_byname_backfill_ingest,
-    # -- round-8 broadcast-hint removal: regression canaries -------------------------
-    "neardup_cluster_assign": neardup_cluster_assign,
-    "semantic_cluster_assign": semantic_cluster_assign,
-    # -- last driver-sampled round 5 (stalest) ---------------------------------------
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_bucketed": ann_lsh_bucketed,
-    "array_fns_embeddings": array_fns_embeddings,
-    "cosine_topk_embeddings": cosine_topk_embeddings,
-    "date_fns_events": date_fns_events,
-    "dedup_exact_docs": dedup_exact_docs,
-    "fingerprint_documents": fingerprint_documents,
-    "json_fns_events": json_fns_events,
-    "lang_id_documents": lang_id_documents,
-    "map_fns_events": map_fns_events,
-    "math_fns_lineitem": math_fns_lineitem,
-    "multimodal_audio_profile": multimodal_audio_profile,
-    "multimodal_decode_profile": multimodal_decode_profile,
-    "neardup_embedding_cosine": neardup_embedding_cosine,
-    "neardup_jaccard_pairs": neardup_jaccard_pairs,
-    "neardup_minhash_lsh": neardup_minhash_lsh,
-    "pivot_status_by_priority": pivot_status_by_priority,
-    "simhash_documents": simhash_documents,
-    "string_fns_documents": string_fns_documents,
-    "sync_merge_orders": sync_merge_orders,
-    "text_quality_profile": text_quality_profile,
-    "tumbling_window_events": tumbling_window_events,
-    "udaf_geomean_orders": udaf_geomean_orders,
-    "udtf_chunk_documents": udtf_chunk_documents,
-    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-    "window_lag_sessionize": window_lag_sessionize,
-    "window_running_total": window_running_total,
-    # -- oldest of the round-6-verified block ----------------------------------------
-    "agg_listagg_mode_orders": agg_listagg_mode_orders,
-    "lateral_topn_per_group": lateral_topn_per_group,
-    "window_topn_orders_per_customer": window_topn_orders_per_customer,
-    "set_union_segments": set_union_segments,
-    "set_except_inactive": set_except_inactive,
-    "set_intersect_buyers": set_intersect_buyers,
-    "topk_expensive_orders": topk_expensive_orders,
-    "dedup_exact_summary": dedup_exact_summary,
-    "filter_or_of_and_revenue": filter_or_of_and_revenue,
+    # -- NEW round 9: never driver-sampled ------------------------------------------
+    "set_algebra_token_halves": set_algebra_token_halves,
+    "str_to_map_event_kv": str_to_map_event_kv,
+    "percentile_disc_prices": percentile_disc_prices,
+    "regexp_extract_all_words": regexp_extract_all_words,
+    "map_filter_concat_profile": map_filter_concat_profile,
+    "width_bucket_price_histogram": width_bucket_price_histogram,
+    # -- last driver-sampled round 6 (stalest cohort: all TPC-H shapes, raster,
+    #    substring-span/quality/resample/recursive-CTE/sketch/funnel/asof/range) ----
     "notexists_dormant_customers": notexists_dormant_customers,
     "conditional_promo_revenue": conditional_promo_revenue,
     "grouping_sets_orders": grouping_sets_orders,
@@ -4937,7 +5114,6 @@ QUERIES: dict[str, QueryFn] = {
     "range_join_error_context": range_join_error_context,
     "agg_orders_stats": agg_orders_stats,
     "q1_pricing_summary": q1_pricing_summary,
-    # -- position 50+: below the sample window this round ----------------------------
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q10_returned_customers": q10_returned_customers,
@@ -4969,7 +5145,7 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion_events": funnel_conversion_events,
     "sketch_rollup_users": sketch_rollup_users,
     "kll_quantile_rollup_prices": kll_quantile_rollup_prices,
-    # -- freshly round-7-sampled (greenest — back of the rotation) -------------------
+    # -- last driver-sampled round 7 -------------------------------------------------
     "interval_coalesce_events": interval_coalesce_events,
     "twap_events": twap_events,
     "scd2_event_type_runs": scd2_event_type_runs,
@@ -5018,6 +5194,57 @@ QUERIES: dict[str, QueryFn] = {
     "agg_percentiles_orders": agg_percentiles_orders,
     "agg_rollup_status_priority": agg_rollup_status_priority,
     "agg_salted_user_events": agg_salted_user_events,
+    # -- freshly round-8-sampled (greenest — back of the rotation) -------------------
+    "inline_order_charges": inline_order_charges,
+    "window_first_last_ignore_nulls": window_first_last_ignore_nulls,
+    "argminmax_orders_priority": argminmax_orders_priority,
+    "bitmap_hour_activity": bitmap_hour_activity,
+    "try_cast_typed_backfill": try_cast_typed_backfill,
+    "date_spine_order_gaps": date_spine_order_gaps,
+    "bool_flags_by_segment": bool_flags_by_segment,
+    "qualify_running_budget_cut": qualify_running_budget_cut,
+    "grouping_id_sales_matrix": grouping_id_sales_matrix,
+    "array_topk_quantized_embeddings": array_topk_quantized_embeddings,
+    "map_zip_with_merge_profiles": map_zip_with_merge_profiles,
+    "union_byname_backfill_ingest": union_byname_backfill_ingest,
+    "neardup_cluster_assign": neardup_cluster_assign,
+    "semantic_cluster_assign": semantic_cluster_assign,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "array_fns_embeddings": array_fns_embeddings,
+    "cosine_topk_embeddings": cosine_topk_embeddings,
+    "date_fns_events": date_fns_events,
+    "dedup_exact_docs": dedup_exact_docs,
+    "fingerprint_documents": fingerprint_documents,
+    "json_fns_events": json_fns_events,
+    "lang_id_documents": lang_id_documents,
+    "map_fns_events": map_fns_events,
+    "math_fns_lineitem": math_fns_lineitem,
+    "multimodal_audio_profile": multimodal_audio_profile,
+    "multimodal_decode_profile": multimodal_decode_profile,
+    "neardup_embedding_cosine": neardup_embedding_cosine,
+    "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "neardup_minhash_lsh": neardup_minhash_lsh,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "simhash_documents": simhash_documents,
+    "string_fns_documents": string_fns_documents,
+    "sync_merge_orders": sync_merge_orders,
+    "text_quality_profile": text_quality_profile,
+    "tumbling_window_events": tumbling_window_events,
+    "udaf_geomean_orders": udaf_geomean_orders,
+    "udtf_chunk_documents": udtf_chunk_documents,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "window_lag_sessionize": window_lag_sessionize,
+    "window_running_total": window_running_total,
+    "agg_listagg_mode_orders": agg_listagg_mode_orders,
+    "lateral_topn_per_group": lateral_topn_per_group,
+    "window_topn_orders_per_customer": window_topn_orders_per_customer,
+    "set_union_segments": set_union_segments,
+    "set_except_inactive": set_except_inactive,
+    "set_intersect_buyers": set_intersect_buyers,
+    "topk_expensive_orders": topk_expensive_orders,
+    "dedup_exact_summary": dedup_exact_summary,
+    "filter_or_of_and_revenue": filter_or_of_and_revenue,
 }
 
 

@@ -53,6 +53,10 @@ FUZZ_QUERIES = [
     "multimodal_audio_features",
     "multimodal_image_profile",
     "multimodal_video_profile",
+    # round-9 additions: token-set algebra and all-matches regex harvest
+    # over the same hostile text classes (unicode, \x0b, empty docs)
+    "set_algebra_token_halves",
+    "regexp_extract_all_words",
 ]
 
 _VOCAB = (
@@ -194,6 +198,11 @@ FUZZ_EVENT_QUERIES = [
     "window_first_last_ignore_nulls",
     # reads only the small customer dim this family also writes
     "bool_flags_by_segment",
+    # round-9 additions: k=v round-trip profile and the map
+    # filter/concat explode — planted NULL type/user classes ride the
+    # COALESCE sentinels and the reserved '__n__' key
+    "str_to_map_event_kv",
+    "map_filter_concat_profile",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -358,6 +367,10 @@ FUZZ_ORDER_QUERIES = [
     "argminmax_orders_priority",
     # planted refund-negative prices pin the FLOOR-division tax lane
     "inline_order_charges",
+    # round-9 additions: NULL prices skip the ordered-set aggregate /
+    # NULL the bucket; negatives hit p25 ordering and the underflow bin
+    "percentile_disc_prices",
+    "width_bucket_price_histogram",
 ]
 
 

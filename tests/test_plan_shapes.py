@@ -943,3 +943,54 @@ def test_ann_store_build_rejects_wrong_dim(spark, tmp_path):
             spark, SF, bits=4, n_cells=4, iters=1,
             root=str(tmp_path / "ann"), dim=32,
         )
+
+
+def _embedding_column_scans(plan: str) -> list[str]:
+    """Scan blocks over the embeddings relation whose ReadSchema carries
+    the wide ``embedding`` vector column (a pruned vec_id-only scan is 8
+    bytes/row — not the corpus I/O the single-scan guarantee is about)."""
+    blocks = re.split(r"(?m)^(?=\(\d+\) )", plan)
+    return [
+        b
+        for b in blocks
+        if b.startswith("(")
+        and "Scan parquet" in b.splitlines()[0]
+        and "embeddings.parquet" in b
+        and re.search(r"ReadSchema:.*\bembedding\b", b)
+    ]
+
+
+def test_blocked_cosine_scans_embeddings_once(spark):
+    """The round-8 blocked-GEMM rewrite's whole justification is that
+    the corpus is scanned ONCE (the arithmetic block-membership explode
+    replaced the textbook two-joins-against-a-pair-table form, halving
+    corpus I/O at 100 TB). Nothing structural stops a future edit from
+    quietly reverting to the two-scan shape — pin it at BOTH surfaces:
+    the declared query and the raw operator must each show exactly one
+    Scan block reading the ``embedding`` column. (A ReusedExchange over
+    one scan would still be one scan — fine. semantic_cluster_assign
+    shares the operator but checkpoints the pairs subtree out of its
+    final plan, so the operator-level pin is what covers it.)"""
+    plan = plan_of(spark, "neardup_embedding_cosine")
+    scans = _embedding_column_scans(plan)
+    assert len(scans) == 1, (
+        "query: expected exactly one embedding-column scan, got "
+        f"{len(scans)}:\n" + "\n---\n".join(s.splitlines()[0] for s in scans)
+    )
+
+    from dask_felleskomponenter_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+    from dask_felleskomponenter_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cosine_neardup_pairs(emb, threshold=0.4, n_blocks=8).explain(
+            "formatted"
+        )
+    scans = _embedding_column_scans(buf.getvalue())
+    assert len(scans) == 1, (
+        "operator: expected exactly one embedding-column scan, got "
+        f"{len(scans)}:\n" + "\n---\n".join(s.splitlines()[0] for s in scans)
+    )
