@@ -921,3 +921,102 @@ def test_merge_mode_validates_update_type_col_before_staging(spark):
     with pytest.raises(ValueError, match="update_type"):
         mgr.sync(df, mode="merge", merge_keys=["id"])
     assert writes == []  # validation fired BEFORE the staging write
+
+
+@pytest.mark.parametrize("seed", [19, 73])
+def test_refresh_randomized_crash_points_exactly_once(
+    spark, tmp_path, monkeypatch, seed
+):
+    """Randomized planted-failure-point fuzz for the staging+swap path
+    (mirroring the dedup-ingest twins' crash fuzz): a run of small
+    random batches where randomly chosen refreshes die at a randomly
+    chosen swap rename (live→.old or staging→live). Every crashed
+    refresh is retried once; the invariant is EXACTLY-ONCE under retry
+    — a crashed refresh never publishes (so the retry cannot
+    double-count) and never loses history (so the final summary equals
+    the from-scratch aggregate of every batch applied once). Seeds are
+    in the parametrize list; the failure plan is logged on assert."""
+    import os as _os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dask_felleskomponenter_spark.sync import incremental as inc
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "summary")
+    n_batches = rng.randint(3, 5)
+    batches = []
+    for b in range(n_batches):
+        n = rng.randint(20, 60)
+        base = rng.randint(0, 1000)
+        batches.append(
+            spark.range(base, base + n).select(
+                (F.col("id") % rng.randint(2, 5)).alias("k"),
+                (F.col("id") * 1.5).alias("v"),
+            )
+        )
+
+    real_rename = _os.rename
+    plan = []  # (batch_idx, crashed_rename_idx or None) — logged on fail
+
+    for i, b in enumerate(batches):
+        crash_here = rng.random() < 0.5
+        if not crash_here:
+            plan.append((i, None))
+            inc.refresh_incremental_summary(spark, path, b, ["k"], ["v"])
+            continue
+        # fail the Nth swap-rename this refresh performs (1st = live→
+        # .old when the summary exists, 2nd = staging→live; on the
+        # bootstrap call only the staging→live rename happens)
+        fail_at = rng.randint(0, 1)
+        state = {"calls": 0}
+
+        def boom(src, dst, _fail_at=fail_at, _state=state):
+            # only swap renames count — Spark's own writer never calls
+            # python os.rename, but be explicit about the target
+            if dst == path or dst == path + ".old":
+                if _state["calls"] == _fail_at:
+                    _state["calls"] += 1
+                    raise OSError(f"planted crash at swap rename {_fail_at}")
+                _state["calls"] += 1
+            return real_rename(src, dst)
+
+        plan.append((i, fail_at))
+        monkeypatch.setattr(inc.os, "rename", boom)
+        crashed = False
+        try:
+            inc.refresh_incremental_summary(spark, path, b, ["k"], ["v"])
+        except OSError:
+            crashed = True
+        monkeypatch.undo()
+        # Retry ONLY a crashed refresh (the bootstrap call performs a
+        # single swap rename, so fail_at=1 may never fire and the
+        # refresh then already published — retrying it would
+        # double-fold). The invariant: crashed ⇒ unpublished, so the
+        # retry folds the batch exactly once.
+        if crashed:
+            inc.refresh_incremental_summary(spark, path, b, ["k"], ["v"])
+
+    got = {
+        (r.k): (r[inc.COUNT_COL], r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    from functools import reduce
+
+    all_rows = reduce(lambda a, b: a.unionByName(b), batches)
+    expect = {
+        r.k: (r.n, r.s)
+        for r in all_rows.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == expect, f"seed {seed}, failure plan {plan}"
+    # no swap litter survives recovery
+    assert not _os.path.exists(path + ".old"), f"seed {seed}, plan {plan}"
+    litter = [
+        n
+        for n in _os.listdir(str(tmp_path))
+        if n.startswith("summary.staging-")
+    ]
+    assert litter == [], f"seed {seed}, plan {plan}: {litter}"
