@@ -1706,10 +1706,15 @@ WITH valid AS (
   -- The json_type = 'OBJECT' gate closes the valid-but-non-object
   -- class ('[1,2]', '7'): Spark's from_json(map<...>) yields a NULL
   -- map there (sentinels -1/'') while json_keys would yield []
-  -- (0/'') — NULL both sides so the sentinels agree.
+  -- (0/'') — NULL both sides so the sentinels agree. NESTED CASE, not
+  -- AND: DuckDB's adaptive conjunction reordering may evaluate
+  -- json_type first, aborting on the invalid JSON the json_valid
+  -- guard exists to screen (reproduced at ~200k rows).
   SELECT event_id,
-         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
-              THEN props END AS props
+         CASE WHEN json_valid(props)
+              THEN CASE WHEN json_type(props) = 'OBJECT'
+                        THEN props END
+              END AS props
   FROM events
 )
 SELECT
@@ -2686,17 +2691,23 @@ ORDER BY user_id
 # Array set-algebra twin: recomputed WITHOUT array set ops — per-token
 # parity flags (1-based ordinality: odd ↔ Spark's 0-based even) +
 # count_if give the same set cardinalities. [\s\x0b] = Java \s.
+# Empty tokens are list_filter'ed BEFORE generate_subscripts, exactly
+# as the Spark twin filters before its positional lambda: indexing the
+# raw split would let a leading-whitespace text ('  a b c') shift every
+# position by one and swap the halves.
 ORACLES["set_algebra_token_halves"] = """
 WITH toks AS (
   SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS idx
   FROM (SELECT doc_id,
-               string_split_regex(lower(text), '[\\s\\x0b]+') AS l
+               list_filter(
+                 string_split_regex(lower(text), '[\\s\\x0b]+'),
+                 x -> x <> '') AS l
         FROM documents WHERE text IS NOT NULL)
 ), flags AS (
   SELECT doc_id, tok,
          bool_or(idx % 2 = 1) AS in_even,
          bool_or(idx % 2 = 0) AS in_odd
-  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+  FROM toks GROUP BY doc_id, tok
 )
 SELECT doc_id,
   CAST(count_if(in_even AND in_odd) AS INT) AS n_common,
@@ -2710,9 +2721,12 @@ ORDER BY doc_id
 # str_to_map round-trip twin: the oracle never parses a k=v string —
 # it derives the same profile straight from the base columns, checking
 # serialize → str_to_map → element_at → cast against an independent
-# path. COALESCE sentinels mirror the wire format's NULL-lossiness.
+# path. COALESCE sentinels mirror the wire format's NULL-lossiness,
+# and translate(';=' → '__') mirrors its delimiter sanitization (an
+# unsanitized 'a;b' type would truncate to 'a' at parse time while
+# the direct derivation kept it whole).
 ORACLES["str_to_map_event_kv"] = """
-SELECT COALESCE(event_type, '?') AS t_key,
+SELECT translate(COALESCE(event_type, '?'), ';=', '__') AS t_key,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT COALESCE(user_id, -1)) AS BIGINT) AS n_users,
        MIN(COALESCE(user_id, -1)) AS min_user,

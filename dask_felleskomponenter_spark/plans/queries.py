@@ -4912,15 +4912,22 @@ def str_to_map_event_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent derivation.
 
     NULLs ride through COALESCE sentinels ('?' / -1) because a k=v
-    string cannot represent a NULL value — exactly the lossy-encoding
-    semantics the query documents.
+    string cannot represent a NULL value, and the pair/kv delimiters
+    (';' '=') are TRANSLATED to '_' before serializing — a value
+    containing a delimiter would otherwise truncate at parse time
+    while the oracle's direct derivation kept it whole. Both
+    lossinesses are the wire format's, applied identically on both
+    engines.
 
     Scale: pure map-side string work into one partial-aggregated
     shuffle on the low-cardinality type key."""
     ev = load_table(spark, sf_dir, "events")
+    safe_type = F.translate(
+        F.coalesce("event_type", F.lit("?")), ";=", "__"
+    )
     kv = F.concat_ws(
         ";",
-        F.concat(F.lit("t="), F.coalesce("event_type", F.lit("?"))),
+        F.concat(F.lit("t="), safe_type),
         F.concat(
             F.lit("u="),
             F.coalesce(F.col("user_id").cast("string"), F.lit("-1")),

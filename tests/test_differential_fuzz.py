@@ -1469,6 +1469,14 @@ def test_emit_order_matches_oracle_on_hostile_corpus(spark, tmp_path):
         (100 + i, f"foo\x0bbar baz{i} qux\x0b", "en", "srcv", 12)
         for i in range(6)
     ]
+    # leading/trailing whitespace class: a raw split yields a leading
+    # empty token that shifts 1-based positions — any oracle indexing
+    # pre-filter (the set_algebra_token_halves bug class) swaps its
+    # halves here; TRIM-based tokenizations are unaffected
+    rows += [
+        (110 + i, f"  led{i} tok alpha tok beta{i} \x0b", "en", "srcw", 12)
+        for i in range(4)
+    ]
     spark.createDataFrame(
         pd.DataFrame(
             rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
@@ -1735,4 +1743,37 @@ def test_nonobject_json_props_match_oracle(spark, tmp_path, seed):
         f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
     )
     for name in ("map_fns_events", "json_fns_events", "variant_fns_events"):
+        _compare(spark, con, name, sf_dir)
+
+
+@pytest.mark.parametrize("seed", [23, 67])
+def test_delimiter_event_types_match_oracle(spark, tmp_path, seed):
+    """Round-9 review finding: the k=v wire format is lossy for values
+    containing the pair/kv delimiters — an unsanitized 'a;b' event
+    type truncated to 'a' at str_to_map parse time while the oracle's
+    direct derivation kept it whole. Both sides now translate ';' '='
+    to '_'; this corpus plants delimiter-bearing types (plus the
+    map-family queries that group by the raw type, which must be
+    delimiter-transparent)."""
+    import duckdb
+
+    rows = [list(r) for r in _events_corpus(seed * 5227 + 7, 300)]
+    hostile_types = ["promo;flash", "k=v", "a;b=c", ";lead", "trail="]
+    for i, r in enumerate(rows):
+        if i % 11 == 4 and r[3] is not None:
+            r[3] = hostile_types[(i // 11) % len(hostile_types)]
+    rows = [tuple(r) for r in rows]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(2).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    for name in ("str_to_map_event_kv", "map_filter_concat_profile"):
         _compare(spark, con, name, sf_dir)
