@@ -58,11 +58,20 @@ def tokens(col: str | Column) -> Column:
     count/ratio/score depend on session config — a NULL document once
     scored 0.7 "quality" under ANSI defaults (above the repo's own keep
     threshold) and 0.3 without. With the guard here, every consumer
-    sees a deterministic 0 in both modes."""
-    t = F.trim(_c(col))
+    sees a deterministic 0 in both modes.
+
+    Empty tokens are FILTERED, not trimmed away: ``trim`` strips only
+    ASCII space 0x20, so tab/newline/VT-padded text ('\\thello\\n')
+    split into phantom ''-tokens at both ends — inflating every count
+    and ratio, and (worse) poisoning shingles so 'hello world' and
+    'hello world\\n' shared ZERO shingles and near-dup detection
+    missed the most common trivial variant. The filter makes blank
+    text (all-whitespace of any kind) an empty array too, so the
+    explicit blank check reduces to the NULL guard."""
+    t = _c(col)
     return F.when(
-        t.isNull() | (t == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(t, WS_PATTERN))
+        t.isNull(), F.array().cast("array<string>")
+    ).otherwise(F.filter(F.split(t, WS_PATTERN), lambda x: x != ""))
 
 
 def token_count(col: str | Column) -> Column:
@@ -106,7 +115,13 @@ def quality_score(col: str | Column, lang: str = "en") -> Column:
         F.least(ntok / F.lit(20.0), F.lit(1.0))
         * F.least(F.lit(2000.0) / F.greatest(ntok, F.lit(1.0)), F.lit(1.0))
     )
-    punct_component = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    # Token-gated like the length component: "no punctuation noise" in
+    # ZERO characters is not evidence of quality — ungated, the perfect
+    # 1.0 here handed every empty/NULL document a 0.3 floor score, so a
+    # keep-threshold at or below 0.3 would retain empty docs.
+    punct_component = F.when(ntok <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    )
     stop_component = F.least(stopword_ratio(col, lang) * 5.0, F.lit(1.0))
     return F.round(
         0.4 * length_component + 0.3 * punct_component + 0.3 * stop_component, 6
@@ -154,8 +169,12 @@ def word_shingles(text_col: str | Column, k: int = 3, distinct: bool = True) -> 
     tokens yield a single shingle of the whole text so they still
     participate in similarity.
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.trim(c), WS_PATTERN)
+    c = _c(text_col)
+    # tokens(), not a raw split: phantom ''-tokens from tab/newline
+    # padding made near-identical docs share zero shingles (see tokens)
+    toks = F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        tokens(c)
+    )
     n = F.size(toks)
     if k <= 1:
         shingled = toks
@@ -178,9 +197,14 @@ def word_shingles(text_col: str | Column, k: int = 3, distinct: bool = True) -> 
     # there (not NULL), so the short-document branch would fire and hand
     # NULL docs a phantom [""] shingle — fingerprinting them identically
     # to empty-string docs and diverging from rolling_fingerprint_df's
-    # normalize-to-NULL contract.
+    # normalize-to-NULL contract. ZERO-token text (empty or
+    # whitespace-only) yields NO shingles: the whole-text branch's
+    # concat_ws over an empty array is '' — an artificial shingle that
+    # near-dup-clustered every blank doc (exact dedup owns that class),
+    # and one DuckDB cannot even express (array_to_string([]) is NULL).
     shingled = (
         F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(n == 0, F.array().cast("array<string>"))
         .when(n < k, F.array(F.concat_ws(" ", toks)))
         .otherwise(shingled)
     )
@@ -282,8 +306,13 @@ PII_PATTERNS = {"email": PII_EMAIL_PATTERN, "phone": PII_PHONE_PATTERN}
 
 def pii_hits(col: str | Column, kind: str) -> Column:
     """Count of PII matches of ``kind`` (see ``PII_PATTERNS``) in a text
-    column — a plain ``regexp_count`` expression."""
-    return F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind]))
+    column. NULL text counts 0, matching the pack's counter convention
+    (``token_count``/``bpe_ish_token_count``) — a NULL-propagating count
+    would label NULL-text rows "dirty" in a ``hits == 0`` compliance
+    gate and silently drop them from ``avg(hits)`` denominators."""
+    return F.coalesce(
+        F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind])), F.lit(0)
+    )
 
 
 def redact_pii(col: str | Column) -> Column:
@@ -338,21 +367,27 @@ def rolling_fingerprint_df(
 
     Same semantics as the column forms: documents shorter than
     ``window`` tokens contribute one whole-text gram (``concat_ws``
-    skips the NULL leads); empty text hashes the empty string; NULL
-    text yields a NULL fingerprint (``posexplode_outer`` keeps the row —
-    a plain explode would silently DROP NULL-text documents from the
-    output, diverging from the column forms).
+    skips the NULL leads); ZERO-token text (empty/whitespace-only)
+    yields an EMPTY fingerprint (word_shingles' n == 0 branch — no
+    artificial ''-gram); NULL text yields a NULL fingerprint
+    (``posexplode_outer`` keeps the row — a plain explode would
+    silently DROP NULL-text documents from the output, diverging from
+    the column forms).
     ``hash_fn`` defaults to ``F.md5`` (oracle-parity); pass
     ``F.xxhash64`` for the compact production fingerprint.
     """
     from pyspark.sql import Window
 
     hash_fn = hash_fn or F.md5
+    # tokens(), not a raw split (phantom ''-tokens from tab/newline
+    # padding — see tokens). A zero-token array posexplode_outers into
+    # the SAME (NULL, NULL) carrier row a NULL array does, so NULL-ness
+    # of the text rides along as a flag to keep the two cases apart at
+    # the aggregate.
     toks = df.select(
         F.col(id_col),
-        F.posexplode_outer(F.split(F.trim(_c(text_col)), WS_PATTERN)).alias(
-            "_pos", "_t"
-        ),
+        _c(text_col).isNull().alias("_null_text"),
+        F.posexplode_outer(tokens(text_col)).alias("_pos", "_t"),
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
     gram = F.when(F.col("_t").isNull(), F.lit(None)).otherwise(
@@ -367,7 +402,7 @@ def rolling_fingerprint_df(
         .filter(
             (F.col("_pos") + window - 1 < F.col("_n"))
             | ((F.col("_n") < window) & (F.col("_pos") == 0))
-            | F.col("_pos").isNull()  # NULL-text carrier row
+            | F.col("_pos").isNull()  # NULL/zero-token carrier row
         )
     )
     # Gate on _g IS NOT NULL explicitly: md5(NULL) is NULL but
@@ -376,11 +411,14 @@ def rolling_fingerprint_df(
     # fingerprint into NULL-text docs under the production hash family.
     gated = F.when(F.col("_g").isNotNull(), hash_fn(F.col("_g")))
     fp = F.slice(F.array_sort(F.collect_list(gated)), 1, keep)
-    # collect_list skips the gated-NULL carrier row, leaving an empty
-    # array exactly (and only) for NULL-text docs — normalize to NULL to
-    # match the column forms.
+    # collect_list skips the gated-NULL carrier rows, leaving an empty
+    # array for BOTH NULL-text and zero-token docs — the _null_text
+    # flag keeps the column-form contract apart: NULL fingerprint for
+    # NULL text, EMPTY fingerprint for token-less text.
     return grams.groupBy(id_col).agg(
-        F.when(F.size(fp) == 0, F.lit(None)).otherwise(fp).alias(out_col)
+        F.when(F.max("_null_text"), F.lit(None))
+        .otherwise(fp)
+        .alias(out_col)
     )
 
 

@@ -57,10 +57,11 @@ class ChunkDocument:
 
     ``eval(text, chunk_size, stride)`` yields one row per chunk:
     token windows ``[s, s + chunk_size)`` for ``s = 0, stride, 2·stride,
-    … < n_tokens``. Tokenization is the engine-wide trim + ``\\s+``
-    split (empty text → one empty token → a single empty chunk), so the
-    DuckDB oracle can reproduce chunks exactly. None text yields no
-    rows (LATERAL-join semantics drop the document).
+    … < n_tokens``. Tokenization is the engine-wide ``\\s+`` split with
+    empty tokens dropped (mirroring ``text.tokens()``), so the DuckDB
+    oracle can reproduce chunks exactly. None text AND zero-token text
+    (empty/whitespace-only) yield no rows — a document with no tokens
+    has no chunks (LATERAL-join semantics drop the document).
     """
 
     def eval(self, text: str | None, chunk_size: int, stride: int):
@@ -79,12 +80,11 @@ class ChunkDocument:
                 f"chunk_size and stride must be positive, got "
                 f"chunk_size={chunk_size}, stride={stride}"
             )
-        # strip SPACES only, like SQL TRIM and the engine's F.trim-based
-        # column tokenizers: Python's bare strip() also removes \x0b/\t
-        # etc., which silently swallows the trailing empty token every
-        # other surface (Spark split, DuckDB string_split_regex)
-        # produces after a trailing non-space whitespace char
-        toks = _WS.split(text.strip(" "))
+        # split-then-drop-empties, the engine-wide tokenization
+        # (text.tokens() / the oracles' list_filter'd split): phantom
+        # ''-tokens from tab/newline/VT padding previously chunked as
+        # real tokens, and a blank document got a single empty chunk
+        toks = [t for t in _WS.split(text) if t != ""]
         n = len(toks)
         s = 0
         while s < n:

@@ -191,16 +191,18 @@ def assign_components(
     """Attach a cluster id to every row of ``df``: the component minimum
     for rows that near-dup with anything, the row's own id otherwise
     (singleton clusters)."""
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_absent,
+        fresh_name,
+        quoted_col,
+    )
+
     # out_col is an OUTPUT-contract name (callers select it), so a
     # collision can't be fresh-named away like the internal join
     # columns below — withColumn would silently REPLACE a user column
     # (e.g. a hardware 'component' id) with cluster ids.
     # Case-insensitive, matching Spark's default resolution.
-    if any(c.casefold() == out_col.casefold() for c in df.columns):
-        raise ValueError(
-            f"out_col {out_col!r} collides with an existing column; "
-            f"pass a different out_col"
-        )
+    ensure_absent(out_col, df, what="out_col")
     # Same loud guard the edge side gets: the singleton fallback below
     # is cast('long'), which would silently turn string ids into NULL
     # components (one giant NULL cluster) — exactly what
@@ -218,11 +220,6 @@ def assign_components(
     # user columns — the join would raise AMBIGUOUS_REFERENCE (or the
     # final drop would delete user data), the exact class fresh_name
     # exists for.
-    from dask_felleskomponenter_spark.operators.shuffle import (
-        fresh_name,
-        quoted_col,
-    )
-
     id_name = fresh_name("_cc_id", df, extra={out_col})
     comp_name = fresh_name("_cc_comp", df, extra={out_col, id_name})
     cc = connected_components(pairs, src, dst).select(

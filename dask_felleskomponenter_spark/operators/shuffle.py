@@ -112,6 +112,40 @@ def fresh_name(base: str, *dfs: DataFrame, extra: set[str] | None = None) -> str
     return f"{base}{i}"
 
 
+def ensure_absent(name: str, df: DataFrame, what: str = "output") -> None:
+    """Raise if ``name`` collides (case-insensitively) with a column of
+    ``df``. Output-contract columns (callers select them by name) can't
+    be silently ``fresh_name``-d away — a collision must be a loud
+    error, never a ``withColumn`` overwrite that destroys user data.
+    One helper so the policy can't drift per module (round-9 review:
+    the inline copies in three modules had already diverged — two
+    window operators were missing the guard entirely)."""
+    if any(c.casefold() == name.casefold() for c in df.columns):
+        raise ValueError(
+            f"{what} column {name!r} collides with an existing column; "
+            f"pass a different name"
+        )
+
+
+def as_key_list(keys, what: str = "partition_by") -> list:
+    """Normalize a window/group key argument: wrap a bare string (which
+    would ``*``-splat into per-character column names — ``'uid'`` →
+    ``partitionBy('u','i','d')``) and reject an empty sequence (a
+    zero-key window is a single global partition, the one-reducer OOM
+    shape the window module's header forbids at scale — if a global
+    window is genuinely wanted, pass ``[F.lit(1)]`` explicitly)."""
+    if isinstance(keys, str):
+        return [keys]
+    out = list(keys)
+    if not out:
+        raise ValueError(
+            f"{what} is empty: a zero-key window spans the whole dataset "
+            f"(single-partition shuffle). Pass [F.lit(1)] explicitly if "
+            f"a global window is intended."
+        )
+    return out
+
+
 def ensure_prefix_free(
     prefix: str, value_cols, against, what: str = "left"
 ) -> None:

@@ -32,11 +32,20 @@ def keep_first(
     ``"_rn"`` default would overwrite (and then drop) a same-named user
     column, the withColumn+drop hazard ``shuffle.fresh_name`` exists for.
     """
-    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        as_key_list,
+        ensure_absent,
+        fresh_name,
+    )
 
     if rn_col is None:
         rn_col = fresh_name("_rn", df)
-    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    else:
+        # an EXPLICIT rn_col naming an existing column would be
+        # overwritten with row numbers and then DROPPED — the exact
+        # withColumn+drop hazard the fresh_name default exists for
+        ensure_absent(rn_col, df, what="rn_col")
+    w = Window.partitionBy(*as_key_list(partition_by)).orderBy(*order_by)
     return (
         df.withColumn(rn_col, F.row_number().over(w))
         .filter(F.col(rn_col) <= keep)
@@ -59,12 +68,13 @@ def rank_topn_per_group(
     same-named user column with the rank and then FILTER on it, so a
     collision is a loud error instead (case-insensitive, matching
     Spark's default resolution)."""
-    if any(c.casefold() == rank_col.casefold() for c in df.columns):
-        raise ValueError(
-            f"rank_col {rank_col!r} collides with an existing column; "
-            f"pass a different rank_col"
-        )
-    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        as_key_list,
+        ensure_absent,
+    )
+
+    ensure_absent(rank_col, df, what="rank_col")
+    w = Window.partitionBy(*as_key_list(partition_by)).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= n
     )
@@ -102,7 +112,16 @@ def lag_sessionize(
     """
     from decimal import Decimal
 
-    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_absent,
+        fresh_name,
+    )
+
+    # session_col is an OUTPUT-contract column (callers select it by
+    # name): a collision with existing data — e.g. re-sessionizing an
+    # already-sessionized frame — must be loud, never a silent
+    # withColumn overwrite (the policy rank_topn_per_group enforces)
+    ensure_absent(session_col, df, what="session_col")
 
     # Gap as an exact day-time interval at microsecond precision —
     # int(gap_seconds) would silently truncate fractional gaps (0.5 → 0,
@@ -139,9 +158,11 @@ def lag_sessionize(
     )
     # A session is a time-chain: timestamp-less rows can't chain (see
     # docstring — the streaming twins drop them, and lag() would mint a
-    # phantom session per NULL row here). Malformed STRINGS still abort
-    # loudly (ANSI cast), as they always did — this filter is for
-    # genuine NULLs.
+    # phantom session per NULL row here). Malformed STRINGS abort
+    # loudly under ANSI mode (Spark 4's default); with
+    # spark.sql.ansi.enabled=false they cast to NULL and are dropped by
+    # this same filter — callers pinning legacy mode trade the loud
+    # error for the drop.
     df = df.filter(ts.isNotNull())
     # Order both windows by the CAST timestamp, not the raw column: for
     # string input in a non-lexicographic format ('2024-01-01 9:00:00'
@@ -172,9 +193,18 @@ def running_total(
     value_col: str | Column,
     out_col: str = "running_total",
 ) -> DataFrame:
-    """Cumulative sum per partition (rows-frame running total)."""
+    """Cumulative sum per partition (rows-frame running total).
+
+    ``out_col`` is an output-contract column — a collision with an
+    existing column raises instead of silently replacing it."""
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        as_key_list,
+        ensure_absent,
+    )
+
+    ensure_absent(out_col, df, what="out_col")
     w = (
-        Window.partitionBy(*partition_by)
+        Window.partitionBy(*as_key_list(partition_by))
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -318,11 +318,12 @@ ORDER BY s_suppkey
 # shingle count and eval-overlap count.
 ORACLES["contamination_ngram_screen"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
-         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
               ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
          END AS shs
   FROM toks
@@ -394,7 +395,7 @@ ORDER BY d.lang
 
 ORACLES["unigram_logprob_score"] = """
 WITH tok AS (
-  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '[\\s\\x0b]+')) AS term
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) AS term
   FROM documents
 ), doc_term AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
@@ -429,17 +430,21 @@ ORDER BY l.l_returnflag
 
 ORACLES["repetition_profile_documents"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t
   FROM documents
 ), bigrams AS (
   SELECT doc_id,
          len(t) AS n_tokens,
          len(list_distinct(t)) AS n_distinct,
-         UNNEST(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+         UNNEST(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
                      ELSE [array_to_string(t[i:i+1], ' ')
                            FOR i IN range(1, len(t))]
                 END) AS bg
   FROM toks
+  -- zero-token docs excluded on both engines: nothing to profile and
+  -- the distinct/token ratio would be 0/0
+  WHERE len(t) > 0
 ), per_bigram AS (
   SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS c
   FROM bigrams GROUP BY doc_id, n_tokens, n_distinct, bg
@@ -985,7 +990,7 @@ SELECT
   COUNT(*) AS n_docs,
   ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
   ROUND(CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
-                      ELSE len(string_split_regex(TRIM(text), '[\\s\\x0b]+')) END) AS DOUBLE)
+                      ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) END) AS DOUBLE)
           / COUNT(*), 6) AS avg_tokens,
   MIN(n_chars) AS min_chars,
   MAX(n_chars) AS max_chars
@@ -1098,11 +1103,12 @@ FROM documents
 # cap is actually removing shingles.
 ORACLES["neardup_jaccard_pairs"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
-         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
               ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
          END AS shs
   FROM toks
@@ -1140,11 +1146,12 @@ ORDER BY id_a, id_b
 # O(log n) large-star/small-star algorithm.
 ORACLES["neardup_cluster_assign"] = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
-         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
               ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
          END AS shs
   FROM toks
@@ -1191,12 +1198,12 @@ WITH base AS (
   SELECT doc_id,
          text,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(string_split_regex(TRIM(text), '[\\s\\x0b]+')) END AS n_tokens,
+              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) END AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0b]')) AS n_bpe_tokens,
          CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x)
+              ELSE list_transform(list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> ''), x -> x)
          END AS toks
   FROM documents
 ), scored AS (
@@ -1216,7 +1223,8 @@ SELECT doc_id, n_tokens, n_bpe_tokens,
          0.4 * (CASE WHEN n_tokens <= 0 THEN 0.0
                      ELSE LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
                           * LEAST(2000.0 / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 1.0) END)
-         + 0.3 * (1.0 - LEAST(punct_ratio_raw * 4.0, 1.0))
+         + 0.3 * (CASE WHEN n_tokens <= 0 THEN 0.0
+                     ELSE 1.0 - LEAST(punct_ratio_raw * 4.0, 1.0) END)
          + 0.3 * LEAST(stop_ratio_raw * 5.0, 1.0), 6) AS quality
 FROM scored
 ORDER BY doc_id
@@ -1230,7 +1238,7 @@ ORACLES["tfidf_top_terms"] = """
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+') END AS t
+              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> '') END AS t
   FROM documents WHERE text IS NOT NULL
 ), terms AS (
   SELECT doc_id, UNNEST(t) AS term FROM toks
@@ -1261,10 +1269,11 @@ ORDER BY doc_id, rank
 ORACLES["ngram_top_bigrams"] = """
 WITH toks AS (
   SELECT CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+') END AS t
+              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> '') END AS t
   FROM documents WHERE text IS NOT NULL
 ), grams AS (
-  SELECT CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+  SELECT CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
               ELSE [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
          END AS g
   FROM toks
@@ -1324,9 +1333,12 @@ ORDER BY doc_id
 # exactly; family C carries the same residual excluding family-A pairs.
 ORACLES["fuzzy_blocked_match"] = """
 WITH b AS (
+  -- COALESCE on BOTH token picks: Spark's regexp_extract returns ''
+  -- (not NULL) when a tab-only text has no \S token at all, and the
+  -- list_filter mirror of the tokenizer leaves [] there
   SELECT doc_id,
-         string_split_regex(TRIM(text), '[\\s\\x0b]+')[1] AS blk,
-         COALESCE(string_split_regex(TRIM(text), '[\\s\\x0b]+')[2], '') AS tok2,
+         COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')[1], '') AS blk,
+         COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')[2], '') AS tok2,
          substr(TRIM(text), 1, 40) AS pfx
   FROM documents
   WHERE text IS NOT NULL AND TRIM(text) != ''
@@ -1387,11 +1399,11 @@ ORACLES["pipeline_training_corpus"] = """
 WITH RECURSIVE base AS (
   SELECT doc_id, text, lang,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(string_split_regex(TRIM(text), '[\\s\\x0b]+')) END AS n_tokens,
+              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) END AS n_tokens,
          CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_transform(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'),
+              ELSE list_transform(list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> ''),
                                   x -> x) END AS toks
   FROM documents
   WHERE text IS NOT NULL
@@ -1402,9 +1414,10 @@ WITH RECURSIVE base AS (
                        ELSE LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
                             * LEAST(2000.0 / GREATEST(CAST(n_tokens AS DOUBLE),
                                                       1.0), 1.0) END)
-           + 0.3 * (1.0 - LEAST((CASE WHEN n_chars > 0
-                                      THEN n_punct / n_chars
-                                      ELSE 0.0 END) * 4.0, 1.0))
+           + 0.3 * (CASE WHEN n_tokens <= 0 THEN 0.0
+                        ELSE 1.0 - LEAST((CASE WHEN n_chars > 0
+                                          THEN n_punct / n_chars
+                                          ELSE 0.0 END) * 4.0, 1.0) END)
            + 0.3 * LEAST((CASE WHEN len(toks) > 0
                                THEN CAST(len(list_filter(toks,
                                       t -> list_contains(['the','and','of','to',
@@ -1419,10 +1432,11 @@ WITH RECURSIVE base AS (
   FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS _mk FROM kept)
   WHERE doc_id = _mk
 ), toks2 AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS t FROM dedup
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t FROM dedup
 ), shingled AS (
   SELECT doc_id,
-         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
               ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
          END AS shs
   FROM toks2
@@ -1470,7 +1484,7 @@ ORACLES["lang_id_documents"] = """
 WITH toks AS (
   SELECT doc_id, lang,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+') END AS t
+              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> '') END AS t
   FROM documents
 ), hits AS (
   SELECT doc_id, lang,
@@ -1799,7 +1813,7 @@ ORDER BY o_orderstatus
 # same trim + \s+ tokenization as the UDTF, chunk_index = start/stride.
 ORACLES["udtf_chunk_documents"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[\\s\\x0b]+'), x -> x <> '') AS t FROM documents
 ),
 starts AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s FROM toks
@@ -1984,12 +1998,13 @@ ORDER BY c.event_id
 # (doc_id, pos, fp_hash) rows with 1-based pos.
 ORACLES["fingerprint_documents"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[\\s\\x0b]+'), x -> x <> '') AS t
   FROM documents
 ),
 sh AS (
   SELECT doc_id,
-         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
               ELSE list_transform(
                      generate_series(1, len(t) - 7),
                      i -> array_to_string(list_slice(t, i, i + 7), ' '))
@@ -2018,7 +2033,7 @@ ORDER BY doc_id, pos
 # the same 0-based positions Spark's posexplode emits.
 ORACLES["dedup_substring_spans"] = """
 WITH base AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '[\\s\\x0b]+') AS toks
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS toks
   FROM documents
 ),
 sh AS (
@@ -2070,13 +2085,13 @@ ORACLES["quality_ensemble_buckets"] = """
 WITH base AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(string_split_regex(TRIM(text), '[\\s\\x0b]+')) END AS n_tokens,
+              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) END AS n_tokens,
          CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+') END AS ltoks,
+              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> '') END AS ltoks,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE string_split_regex(TRIM(text), '[\\s\\x0b]+') END AS toks
+              ELSE list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') END AS toks
   FROM documents
   WHERE text IS NOT NULL
 ), scored AS (
@@ -2096,7 +2111,8 @@ WITH base AS (
              0.4 * (CASE WHEN n_tokens <= 0 THEN 0.0
                          ELSE LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
                               * LEAST(2000.0 / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 1.0) END)
-             + 0.3 * (1.0 - LEAST(pr * 4.0, 1.0))
+             + 0.3 * (CASE WHEN n_tokens <= 0 THEN 0.0
+                          ELSE 1.0 - LEAST(pr * 4.0, 1.0) END)
              + 0.3 * LEAST(sr * 5.0, 1.0), 6)
            + 0.4 * (CAST(n_distinct AS DOUBLE) / GREATEST(n_tokens, 1)),
            6) AS ensemble

@@ -3011,7 +3011,9 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim("text"), TX.WS_PATTERN)).alias("term"),
+        # TX.tokens, not a raw split: phantom ''-terms from tab/newline
+        # padding would enter the vocabulary as a (frequent!) token
+        F.explode(TX.tokens("text")).alias("term"),
     )
     doc_term = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("_tf")
@@ -3079,8 +3081,12 @@ def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the already-reduced pairs (never a window over the
     raw stream); token stats ride the same scan as column expressions."""
     docs = scan_fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
-    toks = F.split(F.trim("text"), TX.WS_PATTERN)
-    base = docs.select(
+    toks = TX.tokens("text")
+    # zero-token docs (NULL/blank/whitespace-only text) are excluded:
+    # there is nothing to profile and the distinct/token ratio would be
+    # 0/0 (ANSI divide-by-zero; the raw split's phantom ''-token used
+    # to mask this by making every doc "one token")
+    base = docs.where(F.size(toks) > 0).select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),

@@ -179,16 +179,21 @@ def dedup_against_history(
     # Case-INSENSITIVE, matching withColumn's resolution under the
     # default spark.sql.caseSensitive=false: a user column 'Content_SHA'
     # passes an exact-match check yet still gets silently REPLACED.
-    if any(c.casefold() == HASH_COL.casefold() for c in batch_df.columns):
-        # the history schema fixes this name, so withColumn would
-        # silently OVERWRITE a caller's same-named column and hand the
-        # corrupted value back in the novel rows — the hazard
-        # operators/dedup.py::exact_dedup avoids with fresh_name; here
-        # the fixed name makes a loud error the only safe option
+    # the history schema fixes this name, so withColumn would silently
+    # OVERWRITE a caller's same-named column and hand the corrupted
+    # value back in the novel rows — the hazard
+    # operators/dedup.py::exact_dedup avoids with fresh_name; here the
+    # fixed name makes a loud error the only safe option (shared
+    # ensure_absent policy)
+    from dask_felleskomponenter_spark.operators.shuffle import ensure_absent
+
+    try:
+        ensure_absent(HASH_COL, batch_df, what="reserved history")
+    except ValueError:
         raise ValueError(
             f"batch_df already has a column named {HASH_COL!r}, which "
             "the history schema reserves — rename it before screening"
-        )
+        ) from None
     # NULL ids break the determinism contract below (keep_first ties on
     # id_col → partition-order-dependent survivor) and would record
     # NULL first_seen_id provenance — reject them loudly, exactly like

@@ -116,7 +116,8 @@ class TestUdx:
 
         register_udx(spark)
         df = spark.createDataFrame(
-            [(1, "a b c d e"), (2, ""), (3, None)], "id bigint, text string"
+            [(1, "a b c d e"), (2, ""), (3, None), (4, "\txy \n")],
+            "id bigint, text string",
         )
         df.createOrReplaceTempView("_t_chunks")
         rows = spark.sql(
@@ -128,8 +129,11 @@ class TestUdx:
             (1, 0, "a b c", 3),
             (1, 1, "c d e", 3),
             (1, 2, "e", 1),
-            (2, 0, "", 1),  # empty text -> one empty token chunk
-            # id=3 (NULL text) yields no rows
+            # id=2 (empty text) and id=3 (NULL text) yield no rows: a
+            # document with no tokens has no chunks (round-9 change —
+            # the phantom ''-token chunk is gone)
+            # id=4: tab/VT/newline padding drops cleanly, no '' tokens
+            (4, 0, "x y", 2),
         ]
 
 

@@ -186,9 +186,11 @@ def test_shingles_match_python_reference(spark):
     ] + ["", "   ", "one", "one two"]
 
     def py_shingles(text: str, k: int) -> list[str]:
-        toks = text.strip().split()
-        if not text.strip():
-            toks = [""]  # split('\s+') of '' yields ['']
+        # round-9 contract: split-then-drop-empties tokenization; a
+        # zero-token text (empty/whitespace-only) has NO shingles
+        toks = [t for t in text.split() if t != ""]
+        if not toks:
+            return []
         if len(toks) < k:
             return list(dict.fromkeys([" ".join(toks)]))
         out = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -227,7 +229,10 @@ def test_word_shingles_null_text_stays_null_without_ansi(spark):
                 ).collect()
             }
             assert got[0] is None, f"ansi={ansi}"
-            assert got[1] == [""], f"ansi={ansi}"
+            # round-9 contract: zero-token text has NO shingles (the
+            # phantom [''] whole-text shingle near-dup-clustered every
+            # blank doc and DuckDB can't even express it)
+            assert got[1] == [], f"ansi={ansi}"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
@@ -1384,3 +1389,61 @@ def test_bench_prior_readers_skip_non_object_json(tmp_path, monkeypatch):
     bad.write_text('["not", "an", "object"]')
     monkeypatch.setenv("BENCH_PRIOR_FILE", str(bad))
     assert bench.load_prior(0.1) == {}
+
+
+def test_window_output_columns_raise_on_collision(spark):
+    """Round-9 review: lag_sessionize and running_total silently
+    overwrote a same-named user column where the sibling operators
+    raise; keep_first's EXPLICIT rn_col had the same hole. All four now
+    share shuffle.ensure_absent."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.operators.windows import (
+        keep_first,
+        lag_sessionize,
+        running_total,
+    )
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5.0, 9, 3)],
+        "user_id bigint, ts timestamp, v double, session_id int, "
+        "running_total int",
+    )
+    with _pytest.raises(ValueError, match="session_col"):
+        lag_sessionize(df, "user_id", "ts", 60.0)
+    with _pytest.raises(ValueError, match="out_col"):
+        running_total(df, ["user_id"], [F.col("ts")], "v")
+    with _pytest.raises(ValueError, match="rn_col"):
+        keep_first(df, ["user_id"], [F.col("ts")], rn_col="v")
+    # case-insensitive: SESSION_ID resolves against session_id
+    with _pytest.raises(ValueError, match="session_col"):
+        lag_sessionize(df, "user_id", "ts", 60.0, session_col="SESSION_ID")
+    # non-colliding names still work
+    out = lag_sessionize(df, "user_id", "ts", 60.0, session_col="sess2")
+    assert out.collect()[0]["sess2"] == 1
+
+
+def test_window_partition_keys_normalized(spark):
+    """Round-9 review: a bare-string partition_by *-splatted into
+    per-character column names, and an empty key list silently windowed
+    globally (the single-reducer shape the module forbids). Strings now
+    wrap; empty raises."""
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.operators.windows import (
+        rank_topn_per_group,
+        running_total,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "uid bigint, v double"
+    )
+    # bare string no longer splats into partitionBy('u','i','d')
+    top = rank_topn_per_group(
+        df, "uid", [F.col("v").desc()], n=1
+    ).collect()
+    assert sorted((r["uid"], r["v"]) for r in top) == [(1, 2.0), (2, 3.0)]
+    with _pytest.raises(ValueError, match="empty"):
+        running_total(df, [], [F.col("v")], "v", out_col="rt")
