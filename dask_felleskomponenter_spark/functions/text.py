@@ -14,12 +14,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-WS_PATTERN = r"\s+"
+#: Whitespace for tokenization: Java ``\s`` (ASCII incl. \x0b) plus
+#: ``\p{Z}`` (Unicode separators — NBSP, ideographic/thin spaces).
+#: Without ``\p{Z}``, NBSP-typeset French or U+3000-separated CJK text
+#: tokenized multi-word runs as one token and counted every separator
+#: as punctuation. RE2 lacks ``\x0b`` in ``\s``, so oracles spell
+#: this class ``[\s\x0b\p{Z}]``; Python tokenizers mirror it with an
+#: explicit character class (no ``\p{}`` support).
+WS_PATTERN = r"[\s\p{Z}]+"
 
 #: Word-ish tokens for a BPE-style token-count estimate: runs of letters,
-#: runs of digits, or any single non-space symbol. A deliberately simple,
-#: deterministic stand-in for a real tokenizer's token count.
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: runs of digits, or any single non-space symbol — in ANY script
+#: (``[A-Za-z]`` counted every Cyrillic/Greek/CJK letter as its own
+#: symbol token, inflating non-Latin counts to ~character count and
+#: skewing token-budget selection ~5x against those documents). A
+#: deliberately simple, deterministic stand-in for a real tokenizer's
+#: token count.
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s\p{Z}]"
 
 #: Punctuation = not letter, digit, underscore, or whitespace, in ANY
 #: script: Java's and RE2's ``\w`` is ASCII-only, which made every CJK/
@@ -28,7 +39,7 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 #: trap CANON_STRIP_PATTERN documents below). ``\p{L}\p{N}`` is
 #: supported identically by both engines, so the DuckDB oracle mirrors
 #: this pattern verbatim.
-PUNCT_PATTERN = r"[^\p{L}\p{N}_\s]"
+PUNCT_PATTERN = r"[^\p{L}\p{N}_\s\p{Z}]"
 
 #: Tiny per-language stopword marker sets for the n-gram/stopword
 #: language-ID heuristic. Real pipelines plug in fastText/CLD3 via a
@@ -446,7 +457,7 @@ def rolling_fingerprint_md5(
 #: string and near-exact dedup would merge ALL non-Latin documents into
 #: one false duplicate group. Both engines support ``\p{L}\p{N}``
 #: identically (differential-tested in tests/test_properties.py).
-CANON_STRIP_PATTERN = r"[^\p{L}\p{N}\s_]"
+CANON_STRIP_PATTERN = r"[^\p{L}\p{N}\s\p{Z}_]"
 
 
 def canonicalize_text(col: str | Column) -> Column:

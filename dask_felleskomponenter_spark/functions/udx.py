@@ -43,12 +43,16 @@ def geometric_mean(v: pd.Series) -> float:
     return float(np.exp(logs.mean()))
 
 
-# re.ASCII pins \s to Java's default set [ \t\n\x0B\f\r]: Python's
-# Unicode-aware \s also matches NBSP/U+2028/U+3000 etc. (common in
-# scraped text), which would split tokens the Spark-side Java regex and
-# the RE2-based DuckDB oracle keep whole — silently breaking the
-# udtf_chunk_documents hash parity on non-ASCII whitespace.
-_WS = re.compile(r"\s+", re.ASCII)
+# ASCII \s (re.ASCII pins Python's otherwise-Unicode \s to Java's
+# accept set [ \t\n\x0B\f\r]) plus the explicit \p{Z} separator block
+# (Python re has no \p{} classes): NBSP/ideographic/thin spaces split
+# tokens identically on all three surfaces (Spark [\s\p{Z}], DuckDB
+# [\s\x0b\p{Z}], here). Pinning ASCII matters because Python's \s also
+# matches U+0085/U+001C-1F, which neither Java \s nor \p{Z} covers.
+_WS = re.compile(
+    r"[\s\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+",
+    re.ASCII,
+)
 
 
 @udtf(returnType="chunk_index int, chunk_text string, n_tokens int")

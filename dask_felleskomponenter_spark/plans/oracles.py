@@ -318,7 +318,7 @@ ORDER BY s_suppkey
 # shingle count and eval-overlap count.
 ORACLES["contamination_ngram_screen"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -352,7 +352,7 @@ ORACLES["pack_sequences_offsets"] = """
 WITH toks AS (
   SELECT doc_id,
          doc_id % 8 AS shard,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0b]'))
+         len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s\\x0b\\p{Z}]'))
            AS n_tokens
   FROM documents
 ), placed AS (
@@ -395,7 +395,7 @@ ORDER BY d.lang
 
 ORACLES["unigram_logprob_score"] = """
 WITH tok AS (
-  SELECT doc_id, UNNEST(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) AS term
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) AS term
   FROM documents
 ), doc_term AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
@@ -430,7 +430,7 @@ ORDER BY l.l_returnflag
 
 ORACLES["repetition_profile_documents"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
   FROM documents
 ), bigrams AS (
   SELECT doc_id,
@@ -990,7 +990,7 @@ SELECT
   COUNT(*) AS n_docs,
   ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
   ROUND(CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
-                      ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) END) AS DOUBLE)
+                      ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) END) AS DOUBLE)
           / COUNT(*), 6) AS avg_tokens,
   MIN(n_chars) AS min_chars,
   MAX(n_chars) AS max_chars
@@ -1103,7 +1103,7 @@ FROM documents
 # cap is actually removing shingles.
 ORACLES["neardup_jaccard_pairs"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -1146,7 +1146,7 @@ ORDER BY id_a, id_b
 # O(log n) large-star/small-star algorithm.
 ORACLES["neardup_cluster_assign"] = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -1198,12 +1198,12 @@ WITH base AS (
   SELECT doc_id,
          text,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) END AS n_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0b]')) AS n_bpe_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
+              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) END AS n_tokens,
+         len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s\\x0b\\p{Z}]')) AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b\\p{Z}]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_transform(list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> ''), x -> x)
+              ELSE list_transform(list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> ''), x -> x)
          END AS toks
   FROM documents
 ), scored AS (
@@ -1238,7 +1238,7 @@ ORACLES["tfidf_top_terms"] = """
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> '') END AS t
+              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS t
   FROM documents WHERE text IS NOT NULL
 ), terms AS (
   SELECT doc_id, UNNEST(t) AS term FROM toks
@@ -1269,7 +1269,7 @@ ORDER BY doc_id, rank
 ORACLES["ngram_top_bigrams"] = """
 WITH toks AS (
   SELECT CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> '') END AS t
+              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS t
   FROM documents WHERE text IS NOT NULL
 ), grams AS (
   SELECT CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
@@ -1337,8 +1337,8 @@ WITH b AS (
   -- (not NULL) when a tab-only text has no \S token at all, and the
   -- list_filter mirror of the tokenizer leaves [] there
   SELECT doc_id,
-         COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')[1], '') AS blk,
-         COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')[2], '') AS tok2,
+         COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')[1], '') AS blk,
+         COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')[2], '') AS tok2,
          substr(TRIM(text), 1, 40) AS pfx
   FROM documents
   WHERE text IS NOT NULL AND TRIM(text) != ''
@@ -1399,11 +1399,11 @@ ORACLES["pipeline_training_corpus"] = """
 WITH RECURSIVE base AS (
   SELECT doc_id, text, lang,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) END AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
+              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) END AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b\\p{Z}]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_transform(list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> ''),
+              ELSE list_transform(list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> ''),
                                   x -> x) END AS toks
   FROM documents
   WHERE text IS NOT NULL
@@ -1432,7 +1432,7 @@ WITH RECURSIVE base AS (
   FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS _mk FROM kept)
   WHERE doc_id = _mk
 ), toks2 AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS t FROM dedup
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t FROM dedup
 ), shingled AS (
   SELECT doc_id,
          CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
@@ -1484,7 +1484,7 @@ ORACLES["lang_id_documents"] = """
 WITH toks AS (
   SELECT doc_id, lang,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> '') END AS t
+              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS t
   FROM documents
 ), hits AS (
   SELECT doc_id, lang,
@@ -1813,7 +1813,7 @@ ORDER BY o_orderstatus
 # same trim + \s+ tokenization as the UDTF, chunk_index = start/stride.
 ORACLES["udtf_chunk_documents"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '[\\s\\x0b]+'), x -> x <> '') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t FROM documents
 ),
 starts AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s FROM toks
@@ -1998,7 +1998,7 @@ ORDER BY c.event_id
 # (doc_id, pos, fp_hash) rows with 1-based pos.
 ORACLES["fingerprint_documents"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
   FROM documents
 ),
 sh AS (
@@ -2033,7 +2033,7 @@ ORDER BY doc_id, pos
 # the same 0-based positions Spark's posexplode emits.
 ORACLES["dedup_substring_spans"] = """
 WITH base AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') AS toks
+  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS toks
   FROM documents
 ),
 sh AS (
@@ -2085,13 +2085,13 @@ ORACLES["quality_ensemble_buckets"] = """
 WITH base AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '')) END AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b]')) AS DOUBLE) AS n_punct,
+              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) END AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b\\p{Z}]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b]+'), x -> x <> '') END AS ltoks,
+              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS ltoks,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(text), '[\\s\\x0b]+'), x -> x <> '') END AS toks
+              ELSE list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS toks
   FROM documents
   WHERE text IS NOT NULL
 ), scored AS (
@@ -2167,8 +2167,8 @@ ORACLES["dedup_canonical_docs"] = """
 WITH c AS (
   SELECT doc_id,
          TRIM(regexp_replace(regexp_replace(
-             LOWER(substr(text, 1, 80)), '[^\\p{L}\\p{N}\\s\\x0b_]', '', 'g'),
-             '[\\s\\x0b]+', ' ', 'g')) AS canon
+             LOWER(substr(text, 1, 80)), '[^\\p{L}\\p{N}\\s\\x0b\\p{Z}_]', '', 'g'),
+             '[\\s\\x0b\\p{Z}]+', ' ', 'g')) AS canon
   FROM documents
 )
 SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -2716,7 +2716,7 @@ WITH toks AS (
   SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS idx
   FROM (SELECT doc_id,
                list_filter(
-                 string_split_regex(lower(text), '[\\s\\x0b]+'),
+                 string_split_regex(lower(text), '[\\s\\x0b\\p{Z}]+'),
                  x -> x <> '') AS l
         FROM documents WHERE text IS NOT NULL)
 ), flags AS (

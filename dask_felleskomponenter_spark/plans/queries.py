@@ -1118,9 +1118,18 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         # first/second token via anchored regexes — they stop at the
         # relevant whitespace run instead of tokenizing the whole
-        # document the way split() would (measured 2× on this query)
-        F.regexp_extract(F.col("text"), r"^\s*(\S+)", 1).alias("blk"),
-        F.regexp_extract(F.col("text"), r"^\s*\S+\s+(\S+)", 1).alias("tok2"),
+        # document the way split() would (measured 2× on this query).
+        # The class is the engine-wide [\s\p{Z}] (TX.WS_PATTERN), not
+        # \s/\S: a bare \S+ would keep an NBSP inside the first token
+        # while the oracle's \p{Z}-aware split breaks on it.
+        F.regexp_extract(
+            F.col("text"), r"^[\s\p{Z}]*([^\s\p{Z}]+)", 1
+        ).alias("blk"),
+        F.regexp_extract(
+            F.col("text"),
+            r"^[\s\p{Z}]*[^\s\p{Z}]+[\s\p{Z}]+([^\s\p{Z}]+)",
+            1,
+        ).alias("tok2"),
         F.substring(F.trim("text"), 1, 40).alias("pfx"),
     )
     # pinned repartitions ahead of each family's window+self-join keep
@@ -4890,7 +4899,7 @@ def set_algebra_token_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.lower("text"), r"[\s\x0b]+"), lambda x: x != ""
+        F.split(F.lower("text"), TX.WS_PATTERN), lambda x: x != ""
     )
     a = F.array_distinct(F.filter(toks, lambda x, i: i % 2 == 0))
     b = F.array_distinct(F.filter(toks, lambda x, i: i % 2 == 1))

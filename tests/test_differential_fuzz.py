@@ -95,11 +95,12 @@ def _corpus(
             # review finding; the planted class keeps them honest)
             if len(words) >= 2 and rng.random() < 0.15:
                 text = text.replace(" ", "\x0b", 1)
-            # plant NBSP (U+00A0): Java \s and RE2 \s do NOT match it
-            # (one token), but Python's Unicode-aware \s DOES — any
-            # Python-side tokenizer (UDTF/pandas-UDF) must pin re.ASCII
-            # or it splits tokens the JVM/oracle keep whole (round-8
-            # review finding in ChunkDocument)
+            # plant NBSP (U+00A0): since round 9 ALL THREE tokenizer
+            # surfaces treat it as whitespace via \p{Z} (Spark
+            # [\s\p{Z}], DuckDB [\s\x0b\p{Z}], Python's explicit
+            # separator class) — this class keeps them agreeing; a
+            # surface that drops \p{Z} (or un-pins re.ASCII, picking up
+            # U+0085 etc.) diverges here
             if len(words) >= 3 and rng.random() < 0.12:
                 at = text.find(" ", 2)
                 if at > 0:
