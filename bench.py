@@ -66,6 +66,19 @@ def plan_hash(df) -> str:
     return hashlib.sha1(s.encode()).hexdigest()[:12]
 
 
+def _read_json_dict(path):
+    """Parse ``path`` as JSON, returning the dict or None (missing,
+    unreadable, bad JSON, or a non-object top level). One tolerant
+    reader shared by load_prior and _prior_file_sf so a robustness fix
+    lands once."""
+    try:
+        with open(path) as fh:
+            obj = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    return obj if isinstance(obj, dict) else None
+
+
 def load_prior(sf_num) -> dict[str, float]:
     """Per-query timings of the last committed full run at the SAME sf
     (or $BENCH_PRIOR_FILE). The committed bench_result.json is the
@@ -75,22 +88,30 @@ def load_prior(sf_num) -> dict[str, float]:
     overwrites the file. Empty dict = no comparable prior, so the
     outlier re-run pass is skipped."""
     path = os.environ.get("BENCH_PRIOR_FILE")
-    candidates = (
-        [path]
-        if path
-        else [os.path.join(REPO_ROOT, "bench_result.json")]
-        + sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))[::-1]
-    )
+    if path:
+        # An EXPLICIT prior that is unusable must be loud: silently
+        # returning {} disables the outlier protocol while the run
+        # completes looking normal — the opposite of the fail-fast
+        # contract BENCH_QUERIES/BENCH_REPEATS get (round-9 review).
+        prior = _read_json_dict(path)
+        if prior is None:
+            sys.exit(f"BENCH_PRIOR_FILE {path!r} is missing or not a "
+                     f"JSON object")
+        if prior.get("sf") != sf_num:
+            sys.exit(f"BENCH_PRIOR_FILE {path!r} records sf="
+                     f"{prior.get('sf')!r}, this run is sf={sf_num!r}")
+        if not isinstance(prior.get("queries"), dict):
+            sys.exit(f"BENCH_PRIOR_FILE {path!r} has no per-query map")
+        return prior["queries"]
+    candidates = [os.path.join(REPO_ROOT, "bench_result.json")] + sorted(
+        glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+    )[::-1]
     for cand in candidates:
-        try:
-            with open(cand) as fh:
-                prior = json.load(fh)
-        except (OSError, ValueError):
-            continue
+        prior = _read_json_dict(cand)
         # a prior whose top level isn't an object (list, string, …)
         # is just as unreadable as bad JSON — skip, don't crash the
         # bench after the timing loop already ran
-        if not isinstance(prior, dict):
+        if prior is None:
             continue
         if prior.get("sf") == sf_num and isinstance(prior.get("queries"), dict):
             return prior["queries"]
@@ -103,13 +124,8 @@ def _prior_file_sf():
     (e.g. an sf0.001 smoke) must not replace a canonical prior of
     another sf — that clobber silently disables the outlier-rerun
     protocol for the sf the file actually tracked."""
-    try:
-        with open(os.path.join(REPO_ROOT, "bench_result.json")) as fh:
-            prior = json.load(fh)
-    except (OSError, ValueError):
-        return None
-    # non-object top level = unreadable, same as bad JSON
-    return prior.get("sf") if isinstance(prior, dict) else None
+    prior = _read_json_dict(os.path.join(REPO_ROOT, "bench_result.json"))
+    return prior.get("sf") if prior is not None else None
 
 
 def main() -> None:
@@ -140,11 +156,20 @@ def main() -> None:
             f"unknown BENCH_QUERIES entries: {', '.join(unknown)}\n"
             f"valid names: {', '.join(sorted(QUERIES))}"
         )
+    if os.environ.get("BENCH_PRIOR_FILE"):
+        # validate the explicit prior NOW (load_prior exits loudly on
+        # an unusable one) — not after the timing loop already ran
+        load_prior(sf_num)
     raw_repeats = os.environ.get("BENCH_REPEATS", "2").strip()
-    if not raw_repeats.isdigit():
-        # validated HERE, not after tens of seconds of session warm-up
+    try:
+        repeats = int(raw_repeats)
+    except ValueError:
+        repeats = 0  # falls into the loud exit below
+    if repeats < 1:
+        # validated HERE, not after tens of seconds of session warm-up;
+        # '0' must not silently coerce to one pass (the message claims
+        # positive-integer validation, so enforce it)
         sys.exit(f"BENCH_REPEATS must be a positive integer, got {raw_repeats!r}")
-    repeats = max(1, int(raw_repeats))
 
     # Idle gate (round-6 protocol defect: a canonical prior captured on
     # a hot box — 139.1s vs the same code's 101.9s — ratchets the
@@ -157,7 +182,13 @@ def main() -> None:
         load_start = os.getloadavg()[0]
     except OSError:  # non-unix fallback: never gate
         load_start = 0.0
-    max_load = float(os.environ.get("BENCH_MAX_LOAD", "2.0"))
+    raw_max_load = os.environ.get("BENCH_MAX_LOAD", "2.0").strip()
+    try:
+        max_load = float(raw_max_load)
+    except ValueError:
+        # same pre-run validation contract as BENCH_REPEATS: a typo'd
+        # env must die with a clear message, not a traceback
+        sys.exit(f"BENCH_MAX_LOAD must be a number, got {raw_max_load!r}")
     hot_box = load_start > max_load
     if hot_box:
         print(
@@ -216,6 +247,16 @@ def main() -> None:
         # Drop any cached state between passes so every pass measures
         # cold plans.
         spark.catalog.clearCache()
+
+    # Sample the END loadavg HERE, right after the timing loop: sampling
+    # after the isolated-rerun subprocesses would measure the bench's
+    # OWN 32-core children, falsely flagging every rerun-bearing run as
+    # a contended box (round-9 review) — the provenance field exists to
+    # attribute drift to AMBIENT load.
+    try:
+        load_end = os.getloadavg()[0]
+    except OSError:
+        load_end = 0.0
 
     # Plan-hash pass AFTER the timing loop (compiling the plan costs
     # ~10-100ms/query and must not sit inside the timed region): the
@@ -286,10 +327,6 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    try:
-        load_end = os.getloadavg()[0]
-    except OSError:
-        load_end = 0.0
     result = {
         "metric": "declared_query_set_runtime",
         "value": total,
@@ -326,10 +363,22 @@ def main() -> None:
     )
     if result_file:
         try:
-            with open(result_file, "w") as fh:
-                fh.write(full_line + "\n")
-        except OSError:
-            pass
+            # atomic tmp+replace: a bare open('w') truncates FIRST, so
+            # a crash/ENOSPC mid-write would destroy the previous good
+            # canonical prior and silently disable the outlier protocol
+            from dask_felleskomponenter_spark.ioutil import atomic_json_dump
+
+            atomic_json_dump(result_file, result)
+        except OSError as e:
+            if os.environ.get("BENCH_RESULT_FILE"):
+                # an EXPLICITLY requested durable record must not
+                # silently evaporate (the stdout line is tail-truncated
+                # at 100+ queries; the child-rerun parent also reads
+                # this file)
+                sys.exit(f"cannot write BENCH_RESULT_FILE "
+                         f"{result_file!r}: {e}")
+            print(f"bench: could not write {result_file!r}: {e}",
+                  file=sys.stderr)
     # LAST line: a compact summary sized to survive a ~2000-char tail
     # capture — the headline total plus the slowest queries (the ones
     # perf work cares about) and a pointer to the complete map.

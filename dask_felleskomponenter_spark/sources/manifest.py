@@ -57,7 +57,16 @@ def df_checksum(df: DataFrame, cols: list[str] | None = None) -> tuple[int, int]
     checksum only needs determinism + sensitivity, not numeric
     identity.
     """
-    use = cols or sorted(df.columns)
+    # `is None`, not falsy-or: a caller-computed identity subset that
+    # comes out EMPTY must not silently checksum the full schema (the
+    # same distinction sources/tables.py::load_tables draws) — it is a
+    # caller bug, reported loudly.
+    if cols is not None and len(cols) == 0:
+        raise ValueError(
+            "df_checksum: cols is an empty list — pass None to checksum "
+            "all columns, or a non-empty identity subset"
+        )
+    use = sorted(df.columns) if cols is None else cols
     hashed = []
     for c in use:
         # backtick-quoted: a literal dot in a top-level column name
@@ -125,7 +134,7 @@ def write_corpus_manifest(
     manifest = {
         "checksum_sum64_v2": checksum,
         "n_rows": n_rows,
-        "columns": cols or sorted(df.columns),
+        "columns": sorted(df.columns) if cols is None else cols,
         "files": files,
         "extra": extra or {},
     }

@@ -247,3 +247,21 @@ def test_pre_v2_manifest_skips_the_checksum_scan(spark, tmp_path, monkeypatch):
     assert not out["ok"]
     assert any("predates" in p for p in out["problems"])
     assert not any("checksum mismatch" in p for p in out["problems"])
+
+
+def test_df_checksum_rejects_empty_cols(spark):
+    """Round-9 review: an explicitly-passed empty cols list silently
+    checksummed the full schema via the falsy `cols or ...` default —
+    a caller-computed identity subset that comes out empty must be a
+    loud error (the distinction load_tables already draws)."""
+    import pytest
+
+    from dask_felleskomponenter_spark.sources.manifest import df_checksum
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="empty list"):
+        df_checksum(df, [])
+    # None still means all columns
+    c1, n = df_checksum(df, None)
+    c2, _ = df_checksum(df, ["id"])
+    assert n == 3 and c1 == c2
