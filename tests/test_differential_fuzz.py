@@ -126,6 +126,37 @@ def _norm(v):
 _SKEY = lambda t: tuple((x is None, repr(x)) for x in t)  # noqa: E731
 
 
+def _compare(spark, con, name, sf_dir, label=""):
+    """Run QUERIES[name] and ORACLES[name] against the same corpus and
+    assert value parity (sorted, normalized). Column NAMES are asserted
+    too — without it a renamed oracle alias silently compared
+    misaligned columns (single-column renames false-passed entirely).
+    One comparator for every fuzz family so a normalization fix lands
+    once (round-9 review: eight inline copies had already drifted in
+    their assert messages only)."""
+    tag = f"{name}{' ' + label if label else ''}"
+    sdf = QUERIES[name](spark, sf_dir)
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    assert sorted(sdf.columns) == sorted(cols), (
+        f"{tag}: column names diverge: {sorted(sdf.columns)} vs "
+        f"{sorted(cols)}"
+    )
+    got = sorted(
+        (tuple(_norm(r[c]) for c in sorted(sdf.columns))
+         for r in sdf.collect()),
+        key=_SKEY,
+    )
+    want = sorted(
+        (tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
+         for row in cur.fetchall()),
+        key=_SKEY,
+    )
+    assert got == want, f"{tag} diverged: {got[:3]} vs {want[:3]} " \
+        f"({len(got)} vs {len(want)} rows)"
+
+
+
 @pytest.mark.parametrize("seed", [11, 23])
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_query_matches_oracle_on_random_corpus(spark, tmp_path, name, seed):
@@ -145,25 +176,10 @@ def test_query_matches_oracle_on_random_corpus(spark, tmp_path, name, seed):
         f"{sf_dir}/documents.parquet"
     )
 
-    sdf = QUERIES[name](spark, sf_dir)
-    got = sorted(
-        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
-        key=_SKEY,
-    )
 
     con = duckdb.connect()
     con.register("documents", pdf)
-    cur = con.execute(ORACLES[name])
-    cols = [d[0] for d in cur.description]
-    want = sorted(
-        (
-            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-            for row in cur.fetchall()
-        ),
-        key=_SKEY,
-    )
-    assert got == want, f"{name} diverged on seed {seed}: " \
-        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+    _compare(spark, con, name, sf_dir, label=f"seed {seed}")
 
 
 #: Events-family queries fuzzable with a random events table. The
@@ -312,11 +328,6 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
         "c_acctbal double, c_mktsegment string",
     ).coalesce(1).write.parquet(f"{sf_dir}/customer.parquet")
 
-    sdf = QUERIES[name](spark, sf_dir)
-    got = sorted(
-        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
-        key=_SKEY,
-    )
 
     con = duckdb.connect()
     # read the SAME parquet Spark wrote — one ingestion path, NULL
@@ -329,17 +340,7 @@ def test_event_query_matches_oracle_on_random_events(spark, tmp_path, name, seed
         f"CREATE VIEW customer AS "
         f"SELECT * FROM '{sf_dir}/customer.parquet/*.parquet'"
     )
-    cur = con.execute(ORACLES[name])
-    cols = [d[0] for d in cur.description]
-    want = sorted(
-        (
-            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-            for row in cur.fetchall()
-        ),
-        key=_SKEY,
-    )
-    assert got == want, f"{name} diverged on seed {seed}: " \
-        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+    _compare(spark, con, name, sf_dir, label=f"seed {seed}")
 
 
 #: Orders-family queries fuzzable with a random orders table —
@@ -440,28 +441,13 @@ def test_order_query_matches_oracle_on_random_orders(spark, tmp_path, name, seed
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     ).coalesce(2).write.parquet(f"{sf_dir}/orders.parquet")
 
-    sdf = QUERIES[name](spark, sf_dir)
-    got = sorted(
-        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
-        key=_SKEY,
-    )
 
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW orders AS "
         f"SELECT * FROM '{sf_dir}/orders.parquet/*.parquet'"
     )
-    cur = con.execute(ORACLES[name])
-    cols = [d[0] for d in cur.description]
-    want = sorted(
-        (
-            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-            for row in cur.fetchall()
-        ),
-        key=_SKEY,
-    )
-    assert got == want, f"{name} diverged on seed {seed}: " \
-        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+    _compare(spark, con, name, sf_dir, label=f"seed {seed}")
 
 
 #: Star-schema queries fuzzable with consistent random
@@ -489,7 +475,6 @@ def _star_corpus(seed: int):
         for c in range(1, 13)
     ]
     orders, lineitems = [], []
-    lkey = 0
     for o in range(60):
         cust = rng.randint(1, 16)  # some custkeys have no orders & v.v.
         odate = base + dt.timedelta(days=rng.randint(0, 400))
@@ -512,7 +497,6 @@ def _star_corpus(seed: int):
              rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
                          "4-NOT SPECIFIED", "5-LOW"]))
         )
-        lkey += n_lines
     return customers, orders, lineitems
 
 
@@ -551,22 +535,7 @@ def test_star_query_matches_oracle_on_random_schema(spark, tmp_path, name, seed)
         )
         con.register(t, pdf)
 
-    sdf = QUERIES[name](spark, sf_dir)
-    got = sorted(
-        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
-        key=_SKEY,
-    )
-    cur = con.execute(ORACLES[name])
-    cols = [d[0] for d in cur.description]
-    want = sorted(
-        (
-            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-            for row in cur.fetchall()
-        ),
-        key=_SKEY,
-    )
-    assert got == want, f"{name} diverged on seed {seed}: " \
-        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+    _compare(spark, con, name, sf_dir, label=f"seed {seed}")
 
 
 #: Full-schema queries: every TPC-H-shape and relational-join query
@@ -692,22 +661,7 @@ def test_tpch_query_matches_oracle_on_random_schema(spark, tmp_path, name, seed)
         )
         con.register(t, pdf)
 
-    sdf = QUERIES[name](spark, sf_dir)
-    got = sorted(
-        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
-        key=_SKEY,
-    )
-    cur = con.execute(ORACLES[name])
-    cols = [d[0] for d in cur.description]
-    want = sorted(
-        (
-            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-            for row in cur.fetchall()
-        ),
-        key=_SKEY,
-    )
-    assert got == want, f"{name} diverged on seed {seed}: " \
-        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+    _compare(spark, con, name, sf_dir, label=f"seed {seed}")
 
 
 #: Embedding-family queries over a random vectors table — float dot
@@ -773,11 +727,6 @@ def test_embedding_query_matches_oracle_on_random_vectors(
         pdf, "vec_id bigint, embedding array<float>, label int"
     ).coalesce(2).write.parquet(f"{sf_dir}/embeddings.parquet")
 
-    sdf = QUERIES[name](spark, sf_dir)
-    got = sorted(
-        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
-        key=_SKEY,
-    )
     con = duckdb.connect()
     # read the SAME float32 parquet Spark reads — registering the
     # float64 pandas frame would give DuckDB more precision than the
@@ -786,17 +735,7 @@ def test_embedding_query_matches_oracle_on_random_vectors(
         f"CREATE VIEW embeddings AS "
         f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
     )
-    cur = con.execute(ORACLES[name])
-    cols = [d[0] for d in cur.description]
-    want = sorted(
-        (
-            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-            for row in cur.fetchall()
-        ),
-        key=_SKEY,
-    )
-    assert got == want, f"{name} diverged on seed {seed}: " \
-        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+    _compare(spark, con, name, sf_dir, label=f"seed {seed}")
 
 
 @pytest.mark.parametrize("seed", [13, 37])
@@ -1007,10 +946,13 @@ def _type_variant_tables(seed: int):
     out["lineitem"] = [
         (
             ok, pk,
-            # every 17th line loses its supplier: NOT IN goes UNKNOWN,
+            # every 17th LINE loses its supplier: NOT IN goes UNKNOWN,
             # anti-joins keep the row, MAX-over-view grows a NULL group —
-            # the exact class both engines must resolve identically
-            None if ok % 17 == 3 else sk,
+            # the exact class both engines must resolve identically.
+            # Keyed on (orderkey, linenumber), not orderkey alone, which
+            # clustered ALL of an order's lines into the planted class
+            # for 5 orders and left 75 untouched (round-9 review).
+            None if (ok * 7 + ln) % 17 == 3 else sk,
             ln, dec(q), dec(ep),
             Decimal(f"{dc:.2f}"), Decimal(f"{tx:.2f}"),
             rf, ls, None if ok % 13 == 0 else sd,
@@ -1039,22 +981,7 @@ def test_query_matches_oracle_under_type_variants(spark, tmp_path, name, seed):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
         )
 
-    sdf = QUERIES[name](spark, sf_dir)
-    got = sorted(
-        (tuple(_norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()),
-        key=_SKEY,
-    )
-    cur = con.execute(ORACLES[name])
-    cols = [d[0] for d in cur.description]
-    want = sorted(
-        (
-            tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-            for row in cur.fetchall()
-        ),
-        key=_SKEY,
-    )
-    assert got == want, f"{name} diverged under type variants (seed {seed}): " \
-        f"{got[:3]} vs {want[:3]} ({len(got)} vs {len(want)} rows)"
+    _compare(spark, con, name, sf_dir, label=f"seed {seed}")
 
 
 # --- streaming ≡ batch (randomized) --------------------------------------
@@ -1114,7 +1041,13 @@ def _drain(spark, stream_df, name, ckpt):
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination(180)
+    done = q.awaitTermination(180)
+    if not done:
+        # a slow drain must be a CLEAR timeout, not a confusing value
+        # diff against a half-populated memory sink (and the running
+        # query must not leak into later tests)
+        q.stop()
+        raise AssertionError(f"stream drain {name!r} timed out after 180s")
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -1177,9 +1110,15 @@ def test_fuzz_stream_dedup_matches_batch_distinct(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     n_keys = rng.randrange(20, 60)
+    # Draw the key ONCE per timeline row and emit the identical tuple
+    # N times: a per-copy randrange gave each "duplicate" its own key
+    # (same-key odds ~1/n_keys), so the planted cross-batch duplicate
+    # class the docstring claims was essentially absent (round-9
+    # review).
     rows = [
-        (rng.randrange(n_keys), t, v)
+        row
         for _, t, v in _random_user_timelines(rng, 5, 50)
+        for row in [(rng.randrange(n_keys), t, v)]
         for _ in range(rng.choice([1, 1, 2]))
     ]
     d = str(tmp_path / "in")
@@ -1290,7 +1229,9 @@ def test_fuzz_tws_running_totals_matches_batch(spark, tmp_path, seed):
         .parquet(d)
     )
     with _rocksdb(spark):
-        got_df = _drain(
+        # results read from the memory sink by name below; _drain's
+        # return is unused here
+        _drain(
             spark, running_totals_stateful(stream),
             f"fz_tws_totals_{seed}", str(tmp_path / "ckpt"),
         )
@@ -1354,7 +1295,9 @@ def test_fuzz_tws_category_profile_matches_batch(spark, tmp_path, seed):
         .parquet(d)
     )
     with _rocksdb(spark):
-        got_df = _drain(
+        # results read from the memory sink by name below; _drain's
+        # return is unused here
+        _drain(
             spark, category_profile_stateful(stream),
             f"fz_tws_prof_{seed}", str(tmp_path / "ckpt"),
         )
@@ -1495,8 +1438,14 @@ def test_emit_order_matches_oracle_on_hostile_corpus(spark, tmp_path):
         if name not in ORACLES or name in (
             "join_salted_user_events",
             "bool_flags_by_segment",
+            # _ASCII_ONLY: DuckDB levenshtein counts BYTES, Spark counts
+            # CHARS — on this unicode vocab ('blåbær') the distance cut
+            # agrees only by accident of the fixed seed (a replication
+            # found 168 candidate pairs, 0 divergent TODAY); the
+            # random-corpus family covers it on the ASCII corpus
+            "fuzzy_blocked_match",
         ):
-            continue  # these need the customer dim, not written here
+            continue  # need the customer dim / the ASCII corpus
         sdf = QUERIES[name](spark, sf_dir)
         got = [
             tuple(_norm(r[c]) for c in sorted(sdf.columns))
@@ -1561,21 +1510,7 @@ def test_malformed_props_match_oracle(spark, tmp_path, seed):
         "json_fns_events",
         "variant_fns_events",
     ):
-        sdf = QUERIES[name](spark, sf_dir)
-        got = sorted(
-            (tuple(_norm(r[c]) for c in sorted(sdf.columns))
-             for r in sdf.collect()),
-            key=_SKEY,
-        )
-        cur = con.execute(ORACLES[name])
-        cols = [d[0] for d in cur.description]
-        want = sorted(
-            (tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-             for row in cur.fetchall()),
-            key=_SKEY,
-        )
-        assert got == want, f"{name} diverged on malformed corpus: " \
-            f"{got[:3]} vs {want[:3]}"
+        _compare(spark, con, name, sf_dir, label="malformed corpus")
 
     bad = (
         QUERIES["try_cast_typed_backfill"](spark, sf_dir)
@@ -1584,24 +1519,6 @@ def test_malformed_props_match_oracle(spark, tmp_path, seed):
         .collect()[0][0]
     )
     assert bad == n_malformed, (bad, n_malformed)
-
-
-def _compare(spark, con, name, sf_dir):
-    sdf = QUERIES[name](spark, sf_dir)
-    got = sorted(
-        (tuple(_norm(r[c]) for c in sorted(sdf.columns))
-         for r in sdf.collect()),
-        key=_SKEY,
-    )
-    cur = con.execute(ORACLES[name])
-    cols = [d[0] for d in cur.description]
-    want = sorted(
-        (tuple(_norm(dict(zip(cols, row))[c]) for c in sorted(cols))
-         for row in cur.fetchall()),
-        key=_SKEY,
-    )
-    assert got == want, f"{name} diverged: {got[:3]} vs {want[:3]} " \
-        f"({len(got)} vs {len(want)} rows)"
 
 
 @pytest.mark.parametrize("seed", [13, 41])
