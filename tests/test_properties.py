@@ -1373,10 +1373,15 @@ def test_salted_agg_dotted_output_name_matches_plain(spark):
 
 def test_bench_prior_readers_skip_non_object_json(tmp_path, monkeypatch):
     """Round-8 finding: a prior file whose top-level JSON is a list
-    reached .get() and crashed the bench AFTER the timing loop; it must
-    be skipped like any unreadable prior."""
+    reached .get() and crashed the bench AFTER the timing loop.
+    Round-9 refinement: an IMPLICIT candidate is still silently
+    skipped, but an EXPLICIT BENCH_PRIOR_FILE now exits LOUDLY — a
+    typo'd prior silently disabling the outlier protocol was the
+    worse failure."""
     import importlib.util
     import sys
+
+    import pytest
 
     spec = importlib.util.spec_from_file_location(
         "bench_under_test", "/root/repo/bench.py"
@@ -1387,8 +1392,19 @@ def test_bench_prior_readers_skip_non_object_json(tmp_path, monkeypatch):
 
     bad = tmp_path / "prior.json"
     bad.write_text('["not", "an", "object"]')
+    # implicit candidate path (no env): tolerant skip
+    assert bench._read_json_dict(str(bad)) is None
+    # explicit env: loud exit, not a silent {}
     monkeypatch.setenv("BENCH_PRIOR_FILE", str(bad))
-    assert bench.load_prior(0.1) == {}
+    with pytest.raises(SystemExit, match="not a JSON object"):
+        bench.load_prior(0.1)
+    # a usable explicit prior still loads
+    good = tmp_path / "good.json"
+    good.write_text('{"sf": 0.1, "queries": {"q": 1.5}}')
+    monkeypatch.setenv("BENCH_PRIOR_FILE", str(good))
+    assert bench.load_prior(0.1) == {"q": 1.5}
+    with pytest.raises(SystemExit, match="records sf"):
+        bench.load_prior(0.01)
 
 
 def test_window_output_columns_raise_on_collision(spark):
