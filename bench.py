@@ -335,8 +335,14 @@ def main() -> None:
         "plan_hashes": hashes,
         "sf": sf_num,
         # provenance for cross-round comparisons: a drifted total with
-        # unchanged plan hashes and a high loadavg is box noise
+        # unchanged plan hashes and a high START loadavg is box noise.
+        # END is sampled at timing-loop end and therefore INCLUDES the
+        # bench's own local[N] executor load (1-min loadavg lags) — a
+        # high end value on an idle-start run is self-load, not
+        # contention; start is the ambient signal.
         "loadavg": {"start": round(load_start, 2), "end": round(load_end, 2)},
+        "loadavg_note": "end includes the bench's own executor load; "
+                        "start is the ambient-contention signal",
     }
     if hot_box:
         result["hot_box"] = True

@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 #: explicit character class (no ``\p{}`` support).
 WS_PATTERN = r"[\s\p{Z}]+"
 
+#: The SAME whitespace class as an explicit character set, for
+#: ``trim(BOTH ... FROM col)``: Java ``\s`` members plus every
+#: ``\p{Z}`` code point (Zs/Zl/Zp). Edge-stripping with a char-set
+#: trim is a linear codegen'd scan; the anchored-regex form
+#: (``^cls+|cls+$``) measured ~2x on token-heavy queries and an
+#: ``F.filter`` HOF (interpreted per element) measured 1.3-1.5x.
+WS_EDGE_CHARS = (
+    "\t\n\x0b\f\r \u00a0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
 #: Word-ish tokens for a BPE-style token-count estimate: runs of letters,
 #: runs of digits, or any single non-space symbol — in ANY script
 #: (``[A-Za-z]`` counted every Cyrillic/Greek/CJK letter as its own
@@ -71,18 +83,22 @@ def tokens(col: str | Column) -> Column:
     threshold) and 0.3 without. With the guard here, every consumer
     sees a deterministic 0 in both modes.
 
-    Empty tokens are FILTERED, not trimmed away: ``trim`` strips only
-    ASCII space 0x20, so tab/newline/VT-padded text ('\\thello\\n')
-    split into phantom ''-tokens at both ends — inflating every count
-    and ratio, and (worse) poisoning shingles so 'hello world' and
-    'hello world\\n' shared ZERO shingles and near-dup detection
-    missed the most common trivial variant. The filter makes blank
-    text (all-whitespace of any kind) an empty array too, so the
-    explicit blank check reduces to the NULL guard."""
+    Edge whitespace is stripped with a CHAR-SET trim over the full
+    whitespace class (``WS_EDGE_CHARS``), not bare ``trim``: bare trim
+    strips only ASCII space 0x20, so tab/newline/VT-padded text
+    ('\\thello\\n') split into phantom ''-tokens at both ends —
+    inflating every count and ratio, and (worse) poisoning shingles so
+    'hello world' and 'hello world\\n' shared ZERO shingles and
+    near-dup detection missed the most common trivial variant.
+    Strip-then-split rather than split-then-filter on purpose (see
+    WS_EDGE_CHARS' cost note): with the edges stripped, a
+    ``[class]+``-delimited split can produce no interior empties, so
+    no per-element filter is needed."""
     t = _c(col)
+    stripped = F.trim(t, F.lit(WS_EDGE_CHARS))
     return F.when(
-        t.isNull(), F.array().cast("array<string>")
-    ).otherwise(F.filter(F.split(t, WS_PATTERN), lambda x: x != ""))
+        t.isNull() | (stripped == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, WS_PATTERN))
 
 
 def token_count(col: str | Column) -> Column:
