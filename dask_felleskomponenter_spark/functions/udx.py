@@ -61,9 +61,13 @@ class ChunkDocument:
 
     ``eval(text, chunk_size, stride)`` yields one row per chunk:
     token windows ``[s, s + chunk_size)`` for ``s = 0, stride, 2·stride,
-    … < n_tokens``. Tokenization is the engine-wide ``\\s+`` split with
-    empty tokens dropped (mirroring ``text.tokens()``), so the DuckDB
-    oracle can reproduce chunks exactly. None text AND zero-token text
+    … < n_tokens``. Tokenization is the engine-wide whitespace class —
+    ASCII ``\\s`` plus the ``\\p{Z}`` separator block (``_WS`` above, the
+    mirror of Spark's ``[\\s\\p{Z}]+`` in ``text.tokens()`` and the
+    oracles' ``[\\s\\x0b\\p{Z}]+``) — with empty tokens dropped, so the
+    DuckDB oracle can reproduce chunks exactly; a bare ``\\s+`` split
+    would reintroduce the NBSP/ideographic-space divergence fixed in
+    round 9. None text AND zero-token text
     (empty/whitespace-only) yield no rows — a document with no tokens
     has no chunks (LATERAL-join semantics drop the document).
     """

@@ -1334,7 +1334,7 @@ ORDER BY doc_id
 ORACLES["fuzzy_blocked_match"] = """
 WITH b AS (
   -- COALESCE on BOTH token picks: Spark's regexp_extract returns ''
-  -- (not NULL) when a tab-only text has no \S token at all, and the
+  -- (not NULL) when a tab-only text has no \\S token at all, and the
   -- list_filter mirror of the tokenizer leaves [] there
   SELECT doc_id,
          COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')[1], '') AS blk,

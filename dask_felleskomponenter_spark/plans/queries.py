@@ -5129,15 +5129,108 @@ def width_bucket_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
-    # -- NEW round 9: never driver-sampled ------------------------------------------
+    # -- round-9 tokenizer-lockstep rewrites: driver rows predate the oracle
+    #    change; front-loaded so CORRECTNESS_r10 re-verifies all 15 ----------
+    "fingerprint_documents": fingerprint_documents,
+    "fuzzy_blocked_match": fuzzy_blocked_match,
+    "lang_id_documents": lang_id_documents,
+    "map_fns_events": map_fns_events,
+    "neardup_cluster_assign": neardup_cluster_assign,
+    "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "ngram_top_bigrams": ngram_top_bigrams,
+    "pipeline_training_corpus": pipeline_training_corpus,
+    "repetition_profile_documents": repetition_profile_documents,
+    "string_fns_documents": string_fns_documents,
+    "text_quality_profile": text_quality_profile,
+    "tfidf_top_terms": tfidf_top_terms,
+    "try_cast_typed_backfill": try_cast_typed_backfill,
+    "udtf_chunk_documents": udtf_chunk_documents,
+    "unigram_logprob_score": unigram_logprob_score,
+    # -- not sampled in round 9 (stale-first rotation) ------------------------
+    "benford_first_digit_prices": benford_first_digit_prices,
+    "domain_quota_topn": domain_quota_topn,
+    "cdc_latest_per_key": cdc_latest_per_key,
+    "theta_cohort_overlap": theta_cohort_overlap,
+    "stats_regression_lineitem": stats_regression_lineitem,
+    "nullsafe_join_segments": nullsafe_join_segments,
+    "window_range_7day_spend": window_range_7day_spend,
+    "robust_stats_lineitem": robust_stats_lineitem,
+    "cohort_retention_events": cohort_retention_events,
+    "join_left_outer_counts": join_left_outer_counts,
+    "join_semi_customers": join_semi_customers,
+    "join_anti_customers": join_anti_customers,
+    "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
+    "join_full_outer_spend_freq": join_full_outer_spend_freq,
+    "join_salted_user_events": join_salted_user_events,
+    "skew_profile_event_keys": skew_profile_event_keys,
+    "embedding_quantize_stats": embedding_quantize_stats,
+    "exists_late_shipment_orders": exists_late_shipment_orders,
+    "scalar_subquery_small_qty": scalar_subquery_small_qty,
+    "neardup_crossbatch_screen": neardup_crossbatch_screen,
+    "agg_approx_percentiles": agg_approx_percentiles,
+    "window_distribution_ranks": window_distribution_ranks,
+    "session_window_events": session_window_events,
+    "variant_fns_events": variant_fns_events,
+    "sample_hash_stratified": sample_hash_stratified,
+    "pii_redact_profile": pii_redact_profile,
+    "profile_lineitem_columns": profile_lineitem_columns,
+    "ann_pq_topk": ann_pq_topk,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_image_profile": multimodal_image_profile,
+    "multimodal_video_profile": multimodal_video_profile,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_cube_segment_status": agg_cube_segment_status,
+    "agg_percentiles_orders": agg_percentiles_orders,
+    "agg_rollup_status_priority": agg_rollup_status_priority,
+    "agg_salted_user_events": agg_salted_user_events,
+    "inline_order_charges": inline_order_charges,
+    "window_first_last_ignore_nulls": window_first_last_ignore_nulls,
+    "argminmax_orders_priority": argminmax_orders_priority,
+    "bitmap_hour_activity": bitmap_hour_activity,
+    "date_spine_order_gaps": date_spine_order_gaps,
+    "bool_flags_by_segment": bool_flags_by_segment,
+    "qualify_running_budget_cut": qualify_running_budget_cut,
+    "grouping_id_sales_matrix": grouping_id_sales_matrix,
+    "array_topk_quantized_embeddings": array_topk_quantized_embeddings,
+    "map_zip_with_merge_profiles": map_zip_with_merge_profiles,
+    "union_byname_backfill_ingest": union_byname_backfill_ingest,
+    "semantic_cluster_assign": semantic_cluster_assign,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "array_fns_embeddings": array_fns_embeddings,
+    "cosine_topk_embeddings": cosine_topk_embeddings,
+    "date_fns_events": date_fns_events,
+    "dedup_exact_docs": dedup_exact_docs,
+    "json_fns_events": json_fns_events,
+    "math_fns_lineitem": math_fns_lineitem,
+    "multimodal_audio_profile": multimodal_audio_profile,
+    "multimodal_decode_profile": multimodal_decode_profile,
+    "neardup_embedding_cosine": neardup_embedding_cosine,
+    "neardup_minhash_lsh": neardup_minhash_lsh,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "simhash_documents": simhash_documents,
+    "sync_merge_orders": sync_merge_orders,
+    "tumbling_window_events": tumbling_window_events,
+    "udaf_geomean_orders": udaf_geomean_orders,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "window_lag_sessionize": window_lag_sessionize,
+    "window_running_total": window_running_total,
+    "agg_listagg_mode_orders": agg_listagg_mode_orders,
+    "lateral_topn_per_group": lateral_topn_per_group,
+    "window_topn_orders_per_customer": window_topn_orders_per_customer,
+    "set_union_segments": set_union_segments,
+    "set_except_inactive": set_except_inactive,
+    "set_intersect_buyers": set_intersect_buyers,
+    "topk_expensive_orders": topk_expensive_orders,
+    "dedup_exact_summary": dedup_exact_summary,
+    "filter_or_of_and_revenue": filter_or_of_and_revenue,
+    # -- freshly round-9-sampled (greenest — back of the rotation) ------------
     "set_algebra_token_halves": set_algebra_token_halves,
     "str_to_map_event_kv": str_to_map_event_kv,
     "percentile_disc_prices": percentile_disc_prices,
     "regexp_extract_all_words": regexp_extract_all_words,
     "map_filter_concat_profile": map_filter_concat_profile,
     "width_bucket_price_histogram": width_bucket_price_histogram,
-    # -- last driver-sampled round 6 (stalest cohort: all TPC-H shapes, raster,
-    #    substring-span/quality/resample/recursive-CTE/sketch/funnel/asof/range) ----
     "notexists_dormant_customers": notexists_dormant_customers,
     "conditional_promo_revenue": conditional_promo_revenue,
     "grouping_sets_orders": grouping_sets_orders,
@@ -5176,106 +5269,12 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion_events": funnel_conversion_events,
     "sketch_rollup_users": sketch_rollup_users,
     "kll_quantile_rollup_prices": kll_quantile_rollup_prices,
-    # -- last driver-sampled round 7 -------------------------------------------------
     "interval_coalesce_events": interval_coalesce_events,
     "twap_events": twap_events,
     "scd2_event_type_runs": scd2_event_type_runs,
     "histogram_orders_prices": histogram_orders_prices,
     "markov_transitions_events": markov_transitions_events,
     "rank_ties_topn_priority": rank_ties_topn_priority,
-    "benford_first_digit_prices": benford_first_digit_prices,
-    "domain_quota_topn": domain_quota_topn,
-    "cdc_latest_per_key": cdc_latest_per_key,
-    "theta_cohort_overlap": theta_cohort_overlap,
-    "stats_regression_lineitem": stats_regression_lineitem,
-    "nullsafe_join_segments": nullsafe_join_segments,
-    "window_range_7day_spend": window_range_7day_spend,
-    "repetition_profile_documents": repetition_profile_documents,
-    "robust_stats_lineitem": robust_stats_lineitem,
-    "unigram_logprob_score": unigram_logprob_score,
-    "cohort_retention_events": cohort_retention_events,
-    "join_left_outer_counts": join_left_outer_counts,
-    "join_semi_customers": join_semi_customers,
-    "join_anti_customers": join_anti_customers,
-    "join_broadcast_supplier_geo": join_broadcast_supplier_geo,
-    "join_full_outer_spend_freq": join_full_outer_spend_freq,
-    "join_salted_user_events": join_salted_user_events,
-    "skew_profile_event_keys": skew_profile_event_keys,
-    "embedding_quantize_stats": embedding_quantize_stats,
-    "exists_late_shipment_orders": exists_late_shipment_orders,
-    "scalar_subquery_small_qty": scalar_subquery_small_qty,
-    "neardup_crossbatch_screen": neardup_crossbatch_screen,
-    "agg_approx_percentiles": agg_approx_percentiles,
-    "window_distribution_ranks": window_distribution_ranks,
-    "session_window_events": session_window_events,
-    "variant_fns_events": variant_fns_events,
-    "tfidf_top_terms": tfidf_top_terms,
-    "ngram_top_bigrams": ngram_top_bigrams,
-    "sample_hash_stratified": sample_hash_stratified,
-    "pii_redact_profile": pii_redact_profile,
-    "pipeline_training_corpus": pipeline_training_corpus,
-    "fuzzy_blocked_match": fuzzy_blocked_match,
-    "profile_lineitem_columns": profile_lineitem_columns,
-    "ann_pq_topk": ann_pq_topk,
-    "multimodal_audio_features": multimodal_audio_features,
-    "multimodal_image_profile": multimodal_image_profile,
-    "multimodal_video_profile": multimodal_video_profile,
-    "agg_approx_distinct": agg_approx_distinct,
-    "agg_cube_segment_status": agg_cube_segment_status,
-    "agg_percentiles_orders": agg_percentiles_orders,
-    "agg_rollup_status_priority": agg_rollup_status_priority,
-    "agg_salted_user_events": agg_salted_user_events,
-    # -- freshly round-8-sampled (greenest — back of the rotation) -------------------
-    "inline_order_charges": inline_order_charges,
-    "window_first_last_ignore_nulls": window_first_last_ignore_nulls,
-    "argminmax_orders_priority": argminmax_orders_priority,
-    "bitmap_hour_activity": bitmap_hour_activity,
-    "try_cast_typed_backfill": try_cast_typed_backfill,
-    "date_spine_order_gaps": date_spine_order_gaps,
-    "bool_flags_by_segment": bool_flags_by_segment,
-    "qualify_running_budget_cut": qualify_running_budget_cut,
-    "grouping_id_sales_matrix": grouping_id_sales_matrix,
-    "array_topk_quantized_embeddings": array_topk_quantized_embeddings,
-    "map_zip_with_merge_profiles": map_zip_with_merge_profiles,
-    "union_byname_backfill_ingest": union_byname_backfill_ingest,
-    "neardup_cluster_assign": neardup_cluster_assign,
-    "semantic_cluster_assign": semantic_cluster_assign,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_bucketed": ann_lsh_bucketed,
-    "array_fns_embeddings": array_fns_embeddings,
-    "cosine_topk_embeddings": cosine_topk_embeddings,
-    "date_fns_events": date_fns_events,
-    "dedup_exact_docs": dedup_exact_docs,
-    "fingerprint_documents": fingerprint_documents,
-    "json_fns_events": json_fns_events,
-    "lang_id_documents": lang_id_documents,
-    "map_fns_events": map_fns_events,
-    "math_fns_lineitem": math_fns_lineitem,
-    "multimodal_audio_profile": multimodal_audio_profile,
-    "multimodal_decode_profile": multimodal_decode_profile,
-    "neardup_embedding_cosine": neardup_embedding_cosine,
-    "neardup_jaccard_pairs": neardup_jaccard_pairs,
-    "neardup_minhash_lsh": neardup_minhash_lsh,
-    "pivot_status_by_priority": pivot_status_by_priority,
-    "simhash_documents": simhash_documents,
-    "string_fns_documents": string_fns_documents,
-    "sync_merge_orders": sync_merge_orders,
-    "text_quality_profile": text_quality_profile,
-    "tumbling_window_events": tumbling_window_events,
-    "udaf_geomean_orders": udaf_geomean_orders,
-    "udtf_chunk_documents": udtf_chunk_documents,
-    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-    "window_lag_sessionize": window_lag_sessionize,
-    "window_running_total": window_running_total,
-    "agg_listagg_mode_orders": agg_listagg_mode_orders,
-    "lateral_topn_per_group": lateral_topn_per_group,
-    "window_topn_orders_per_customer": window_topn_orders_per_customer,
-    "set_union_segments": set_union_segments,
-    "set_except_inactive": set_except_inactive,
-    "set_intersect_buyers": set_intersect_buyers,
-    "topk_expensive_orders": topk_expensive_orders,
-    "dedup_exact_summary": dedup_exact_summary,
-    "filter_or_of_and_revenue": filter_or_of_and_revenue,
 }
 
 
