@@ -17,7 +17,14 @@ The result carries a normalized per-query physical-plan hash
 ("plan_hashes"): an unchanged hash across rounds proves a timing drift
 is environmental, not a plan change. Queries >1.3x their prior-round
 time are automatically re-timed alone in a fresh subprocess
-(min-of-3) and both numbers reported under "isolated_reruns".
+(min-of-3) and both numbers reported under "isolated_reruns". On a HOT
+box (start loadavg over BENCH_MAX_LOAD) subprocess isolation is
+meaningless — the children inherit the contention and historically ran
+HOTTER — so outliers are re-timed IN-PROCESS (min-of-3 extra passes,
+later in time, when a transient spike has often passed) and reported
+under the same key with mode "inprocess_hot". Either way both numbers
+land in the emitted JSON line; the canonical "queries" map always
+keeps the in-set number.
 
 Each query is materialized through the noop sink so every output column
 is computed but nothing is collected to the driver.
@@ -194,7 +201,8 @@ def main() -> None:
         print(
             f"bench: 1-min load {load_start:.1f} > {max_load:.1f} at start "
             f"— hot box: result will not claim the canonical prior and "
-            f"isolated re-runs are skipped",
+            f"outlier re-runs happen in-process instead of in isolated "
+            f"subprocesses",
             file=sys.stderr,
         )
 
@@ -273,12 +281,8 @@ def main() -> None:
     # ratchet the prior down to best-case isolated figures and re-flag
     # the same queries as outliers under normal load every round —
     # in-set-vs-in-set comparisons keep the provenance uniform.
-    reruns: dict[str, dict[str, float]] = {}
-    prior = (
-        {}
-        if os.environ.get("BENCH_NO_RERUN") or hot_box
-        else load_prior(sf_num)
-    )
+    reruns: dict[str, dict[str, object]] = {}
+    prior = {} if os.environ.get("BENCH_NO_RERUN") else load_prior(sf_num)
     # worst drift FIRST: the rerun budget is capped below, and silently
     # dropping the biggest regression while re-timing mild ones would
     # read as "covered" exactly where coverage matters most
@@ -292,39 +296,69 @@ def main() -> None:
         reverse=True,
     )
     skipped_outliers = outliers[8:]
-    if outliers:
-        spark.stop()  # free the 32 local cores for the isolated child
-    for name in outliers[:8]:  # bound the extra wall-clock
-        child_out = os.path.join(REPO_ROOT, f".bench_rerun_{name}.json")
-        env = dict(
-            os.environ,
-            BENCH_QUERIES=name,
-            BENCH_REPEATS="3",
-            BENCH_NO_RERUN="1",
-            BENCH_RESULT_FILE=child_out,
-        )
-        try:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                timeout=600,
-                check=True,
+    spark_stopped = False
+    if hot_box:
+        # In-process re-time (round-10 protocol: four consecutive driver
+        # runs fired hot, and the old behavior — skip the protocol
+        # entirely — left the official record noise-dominated with zero
+        # attribution). Subprocess isolation can't help here (the child
+        # inherits the contention and measured HOTTER than the sampled
+        # pass), but three more in-session passes LATER IN TIME separate
+        # a transient neighbor spike (isolated min recovers toward the
+        # prior) from genuine code cost (it doesn't).
+        for name in outliers[:8]:
+            best = None
+            for _ in range(3):
+                start = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = round(time.perf_counter() - start, 3)
+                if best is None or elapsed < best:
+                    best = elapsed
+                spark.catalog.clearCache()
+            reruns[name] = {
+                "sampled": timings[name],
+                "isolated": best,
+                "prior": prior[name],
+                "mode": "inprocess_hot",
+            }
+    else:
+        if outliers:
+            spark.stop()  # free the 32 local cores for the isolated child
+            spark_stopped = True
+        for name in outliers[:8]:  # bound the extra wall-clock
+            child_out = os.path.join(REPO_ROOT, f".bench_rerun_{name}.json")
+            env = dict(
+                os.environ,
+                BENCH_QUERIES=name,
+                BENCH_REPEATS="3",
+                BENCH_NO_RERUN="1",
+                BENCH_RESULT_FILE=child_out,
             )
-            with open(child_out) as fh:
-                isolated = json.load(fh)["queries"][name]
-        except Exception:
-            continue  # keep the contended number; the rerun is advisory
-        finally:
             try:
-                os.remove(child_out)
-            except OSError:
-                pass
-        reruns[name] = {
-            "sampled": timings[name],
-            "isolated": isolated,
-            "prior": prior[name],
-        }
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    timeout=600,
+                    check=True,
+                )
+                with open(child_out) as fh:
+                    isolated = json.load(fh)["queries"][name]
+            except Exception:
+                continue  # keep the contended number; the rerun is advisory
+            finally:
+                try:
+                    os.remove(child_out)
+                except OSError:
+                    pass
+            reruns[name] = {
+                "sampled": timings[name],
+                "isolated": isolated,
+                "prior": prior[name],
+                "mode": "isolated_subprocess",
+            }
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -420,7 +454,7 @@ def main() -> None:
         )
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
-    if not outliers:  # already stopped before the isolated reruns
+    if not spark_stopped:  # hot in-process reruns keep the session live
         spark.stop()
 
 

@@ -12,8 +12,10 @@ Two layers:
 
 from __future__ import annotations
 
+import os
 import random
 import struct
+import sys
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -55,6 +57,88 @@ def test_strip_srid_idempotent_and_length_sane(data):
         code = struct.unpack(fmt, bytes(data[1:5]))[0]
         expected = len(data) - 4 if code & EWKB_SRID_FLAG else len(data)
         assert len(once) == expected
+
+
+_coord = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@st.composite
+def _curved_wkb(draw):
+    """Random curved WKB: CircularString / CompoundCurve / CurvePolygon
+    in any of the four dimension variants (2-D / Z / M / ZM), ISO or
+    EWKB-flag encoded, optional EWKB SRID."""
+    z, m = draw(st.booleans()), draw(st.booleans())
+    nd = 2 + int(z) + int(m)
+
+    def pt():
+        return tuple(draw(_coord) for _ in range(nd))
+
+    def code_for(base):
+        if draw(st.booleans()):  # ISO offsets
+            return base + (1000 if z else 0) + (2000 if m else 0)
+        return base | (0x80000000 if z else 0) | (0x40000000 if m else 0)
+
+    def write(base, payload):
+        return b"\x01" + struct.pack("<II", code_for(base), len(payload)) + b"".join(
+            struct.pack("<" + "d" * nd, *p) for p in payload
+        )
+
+    n_arcs = draw(st.integers(1, 3))
+    pts = [pt() for _ in range(2 * n_arcs + 1)]  # odd count, >= 3
+    kind = draw(st.sampled_from(["cs", "compound", "curvepoly"]))
+    if kind == "cs":
+        wkb = write(8, pts)
+    elif kind == "compound":
+        # LineString lead-in ending at the arc's start (shared junction)
+        seg = [pt(), pts[0]]
+        wkb = (
+            b"\x01"
+            + struct.pack("<II", code_for(9), 2)
+            + write(2, seg)
+            + write(8, pts)
+        )
+    else:
+        ring_pts = pts[:-1] + [pts[0]]  # closed ring, odd count kept
+        wkb = b"\x01" + struct.pack("<II", code_for(10), 1) + write(8, ring_pts)
+    if draw(st.booleans()):  # EWKB SRID wrapper
+        code = struct.unpack_from("<I", wkb, 1)[0] | EWKB_SRID_FLAG
+        wkb = b"\x01" + struct.pack("<II", code, 4326) + wkb[5:]
+    return wkb, z, m, kind
+
+
+@given(_curved_wkb(), st.sampled_from([0.0, 4.0, 22.5, 90.0]))
+@settings(max_examples=250, deadline=None)
+def test_linearize_idempotent_all_dims(case, step):
+    """Idempotence + dims/type preservation of the pure-Python
+    linearizer over RANDOM curved geometries in every dimension variant
+    — the hypothesis twin of the golden Z/M cases (round-10, extending
+    the round-9 Z/M support to property coverage)."""
+    from dask_felleskomponenter_spark.functions.wkb import linearize_wkb_py
+
+    wkb, z, m, kind = case
+    out = linearize_wkb_py(wkb, step)
+    assert out is not None, "valid curved WKB must linearize"
+    suffix = " ZM" if (z and m) else (" Z" if z else (" M" if m else ""))
+    want = {"cs": "LineString", "compound": "LineString", "curvepoly": "Polygon"}
+    assert geom_type_of_wkb(out) == want[kind] + suffix
+    # idempotent: linear output re-linearizes byte-identically
+    assert linearize_wkb_py(out, step) == out
+    # endpoint preservation (exact doubles) for the open curves
+    if kind in ("cs", "compound"):
+        n = struct.unpack_from("<I", out, 5)[0]
+        nd = 2 + int(z) + int(m)
+        first = struct.unpack_from("<" + "d" * nd, out, 9)
+        last = struct.unpack_from("<" + "d" * nd, out, 9 + 8 * nd * (n - 1))
+        # input layout: outer header = order(1) + code(4) [+ srid(4)]
+        # + count(4); compound's first point sits behind its child
+        # LineString's own 9-byte header
+        srid = bool(struct.unpack_from("<I", wkb, 1)[0] & EWKB_SRID_FLAG)
+        in_first_off = (13 if srid else 9) + (9 if kind == "compound" else 0)
+        in_first = struct.unpack_from("<" + "d" * nd, wkb, in_first_off)
+        assert first == in_first
+        assert len(last) == nd
 
 
 @given(
@@ -1405,6 +1489,51 @@ def test_bench_prior_readers_skip_non_object_json(tmp_path, monkeypatch):
     assert bench.load_prior(0.1) == {"q": 1.5}
     with pytest.raises(SystemExit, match="records sf"):
         bench.load_prior(0.01)
+
+
+def test_bench_hot_box_reruns_outliers_in_process(tmp_path):
+    """Round-10 protocol: on a hot box the outlier protocol used to be
+    SKIPPED entirely (four consecutive driver captures recorded
+    n_isolated_reruns: 0 with hot_box: true — the official perf record
+    stayed noise-dominated with zero attribution). Now a hot run
+    re-times >1.3×-prior queries IN-PROCESS (min-of-3) and records both
+    numbers with mode "inprocess_hot". Forced hot via BENCH_MAX_LOAD=0
+    and an artificially tiny prior, on the sf0.001 smoke data."""
+    import subprocess as sp
+
+    prior = tmp_path / "prior.json"
+    prior.write_text(
+        '{"sf": 0.001, "queries": {"q6_forecast_revenue": 0.000001}}'
+    )
+    out_file = tmp_path / "result.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        BENCH_QUERIES="q6_forecast_revenue",
+        BENCH_REPEATS="1",
+        BENCH_MAX_LOAD="0",  # any live box reads as hot
+        BENCH_PRIOR_FILE=str(prior),
+        BENCH_RESULT_FILE=str(out_file),
+    )
+    proc = sp.run(
+        [sys.executable, "/root/repo/bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json as _json
+
+    result = _json.loads(out_file.read_text())
+    assert result.get("hot_box") is True
+    rerun = result["isolated_reruns"]["q6_forecast_revenue"]
+    assert rerun["mode"] == "inprocess_hot"
+    assert rerun["prior"] == 0.000001
+    assert rerun["sampled"] > 0 and rerun["isolated"] > 0
+    # summary line reports the rerun count
+    summary = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_isolated_reruns"] == 1
 
 
 def test_window_output_columns_raise_on_collision(spark):
