@@ -38,6 +38,11 @@ def keep_first(
         fresh_name,
     )
 
+    if keep < 1:
+        # keep=0 (e.g. an off-by-one from a caller's `k - 1`) would
+        # silently empty the whole dataset — the same loud-error policy
+        # as the output-column collisions below
+        raise ValueError(f"keep must be >= 1, got {keep!r}")
     if rn_col is None:
         rn_col = fresh_name("_rn", df)
     else:
@@ -73,6 +78,9 @@ def rank_topn_per_group(
         ensure_absent,
     )
 
+    if n < 1:
+        # same silent-empty hazard as keep_first's keep=0
+        raise ValueError(f"n must be >= 1, got {n!r}")
     ensure_absent(rank_col, df, what="rank_col")
     w = Window.partitionBy(*as_key_list(partition_by)).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(

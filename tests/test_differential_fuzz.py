@@ -74,6 +74,47 @@ _ASCII_VOCAB = [w.replace("å", "aa").replace("æ", "ae") for w in _VOCAB]
 _ASCII_ONLY = {"fuzzy_blocked_match"}
 
 
+#: Planted multi-script token pools (round-10 fuzz classes, per the
+#: round-9 tokenizer fix): the three tokenizer surfaces (Spark
+#: [\s\p{Z}], DuckDB [\s\x0b\p{Z}], Python _WS) must split CJK text on
+#: U+3000 IDEOGRAPHIC SPACE, Cyrillic on plain space, and mixed-script
+#: runs identically — a surface that regresses to ASCII \s (or bare
+#: \S+) diverges on every one of these documents, not just on the NBSP
+#: single-char class planted below.
+_CJK_TOKENS = ["深層", "学習", "モデル", "訓練", "データ", "言語"]
+_CYR_TOKENS = ["глубокое", "обучение", "модель", "данные", "язык"]
+_MIXED_TOKENS = ["deep", "обучение", "学習", "data", "blåbær", "x1"]
+
+
+def _multiscript_docs(rng: random.Random, start_id: int):
+    """Deterministic multi-script planted documents (ids from start_id).
+
+    Includes exact duplicates and near-duplicates inside each script
+    family so the dedup/jaccard/cluster fuzz queries get cross-doc
+    signal on non-Latin text, not just parse coverage.
+    """
+    docs = []
+    # CJK joined by U+3000 IDEOGRAPHIC SPACE (the \p{Z} member Java's
+    # bare \s does not match)
+    for i in range(4):
+        toks = [rng.choice(_CJK_TOKENS) for _ in range(6)]
+        docs.append("　".join(toks))
+    docs.append(docs[0])  # exact CJK duplicate
+    for i in range(4):
+        toks = [rng.choice(_CYR_TOKENS) for _ in range(7)]
+        docs.append(" ".join(toks))
+    docs.append(docs[5].replace(" ", " ", 1))  # NBSP-split near-dup
+    for i in range(4):
+        toks = [rng.choice(_MIXED_TOKENS) for _ in range(8)]
+        # mixed separators: space, NBSP, ideographic space in one doc
+        seps = [rng.choice([" ", " ", "　"]) for _ in toks[1:]]
+        docs.append(toks[0] + "".join(s + t for s, t in zip(seps, toks[1:])))
+    return [
+        (start_id + j, t, rng.choice(["ja", "ru", "mix"]), "srcms", len(t))
+        for j, t in enumerate(docs)
+    ]
+
+
 def _corpus(
     seed: int, n_docs: int, vocab: list[str] = _VOCAB
 ) -> list[tuple[int, str, str, str, int]]:
@@ -108,6 +149,11 @@ def _corpus(
         rows.append(
             (i, text, rng.choice(["en", "de", "und"]), f"src{i % 3}", len(text))
         )
+    if vocab is not _ASCII_VOCAB:
+        # multi-script planted classes (CJK/Cyrillic/mixed, see
+        # _multiscript_docs) — off for the ASCII corpus, whose point is
+        # byte==char levenshtein parity
+        rows.extend(_multiscript_docs(rng, n_docs))
     return rows
 
 
@@ -180,6 +226,87 @@ def test_query_matches_oracle_on_random_corpus(spark, tmp_path, name, seed):
     con = duckdb.connect()
     con.register("documents", pdf)
     _compare(spark, con, name, sf_dir, label=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_fuzzy_blocked_match_unicode_distance_relation(spark, tmp_path, seed):
+    """Oracle coverage for fuzzy_blocked_match on NON-ASCII text.
+
+    Exact parity is impossible here — DuckDB 1.0 ``levenshtein`` counts
+    BYTES where Spark counts CHARS — but the divergence is one-sided
+    and provable: an optimal byte edit script touching k bytes induces
+    a char edit script touching at most k chars, so byte distance ≥
+    char distance for every UTF-8 pair. The declared blocking keys
+    (token splits, char-based substr, md5 bands) are engine-identical.
+    Therefore on ANY corpus:
+
+    1. every pair the oracle keeps (byte_d ≤ 10), Spark must keep too
+       (char_d ≤ byte_d ≤ 10) — a violation means the BLOCKING diverged,
+       which the ASCII family can't see on key families that only
+       differ on unicode;
+    2. on shared pairs, oracle distance ≥ Spark distance, with equality
+       whenever both prefixes are pure ASCII;
+    3. Spark-only pairs must involve a non-ASCII prefix (the only
+       legitimate cause: char_d ≤ 10 < byte_d).
+
+    This restores unicode oracle coverage for the one query the exact
+    fuzz family must run ASCII-only (round-9 ADVICE item)."""
+    import duckdb
+    import pandas as pd
+
+    rows = _corpus(seed * 5077 + 1, 80)  # includes multi-script classes
+    # extra planted Cyrillic near-identical pair sharing a first token:
+    # а (D0 B0) vs я (D1 8F) differ in BOTH UTF-8 bytes, so char
+    # distance 2 but byte distance 4 — guarantees the char≠byte
+    # divergence actually fires (the relation is non-vacuous)
+    rows += [
+        (9001, "модель обучения аа", "ru", "srcp", 18),
+        (9002, "модель обучения яя", "ru", "srcp", 18),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in QUERIES["fuzzy_blocked_match"](spark, sf_dir).collect()
+    }
+    want = {
+        (a, b): d
+        for a, b, d in con.execute(ORACLES["fuzzy_blocked_match"]).fetchall()
+    }
+    pfx = {
+        i: (t.strip(" ") if t is not None else "")[:40]
+        for i, t, *_ in rows
+        if t is not None and t.strip(" ") != ""
+    }
+
+    assert set(want) <= set(got), (
+        "blocking diverged: oracle kept pairs Spark never produced: "
+        f"{sorted(set(want) - set(got))[:5]}"
+    )
+    for pair, byte_d in want.items():
+        char_d = got[pair]
+        assert byte_d >= char_d, (pair, byte_d, char_d)
+        if pfx[pair[0]].isascii() and pfx[pair[1]].isascii():
+            assert byte_d == char_d, (pair, byte_d, char_d)
+    spark_only = set(got) - set(want)
+    for a, b in spark_only:
+        assert not (pfx[a].isascii() and pfx[b].isascii()), (
+            f"pair ({a},{b}) dropped by the oracle despite pure-ASCII "
+            f"prefixes — not a byte-vs-char artifact"
+        )
+    # the planted Cyrillic near-pair must be matched by Spark (char
+    # distance 2); whether the oracle keeps it depends only on the
+    # byte distance (4 ≤ 10 ⇒ it should also keep it)
+    assert (9001, 9002) in got and got[(9001, 9002)] == 2
+    assert want.get((9001, 9002)) == 4
 
 
 #: Events-family queries fuzzable with a random events table. The
@@ -1440,9 +1567,11 @@ def test_emit_order_matches_oracle_on_hostile_corpus(spark, tmp_path):
             "bool_flags_by_segment",
             # _ASCII_ONLY: DuckDB levenshtein counts BYTES, Spark counts
             # CHARS — on this unicode vocab ('blåbær') the distance cut
-            # agrees only by accident of the fixed seed (a replication
-            # found 168 candidate pairs, 0 divergent TODAY); the
-            # random-corpus family covers it on the ASCII corpus
+            # agrees only by accident of the fixed seed; the
+            # random-corpus family covers it exactly on the ASCII
+            # corpus, and test_fuzzy_blocked_match_unicode_distance_
+            # relation covers the unicode regime via the one-sided
+            # byte≥char subset relation
             "fuzzy_blocked_match",
         ):
             continue  # need the customer dim / the ASCII corpus
