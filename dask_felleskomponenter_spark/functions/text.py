@@ -101,9 +101,17 @@ def tokens(col: str | Column) -> Column:
     ).otherwise(F.split(stripped, WS_PATTERN))
 
 
-def token_count(col: str | Column) -> Column:
-    """Whitespace token count (NULL text counts 0 tokens, see tokens)."""
-    return F.size(tokens(col))
+def token_count(col: str | Column, toks: Column | None = None) -> Column:
+    """Whitespace token count (NULL text counts 0 tokens, see tokens).
+
+    ``toks`` accepts a pre-staged ``tokens(col)`` column: expression
+    trees that embed ``tokens()`` more than once are NOT collapsed by
+    subexpression elimination (the stopword-filter HOF forces the whole
+    projection interpreted, and interpreted Projects re-evaluate every
+    duplicate — measured 1.6× on the quality-scoring shape), so hot call
+    sites stage the array as a real column and pass it here.
+    """
+    return F.size(toks if toks is not None else tokens(col))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
@@ -121,23 +129,46 @@ def punct_ratio(col: str | Column) -> Column:
     return F.when(n > 0, p / n).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
-    """Fraction of tokens that are stopwords of ``lang`` (lowercased)."""
+def stopword_ratio(
+    col: str | Column, lang: str = "en", ltoks: Column | None = None
+) -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (lowercased).
+
+    ``ltoks`` accepts a pre-staged ``tokens(lower(col))`` column (the
+    LOWERCASED token array — see ``token_count`` for why hot call sites
+    stage it)."""
     words = STOPWORDS[lang]
-    toks = tokens(F.lower(_c(col)))
+    toks = ltoks if ltoks is not None else tokens(F.lower(_c(col)))
     hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
     n = F.size(toks)
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def quality_score(col: str | Column, lang: str = "en") -> Column:
+def quality_score(
+    col: str | Column,
+    lang: str = "en",
+    toks: Column | None = None,
+    ltoks: Column | None = None,
+) -> Column:
     """Composite document-quality heuristic in [0, 1].
 
     Blend of length band (prefers 20–2000 tokens), low punctuation noise,
     and stopword presence — the classic cheap pre-filter before expensive
     model-based scoring in a training-data pipeline.
+
+    ``toks``/``ltoks`` accept pre-staged ``tokens(col)`` /
+    ``tokens(lower(col))`` columns. Without them this expression embeds
+    the tokenizer several times (the length band and the punct gate each
+    reference the token count, the stopword component tokenizes the
+    lowercased text), and the stopword-filter HOF keeps the whole
+    projection OUT of whole-stage codegen — interpreted Projects have no
+    common-subexpression elimination, so every duplicate re-splits the
+    document (measured 1.6× on a 200k-doc corpus). Query call sites
+    stage both arrays as real columns; Catalyst's CollapseProject keeps
+    staged non-cheap expressions materialized instead of re-inlining
+    them.
     """
-    ntok = token_count(col).cast("double")
+    ntok = token_count(col, toks=toks).cast("double")
     length_component = F.when(ntok <= 0, F.lit(0.0)).otherwise(
         F.least(ntok / F.lit(20.0), F.lit(1.0))
         * F.least(F.lit(2000.0) / F.greatest(ntok, F.lit(1.0)), F.lit(1.0))
@@ -149,20 +180,27 @@ def quality_score(col: str | Column, lang: str = "en") -> Column:
     punct_component = F.when(ntok <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
     )
-    stop_component = F.least(stopword_ratio(col, lang) * 5.0, F.lit(1.0))
+    stop_component = F.least(
+        stopword_ratio(col, lang, ltoks=ltoks) * 5.0, F.lit(1.0)
+    )
     return F.round(
         0.4 * length_component + 0.3 * punct_component + 0.3 * stop_component, 6
     )
 
 
-def language_id(col: str | Column) -> Column:
+def language_id(col: str | Column, ltoks: Column | None = None) -> Column:
     """Stopword-vote language ID over ``STOPWORDS`` languages.
 
     Returns the language with the highest stopword hit-count;
     deterministic tie-break on language code order; 'und' when no
     stopword of any language occurs.
+
+    ``ltoks`` accepts a pre-staged ``tokens(lower(col))`` column: the
+    per-language filter embeds the token array once per language (4×
+    here), and the lambda keeps the projection interpreted — see
+    ``quality_score``.
     """
-    toks = tokens(F.lower(_c(col)))
+    toks = ltoks if ltoks is not None else tokens(F.lower(_c(col)))
     scores = []
     for lang in sorted(STOPWORDS):
         words = STOPWORDS[lang]

@@ -915,13 +915,28 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics (token count, BPE-ish token estimate,
     punctuation ratio, stopword ratio, composite score)."""
     docs = scan_fanout(load_table(spark, sf_dir, "documents"), "doc_id")
-    prof = docs.select(
+    # token arrays staged ONCE as real columns: the stopword-filter
+    # lambda keeps this projection interpreted, where duplicate
+    # tokenizer subtrees are NOT common-subexpression-eliminated —
+    # inline, quality_score + token_count + stopword_ratio re-split the
+    # document five times (measured 1.6× — functions/text.py)
+    staged = docs.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
+        "text",
+        TX.tokens("text").alias("_toks"),
+        TX.tokens(F.lower(F.col("text"))).alias("_ltoks"),
+    )
+    prof = staged.select(
+        "doc_id",
+        TX.token_count("text", toks=F.col("_toks")).alias("n_tokens"),
         TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(TX.stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
-        TX.quality_score("text", "en").alias("quality"),
+        F.round(
+            TX.stopword_ratio("text", "en", ltoks=F.col("_ltoks")), 6
+        ).alias("stopword_ratio"),
+        TX.quality_score(
+            "text", "en", toks=F.col("_toks"), ltoks=F.col("_ltoks")
+        ).alias("quality"),
     )
     return ordered_output(prof, "doc_id")
 
@@ -929,8 +944,20 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language identification per document."""
     docs = scan_fanout(load_table(spark, sf_dir, "documents"), "doc_id")
+    # lowercased token array staged once (the 4-language vote embeds it
+    # per language in an interpreted projection — functions/text.py)
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        TX.tokens(F.lower(F.col("text"))).alias("_ltoks"),
+    )
     return ordered_output(
-        docs.select("doc_id", "lang", TX.language_id("text").alias("lang_pred")),
+        staged.select(
+            "doc_id",
+            "lang",
+            TX.language_id("text", ltoks=F.col("_ltoks")).alias("lang_pred"),
+        ),
         "doc_id",
     )
 
@@ -1246,10 +1273,20 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimum member), not a window, so a pathological giant cluster
     costs nothing extra."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # token arrays staged once (interpreted-projection CSE gap — see
+    # functions/text.py quality_score); dropped before the dedup stage
     scored = (
         docs.where(F.col("text").isNotNull())
-        .withColumn("quality", TX.quality_score("text"))
-        .withColumn("n_tokens", TX.token_count("text"))
+        .withColumn("_toks", TX.tokens("text"))
+        .withColumn("_ltoks", TX.tokens(F.lower(F.col("text"))))
+        .withColumn(
+            "quality",
+            TX.quality_score(
+                "text", toks=F.col("_toks"), ltoks=F.col("_ltoks")
+            ),
+        )
+        .withColumn("n_tokens", TX.token_count("text", toks=F.col("_toks")))
+        .drop("_toks", "_ltoks")
     )
     kept = scored.where(F.col("quality") >= 0.7)
     deduped = exact_dedup(kept, "text", order_by=[F.col("doc_id").asc()])
@@ -3773,17 +3810,27 @@ def quality_ensemble_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TX.tokens, not a raw split: empty/whitespace-only text must count
     # 0 tokens (a raw split yields [''] → 1), matching quality_score's
-    # internal count and the oracle's CASE-guarded tokenization
-    toks = TX.tokens("text")
-    per_doc = docs.select(
+    # internal count and the oracle's CASE-guarded tokenization. Both
+    # token arrays staged ONCE as real columns (interpreted-projection
+    # CSE gap — see functions/text.py quality_score).
+    staged = docs.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
+        "text",
+        TX.tokens("text").alias("_toks"),
+        TX.tokens(F.lower(F.col("text"))).alias("_ltoks"),
+    )
+    per_doc = staged.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
         F.round(
-            0.6 * TX.quality_score("text", "en")
+            0.6
+            * TX.quality_score(
+                "text", "en", toks=F.col("_toks"), ltoks=F.col("_ltoks")
+            )
             + 0.4
             * (
-                F.size(F.array_distinct(toks))
-                / F.greatest(F.size(toks), F.lit(1))
+                F.size(F.array_distinct(F.col("_toks")))
+                / F.greatest(F.size("_toks"), F.lit(1))
             ),
             6,
         ).alias("ensemble"),
