@@ -80,6 +80,16 @@ _FAKM_HEADER = struct.Struct(">4sc I I H")
 #: conversion kills the whole mapInPandas batch with ArrowInvalid.
 _INT32_MAX = 2**31 - 1
 
+#: Absolute ceiling on a single decoded image/frame buffer. The PNG
+#: inflate cap is computed from the attacker-controlled IHDR dimensions,
+#: so without an absolute bound a bomb declaring ~2^31 x 2^31 pixels
+#: would make the "expected size" cap itself unbounded and a few MB of
+#: compressed zeros could inflate to RAM-exhausting gigabytes (an
+#: OOM-kill of the worker, not a catchable MemoryError). 256 MiB admits
+#: a 9000x9000 RGBA image — far beyond any training-corpus thumbnail —
+#: while keeping the worst single-row inflate bounded.
+_MAX_DECODE_BYTES = 1 << 28
+
 
 def fakm_encode(
     media_type: str, width: int, height: int, channels: int, payload: bytes
@@ -195,6 +205,13 @@ def decode_audio_wav(data: bytes | None) -> dict | None:
         return None
     block_align = channels * bits // 8
     n_frames = len(payload) // block_align if block_align else 0
+    # truncate a ragged tail to whole frames: a corrupt data chunk whose
+    # length is not a multiple of block_align would otherwise hand
+    # downstream consumers a partial frame — np.frombuffer(payload,
+    # '<i2') on an odd-length buffer raises ValueError and kills the
+    # whole mapInPandas task instead of this row decoding its whole
+    # frames (extract_audio_features' feature math is per-frame anyway)
+    payload = payload[: n_frames * block_align]
     return {
         "media_type": "a",
         "sample_rate": sample_rate,
@@ -423,6 +440,11 @@ def decode_image_png(data: bytes | None) -> dict | None:
         # MB of zeros) must never be fully materialized — cap at
         # expected+1 and reject on overflow instead of paying a
         # MemoryError that escapes the handler and kills the job.
+        # expected itself comes from attacker-controlled dimensions, so
+        # it must ALSO be capped absolutely (declaring 2^31 x 2^31
+        # would otherwise make this "cap" unbounded — _MAX_DECODE_BYTES).
+        if expected > _MAX_DECODE_BYTES:
+            return None
         dec = zlib.decompressobj()
         raw = dec.decompress(bytes(idat), expected + 1)
     except (struct.error, zlib.error, OverflowError, MemoryError):
@@ -520,6 +542,13 @@ def avi_encode(
     ``idx1``. Readable by ffmpeg/VLC — an actual interchange file, not a
     fixture format.
     """
+    if fps < 1:
+        # strh would pack rate=0 unchanged (the avih line below only
+        # dodges its own ZeroDivisionError via max(fps, 1)), emitting a
+        # file decode_video_avi's rate==0 guard nulls — an encode-then-
+        # decode pipeline silently yielding all-null rows with no error
+        # at the encode site
+        raise ValueError(f"fps must be >= 1, got {fps!r}")
     stride = width * 3
     pad = (-stride) % 4
     dib_size = (stride + pad) * height
@@ -569,7 +598,12 @@ def _avi_walk(data: bytes, off: int, end: int):
     while off + _CHUNK.size <= end:
         cid, clen = _CHUNK.unpack_from(data, off)
         off += _CHUNK.size
-        if off + clen > len(data):
+        # bound against the PARENT's end, not the file end: a nested
+        # chunk whose declared length spills past its enclosing LIST but
+        # stays inside the file would otherwise yield foreign bytes
+        # (e.g. a movi frame body bleeding into the idx1 region) as if
+        # they were chunk content
+        if off + clen > end:
             return
         if cid == b"LIST" and clen >= 4:
             yield cid, data[off : off + 4], off + 4, clen - 4
@@ -616,6 +650,11 @@ def decode_video_avi(data: bytes | None) -> dict | None:
             for c2, l2, o2, n2 in _avi_walk(data, boff, boff + blen):
                 if l2 == b"strl":
                     stream_idx += 1
+                    # a vids strl that carried strh but no strf must not
+                    # leak in_stream into the NEXT strl — an audio strl's
+                    # strf (WAVEFORMATEXTENSIBLE is exactly 40 bytes)
+                    # would then be unpacked as the video BMIH
+                    in_stream = False
                     for c3, _l3, o3, n3 in _avi_walk(data, o2, o2 + n2):
                         if c3 == b"strh" and n3 >= _STRH.size and strh is None:
                             cand = _STRH.unpack_from(data, o3)
@@ -871,7 +910,14 @@ def extract_audio_features(
         d = decoder(data)
         if d is None or d.get("bits_per_sample") != 16:
             return None
-        s = np.frombuffer(d["payload"], dtype="<i2").astype(np.int64)
+        payload = d["payload"]
+        if len(payload) & 1:
+            # an injected decoder may hand back a ragged 16-bit payload
+            # (decode_audio_wav truncates to whole frames itself);
+            # np.frombuffer on an odd-length buffer raises ValueError
+            # and would kill the whole mapInPandas task, not this row
+            payload = payload[:-1]
+        s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
         return {
             "n_samples": int(s.size),
             "sum_sq": int((s * s).sum()),
@@ -1032,9 +1078,17 @@ def resize_images(
         sy = np.minimum((np.arange(height) * h0) // height, h0 - 1)
         sx = np.minimum((np.arange(width) * w0) // width, w0 - 1)
         resized = src[sy][:, sx]
-        return encoder(
-            d["media_type"], width, height, ch, resized.tobytes()
-        )
+        try:
+            return encoder(
+                d["media_type"], width, height, ch, resized.tobytes()
+            )
+        except ValueError:
+            # per-row data property the ENCODER rejects (e.g. a valid
+            # 5-channel FAKM blob fed to png_encode_media, which only
+            # takes 1-4 channels) → null row, per the operator family's
+            # contract. TypeError (a mis-signatured encoder) still
+            # raises loudly — that's a wiring bug, not a data property.
+            return None
 
     return _map_binary_rowwise(
         df, binary_col, StructField(out_col, BinaryType()), row

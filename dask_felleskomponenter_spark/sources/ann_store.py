@@ -108,16 +108,6 @@ def _source_stat(sf_dir: str) -> tuple[int, str]:
     return total, h.hexdigest()[:16]
 
 
-def _source_size(sf_dir: str) -> int:
-    """Byte size of the source parquet (file or directory tree)."""
-    return _source_stat(sf_dir)[0]
-
-
-def _source_fingerprint(sf_dir: str) -> str:
-    """Stat fingerprint of the source parquet (see ``_source_stat``)."""
-    return _source_stat(sf_dir)[1]
-
-
 def _store_dir(
     sf_dir: str,
     bits: int,

@@ -843,3 +843,191 @@ class TestRound8HostileHeaders:
         assert len(blob) % 2 == 0  # word-aligned container
         d = decode_audio_wav(blob)
         assert d is not None and d["payload"] == pcm
+
+
+class TestRound10ReviewFindings:
+    """Regression pins for the round-10 multimodal review batch: every
+    case is hostile-but-parseable input that previously either killed
+    the whole task (escaped exception in mapInPandas) or silently
+    decoded foreign bytes."""
+
+    def test_odd_length_16bit_wav_features_whole_frames(self, spark):
+        """A 16-bit WAV whose data chunk declares an ODD byte length
+        passed decode (n_frames floors) but np.frombuffer('<i2') on the
+        ragged payload raised ValueError and failed the task. The decode
+        now truncates to whole frames and features the rest."""
+        import struct as st
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_audio_wav,
+            extract_audio_features,
+            wav_encode,
+        )
+
+        good = wav_encode(8000, 1, st.pack("<3h", 100, -200, 300))
+        # corrupt: clip one byte off the data chunk body AND its
+        # declared length (stays a valid RIFF walk, ragged 16-bit PCM)
+        data_at = good.index(b"data")
+        (dlen,) = st.unpack_from("<I", good, data_at + 4)
+        bad = bytearray(good[: data_at + 8 + dlen - 1])
+        st.pack_into("<I", bad, data_at + 4, dlen - 1)
+        bad = bytes(bad)
+
+        d = decode_audio_wav(bad)
+        assert d is not None
+        assert d["n_frames"] == 2
+        assert len(d["payload"]) == 4  # whole frames only
+
+        df = spark.createDataFrame([Row(b=bad), Row(b=good), Row(b=None)])
+        rows = {  # must not raise; ragged clip features its whole frames
+            i: r
+            for i, r in enumerate(
+                extract_audio_features(df, "b").select("audio_features").collect()
+            )
+        }
+        assert rows[0][0]["n_samples"] == 2
+        assert rows[1][0]["n_samples"] == 3
+        assert rows[2][0] is None
+
+    def test_png_bomb_with_huge_declared_dimensions_rejected(self):
+        """The inflate cap is computed from attacker-controlled IHDR
+        dimensions; a bomb declaring ~2^31 x 2^31 made the cap itself
+        unbounded. The absolute _MAX_DECODE_BYTES ceiling rejects it
+        without materializing anything."""
+        import struct
+        import zlib
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_image_png,
+            png_encode,
+        )
+
+        good = png_encode(2, 2, 1, bytes(4))
+        sig = good[:8]
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        huge = 2**31 - 1  # passes the <= INT32_MAX header checks
+        ihdr = struct.pack(">IIBBBBB", huge, huge, 8, 0, 0, 0, 0)
+        bomb = (
+            sig
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(1024), 9))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_image_png(bomb) is None
+        assert decode_image_png(good) is not None
+
+    def test_resize_nulls_row_when_encoder_rejects_channels(self, spark):
+        """A valid 5-channel FAKM blob fed to resize_images with the
+        documented png_encode_media encoder raised ValueError inside the
+        executor (PNG supports 1-4 channels); the row must go null."""
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            png_encode_media,
+        )
+
+        five = fakm_encode("i", 2, 2, 5, bytes(2 * 2 * 5))
+        ok = fakm_encode("i", 2, 2, 3, bytes(2 * 2 * 3))
+        df = spark.createDataFrame([Row(b=five), Row(b=ok)])
+        out = resize_images(
+            df, "b", 1, 1, decoder=fakm_decode, encoder=png_encode_media
+        ).select("resized").collect()
+        by_null = sorted(r[0] is None for r in out)
+        assert by_null == [False, True]
+
+    def test_vids_strl_without_strf_does_not_eat_audio_strf(self):
+        """in_stream leaked across strl blocks: a vids strl carrying
+        strh but no strf let the NEXT (audio) strl's strf be unpacked as
+        the video BITMAPINFOHEADER. Such a file must decode to None (no
+        video strf exists), not garbage dimensions."""
+        import struct as st
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_video_avi,
+        )
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            _riff_chunk,
+            _riff_list,
+            _AVIH,
+            _STRH,
+        )
+
+        good = avi_encode(2, 2, 10, [bytes(2 * 2 * 3)])
+        strh_vids = _STRH.pack(
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, 1, 48, 0, 0, 0, 0, 2, 2
+        )
+        strh_auds = _STRH.pack(
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 1,
+            0, 0, 0, 0, 0, 0, 0,
+        )
+        # 40-byte audio strf (WAVEFORMATEXTENSIBLE size == _BMIH size):
+        # plausible-looking garbage if misread as a BMIH
+        strf_auds = st.pack("<IiiHHI", 40, 7, 7, 1, 24, 0) + bytes(16)
+        avih = _AVIH.pack(100000, 0, 0, 0x10, 1, 0, 2, 48, 2, 2, 0, 0, 0, 0)
+        hdrl = _riff_list(
+            b"hdrl",
+            _riff_chunk(b"avih", avih)
+            + _riff_list(b"strl", _riff_chunk(b"strh", strh_vids))  # no strf!
+            + _riff_list(
+                b"strl",
+                _riff_chunk(b"strh", strh_auds) + _riff_chunk(b"strf", strf_auds),
+            ),
+        )
+        movi = _riff_list(b"movi", _riff_chunk(b"00db", bytes(48)))
+        body = hdrl + movi
+        blob = st.pack("<4sI4s", b"RIFF", 4 + len(body), b"AVI ") + body
+        assert decode_video_avi(blob) is None
+        assert decode_video_avi(good) is not None
+
+    def test_movi_chunk_cannot_spill_past_list_boundary(self):
+        """A frame chunk whose declared length runs past its parent
+        LIST movi (but stays inside the file) previously yielded idx1
+        bytes as frame content; the walk now bounds against the parent."""
+        import struct as st
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+            decode_video_avi,
+        )
+
+        good = avi_encode(2, 2, 10, [bytes(2 * 2 * 3)])
+        d = decode_video_avi(good)
+        assert d is not None
+        # inflate the frame chunk's declared length by 8 bytes so it
+        # spills into the idx1 region while keeping total padded size
+        # parseable; the decode must reject (no valid frame), not
+        # swallow idx1 bytes as pixels
+        movi_at = good.index(b"movi")
+        db_at = good.index(b"00db", movi_at)
+        (clen,) = st.unpack_from("<I", good, db_at + 4)
+        bad = bytearray(good)
+        st.pack_into("<I", bad, db_at + 4, clen + 8)
+        assert decode_video_avi(bytes(bad)) is None
+
+    def test_avi_encode_rejects_nonpositive_fps(self):
+        from dask_felleskomponenter_spark.functions.multimodal import avi_encode
+
+        with pytest.raises(ValueError, match="fps"):
+            avi_encode(2, 2, 0, [bytes(12)])
+        with pytest.raises(ValueError, match="fps"):
+            avi_encode(2, 2, -5, [bytes(12)])
+
+    def test_windows_reject_nonpositive_keep_and_n(self, spark):
+        from dask_felleskomponenter_spark.operators.windows import (
+            keep_first,
+            rank_topn_per_group,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([Row(k=1, v=2)])
+        with pytest.raises(ValueError, match="keep"):
+            keep_first(df, ["k"], [F.col("v")], keep=0)
+        with pytest.raises(ValueError, match="n must be"):
+            rank_topn_per_group(df, ["k"], [F.col("v")], n=0)
