@@ -525,6 +525,12 @@ def _orders_corpus(seed: int, n: int):
                 # cents>0 cut, histogram bin edges, DIV-vs-// truncation
                 # toward zero vs floor, running-sum budget cuts) must
                 # treat them identically per engine.
+                # Every 7th price (after the NULL/negative/zero classes
+                # take precedence) is drawn from THREE fixed values, so
+                # heavy exact ties sit on the quantile boundaries: disc
+                # must pick the same tied member and cont must
+                # interpolate between equal values identically per
+                # engine (the round-10 percentile tie-semantics class).
                 None
                 if i % 19 == 5
                 else (
@@ -533,7 +539,11 @@ def _orders_corpus(seed: int, n: int):
                     else (
                         0.0
                         if i % 37 == 17
-                        else round(rng.randint(1, 40_000_000) / 100.0, 2)
+                        else (
+                            [199.99, 5000.0, 123456.78][i // 7 % 3]
+                            if i % 7 == 3
+                            else round(rng.randint(1, 40_000_000) / 100.0, 2)
+                        )
                     )
                 ),
                 # every 23rd date is NULL: calendar windows and running
