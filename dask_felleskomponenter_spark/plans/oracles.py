@@ -19,10 +19,14 @@ The twin rules that make hash-parity hold:
   sorts NULLs first, DuckDB defaults to NULLS LAST, and the driver's
   value hash is order-sensitive.
 
-Queries deliberately absent (rows-only checks): agg_approx_distinct
-(different HLL implementations), neardup_minhash_lsh / simhash_documents
-(xxhash64 has no DuckDB twin), ann_lsh_bucketed / ann_ivf_topk
-(approximate by design).
+Queries deliberately absent (rows-only checks) — the complete list, 11
+of the 142 declared (every one has pytest semantic pins instead):
+agg_approx_distinct / sketch_rollup_users (different HLL
+implementations), agg_approx_percentiles / kll_quantile_rollup_prices
+(different quantile sketches), neardup_minhash_lsh / simhash_documents /
+neardup_crossbatch_screen (xxhash64 has no DuckDB twin),
+ann_lsh_bucketed / ann_ivf_topk / ann_pq_topk (approximate by design),
+raster_contours_tiles (marching-squares WKB has no SQL twin).
 """
 
 from __future__ import annotations
@@ -318,7 +322,7 @@ ORDER BY s_suppkey
 # shingle count and eval-overlap count.
 ORACLES["contamination_ngram_screen"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
+  SELECT doc_id, __TOKS(text)__ AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -350,9 +354,12 @@ ORDER BY doc_id
 
 ORACLES["pack_sequences_offsets"] = """
 WITH toks AS (
+  -- COALESCE mirrors bpe_ish_token_count's NULL-text → 0 guard: a NULL
+  -- n_tokens here emitted NULL seq fields where Spark emits 0s
+  -- (round-10 review, confirmed divergence)
   SELECT doc_id,
          doc_id % 8 AS shard,
-         len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s\\x0b\\p{Z}]'))
+         COALESCE(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s\\x0b\\p{Z}]')), 0)
            AS n_tokens
   FROM documents
 ), placed AS (
@@ -395,7 +402,7 @@ ORDER BY d.lang
 
 ORACLES["unigram_logprob_score"] = """
 WITH tok AS (
-  SELECT doc_id, UNNEST(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) AS term
+  SELECT doc_id, UNNEST(__TOKS(text)__) AS term
   FROM documents
 ), doc_term AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
@@ -430,7 +437,7 @@ ORDER BY l.l_returnflag
 
 ORACLES["repetition_profile_documents"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
+  SELECT doc_id, __TOKS(text)__ AS t
   FROM documents
 ), bigrams AS (
   SELECT doc_id,
@@ -549,10 +556,13 @@ ORDER BY c.cohort_week NULLS FIRST, week_offset NULLS FIRST
 
 ORACLES["resample_ffill_events"] = """
 WITH hourly AS (
+  -- ts IS NOT NULL spelled on BOTH sides (the timeline convention):
+  -- the NULL pseudo-hour emitted no grid rows here either, but on the
+  -- Spark side it leaked its hour-average into the ffill window
   SELECT user_id, date_trunc('hour', ts) AS h,
          ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 6)
            AS hour_avg
-  FROM events GROUP BY user_id, h
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id, h
 ), spans AS (
   SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
 ), grid AS (
@@ -990,7 +1000,7 @@ SELECT
   COUNT(*) AS n_docs,
   ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
   ROUND(CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
-                      ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) END) AS DOUBLE)
+                      ELSE len(__TOKS(text)__) END) AS DOUBLE)
           / COUNT(*), 6) AS avg_tokens,
   MIN(n_chars) AS min_chars,
   MAX(n_chars) AS max_chars
@@ -1103,34 +1113,13 @@ FROM documents
 # cap is actually removing shingles.
 ORACLES["neardup_jaccard_pairs"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
+  SELECT doc_id, __TOKS(text)__ AS t
   FROM documents
-), shingled AS (
-  SELECT doc_id,
-         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
-         END AS shs
-  FROM toks
-), sets AS (
-  SELECT doc_id, list_distinct(shs) AS s FROM shingled
-), inv0 AS (
-  SELECT doc_id, UNNEST(s) AS sh FROM sets
-), hot AS (
-  SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) > 64
-), inv AS (
-  SELECT i.doc_id, i.sh FROM inv0 i ANTI JOIN hot h ON i.sh = h.sh
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS set_size FROM inv GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
-  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+), __JACCARD_CTES(toks)__
 SELECT p.id_a, p.id_b,
        ROUND(p.intersection / (sa.set_size + sb.set_size - p.intersection), 6)
          AS jaccard
-FROM pairs p
+FROM ipairs p
 JOIN sizes sa ON p.id_a = sa.doc_id
 JOIN sizes sb ON p.id_b = sb.doc_id
 WHERE p.intersection / (sa.set_size + sb.set_size - p.intersection) >= 0.6
@@ -1146,46 +1135,9 @@ ORDER BY id_a, id_b
 # O(log n) large-star/small-star algorithm.
 ORACLES["neardup_cluster_assign"] = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
+  SELECT doc_id, __TOKS(text)__ AS t
   FROM documents
-), shingled AS (
-  SELECT doc_id,
-         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
-         END AS shs
-  FROM toks
-), sets AS (
-  SELECT doc_id, list_distinct(shs) AS s FROM shingled
-), inv0 AS (
-  SELECT doc_id, UNNEST(s) AS sh FROM sets
-), hot AS (
-  SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) > 64
-), inv AS (
-  SELECT i.doc_id, i.sh FROM inv0 i ANTI JOIN hot h ON i.sh = h.sh
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS set_size FROM inv GROUP BY doc_id
-), ipairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
-  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), jpairs AS (
-  SELECT p.id_a, p.id_b
-  FROM ipairs p
-  JOIN sizes sa ON p.id_a = sa.doc_id
-  JOIN sizes sb ON p.id_b = sb.doc_id
-  WHERE p.intersection / (sa.set_size + sb.set_size - p.intersection) >= 0.6
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM jpairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM jpairs
-), reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-), comp AS (
-  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
-)
+), __JACCARD_CTES(toks)__, __JPAIRS_CTE__, __CC_CTES(documents)__
 SELECT c.doc_id, c.component, s.cluster_size
 FROM comp c
 JOIN (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component) s
@@ -1195,15 +1147,21 @@ ORDER BY c.doc_id
 
 ORACLES["text_quality_profile"] = """
 WITH base AS (
+  -- NULL text normalizes to 0 tokens / 0 chars / [] on this side too,
+  -- mirroring the Spark tokens()/COALESCE guards: un-normalized, NULL
+  -- flowed into LEAST/GREATEST (which SKIP NULLs in DuckDB, unlike
+  -- Spark's null-propagating least/greatest) and scored a NULL
+  -- document quality=0.70 — above the repo's own keep threshold
+  -- (round-10 review, confirmed divergence)
   SELECT doc_id,
          text,
-         CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) END AS n_tokens,
-         len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s\\x0b\\p{Z}]')) AS n_bpe_tokens,
-         CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b\\p{Z}]')) AS DOUBLE) AS n_punct,
-         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
-         CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_transform(list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> ''), x -> x)
+         CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+              ELSE len(__TOKS(text)__) END AS n_tokens,
+         COALESCE(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s\\x0b\\p{Z}]')), 0) AS n_bpe_tokens,
+         COALESCE(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b\\p{Z}]')) AS DOUBLE), 0.0) AS n_punct,
+         COALESCE(CAST(LENGTH(text) AS DOUBLE), 0.0) AS n_chars,
+         CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+              ELSE list_transform(__TOKS(LOWER(text))__, x -> x)
          END AS toks
   FROM documents
 ), scored AS (
@@ -1238,7 +1196,7 @@ ORACLES["tfidf_top_terms"] = """
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS t
+              ELSE __TOKS(LOWER(text))__ END AS t
   FROM documents WHERE text IS NOT NULL
 ), terms AS (
   SELECT doc_id, UNNEST(t) AS term FROM toks
@@ -1265,11 +1223,13 @@ ORDER BY doc_id, rank
 # Bigram twin: non-distinct shingles (contrast the jaccard oracles'
 # list_distinct), lowercase, with the "whole text as one shingle when
 # shorter than the window" rule — an empty/whitespace doc contributes
-# one '' bigram on both sides.
+# zero bigrams on both sides (the len(t)=0 branch yields [] here, and
+# word_shingles' n==0 branch yields an empty array — the phantom ''
+# shingle was deliberately removed; see word_shingles' docstring).
 ORACLES["ngram_top_bigrams"] = """
 WITH toks AS (
   SELECT CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS t
+              ELSE __TOKS(LOWER(text))__ END AS t
   FROM documents WHERE text IS NOT NULL
 ), grams AS (
   SELECT CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
@@ -1337,8 +1297,8 @@ WITH b AS (
   -- (not NULL) when a tab-only text has no \\S token at all, and the
   -- list_filter mirror of the tokenizer leaves [] there
   SELECT doc_id,
-         COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')[1], '') AS blk,
-         COALESCE(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')[2], '') AS tok2,
+         COALESCE(__TOKS(text)__[1], '') AS blk,
+         COALESCE(__TOKS(text)__[2], '') AS tok2,
          substr(TRIM(text), 1, 40) AS pfx
   FROM documents
   WHERE text IS NOT NULL AND TRIM(text) != ''
@@ -1399,11 +1359,11 @@ ORACLES["pipeline_training_corpus"] = """
 WITH RECURSIVE base AS (
   SELECT doc_id, text, lang,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) END AS n_tokens,
+              ELSE len(__TOKS(text)__) END AS n_tokens,
          CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b\\p{Z}]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_transform(list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> ''),
+              ELSE list_transform(__TOKS(LOWER(text))__,
                                   x -> x) END AS toks
   FROM documents
   WHERE text IS NOT NULL
@@ -1432,45 +1392,8 @@ WITH RECURSIVE base AS (
   FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS _mk FROM kept)
   WHERE doc_id = _mk
 ), toks2 AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t FROM dedup
-), shingled AS (
-  SELECT doc_id,
-         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
-         END AS shs
-  FROM toks2
-), sets AS (
-  SELECT doc_id, list_distinct(shs) AS s FROM shingled
-), inv0 AS (
-  SELECT doc_id, UNNEST(s) AS sh FROM sets
-), hot AS (
-  SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) > 64
-), inv AS (
-  SELECT i.doc_id, i.sh FROM inv0 i ANTI JOIN hot h ON i.sh = h.sh
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS set_size FROM inv GROUP BY doc_id
-), ipairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
-  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), jpairs AS (
-  SELECT p.id_a, p.id_b
-  FROM ipairs p
-  JOIN sizes sa ON p.id_a = sa.doc_id
-  JOIN sizes sb ON p.id_b = sb.doc_id
-  WHERE p.intersection / (sa.set_size + sb.set_size - p.intersection) >= 0.6
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM jpairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM jpairs
-), reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM dedup
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-), comp AS (
-  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
-)
+  SELECT doc_id, __TOKS(text)__ AS t FROM dedup
+), __JACCARD_CTES(toks2)__, __JPAIRS_CTE__, __CC_CTES(dedup)__
 SELECT d.doc_id, d.lang, d.n_tokens, d.quality
 FROM dedup d
 JOIN comp c ON d.doc_id = c.doc_id
@@ -1484,7 +1407,7 @@ ORACLES["lang_id_documents"] = """
 WITH toks AS (
   SELECT doc_id, lang,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS t
+              ELSE __TOKS(LOWER(text))__ END AS t
   FROM documents
 ), hits AS (
   SELECT doc_id, lang,
@@ -1813,7 +1736,7 @@ ORDER BY o_orderstatus
 # same trim + \s+ tokenization as the UDTF, chunk_index = start/stride.
 ORACLES["udtf_chunk_documents"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t FROM documents
+  SELECT doc_id, __TOKS(text)__ AS t FROM documents
 ),
 starts AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s FROM toks
@@ -1998,7 +1921,7 @@ ORDER BY c.event_id
 # (doc_id, pos, fp_hash) rows with 1-based pos.
 ORACLES["fingerprint_documents"] = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS t
+  SELECT doc_id, __TOKS(text)__ AS t
   FROM documents
 ),
 sh AS (
@@ -2033,7 +1956,7 @@ ORDER BY doc_id, pos
 # the same 0-based positions Spark's posexplode emits.
 ORACLES["dedup_substring_spans"] = """
 WITH base AS (
-  SELECT doc_id, list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') AS toks
+  SELECT doc_id, __TOKS(text)__ AS toks
   FROM documents
 ),
 sh AS (
@@ -2085,13 +2008,13 @@ ORACLES["quality_ensemble_buckets"] = """
 WITH base AS (
   SELECT doc_id,
          CASE WHEN TRIM(text) = '' THEN 0
-              ELSE len(list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '')) END AS n_tokens,
+              ELSE len(__TOKS(text)__) END AS n_tokens,
          CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\x0b\\p{Z}]')) AS DOUBLE) AS n_punct,
          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(LOWER(text)), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS ltoks,
+              ELSE __TOKS(LOWER(text))__ END AS ltoks,
          CASE WHEN TRIM(text) = '' THEN []
-              ELSE list_filter(string_split_regex(TRIM(text), '[\\s\\x0b\\p{Z}]+'), x -> x <> '') END AS toks
+              ELSE __TOKS(text)__ END AS toks
   FROM documents
   WHERE text IS NOT NULL
 ), scored AS (
@@ -2185,8 +2108,13 @@ ORDER BY keep_id
 # on frequency ties) — the exact rule Spark's mode(col, true) applies.
 ORACLES["agg_listagg_mode_orders"] = """
 WITH freq AS (
+  -- NULLs are not mode candidates: Spark's mode(col, true) skips them,
+  -- so a status whose priorities are [NULL, NULL, '5-LOW'] must pick
+  -- '5-LOW', never the NULL group (round-10 review, confirmed
+  -- divergence)
   SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-  FROM orders GROUP BY o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  GROUP BY o_orderstatus, o_orderpriority
 ), m AS (
   SELECT o_orderstatus, o_orderpriority AS top_priority
   FROM (
@@ -2202,9 +2130,13 @@ SELECT
   o.o_orderstatus,
   string_agg(DISTINCT o.o_orderpriority, '|' ORDER BY o.o_orderpriority)
     AS priorities,
+  -- LEFT + null-safe key: an all-NULL-priority status group (or a NULL
+  -- status group) still emits a row with NULL top_priority, matching
+  -- Spark's groupBy-over-everything shape
   MIN(m.top_priority) AS top_priority,
   COUNT(*) AS n_orders
-FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
+FROM orders o
+LEFT JOIN m ON o.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus
 GROUP BY o.o_orderstatus
 ORDER BY o.o_orderstatus
 """
@@ -2715,9 +2647,7 @@ ORACLES["set_algebra_token_halves"] = """
 WITH toks AS (
   SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS idx
   FROM (SELECT doc_id,
-               list_filter(
-                 string_split_regex(lower(text), '[\\s\\x0b\\p{Z}]+'),
-                 x -> x <> '') AS l
+               __TOKS(LOWER(text))__ AS l
         FROM documents WHERE text IS NOT NULL)
 ), flags AS (
   SELECT doc_id, tok,
@@ -2825,3 +2755,104 @@ FROM b
 GROUP BY bucket
 ORDER BY bucket NULLS FIRST
 """
+
+
+# --- tokenizer macro expansion ----------------------------------------------
+# The engine-wide whitespace tokenizer as ONE SQL fragment (the DuckDB
+# twin of queries-side ``TX.tokens()``): oracles write ``__TOKS(expr)__``
+# and the expansion below substitutes the real fragment, so the
+# whitespace rule has a single point of change — the round-6 ``\x0b``
+# and round-9 ``\p{Z}`` fixes each had to be hand-applied to ~20 inline
+# copies, and a missed copy breaks hash parity only on planted
+# unicode-whitespace documents (round-10 review).
+
+def _toks_sql(expr: str) -> str:
+    """DuckDB tokenizer fragment: TRIM → regex split on the engine-wide
+    whitespace class (``[\\s\\x0b\\p{Z}]`` — Java ``\\s`` incl. U+000B,
+    plus the Unicode separator block) → drop empty tokens."""
+    return (
+        "list_filter(string_split_regex(TRIM(" + expr + "), "
+        + r"'[\s\x0b\p{Z}]+'), x -> x <> '')"
+    )
+
+
+def _jaccard_ctes_sql(tok_cte: str) -> str:
+    """The capped-universe 3-gram Jaccard derivation (the DuckDB twin of
+    ``operators/similarity.py::ngram_jaccard_pairs`` with
+    ``max_shingle_df=64``), shared VERBATIM by the three near-dup
+    oracles — one point of change for the shingle/cap/pair rules.
+    Reads token lists from CTE ``tok_cte`` (columns doc_id, t); defines
+    shingled → sets → inv0 → hot → inv → sizes → ipairs."""
+    return f"""shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+         END AS shs
+  FROM {tok_cte}
+), sets AS (
+  SELECT doc_id, list_distinct(shs) AS s FROM shingled
+), inv0 AS (
+  SELECT doc_id, UNNEST(s) AS sh FROM sets
+), hot AS (
+  SELECT sh FROM inv0 GROUP BY sh HAVING COUNT(*) > 64
+), inv AS (
+  SELECT i.doc_id, i.sh FROM inv0 i ANTI JOIN hot h ON i.sh = h.sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM inv GROUP BY doc_id
+), ipairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+#: Jaccard >= 0.6 threshold cut over ipairs/sizes (follows
+#: __JACCARD_CTES__; defines jpairs).
+_JPAIRS_CTE = """jpairs AS (
+  SELECT p.id_a, p.id_b
+  FROM ipairs p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE p.intersection / (sa.set_size + sb.set_size - p.intersection) >= 0.6
+)"""
+
+
+def _cc_ctes_sql(node_src: str) -> str:
+    """Recursive-CTE connected components over jpairs (the oracle twin
+    of ``operators/graph.py``'s large-star/small-star): every node from
+    ``node_src`` seeds its own label; MIN(label) reachable per node is
+    the component id. Defines edges → reach → comp; the enclosing WITH
+    must be RECURSIVE."""
+    return f"""edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM jpairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {node_src}
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+)"""
+
+
+def _expand_macros() -> None:
+    import re as _re
+
+    subs = [
+        (_re.compile(r"__JACCARD_CTES\((.+?)\)__"),
+         lambda m: _jaccard_ctes_sql(m.group(1))),
+        (_re.compile(r"__JPAIRS_CTE__"), lambda m: _JPAIRS_CTE),
+        (_re.compile(r"__CC_CTES\((.+?)\)__"),
+         lambda m: _cc_ctes_sql(m.group(1))),
+        (_re.compile(r"__TOKS\((.+?)\)__"),
+         lambda m: _toks_sql(m.group(1))),
+    ]
+    for _k, _sql in ORACLES.items():
+        for pat, fn in subs:
+            _sql = pat.sub(fn, _sql)
+        ORACLES[_k] = _sql
+
+
+_expand_macros()

@@ -3502,11 +3502,23 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap: the oracle's ``g.user_id = hy.user_id`` LEFT JOIN never
     matches a NULL key, so "no user" means "no observations" — the
     join-free shape must impose that explicitly, since its window
-    would otherwise treat NULL as an ordinary partition."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.date_trunc("hour", "ts").alias("h"),
-        F.col("value").cast("decimal(14,2)").alias("v"),
+    would otherwise treat NULL as an ordinary partition.
+
+    NULL ``ts`` events are DROPPED explicitly (the time-positioning
+    convention every other timeline query follows): without the filter,
+    ``date_trunc`` minted a NULL pseudo-hour that emitted no grid rows
+    (``sequence(NULL, …)`` explodes to nothing) but DID sit first in the
+    ffill window, leaking its hour-average into leading NULL-avg hours —
+    while the oracle's ``generate_series`` grid never contains it
+    (round-10 review, confirmed divergence)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("value").cast("decimal(14,2)").alias("v"),
+        )
     )
     hourly = ev.groupBy("user_id", "h").agg(
         F.round(

@@ -146,8 +146,21 @@ def _corpus(
                 at = text.find(" ", 2)
                 if at > 0:
                     text = text[:at] + " " + text[at + 1:]
+        # every 31st document has NULL text: tokenizer guards, COALESCEd
+        # counters, and quality gates must normalize it identically per
+        # engine (round-10 review: un-normalized NULL text scored 0.70
+        # quality in DuckDB via NULL-skipping LEAST/GREATEST where Spark
+        # scored 0.0)
+        if i % 31 == 7:
+            text = None
         rows.append(
-            (i, text, rng.choice(["en", "de", "und"]), f"src{i % 3}", len(text))
+            (
+                i,
+                text,
+                rng.choice(["en", "de", "und"]),
+                f"src{i % 3}",
+                len(text) if text is not None else 0,
+            )
         )
     if vocab is not _ASCII_VOCAB:
         # multi-script planted classes (CJK/Cyrillic/mixed, see
@@ -500,6 +513,11 @@ FUZZ_ORDER_QUERIES = [
     # NULL the bucket; negatives hit p25 ordering and the underflow bin
     "percentile_disc_prices",
     "width_bucket_price_histogram",
+    # round-10 addition: previously had ZERO fuzz coverage, and its
+    # oracle counted the NULL-priority group as a mode candidate where
+    # Spark's mode(col, true) skips NULLs — the planted NULL-priority
+    # class below keeps the two mode definitions locked
+    "agg_listagg_mode_orders",
 ]
 
 
@@ -552,7 +570,12 @@ def _orders_corpus(seed: int, n: int):
                 None
                 if i % 23 == 9
                 else base + dt.timedelta(days=day + (i % 3) * 7),
-                rng.choice(
+                # every 13th priority is NULL: mode candidates must skip
+                # it (Spark mode(col, true)) and ranking/extrema
+                # partitions must place it identically per engine
+                None
+                if i % 13 == 4
+                else rng.choice(
                     ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
                 ),
             )

@@ -161,3 +161,39 @@ def test_oracle_types_match_spark(spark, duck, sf_dir, name):
         if "FORBIDDEN" in repr(dfam) or dfam != spark_fams[col]:
             bad.append((col, "spark", spark_fams[col], "duckdb", dfam))
     assert not bad, f"{name}: type-family drift (driver hash hazard): {bad}"
+
+
+def test_tokenizer_fragment_has_single_point_of_change():
+    """Round-10 review: the DuckDB tokenizer idiom was copy-pasted ~23
+    times, and the round-6 \\x0b / round-9 \\p{Z} whitespace fixes each
+    had to be hand-applied to every inline copy (a missed copy breaks
+    hash parity only on planted unicode-whitespace docs). Oracles now
+    write __TOKS(expr)__ and a module-end expansion substitutes the one
+    real fragment. This pins the invariant: the idiom exists exactly
+    once in the SOURCE (inside _toks_sql), macros are all expanded at
+    import, and the expansion matches the Spark tokenizer's class."""
+    import inspect
+
+    import dask_felleskomponenter_spark.plans.oracles as om
+
+    src = inspect.getsource(om)
+    assert src.count("string_split_regex") == 1, (
+        "tokenizer idiom inlined again — route it through __TOKS()__"
+    )
+    # the jaccard chain likewise: one shingle/cap/pair derivation
+    # (__JACCARD_CTES__) shared by the three near-dup oracles
+    assert src.count("HAVING COUNT(*) > 64") == 1, (
+        "jaccard hot-shingle chain inlined again — route it through "
+        "__JACCARD_CTES()__"
+    )
+    assert not any(
+        "__TOKS" in s or "__JACCARD" in s or "__JPAIRS" in s or "__CC_" in s
+        for s in om.ORACLES.values()
+    )
+    frag = om._toks_sql("text")
+    assert frag == (
+        "list_filter(string_split_regex(TRIM(text), "
+        r"'[\s\x0b\p{Z}]+'), x -> x <> '')"
+    )
+    # every documents-family tokenizing oracle carries the expansion
+    assert frag in om.ORACLES["neardup_jaccard_pairs"]
