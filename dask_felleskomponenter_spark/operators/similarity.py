@@ -66,7 +66,15 @@ def elements_nonnull(col: str | Column) -> Column:
 
 def with_vector_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
     """Precompute L2 norms once; at scale this is written alongside the
-    embeddings so queries never recompute it."""
+    embeddings so queries never recompute it.
+
+    ``out_col`` is an output-contract column: a collision with existing
+    data raises (the ``shuffle.ensure_absent`` policy) — silently
+    replacing a precomputed column and persisting the result corrupts a
+    store with no error."""
+    from dask_felleskomponenter_spark.operators.shuffle import ensure_absent
+
+    ensure_absent(out_col, df, what="out_col")
     return df.withColumn(out_col, l2_norm(as_double_vec(vec_col)))
 
 
@@ -95,7 +103,11 @@ def cosine_topk(
     cos = dot(v, q) / (_safe_norm(v) * F.lit(qn))
     return (
         emb_df.select(F.col(id_col), cos.alias(score_col))
-        .filter(F.col(score_col).isNotNull())
+        # NaN too, not just NULL: one NaN/Inf element makes a NaN score,
+        # and Spark sorts NaN GREATEST — a single dirty vector would
+        # occupy the #1 slot of every top-k, evicting a real neighbor
+        # (the GEMM twin's `>= thr` comparison already drops it)
+        .filter(F.col(score_col).isNotNull() & ~F.isnan(score_col))
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -201,8 +213,20 @@ def cosine_topk_per_query(
             F.col(id_col),
             score.alias(score_col),
         )
-        .filter(F.col(score_col).isNotNull())
+        # NaN filtered with NULL (see cosine_topk): NaN sorts greatest
+        # under desc on BOTH the pandas pre-reduction and the final
+        # window, so one NaN/Inf-element vector would win every query
+        .filter(F.col(score_col).isNotNull() & ~F.isnan(score_col))
     )
+    if rank_col:
+        from dask_felleskomponenter_spark.operators.shuffle import (
+            ensure_absent,
+        )
+
+        # rank_col is an output-contract name: renaming _rn onto an
+        # existing column would emit a DataFrame with two same-named
+        # columns (AMBIGUOUS_REFERENCE at the caller's next select)
+        ensure_absent(rank_col, scored, what="rank_col")
     reduced = partition_local_topk(scored, k, id_col, query_id_col, score_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
@@ -249,6 +273,27 @@ def cosine_neardup_pairs(
         StructType,
     )
 
+    if int(n_blocks) < 1:
+        # n_blocks=0 aborts at runtime with an opaque pmod
+        # DIVIDE_BY_ZERO deep in the explode stage; negative values emit
+        # garbage block keys and silently WRONG pairs
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks!r}")
+    # NULL ids raise LOUDLY (graph.py's _nonnull_guard policy): a NULL
+    # id passes the vector filter (xxhash64(NULL) is the seed — a real
+    # block), then either crashes the pandas tile (string ids: None in
+    # `<` comparisons) or worse, Arrow converts the int64-with-null id
+    # column to float64 — the NULL becomes NaN and every other id in
+    # the tile >= 2^53 is silently ROUNDED, feeding corrupt pair ids to
+    # connected_components with no error.
+    id_type = emb_df.schema[id_col].dataType
+    guarded_id = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"cosine_neardup_pairs: NULL {id_col!r} — ids must be "
+                "non-null (a NULL id cannot name a pair); assign ids first"
+            )
+        ).cast(id_type)
+    )
     # NULL embeddings would reach the numpy tile as None (np.stack
     # raises on ragged/None input, killing the whole job) and the JVM
     # scoring paths define them as no-match anyway — filter before the
@@ -256,7 +301,7 @@ def cosine_neardup_pairs(
     # *elements* go too: they'd arrive as NaN/object cells and corrupt
     # the GEMM, where the JVM zip_with twin scores such pairs NULL.
     tagged = emb_df.filter(elements_nonnull(vec_col)).select(
-        F.col(id_col).alias("_id"),
+        guarded_id.alias("_id"),
         as_double_vec(vec_col).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
@@ -290,9 +335,9 @@ def cosine_neardup_pairs(
         F.when(is_l, F.lit("L")).otherwise(F.lit("R")).alias("_side"),
     )
 
-    # id fields take id_col's actual type — a hardcoded LongType breaks
-    # Arrow conversion for string/int32 id columns
-    id_type = emb_df.schema[id_col].dataType
+    # id fields take id_col's actual type (fetched above for the NULL
+    # guard) — a hardcoded LongType breaks Arrow conversion for
+    # string/int32 id columns
     out_schema = StructType(
         [
             StructField("id_a", id_type),
@@ -483,9 +528,17 @@ def with_ivf_cell(
     DataFrame is written partitioned by ``out_col``, mirroring
     ``with_lsh_bucket``). The vector norm is staged as a real column so
     the per-centroid score expressions reference an attribute instead of
-    ``n_cells`` copies of the norm's aggregate tree."""
-    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+    ``n_cells`` copies of the norm's aggregate tree.
 
+    ``out_col`` collisions raise (a precomputed cell column from a
+    DIFFERENT centroid family silently replaced and persisted would
+    corrupt the cell-partitioned store with no error)."""
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_absent,
+        fresh_name,
+    )
+
+    ensure_absent(out_col, df, what="out_col")
     v = as_double_vec(vec_col)
     ncol = fresh_name("_ivf_nrm", df, extra={out_col})
     staged = df.withColumn(ncol, _safe_norm(v))
@@ -528,6 +581,15 @@ def ivf_topk(
     is data-adaptive, so recall concentrates probes on real density
     rather than fixed hyperplane orthants.
     """
+    if centroids and len(query_vec) != len(centroids[0]):
+        # same loud dim-mismatch contract as pq_adc_topk: a truncated
+        # zip() dot product selects probe cells from garbage
+        # similarities, then cosine_topk NULLs every score and the
+        # query returns ZERO rows — read as "no neighbors"
+        raise ValueError(
+            f"ivf_topk: query dim {len(query_vec)} != centroid dim "
+            f"{len(centroids[0])} — wrong table or stale index"
+        )
     probe = probed_cells(centroids, query_vec, nprobe)
     in_cells = cell_df.filter(F.col(cell_col).isin(probe)).drop(cell_col)
     return cosine_topk(in_cells, query_vec, k, id_col, vec_col, score_col)
@@ -602,7 +664,14 @@ def with_lsh_bucket(
     partition-pruned read of one bucket instead of recomputing ``bits``
     dot products per row per query. Queries then filter the precomputed
     column (see ``plans/queries.py::ann_lsh_bucketed``).
+
+    ``bucket_col`` collisions raise: silently replacing a bucket column
+    from a different plane family (other seed/bits) and persisting it
+    corrupts the bucket-partitioned store with no error.
     """
+    from dask_felleskomponenter_spark.operators.shuffle import ensure_absent
+
+    ensure_absent(bucket_col, df, what="bucket_col")
     planes = random_hyperplanes(dim, bits, seed)
     # NULL-in/NULL-out, matching with_ivf_cell / with_pq_codes: a NULL
     # or wrong-LENGTH embedding has a NULL dot against every plane
@@ -750,8 +819,17 @@ def with_pq_codes(
     once at write time (``sources/ann_store.py``); queries then scan
     only (id, codes). The norm is staged as a real column so the
     centroid expressions reference an attribute, not copies of the
-    norm's expression tree."""
-    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+    norm's expression tree.
+
+    ``out_col`` collisions raise (the with_ivf_cell/with_lsh_bucket
+    policy): silently replacing codes from a different codebook family
+    and persisting them corrupts the codes store with no error."""
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_absent,
+        fresh_name,
+    )
+
+    ensure_absent(out_col, df, what="out_col")
 
     ncol = fresh_name("_pq_nrm", df, extra={out_col})
     staged = df.withColumn(ncol, _norm_expr(F.col(vec_col), dim))

@@ -672,3 +672,117 @@ class TestLshBitsValidation:
         )
         [row] = with_lsh_bucket(df, dim=4, bits=63).collect()
         assert row["lsh_bucket"] is not None and row["lsh_bucket"] >= 0
+
+
+class TestRound10ReviewFindings:
+    """Regression pins for the round-10 similarity review batch."""
+
+    def test_nan_vector_never_wins_exact_topk(self, spark):
+        from dask_felleskomponenter_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_per_query,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.9, 0.1]),
+                (3, [float("nan"), 1.0]),  # NaN score sorts GREATEST
+                (4, [float("inf"), 1.0]),  # inf/inf -> NaN after norm
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = cosine_topk(df, [1.0, 0.0], k=2).collect()
+        assert [r.vec_id for r in rows] == [1, 2]
+
+        q = spark.createDataFrame(
+            [(100, [1.0, 0.0])], "query_id long, query_vec array<double>"
+        )
+        rows = cosine_topk_per_query(df, q, k=2).collect()
+        assert sorted(r.vec_id for r in rows) == [1, 2]
+
+    def test_null_id_raises_loudly_in_blocked_pairs(self, spark):
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            cosine_neardup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (None, [1.0, 0.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(Exception, match="NULL 'vec_id'"):
+            try:
+                cosine_neardup_pairs(df, 0.5, n_blocks=2).collect()
+            except Py4JJavaError as e:  # surface the JVM message to match
+                raise AssertionError(str(e)) from e
+
+    def test_blocked_pairs_reject_nonpositive_n_blocks(self, spark):
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            cosine_neardup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0])], "vec_id long, embedding array<double>"
+        )
+        for bad in (0, -3):
+            with _pytest.raises(ValueError, match="n_blocks"):
+                cosine_neardup_pairs(df, 0.5, n_blocks=bad)
+
+    def test_index_materializers_reject_out_col_collision(self, spark):
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            with_ivf_cell,
+            with_lsh_bucket,
+            with_pq_codes,
+            with_vector_norm,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], 7, 7, [0], 0.5)],
+            "vec_id long, embedding array<double>, ivf_cell int, "
+            "lsh_bucket int, pq_codes array<int>, norm double",
+        )
+        with _pytest.raises(ValueError, match="ivf_cell"):
+            with_ivf_cell(df, [[1.0, 0.0], [0.0, 1.0]])
+        with _pytest.raises(ValueError, match="lsh_bucket"):
+            with_lsh_bucket(df, dim=2)
+        with _pytest.raises(ValueError, match="pq_codes"):
+            with_pq_codes(df, [[[1.0], [0.0]], [[1.0], [0.0]]], dim=2)
+        with _pytest.raises(ValueError, match="norm"):
+            with_vector_norm(df, "embedding")
+
+    def test_rank_col_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            cosine_topk_per_query,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        q = spark.createDataFrame(
+            [(9, [1.0, 0.0])], "query_id long, query_vec array<double>"
+        )
+        with _pytest.raises(ValueError, match="rank_col"):
+            cosine_topk_per_query(df, q, k=1, rank_col="cosine")
+
+    def test_ivf_topk_rejects_dim_mismatch(self, spark):
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0)],
+            "vec_id long, embedding array<double>, ivf_cell int",
+        )
+        with _pytest.raises(ValueError, match="dim"):
+            ivf_topk(df, [[1.0, 0.0], [0.0, 1.0]], [1.0, 0.0, 0.0], k=1)
