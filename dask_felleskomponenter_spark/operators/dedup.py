@@ -42,10 +42,19 @@ def exact_dedup(
     Grouping key is ``sha2(content, 256)`` so the dedup shuffle carries a
     fixed-width key regardless of document size.
     """
-    from dask_felleskomponenter_spark.operators.shuffle import fresh_name
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_absent,
+        fresh_name,
+    )
 
     # Collision-safe staging name: a fixed "_content_sha" would
-    # overwrite (and, below, drop) a same-named user column.
+    # overwrite (and, below, drop) a same-named user column. An
+    # EXPLICIT hash_out naming an existing column must raise for the
+    # same reason (keep_first's rn_col policy): exact_dedup(df, 'text',
+    # ..., hash_out='doc_id') would silently replace every doc_id with
+    # the content hash.
+    if hash_out is not None:
+        ensure_absent(hash_out, df, what="hash_out")
     hcol = hash_out or fresh_name("_content_sha", df)
     out = keep_first(
         df.withColumn(hcol, content_hash(content_col)),
@@ -83,10 +92,26 @@ def minhash_signatures(
     ``num_hashes × 8`` bytes per document per partition regardless of
     document size.
 
-    Documents whose text is null keep a row (``explode_outer``); all 64
-    mins are then hashes of null, i.e. all-null-text docs share one
-    signature and correctly band together as trivial duplicates.
+    Documents whose text is NULL or has zero shingles (empty/whitespace-
+    only) keep their row but get a NULL signature, and the banding stage
+    drops NULL signatures — so they never enter the LSH join. The
+    earlier behavior (one SHARED hash-of-null signature for every such
+    doc) was the textbook degenerate hot bucket: a crawl corpus with a
+    million blank documents collided them all in every band and the
+    candidate self-join went quadratic on exactly the input class
+    ``word_shingles``' empty→[] branch exists to keep out of near-dup
+    ("exact dedup owns that class"; round-10 review).
     """
+    reserved = {"_s", *(f"_h{h}" for h in range(num_hashes))}
+    if id_col in reserved:
+        # select would emit two same-named columns and the groupBy dies
+        # with AMBIGUOUS_REFERENCE mid-plan — fail with the real reason
+        raise ValueError(
+            f"minhash_signatures: id_col {id_col!r} collides with an "
+            f"internal staging name; rename the column first"
+        )
+    if sig_col == id_col:
+        raise ValueError("sig_col must differ from id_col")
     inv = df.select(
         F.col(id_col),
         F.explode_outer(word_shingles(text_col, shingle_size)).alias("_s"),
@@ -94,13 +119,14 @@ def minhash_signatures(
     mins = [
         F.min(F.xxhash64("_s", F.lit(h))).alias(f"_h{h}") for h in range(num_hashes)
     ]
+    sig = F.when(
+        F.col("_n") > 0,
+        F.array(*[f"_h{h}" for h in range(num_hashes)]),
+    )
     return (
         inv.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[f"_h{h}" for h in range(num_hashes)]).alias(sig_col),
-        )
+        .agg(F.count("_s").alias("_n"), *mins)
+        .select(F.col(id_col), sig.alias(sig_col))
     )
 
 
@@ -159,12 +185,24 @@ def lsh_band_buckets(
     )
 
 
+#: Default LSH bucket-size cap, the banding twin of
+#: ``DEFAULT_MAX_SHINGLE_DF``: a bucket with m members emits m²/2
+#: candidate rows, so ONE degenerate bucket (boilerplate-dominated
+#: near-identical signatures) turns the self-join quadratic. Buckets
+#: over the cap are excluded from pair generation — their members were
+#: going to be verified pair-by-pair anyway, which is exactly the work
+#: the cap refuses; true duplicate clusters that large belong to exact
+#: dedup first.
+DEFAULT_MAX_BUCKET_SIZE = 10_000
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
     sig_col: str = "minhash_sig",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH banding: emit candidate pairs (id_a < id_b) whose signatures
     collide in at least one band.
@@ -174,8 +212,35 @@ def lsh_candidate_pairs(
     cartesian product. With b bands of r rows, a pair with Jaccard s
     collides with probability 1-(1-s^r)^b (the standard S-curve).
     Band-overhang handling lives in ``lsh_band_buckets``.
+
+    ``max_bucket_size`` guards the quadratic blow-up of a degenerate hot
+    bucket (see ``DEFAULT_MAX_BUCKET_SIZE``); ``None`` restores the
+    unbounded join. The count window and the self-join ride ONE pinned
+    ``(band, bucket)`` exchange — pinned because the join's pair
+    fan-out, not the kilobytes of (id, band, bucket) rows, is the cost
+    (the AQE single-task funnel ``shuffle.pinned_repartition``
+    documents; its sibling blocked self-joins already pin).
     """
-    exploded = lsh_band_buckets(sig_df, id_col, sig_col, bands, rows_per_band)
+    from pyspark.sql import Window as _W
+
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        pinned_repartition,
+    )
+
+    exploded = pinned_repartition(
+        lsh_band_buckets(sig_df, id_col, sig_col, bands, rows_per_band),
+        "band",
+        "bucket",
+    )
+    if max_bucket_size is not None:
+        exploded = (
+            exploded.withColumn(
+                "_bkt_n",
+                F.count(F.lit(1)).over(_W.partitionBy("band", "bucket")),
+            )
+            .filter(F.col("_bkt_n") <= int(max_bucket_size))
+            .drop("_bkt_n")
+        )
 
     a = exploded.alias("a")
     b_ = exploded.alias("b")

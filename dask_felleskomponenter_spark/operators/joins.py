@@ -29,7 +29,19 @@ def equi_join(
     on: Sequence[str] | Sequence[tuple[str, str]],
     how: str = "inner",
 ) -> DataFrame:
-    """Multi-key equi-join; ``on`` is column names or (left, right) pairs."""
+    """Multi-key equi-join; ``on`` is column names or (left, right) pairs.
+
+    An EMPTY key list raises: ``left.join(right, [], how)`` silently
+    degenerates to a condition-free cross product (crossJoin is enabled
+    by default since Spark 3) — at fact×fact scale an O(|L|·|R|) blowup
+    with no error, and through ``anti_join`` it silently returns zero
+    rows instead. A deliberate cartesian product should say
+    ``crossJoin``."""
+    if not on:
+        raise ValueError(
+            "equi_join needs at least one join key (an empty key list "
+            "is a cartesian product — use crossJoin if you mean that)"
+        )
     if on and isinstance(on[0], tuple):
         cond = None
         for lc, rc in on:  # type: ignore[misc]
@@ -119,13 +131,24 @@ def interval_join(
 
     # Internal helper names must not shadow user columns (withColumn
     # would replace them and the final projection would return bucket
-    # ids as user data).
-    bkt_col = fresh_name("_rng_bkt", left, right)
-    ts_tag = fresh_name("_rng_ts", left, right)
+    # ids as user data) — NOR the generated ``_rng_{key}`` build
+    # aliases: a join key literally named 'ts' would otherwise make
+    # ts_tag = '_rng_ts' collide with the key alias and every later
+    # reference AMBIGUOUS (round-10 review).
+    key_aliases = {f"_rng_{k}" for k in key_cols}
+    bkt_col = fresh_name("_rng_bkt", left, right, extra=key_aliases)
+    ts_tag = fresh_name("_rng_ts", left, right, extra=key_aliases | {bkt_col})
     # The PREFIXED OUTPUT names are part of the API and cannot be
     # fresh-named away — a left column already holding one would make
     # the final projection ambiguous; fail loudly at plan-build time.
     ensure_prefix_free(prefix, value_cols, left.columns)
+    overlap = key_aliases & {f"{prefix}{c}" for c in value_cols}
+    if overlap:
+        raise ValueError(
+            f"interval_join: prefixed value columns collide with the "
+            f"internal key aliases {sorted(overlap)} — pick another "
+            f"prefix"
+        )
 
     # cast("timestamp") is a no-op for LTZ input but keeps NTZ-typed
     # columns legal for unix_micros (identical wall-clock under a UTC
@@ -208,6 +231,15 @@ def asof_join(
     if not value_cols:
         raise ValueError("asof_join needs at least one value column")
     key_cols = list(on)
+    if not key_cols:
+        # Window.partitionBy() with no keys is a GLOBAL single-partition
+        # window — the one-reducer funnel as_key_list exists to reject;
+        # at event-stream scale that is a silent single-executor
+        # sort/OOM, not an as-of join
+        raise ValueError(
+            "asof_join needs at least one key column (a keyless as-of "
+            "would sort the union of both full streams in ONE partition)"
+        )
     out_cols = list(left.columns)
     # the prefixed output names are API and can't be fresh-named
     ensure_prefix_free(prefix, value_cols, out_cols)
@@ -298,6 +330,11 @@ def salted_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if int(salt_buckets) < 1:
+        # 0 makes big's pmod salt NULL (or DIVIDE_BY_ZERO under ANSI)
+        # while small explodes sequence(0,-1) = [0,-1]: the salt key
+        # never matches and an inner join silently returns ZERO rows
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets!r}")
     keys = list(on)
     salt_col = fresh_name("_salt", big, small)
     big_s = big.withColumn(salt_col, deterministic_row_salt(big, salt_buckets))
@@ -420,6 +457,7 @@ def multikey_blocking_candidates(
     from dask_felleskomponenter_spark.operators.shuffle import (
         fresh_name,
         pinned_repartition,
+        quoted_col,
     )
 
     # Helper names picked clear of the payload columns (same contract
@@ -438,17 +476,19 @@ def multikey_blocking_candidates(
     # "key unknown" one giant artifact block whose rows all pair with
     # each other, at corpus scale usually the hottest block of the
     # family.
+    # quoted_col throughout: a payload (or id) column legally named
+    # 'user.name' would otherwise parse as alias+struct path
     tagged = df.select(
-        F.col(id_col).alias(id_h),
-        *[F.col(c).alias(c) for c in payload_cols],
+        quoted_col(id_col).alias(id_h),
+        *[quoted_col(c).alias(c) for c in payload_cols],
         F.explode(
             F.array(
                 *[
                     F.when(
-                        F.col(k).isNotNull()
-                        & (F.col(k).cast("string") != ""),
+                        quoted_col(k).isNotNull()
+                        & (quoted_col(k).cast("string") != ""),
                         F.concat_ws(
-                            ":", F.lit(f"k{i}"), F.col(k).cast("string")
+                            ":", F.lit(f"k{i}"), quoted_col(k).cast("string")
                         ),
                     )
                     for i, k in enumerate(key_cols)
@@ -462,15 +502,23 @@ def multikey_blocking_candidates(
         bs_h, F.count(F.lit(1)).over(_W.partitionBy(k_h))
     ).filter(F.col(bs_h) <= int(max_block_size))
     a, b = sized.alias("a"), sized.alias("b")
+
+    def _side(tag: str, name: str):
+        # backtick the column part: a payload column legally named
+        # 'user.name' would otherwise parse as alias+struct path and
+        # raise UNRESOLVED_COLUMN (quoted_col's contract, which
+        # two_phase_salted_agg already follows)
+        return F.col(f"{tag}.`" + name.replace("`", "``") + "`")
+
     pair = a.join(
         b,
-        (F.col(f"a.{k_h}") == F.col(f"b.{k_h}"))
-        & (F.col(f"a.{id_h}") < F.col(f"b.{id_h}")),
+        (_side("a", k_h) == _side("b", k_h))
+        & (_side("a", id_h) < _side("b", id_h)),
     ).select(
-        F.col(f"a.{id_h}").alias("id_a"),
-        F.col(f"b.{id_h}").alias("id_b"),
-        *[F.col(f"a.{c}").alias(f"a_{c}") for c in payload_cols],
-        *[F.col(f"b.{c}").alias(f"b_{c}") for c in payload_cols],
+        _side("a", id_h).alias("id_a"),
+        _side("b", id_h).alias("id_b"),
+        *[_side("a", c).alias(f"a_{c}") for c in payload_cols],
+        *[_side("b", c).alias(f"b_{c}") for c in payload_cols],
     )
     # Dedup on the ID PAIR, not the full payload-carrying row: payloads
     # are functionally determined by the ids, and pairs sharing several

@@ -452,3 +452,140 @@ class TestDuplicatedSpansModel:
             for r in duplicated_spans(df, "doc_id", "text", k=3).collect()
         }
         assert got == _model_spans(rows, 3)
+
+
+class TestRound10ReviewFindings:
+    """Regression pins for the round-10 joins/aggregates/dedup review."""
+
+    def test_blank_and_null_docs_never_band(self, spark):
+        """A million blank docs used to share ONE hash-of-null signature,
+        collide in every band, and turn the candidate self-join
+        quadratic. NULL-text and zero-token docs now get a NULL
+        signature and produce no buckets and no pairs."""
+        from dask_felleskomponenter_spark.operators.dedup import (
+            lsh_band_buckets,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        rows = [(1, None), (2, ""), (3, "   \t "), (4, None)]
+        rows += [(10, "the quick brown fox jumps over the lazy dog")]
+        rows += [(11, "the quick brown fox jumps over the lazy dog")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(df, "doc_id", "text")
+        by_id = {r.doc_id: r.minhash_sig for r in sigs.collect()}
+        assert by_id[1] is None and by_id[2] is None and by_id[3] is None
+        assert by_id[10] is not None and by_id[10] == by_id[11]
+        buckets = lsh_band_buckets(sigs, "doc_id")
+        assert buckets.filter("doc_id < 10").count() == 0
+        pairs = {
+            (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+        }
+        assert pairs == {(10, 11)}
+
+    def test_lsh_hot_bucket_cap(self, spark):
+        """Buckets over max_bucket_size are excluded from pair
+        generation; None restores the unbounded join."""
+        from dask_felleskomponenter_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        # 8 identical docs -> one 8-member bucket in every band
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(df, "doc_id", "text")
+        capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=4)
+        assert capped.count() == 0
+        uncapped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None)
+        assert uncapped.count() == 8 * 7 // 2
+
+    def test_minhash_rejects_staging_name_collisions(self, spark):
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        df = spark.createDataFrame([("a", "x y z")], "_s string, text string")
+        with _pytest.raises(ValueError, match="staging"):
+            minhash_signatures(df, "_s", "text")
+        df2 = spark.createDataFrame([("a", "x y z")], "id string, text string")
+        with _pytest.raises(ValueError, match="sig_col"):
+            minhash_signatures(df2, "id", "text", sig_col="id")
+
+    def test_exact_dedup_rejects_hash_out_collision(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "t")], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="hash_out"):
+            exact_dedup(df, "text", [F.col("doc_id")], hash_out="doc_id")
+
+    def test_join_guards_raise_loudly(self, spark):
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.operators.joins import (
+            asof_join,
+            equi_join,
+            salted_join,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with _pytest.raises(ValueError, match="cartesian"):
+            equi_join(df, df, [])
+        with _pytest.raises(ValueError, match="salt_buckets"):
+            salted_join(df, df, ["a"], salt_buckets=0)
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1.0)],
+            "k long, ts string, v double",
+        )
+        with _pytest.raises(ValueError, match="key column"):
+            asof_join(ev, ev, [], "ts", "ts", ["v"])
+
+    def test_interval_join_key_named_ts_works(self, spark):
+        """A join key literally named 'ts' used to collide with the
+        internal '_rng_ts' tag alias (AMBIGUOUS_REFERENCE at plan
+        build); fresh_name now avoids the generated key aliases."""
+        import datetime as dt
+
+        from dask_felleskomponenter_spark.operators.joins import interval_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [(1, t0)], "ts long, click_time timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, t0 - dt.timedelta(seconds=30), "err")],
+            "ts long, event_time timestamp, msg string",
+        )
+        out = interval_join(
+            left, right, ["ts"], "click_time", "event_time",
+            -60.0, 0.0, ["msg"],
+        ).collect()
+        assert len(out) == 1 and out[0]["rng_msg"] == "err"
+
+    def test_blocking_payload_with_dotted_name(self, spark):
+        """Payload columns legally named with a dot used to misparse as
+        alias+struct paths (UNRESOLVED_COLUMN)."""
+        from dask_felleskomponenter_spark.operators.joins import (
+            multikey_blocking_candidates,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "k", "x"), (2, "k", "y")],
+            ["id", "blk", "user.name"],
+        )
+        rows = multikey_blocking_candidates(
+            df, "id", ["blk"], payload_cols=["user.name"]
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert (r["a_user.name"], r["b_user.name"]) == ("x", "y")
