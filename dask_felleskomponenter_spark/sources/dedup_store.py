@@ -204,13 +204,20 @@ def dedup_against_history(
     # re-admit its NULL-content row as "novel" forever — breaking the
     # idempotence the streaming replay path relies on. All NULL-content
     # documents share one sentinel identity (they are equally empty).
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
     hashed = keep_first(
         batch_df.withColumn(
             HASH_COL,
-            F.coalesce(content_hash(content_col), F.lit("sha:null-content")),
+            # quoted_col: a content/id column legally named 'doc.text'
+            # would parse as a struct path through bare F.col
+            F.coalesce(
+                content_hash(quoted_col(content_col)),
+                F.lit("sha:null-content"),
+            ),
         ),
         partition_by=[HASH_COL],
-        order_by=[F.col(id_col)],
+        order_by=[quoted_col(id_col)],
     )
     if history_exists(spark, table_name):
         history = spark.table(table_name)
@@ -236,11 +243,21 @@ def record_novel(
     history under the bucket spec. Callers that sink the novel rows
     elsewhere first (e.g. the streaming ingest) split screening from
     recording with this."""
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
+    # Roll back a crashed compaction swap BEFORE appending: a
+    # mode='append' saveAsTable on the post-crash state (history under
+    # __old only) would CREATE a stub live table holding just this
+    # batch, and the next screening call's recovery — seeing both live
+    # and __old — would then DROP the real corpus-sized history
+    # (round-10 review). Screening callers get this via history_exists;
+    # the record-only path must run it itself.
+    _recover_history(novel_df.sparkSession, table_name)
     # first_seen_id keeps id_col's own type — a cast("long") turned
     # string/UUID document ids into all-NULL provenance with no error
     entries = novel_df.select(
         F.col(HASH_COL),
-        F.col(id_col).alias(SEEN_ID_COL),
+        quoted_col(id_col).alias(SEEN_ID_COL),
         F.lit(batch_label).alias(BATCH_COL),
     )
     (
@@ -390,6 +407,55 @@ def compact_history(
 #: single equi-key, which is also the table's bucket spec.
 BUCKET_COL = "lsh_bucket_key"
 
+#: Salt of the reserved bucket carrying NULL-text / zero-token
+#: documents (see ``_batch_buckets``).
+BLANK_BUCKET_SALT = "__blank_document__"
+
+
+def _batch_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    shingle_size: int,
+) -> DataFrame:
+    """(id, bucket) band-bucket rows for a batch — the ONE derivation
+    shared by the screen and the record paths so their bucket values
+    can never drift.
+
+    Includes the synthetic BLANK bucket: NULL-text and zero-token
+    documents have NULL signatures (``minhash_signatures``, round 10)
+    and emit no LSH bands at all — unguarded, they would be unscreened
+    AND unrecorded, re-admitted as novel every batch, and DUPLICATED
+    into the corpus by the documented at-least-once replay window. One
+    reserved constant bucket restores the store's contract for them
+    (first ever ingested survives, all later ones drop, replays collide
+    with their own recording) while keeping them out of
+    ``lsh_candidate_pairs``' self-join path entirely. The store's
+    screens are linear in bucket width (bucket-min window + semi-join),
+    so the shared bucket cannot go quadratic here — and since only
+    NOVEL docs are recorded, the recorded blank bucket stays ~1 row and
+    never trips ``max_history_bucket_width``."""
+    from dask_felleskomponenter_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_size=shingle_size
+    )
+    bb = lsh_band_buckets(
+        sigs, id_col, bands=bands, rows_per_band=rows_per_band
+    ).select(quoted_col(id_col), F.col("bucket").alias(BUCKET_COL))
+    blanks = sigs.filter(F.col("minhash_sig").isNull()).select(
+        quoted_col(id_col),
+        F.xxhash64(F.lit(BLANK_BUCKET_SALT)).alias(BUCKET_COL),
+    )
+    return bb.unionByName(blanks)
+
 
 def _require_nonnull_ids(df: DataFrame, id_col: str) -> DataFrame:
     """Fail the first ACTION loudly if any ``id_col`` value is NULL.
@@ -409,7 +475,25 @@ def _require_nonnull_ids(df: DataFrame, id_col: str) -> DataFrame:
     id), which whole-stage codegen keeps effectively free and column
     pruning cannot elide, the same loud-over-silent posture as
     ``operators/graph.py``'s integral-id guard."""
-    guarded = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
+    # Resolve the field the way Spark resolves the COLUMN — exact match
+    # first, then case-insensitive (df.schema['ID'] raises a raw
+    # KeyError for a frame whose column is 'id', input every downstream
+    # expression accepts under spark.sql.caseSensitive=false).
+    field = next(
+        (f for f in df.schema.fields if f.name == id_col),
+        next(
+            (f for f in df.schema.fields if f.name.lower() == id_col.lower()),
+            None,
+        ),
+    )
+    if field is None:
+        raise ValueError(
+            f"dedup history store: no column {id_col!r} in "
+            f"{df.columns}"
+        )
+    guarded = F.when(quoted_col(id_col).isNotNull(), quoted_col(id_col)).otherwise(
         F.raise_error(
             F.lit(
                 f"dedup history store: NULL {id_col!r} — per-document "
@@ -417,7 +501,7 @@ def _require_nonnull_ids(df: DataFrame, id_col: str) -> DataFrame:
                 "tie-breaks, provenance), so NULL-id rows are "
                 "undefined; assign ids before screening"
             )
-        ).cast(df.schema[id_col].dataType)
+        ).cast(field.dataType)
     )
     return df.withColumn(id_col, guarded)
 
@@ -462,10 +546,10 @@ def neardup_against_history(
     table is BUCKETED on that key, so only the batch side shuffles —
     nothing history-sized moves (same posture as the exact-hash store;
     the same ``spark.sql.shuffle.partitions == n_buckets`` deployment
-    note applies). NULL/empty-text documents share one signature
-    (``minhash_signatures``'s documented behavior) and therefore band
-    together as trivial duplicates: the first ever ingested survives,
-    all later ones drop.
+    note applies). NULL/empty-text documents carry the reserved BLANK
+    bucket (``_batch_buckets``) and therefore still band together as
+    trivial duplicates: the first ever ingested survives, all later
+    ones drop, and a replayed batch collides with its own recording.
 
     Degenerate-bucket guards (both screens stay linear even on a
     90%-boilerplate corpus):
@@ -491,19 +575,11 @@ def neardup_against_history(
     ``record_novel_signatures`` — the at-worst-duplicates order
     ``stream_neardup_ingest`` uses.
     """
-    from dask_felleskomponenter_spark.operators.dedup import (
-        lsh_band_buckets,
-        minhash_signatures,
-    )
-
     batch_df = _require_nonnull_ids(batch_df, id_col)
-    sigs = minhash_signatures(
-        batch_df, id_col, text_col, num_hashes=num_hashes,
-        shingle_size=shingle_size,
+    bb = _batch_buckets(
+        batch_df, id_col, text_col, num_hashes, bands, rows_per_band,
+        shingle_size,
     )
-    bb = lsh_band_buckets(
-        sigs, id_col, bands=bands, rows_per_band=rows_per_band
-    ).select(F.col(id_col), F.col("bucket").alias(BUCKET_COL))
     if return_buckets:
         # one materialized signature pass feeds screen AND record
         bb = bb.localCheckpoint(eager=True)
@@ -534,12 +610,14 @@ def neardup_against_history(
     # i.e. any id above its bucket's minimum (linear in bucket width)
     from pyspark.sql.window import Window
 
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
     intra_drops = (
         bb.withColumn(
             "_bucket_min_id",
-            F.min(id_col).over(Window.partitionBy(BUCKET_COL)),
+            F.min(quoted_col(id_col)).over(Window.partitionBy(BUCKET_COL)),
         )
-        .filter(F.col(id_col) > F.col("_bucket_min_id"))
+        .filter(quoted_col(id_col) > F.col("_bucket_min_id"))
         .select(id_col)
         .distinct()
     )
@@ -548,8 +626,15 @@ def neardup_against_history(
     )
     novel = batch_df.join(drop_ids, on=id_col, how="left_anti")
     if return_buckets:
+        # Checkpoint the RETURNED buckets, not just bb: their lineage
+        # threads through the history semi-join, so the documented
+        # record flow (record_novel_signatures(buckets_df=...)) would
+        # otherwise re-run the full history screen INSIDE an append
+        # that reads the very table it writes — the read-while-mutating
+        # hazard dedup_against_history checkpoints against, which the
+        # streaming caller had to guard by hand (round-10 review).
         novel_buckets = bb.join(drop_ids, on=id_col, how="left_anti")
-        return novel, novel_buckets
+        return novel, novel_buckets.localCheckpoint(eager=True)
     return novel
 
 
@@ -593,10 +678,16 @@ def record_novel_signatures(
     signature recomputation entirely — without it every ingest batch
     pays the dominant MinHash stage twice, once to screen and once to
     record the identical buckets."""
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
+    # post-crash compaction rollback before the append — see
+    # record_novel (a stub live table created here would make the next
+    # recovery drop the real history under __old)
+    _recover_history(novel_df.sparkSession, table_name)
     if buckets_df is not None:
         entries = _require_nonnull_ids(buckets_df, id_col).select(
             F.col(BUCKET_COL),
-            F.col(id_col).alias(SEEN_ID_COL),
+            quoted_col(id_col).alias(SEEN_ID_COL),
             F.lit(batch_label).alias(BATCH_COL),
         )
         (
@@ -606,22 +697,17 @@ def record_novel_signatures(
             .saveAsTable(table_name)
         )
         return
-    from dask_felleskomponenter_spark.operators.dedup import (
-        lsh_band_buckets,
-        minhash_signatures,
-    )
-
-    sigs = minhash_signatures(
+    # _batch_buckets, not a bare banding pass: the record path must
+    # emit the same bucket set as the screen — including the synthetic
+    # BLANK bucket — or blank docs would screen against a bucket no
+    # recording ever wrote
+    entries = _batch_buckets(
         _require_nonnull_ids(novel_df, id_col), id_col, text_col,
-        num_hashes=num_hashes, shingle_size=shingle_size,
-    )
-    entries = (
-        lsh_band_buckets(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
-        .select(
-            F.col("bucket").alias(BUCKET_COL),
-            F.col(id_col).alias(SEEN_ID_COL),
-            F.lit(batch_label).alias(BATCH_COL),
-        )
+        num_hashes, bands, rows_per_band, shingle_size,
+    ).select(
+        F.col(BUCKET_COL),
+        quoted_col(id_col).alias(SEEN_ID_COL),
+        F.lit(batch_label).alias(BATCH_COL),
     )
     (
         entries.write.mode("append")

@@ -36,7 +36,13 @@ def _resolve_schema(
 ) -> StructType:
     if isinstance(schema, dict):
         schema = convert_json_schema_to_spark(schema)
-    if with_corrupt_col and CORRUPT_COL not in schema.fieldNames():
+    # case-INSENSITIVE presence check (ensure_absent's casefold policy):
+    # a user schema already declaring '_Corrupt_Record' would otherwise
+    # get a second '_corrupt_record' appended and the read dies with
+    # "Found duplicate column(s)" under default case-insensitive
+    # analysis — a crash for a schema whose intent the guard honors
+    declared = {f.casefold() for f in schema.fieldNames()}
+    if with_corrupt_col and CORRUPT_COL.casefold() not in declared:
         schema = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
     return schema
 

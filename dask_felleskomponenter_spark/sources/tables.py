@@ -166,18 +166,19 @@ def write_time_partitioned(
     """
     if granularity not in ("day", "month", "year"):
         raise ValueError(f"unsupported granularity {granularity!r}")
-    if partition_col in df.columns:
-        # withColumn would silently REPLACE the user's column and the
-        # written dataset would have its original values gone with no
-        # error (the same silent-overwrite class write_zordered was
-        # collision-proofed against). The partition column is an
-        # intentional output name here, so the fix is a loud error,
-        # not a fresh name.
-        raise ValueError(
-            f"partition_col {partition_col!r} already exists in the "
-            "DataFrame; pass a different partition_col"
-        )
-    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+    # ensure_absent, not a hand-rolled `in df.columns`: withColumn
+    # resolves case-INSENSITIVELY under the default
+    # spark.sql.caseSensitive=false, so a user column '_PDATE' passed an
+    # exact-match check and was still silently REPLACED by the derived
+    # date (the same silent-overwrite class write_zordered was
+    # collision-proofed against). The partition column is an intentional
+    # output name here, so the fix is a loud error, not a fresh name.
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_absent,
+        quoted_col,
+    )
+
+    ensure_absent(partition_col, df, what="partition_col")
 
     out = df.withColumn(
         partition_col, F.date_trunc(granularity, quoted_col(ts_col)).cast("date")

@@ -923,14 +923,11 @@ def stream_neardup_ingest(
             return_buckets=True,
         )
         novel = novel.localCheckpoint(eager=True)
-        # buckets' lineage still holds the history-table scan, the
-        # bucket-width aggregate, and the screens — record_novel_
-        # signatures appends to that same history table, so evaluating
-        # the plan lazily there is the read-while-mutating pattern
-        # dedup_against_history localCheckpoints against, AND it pays
-        # the whole history screen a second time per micro-batch
-        # (exactly what return_buckets exists to avoid).
-        buckets = buckets.localCheckpoint(eager=True)
+        # buckets arrive ALREADY checkpointed: neardup_against_history
+        # materializes the returned buckets itself (round 10), cutting
+        # their lineage from the history-table scan so the record
+        # append below never reads the table it writes and never pays
+        # the history screen a second time per micro-batch.
         novel.write.mode("append").parquet(corpus_path)
         record_novel_signatures(
             novel,

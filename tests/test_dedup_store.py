@@ -963,3 +963,72 @@ def test_compaction_swap_survives_concurrent_screen_recovery(
     assert spark.table(table_name).count() == 20
     assert not spark.catalog.tableExists(f"{table_name}__old")
     assert not spark.catalog.tableExists(f"{table_name}__compacting")
+
+
+def test_blank_docs_screen_and_replay_idempotently(spark, table_name):
+    """Round-10: NULL-signature (blank/NULL-text) documents used to emit
+    NO band buckets at all after the minhash blank fix — unscreened,
+    unrecorded, re-admitted as novel every batch, and duplicated into
+    the corpus by an at-least-once replay. The reserved BLANK bucket
+    restores first-survives + replay-collision."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        neardup_against_history,
+        record_novel_signatures,
+    )
+
+    b1 = _batch(spark, [(1, None), (2, ""), (10, "real text here ok")])
+    novel, buckets = neardup_against_history(
+        spark, b1, "doc_id", "text", table_name, return_buckets=True
+    )
+    ids = sorted(r.doc_id for r in novel.collect())
+    assert ids == [1, 10], "first blank survives, second blank drops"
+    record_novel_signatures(
+        novel, "doc_id", "text", table_name, "b1", buckets_df=buckets
+    )
+    # replayed batch collides with its own recording: zero novel
+    replay = neardup_against_history(spark, b1, "doc_id", "text", table_name)
+    assert replay.count() == 0
+    # a later batch's blank doc is a duplicate of batch 1's
+    b2 = _batch(spark, [(20, "   "), (21, "completely new content words")])
+    novel2 = neardup_against_history(spark, b2, "doc_id", "text", table_name)
+    assert sorted(r.doc_id for r in novel2.collect()) == [21]
+
+
+def test_record_novel_recovers_interrupted_compaction_first(
+    spark, table_name
+):
+    """Round-10: record_novel on the post-crash state (history under
+    __old only) used to CREATE a stub live table, making the next
+    recovery drop the real history. It must roll the swap back first."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        record_novel,
+    )
+
+    assert _novel_ids(spark, [(1, "aa"), (2, "bb")], table_name, "b1") == [1, 2]
+    # crash between the two compaction renames
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {table_name}__old")
+    extra = _batch(spark, [(3, "cc")]).withColumn(
+        "content_sha", F.sha2(F.col("text"), 256)
+    )
+    record_novel(extra, "doc_id", table_name, "b2", n_buckets=4)
+    assert not spark.catalog.tableExists(f"{table_name}__old")
+    # the full history survived: both old hashes and the new one
+    assert spark.table(table_name).count() == 3
+    # and screening still sees batch-1 content as duplicates
+    assert _novel_ids(spark, [(9, "aa"), (8, "zz")], table_name, "b3") == [8]
+
+
+def test_screen_accepts_case_variant_id_col(spark, table_name):
+    """Round-10: df.schema[id_col] raised a raw KeyError for an id_col
+    cased differently from the schema — input every downstream
+    expression accepts under spark.sql.caseSensitive=false."""
+    from dask_felleskomponenter_spark.sources.dedup_store import (
+        dedup_against_history,
+    )
+
+    out = dedup_against_history(
+        spark, _batch(spark, [(1, "xx"), (2, "xx")]), "DOC_ID", "text",
+        table_name, batch_label="b1", n_buckets=4, update=True,
+    )
+    # withColumn adopts the caller's spelling (Spark's own semantics)
+    assert sorted(r["DOC_ID"] for r in out.collect()) == [1]

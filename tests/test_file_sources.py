@@ -730,8 +730,17 @@ def test_write_time_partitioned_rejects_colliding_partition_col(spark, tmp_path)
         [(1, "2024-01-01 00:00:00", "user-data")],
         "id long, ts string, _pdate string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    with _pytest.raises(ValueError, match="already exists"):
+    with _pytest.raises(ValueError, match="collides"):
         write_time_partitioned(df, str(tmp_path / "o"), "ts")
+    # CASE-variant collision too: withColumn resolves case-insensitively
+    # under the default spark.sql.caseSensitive=false, so an exact-match
+    # guard let '_PDATE' be silently replaced (round-10 review)
+    df2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "user-data")],
+        "id long, ts string, _PDATE string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="collides"):
+        write_time_partitioned(df2, str(tmp_path / "o"), "ts")
 
 
 def test_zorder_key_rejects_nonpositive_bits(spark):
