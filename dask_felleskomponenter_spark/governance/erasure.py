@@ -44,6 +44,15 @@ def erase_keys_parquet(
     run must never silently resolve a same-named NESTED leaf (e.g.
     ``s.k`` when erasing by ``k``) — that would prune against the wrong
     statistics and leave subject rows on disk with a clean report."""
+    if isinstance(keys, (str, bytes)):
+        # 'alice' would become the set of its CHARACTERS: no real key
+        # matches a single character, so the run reports an all-zero
+        # SUCCESS while the subject stays on disk — the exact clean-
+        # report-over-unerased-data mode the path guard below exists for
+        raise TypeError(
+            f"keys must be a sequence of key values, got the string "
+            f"{keys!r} — pass [{keys!r}]"
+        )
     key_set = set(keys)
     if not key_set:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
@@ -99,6 +108,17 @@ def _erase_keys_locked(path: str, key_col: str, sorted_keys: list) -> dict:
     files = []
     if os.path.isfile(path):
         files.append(path)
+        # single-file targets: os.walk(file) yields NOTHING, so the
+        # tmp-reaper below never saw this file's own crash residue — a
+        # full PRE-erasure copy of the bytes (the subject rows included)
+        # lingering indefinitely, a retention leak directory runs clean
+        # up. Reap the sibling tmp explicitly.
+        tmp = os.path.join(
+            os.path.dirname(path) or ".",
+            "." + os.path.basename(path) + ".rewrite.tmp",
+        )
+        if os.path.exists(tmp):
+            os.remove(tmp)
     for dp, _dn, fs in os.walk(path):
         for f in fs:
             if f.endswith(".rewrite.tmp"):

@@ -41,6 +41,14 @@ def pinned_repartition(df: DataFrame, *cols: str | Column) -> DataFrame:
     return df.repartition(n, *cols)
 
 
+def backquoted_name(name: str) -> str:
+    """The backtick-escaped string form of an exact column name, for
+    APIs that take name STRINGS (``df[...]``, DDL fragments) rather
+    than Columns. One owner for the escaping rule — ``quoted_col`` and
+    ``sync/merge.py``'s df-qualified resolution both delegate here."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def quoted_col(name: str) -> Column:
     """Exact-name column reference: a bare ``F.col`` parses a dot as a
     struct-field path, so a legal column literally named ``user.id``
@@ -49,7 +57,7 @@ def quoted_col(name: str) -> Column:
     force exact resolution."""
     from pyspark.sql import functions as F
 
-    return F.col("`" + name.replace("`", "``") + "`")
+    return F.col(backquoted_name(name))
 
 
 def deterministic_row_salt(df: DataFrame, buckets: int) -> Column:

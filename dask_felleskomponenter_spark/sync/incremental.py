@@ -38,10 +38,16 @@ def _nn_col(c: str) -> str:
 
 
 def _aggregate(df: DataFrame, keys: Sequence[str], sum_cols: Sequence[str]) -> DataFrame:
-    return df.groupBy(*keys).agg(
+    # quoted_col discipline (the round-8 merge_upsert fix, round-10 for
+    # this module): bare-string groupBy/sum parse a dotted column as a
+    # struct path — UNRESOLVED_COLUMN at best, and with a same-named
+    # struct present, silently aggregating the NESTED field instead
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
+    return df.groupBy(*[quoted_col(k).alias(k) for k in keys]).agg(
         F.count(F.lit(1)).alias(COUNT_COL),
-        *[F.sum(c).alias(c) for c in sum_cols],
-        *[F.count(F.col(c)).alias(_nn_col(c)) for c in sum_cols],
+        *[F.sum(quoted_col(c)).alias(c) for c in sum_cols],
+        *[F.count(quoted_col(c)).alias(_nn_col(c)) for c in sum_cols],
     )
 
 
@@ -86,6 +92,8 @@ def refresh_incremental_summary(
         # shared swap recovery: .old restore + age-guarded reap of
         # orphaned .staging-<uuid> siblings (see ioutil)
         recover_interrupted_swap(summary_path)
+        from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
         delta = _aggregate(batch_df, keys, sum_cols)
         if os.path.exists(summary_path):
             old = spark.read.parquet(summary_path)
@@ -97,8 +105,8 @@ def refresh_incremental_summary(
                     old = old.withColumn(_nn_col(c), F.col(COUNT_COL))
             combined = (
                 old.unionByName(delta)
-                .groupBy(*keys)
-                .agg(*[F.sum(c).alias(c) for c in merge_cols])
+                .groupBy(*[quoted_col(k).alias(k) for k in keys])
+                .agg(*[F.sum(quoted_col(c)).alias(c) for c in merge_cols])
             )
         else:
             combined = delta
@@ -130,12 +138,16 @@ def summary_with_avg(
     group row count). All-NULL groups yield NULL, matching ``AVG()``;
     summaries from before the non-null counts existed fall back to the
     group row count."""
+    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+
     out = summary
     for c in sum_cols:
         nn = _nn_col(c) if _nn_col(c) in summary.columns else COUNT_COL
+        # quoted_col: _nn_a.b / a dotted sum column must resolve as the
+        # one exact name, not a struct path
         out = out.withColumn(
             f"avg_{c}",
-            F.when(F.col(nn) > 0, F.col(c) / F.col(nn)),
+            F.when(quoted_col(nn) > 0, quoted_col(c) / quoted_col(nn)),
         )
     return out
 

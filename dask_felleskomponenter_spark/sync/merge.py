@@ -65,8 +65,19 @@ def merge_upsert(
     (each simply inserts; MERGE does not error) and NULL update_type
     rows fire no branch, so neither counts toward the duplicate check.
     """
-    from dask_felleskomponenter_spark.operators.shuffle import quoted_col
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        backquoted_name,
+        quoted_col,
+    )
 
+    if isinstance(keys, str):
+        # 'id' would iterate character-wise below — at best a
+        # misleading "keys absent: ['i', 'd']", at worst (single-char
+        # columns exist) a silent merge on the wrong key set
+        raise TypeError(
+            f"keys must be a sequence of column names, got the string "
+            f"{keys!r} — pass [{keys!r}]"
+        )
     if update_type_col not in staging.columns:
         raise ValueError(
             f"staging is missing the update-type column {update_type_col!r}"
@@ -111,11 +122,12 @@ def merge_upsert(
     # null-keyed target row survives and a null-keyed staging upsert
     # inserts. Spark's join condition has the same semantics natively.
     # Dataset.col accepts backquoted names, giving df-qualified exact
-    # resolution even for dotted column names.
-    def bq(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
-
-    cond = [target[bq(k)] == staging[bq(k)] for k in keys]
+    # resolution even for dotted column names (escaping rule owned by
+    # shuffle.backquoted_name).
+    cond = [
+        target[backquoted_name(k)] == staging[backquoted_name(k)]
+        for k in keys
+    ]
 
     # Only staging rows with a non-NULL update_type can fire a WHEN
     # MATCHED branch; a NULL-typed staging row must leave its matched

@@ -36,8 +36,18 @@ from pyspark.sql import DataFrame
 
 
 def quote_ident(name: str) -> str:
-    """Postgres identifier quoting; accepts dotted ``schema.table``."""
+    """Postgres identifier quoting for TABLE names; accepts dotted
+    ``schema.table`` (each part quoted separately). NOT for columns —
+    use :func:`quote_column`, which quotes the whole name as ONE
+    identifier: a legal column literally named ``order.id`` must become
+    ``"order.id"``, not the bogus qualification ``"order"."id"``."""
     return ".".join('"' + part.replace('"', '""') + '"' for part in name.split("."))
+
+
+def quote_column(name: str) -> str:
+    """Postgres COLUMN identifier quoting: one identifier, dots kept
+    literal (the SQL twin of ``operators/shuffle.quoted_col``)."""
+    return '"' + name.replace('"', '""') + '"'
 
 
 @dataclass
@@ -154,7 +164,7 @@ class PostgresTargetConfig:
 def _select_expr(col: str, table: str, geometry_cols: Sequence[str], srid: int) -> str:
     """Column reference, wrapped in ``ST_GeomFromWKB(col, srid)`` when the
     column is a declared WKB geometry (``sync_df_to_pgdb.py:198-202``)."""
-    ref = f"{quote_ident(table)}.{quote_ident(col)}"
+    ref = f"{quote_ident(table)}.{quote_column(col)}"
     if col in geometry_cols:
         return f"ST_GeomFromWKB({ref}, {int(srid)})"
     return ref
@@ -166,7 +176,7 @@ def snapshot_sql(
     """Transactional truncate-and-load of the target from staging
     (``sync_df_to_pgdb.py:204-218`` semantics)."""
     tgt = quote_ident(config.target_table)
-    col_list = ", ".join(quote_ident(c) for c in cols)
+    col_list = ", ".join(quote_column(c) for c in cols)
     sel_list = ", ".join(
         _select_expr(c, config.staging_table, geometry_cols, config.srid) for c in cols
     )
@@ -202,19 +212,19 @@ def merge_sql(
     """
     tgt = quote_ident(config.target_table)
     stg = quote_ident(config.staging_table)
-    ut = quote_ident(config.update_type_col)
+    ut = quote_column(config.update_type_col)
 
     on = " AND ".join(
-        f"{tgt}.{quote_ident(k)} = {stg}.{quote_ident(k)}" for k in keys
+        f"{tgt}.{quote_column(k)} = {stg}.{quote_column(k)}" for k in keys
     )
     update_cols = [c for c in cols if c not in keys and c != config.update_type_col]
     update_set = ", ".join(
-        f"{quote_ident(c)} = "
+        f"{quote_column(c)} = "
         f"{_select_expr(c, config.staging_table, geometry_cols, config.srid)}"
         for c in update_cols
     )
     insert_cols = [c for c in cols if c != config.update_type_col]
-    insert_names = ", ".join(quote_ident(c) for c in insert_cols)
+    insert_names = ", ".join(quote_column(c) for c in insert_cols)
     insert_vals = ", ".join(
         _select_expr(c, config.staging_table, geometry_cols, config.srid)
         for c in insert_cols
@@ -328,8 +338,26 @@ class PostgresSyncManager:
         the INSERT count matters."""
         if mode == "merge" and not merge_keys:
             raise ValueError("Argument 'merge_keys' is required when mode='merge'.")
+        if isinstance(merge_keys, str):
+            # 'id' would splat into ['i', 'd'] below — at best a
+            # misleading missing-column error, at worst (single-char
+            # columns exist) a silent merge on the wrong key set
+            raise TypeError(
+                f"merge_keys must be a sequence of column names, got the "
+                f"string {merge_keys!r} — pass [{merge_keys!r}]"
+            )
         if mode not in ("snapshot", "merge"):
             raise ValueError(f"Unknown mode: {mode}")
+        if self.config.staging_table == self.config.target_table:
+            # snapshot mode would TRUNCATE the table and self-INSERT
+            # zero rows — both the old target and the new data
+            # destroyed, with a clean exit (merge mode at least fails
+            # loudly on the duplicate relation)
+            raise ValueError(
+                f"staging_table and target_table are both "
+                f"{self.config.target_table!r} — the snapshot publish "
+                "would truncate the target and insert nothing"
+            )
         geometry_cols = list(geometry_cols or [])
         # Fail BEFORE the staging write: a typo'd key/geometry/
         # update-type column would otherwise surface only at the

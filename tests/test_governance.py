@@ -980,3 +980,42 @@ def test_codelist_registry_get_returns_copies():
     entries.clear()  # hostile caller
     assert CodelistRegistry().get("tilgangsnivaa") == before
     assert r1.get("tilgangsnivaa") == before
+
+
+def test_erasure_rejects_string_keys(tmp_path):
+    """Round-10: a bare string 'alice' became the set of its CHARACTERS
+    and the run reported an all-zero SUCCESS over un-erased data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from dask_felleskomponenter_spark.governance.erasure import (
+        erase_keys_parquet,
+    )
+
+    f = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"user_id": ["alice", "bob"]}), f)
+    with _pytest.raises(TypeError, match="sequence"):
+        erase_keys_parquet(str(f), "user_id", "alice")
+    out = erase_keys_parquet(str(f), "user_id", ["alice"])
+    assert out["rows_deleted"] == 1
+
+
+def test_erasure_single_file_reaps_crash_tmp(tmp_path):
+    """Round-10: os.walk(file) yields nothing, so single-file targets
+    never reaped their own .rewrite.tmp crash residue — a full
+    pre-erasure copy (subject rows included) lingering on disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_felleskomponenter_spark.governance.erasure import (
+        erase_keys_parquet,
+    )
+
+    f = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"user_id": ["alice", "bob"]}), f)
+    residue = tmp_path / ".t.parquet.rewrite.tmp"
+    residue.write_bytes(b"pre-erasure copy bytes")
+    out = erase_keys_parquet(str(f), "user_id", ["alice"])
+    assert out["rows_deleted"] == 1
+    assert not residue.exists(), "crash residue must be reaped"

@@ -1020,3 +1020,102 @@ def test_refresh_randomized_crash_points_exactly_once(
         if n.startswith("summary.staging-")
     ]
     assert litter == [], f"seed {seed}, plan {plan}: {litter}"
+
+
+class TestRound10ReviewFindings:
+    """Regression pins for the round-10 sync/governance review batch."""
+
+    def test_merge_upsert_rejects_string_keys(self, spark):
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.sync.merge import merge_upsert
+
+        t = spark.createDataFrame([(1, "a")], "id long, v string")
+        s = spark.createDataFrame(
+            [(1, "b", "upsert")], "id long, v string, update_type string"
+        )
+        with _pytest.raises(TypeError, match="sequence"):
+            merge_upsert(t, s, "id")
+
+    def test_sync_rejects_string_merge_keys_and_same_table(self, spark):
+        import pytest as _pytest
+
+        from dask_felleskomponenter_spark.sync.postgres import (
+            PostgresSyncManager,
+            PostgresTargetConfig,
+        )
+
+        cfg = PostgresTargetConfig(
+            host="h", dbname="d", user="u", password="p",
+            staging_table="stg", target_table="tgt",
+        )
+        mgr = PostgresSyncManager(cfg, sql_executor=lambda sql: 0)
+        df = spark.createDataFrame(
+            [(1, "x", "upsert")], "id long, v string, update_type string"
+        )
+        with _pytest.raises(TypeError, match="sequence"):
+            mgr.sync(df, mode="merge", merge_keys="id")
+
+        same = PostgresTargetConfig(
+            host="h", dbname="d", user="u", password="p",
+            staging_table="x", target_table="x",
+        )
+        mgr2 = PostgresSyncManager(same, sql_executor=lambda sql: 0)
+        with _pytest.raises(ValueError, match="truncate the target"):
+            mgr2.sync(df, mode="snapshot")
+
+    def test_dotted_column_names_quote_as_one_identifier(self):
+        """A column legally named 'order.id' must publish as the single
+        identifier \"order.id\", never the bogus qualification
+        \"order\".\"id\" that dies (or mis-resolves) only AFTER the
+        staging write."""
+        from dask_felleskomponenter_spark.sync.postgres import (
+            PostgresTargetConfig,
+            merge_sql,
+            snapshot_sql,
+        )
+
+        cfg = PostgresTargetConfig(
+            host="h", dbname="d", user="u", password="p",
+            staging_table="stg", target_table="tgt",
+        )
+        snap = snapshot_sql(["order.id", "v"], cfg)
+        assert '"order.id"' in snap and '"order"."id"' not in snap
+        mrg = merge_sql(
+            ["order.id", "v", "update_type"], ["order.id"], cfg
+        )
+        assert '"order"."id"' not in mrg
+        assert '"tgt"."order.id" = "stg"."order.id"' in mrg
+
+    def test_incremental_summary_accepts_dotted_columns(self, spark, tmp_path):
+        from dask_felleskomponenter_spark.sync.incremental import (
+            refresh_incremental_summary,
+            summary_with_avg,
+        )
+
+        b1 = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", None)],
+            ["user.id", "user.score"],
+        )
+        p = str(tmp_path / "summary")
+        s1 = refresh_incremental_summary(
+            spark, p, b1, keys=["user.id"], sum_cols=["user.score"]
+        )
+        rows = {
+            r["user.id"]: r for r in summary_with_avg(
+                s1, ["user.score"]
+            ).collect()
+        }
+        assert rows["a"]["avg_user.score"] == 2.0
+        assert rows["b"]["avg_user.score"] is None
+        # second refresh folds (exercises the merge path's quoting too)
+        b2 = spark.createDataFrame([("a", 5.0)], ["user.id", "user.score"])
+        s2 = refresh_incremental_summary(
+            spark, p, b2, keys=["user.id"], sum_cols=["user.score"]
+        )
+        rows2 = {
+            r["user.id"]: r for r in summary_with_avg(
+                s2, ["user.score"]
+            ).collect()
+        }
+        assert rows2["a"]["avg_user.score"] == 3.0
