@@ -20,7 +20,7 @@ The twin rules that make hash-parity hold:
   value hash is order-sensitive.
 
 Queries deliberately absent (rows-only checks) — the complete list, 11
-of the 142 declared (every one has pytest semantic pins instead):
+of the 152 declared (every one has pytest semantic pins instead):
 agg_approx_distinct / sketch_rollup_users (different HLL
 implementations), agg_approx_percentiles / kll_quantile_rollup_prices
 (different quantile sketches), neardup_minhash_lsh / simhash_documents /
@@ -2754,6 +2754,288 @@ SELECT bucket,
 FROM b
 GROUP BY bucket
 ORDER BY bucket NULLS FIRST
+"""
+
+
+# CONT-vs-DISC tie twin: both engines implement the standard's
+# interpolation / cume_dist pick; the LEFT JOIN counts orders AT the
+# discrete median (null-safe on the group key, matching Spark's <=>).
+ORACLES["percentile_cont_vs_disc_ties"] = """
+WITH q AS (
+  SELECT o_orderpriority,
+         COUNT(o_totalprice) AS n_priced,
+         ROUND(percentile_cont(0.5)
+               WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50_cont,
+         percentile_disc(0.5)
+               WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT q.o_orderpriority, q.n_priced, q.p50_cont, q.p50_disc,
+       ROUND(q.p50_cont - q.p50_disc, 6) AS cont_disc_gap,
+       COUNT(o.o_totalprice) AS n_at_disc_median
+FROM q LEFT JOIN orders o
+  ON o.o_orderpriority IS NOT DISTINCT FROM q.o_orderpriority
+ AND o.o_totalprice = q.p50_disc
+GROUP BY q.o_orderpriority, q.n_priced, q.p50_cont, q.p50_disc
+ORDER BY q.o_orderpriority NULLS FIRST
+"""
+
+# Expanding-distinct twin: first-seen day per user, then a running sum
+# over the day spine — all-integer, no FP.
+ORACLES["cumulative_distinct_users"] = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), per_day AS (
+  SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM per_day
+ORDER BY day
+"""
+
+# Gini twin: rank-weighted closed form, all sums in DECIMAL, the single
+# double division last. The (rev, custkey) tie-break matches Spark's
+# row_number order; the result is tie-permutation invariant anyway.
+ORACLES["gini_revenue_concentration"] = """
+WITH rev AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(15,2)) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+  HAVING SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) IS NOT NULL
+), ranked AS (
+  SELECT c_mktsegment, rev,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY rev, o_custkey) AS BIGINT) AS i,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_customers
+  FROM rev
+)
+SELECT c_mktsegment,
+       MAX(n_customers) AS n_customers,
+       ROUND(CAST(SUM(CAST(2 * i - n_customers - 1 AS DECIMAL(12,0)) * rev)
+                  AS DOUBLE)
+             / (CAST(MAX(n_customers) AS DOUBLE)
+                * CAST(SUM(rev) AS DOUBLE)), 6) AS gini,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment NULLS FIRST
+"""
+
+# Entropy twin: per-source −p·ln(p) rounded to 9 and summed in DECIMAL
+# so sum order cannot move the hash; p is an exact integer ratio.
+ORACLES["entropy_source_by_lang"] = """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS c
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT lang, SUM(c) AS n_docs, COUNT(*) AS n_sources
+  FROM per GROUP BY lang
+)
+SELECT per.lang,
+       CAST(MAX(tot.n_docs) AS BIGINT) AS n_docs,
+       MAX(tot.n_sources) AS n_sources,
+       ROUND(CAST(SUM(CAST(ROUND(
+             -(CAST(per.c AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))
+             * ln(CAST(per.c AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS DOUBLE), 6) AS source_entropy
+FROM per JOIN tot ON per.lang IS NOT DISTINCT FROM tot.lang
+GROUP BY per.lang
+ORDER BY per.lang NULLS FIRST
+"""
+
+# BM25 twin: engine-wide tokenizer, identical operation order inside
+# the per-term partial (idf * tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl))),
+# partials rounded to 9 and summed in DECIMAL, rank on the rounded
+# score + doc_id.
+ORACLES["bm25_doc_scores"] = """
+WITH toks AS (
+  SELECT doc_id, __TOKS(LOWER(text))__ AS t
+  FROM documents WHERE text IS NOT NULL
+), dl AS (
+  SELECT doc_id, len(t) AS dl FROM toks
+), n_avg AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+  WHERE term IN ('spark', 'join', 'window', 'stream')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), parts AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (CAST(n_avg.n_docs AS DOUBLE) - df.df + 0.5)
+                    / (df.df + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * 2.2
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (CAST(n_avg.sum_dl AS DOUBLE)
+                             / CAST(n_avg.n_docs AS DOUBLE))))), 9)
+           AS DECIMAL(18,9)) AS part
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN n_avg
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(part) AS DOUBLE), 6) AS bm25,
+       COUNT(*) AS n_terms_hit
+FROM parts
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 15
+"""
+
+# Weighted-median twin: per-(flag, price) pre-combine, cumulative
+# DECIMAL weights, smallest price with 2·cumw ≥ total — exact compares
+# only.
+ORACLES["weighted_median_lineitem"] = """
+WITH per_price AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM per_price
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median_price,
+       MAX(CAST(totw AS DOUBLE)) AS total_weight
+FROM cum
+WHERE cumw * 2 >= totw
+GROUP BY l_returnflag
+ORDER BY l_returnflag NULLS FIRST
+"""
+
+# RFM twin: ntile(4) under the same total order (metric + custkey);
+# both engines split buckets per the standard (first n%4 buckets one
+# larger). date_diff arg order: (start=last_day, end=max_day) ≡ Spark's
+# datediff(max_day, last_day).
+ORACLES["rfm_customer_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT o_custkey,
+         date_diff('day', last_day,
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+           AS recency_days,
+         frequency, monetary
+  FROM per_cust
+), cells AS (
+  SELECT CAST(ntile(4) OVER (ORDER BY recency_days ASC NULLS FIRST,
+                             o_custkey) AS INTEGER) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC NULLS LAST,
+                             o_custkey) AS INTEGER) AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC NULLS LAST,
+                             o_custkey) AS INTEGER) AS m_quartile,
+         monetary
+  FROM base
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(monetary) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_monetary
+FROM cells
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+# Basket-lift twin: exact integer counts, one double division in the
+# same order (n_ab·N then / (n_a·n_b)), rank on rounded lift + pair.
+ORACLES["basket_pair_lift"] = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), marg AS (
+  SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand
+)
+SELECT pairs.brand_a, pairs.brand_b, pairs.n_ab,
+       ROUND(CAST(pairs.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(ma.n_b AS DOUBLE) * CAST(mb.n_b AS DOUBLE)), 6)
+         AS lift
+FROM pairs
+JOIN marg ma ON ma.p_brand = pairs.brand_a
+JOIN marg mb ON mb.p_brand = pairs.brand_b
+CROSS JOIN n
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+# Skyline twin: NOT EXISTS dominance within the brand block; LEFT JOIN
+# census mirrors the Spark left join byte for byte.
+ORACLES["skyline_parts_pareto"] = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_retailprice, p_size
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+), skyline AS (
+  SELECT * FROM p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p d
+    WHERE d.p_brand = p.p_brand
+      AND d.p_retailprice <= p.p_retailprice
+      AND d.p_size >= p.p_size
+      AND (d.p_retailprice < p.p_retailprice OR d.p_size > p.p_size)
+  )
+), census AS (
+  SELECT p_brand, COUNT(*) AS n_parts FROM p GROUP BY p_brand
+), sk AS (
+  SELECT p_brand, COUNT(*) AS n_skyline,
+         MIN(p_retailprice) AS min_skyline_price,
+         MAX(p_size) AS max_skyline_size
+  FROM skyline GROUP BY p_brand
+)
+SELECT census.p_brand, census.n_parts, sk.n_skyline,
+       sk.min_skyline_price, sk.max_skyline_size
+FROM census LEFT JOIN sk ON census.p_brand = sk.p_brand
+ORDER BY census.p_brand NULLS FIRST
+"""
+
+# NOT IN vs NOT EXISTS null-semantics twin: identical SQL — the check
+# is that BOTH engines keep zero rows under the NULL-poisoned NOT IN
+# and exactly the BUILDING rows under NOT EXISTS.
+ORACLES["notin_null_aware_segments"] = """
+SELECT
+  (SELECT COUNT(*) FROM customer) AS n_customers,
+  (SELECT COUNT(*) FROM customer
+    WHERE c_mktsegment NOT IN
+          (SELECT NULLIF(c_mktsegment, 'BUILDING') FROM customer))
+    AS n_not_in,
+  (SELECT COUNT(*) FROM customer c
+    WHERE NOT EXISTS
+          (SELECT 1 FROM customer d
+            WHERE NULLIF(d.c_mktsegment, 'BUILDING') = c.c_mktsegment))
+    AS n_not_exists
 """
 
 

@@ -5170,21 +5170,499 @@ def width_bucket_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_cont_vs_disc_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONT vs DISC quantile tie semantics side by side (§2B percentile
+    surface, the contrast the round-9 planted duplicate-price tie class
+    exists to exercise): per priority, the interpolated median, the
+    discrete median (an actual price), their gap, and how many orders
+    sit exactly AT the discrete median — on tie-heavy data CONT can
+    interpolate between two equal values (gap 0) or land mid-gap while
+    DISC snaps to a real price. Both engines implement the standard's
+    ``lower + (upper-lower)*frac`` / ``cume_dist >= p`` pair, so the
+    only FP op is the one interpolation, rounded to 6.
+
+    Scale: one shuffle on the 5-value priority key; per-group sorts,
+    never global."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_pcd")
+    return spark.sql(
+        """
+        WITH q AS (
+          SELECT o_orderpriority,
+                 COUNT(o_totalprice) AS n_priced,
+                 ROUND(percentile_cont(0.5)
+                       WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50_cont,
+                 percentile_disc(0.5)
+                       WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc
+          FROM _orders_pcd
+          GROUP BY o_orderpriority
+        )
+        SELECT q.o_orderpriority, q.n_priced, q.p50_cont, q.p50_disc,
+               ROUND(q.p50_cont - q.p50_disc, 6) AS cont_disc_gap,
+               COUNT(o.o_totalprice) AS n_at_disc_median
+        FROM q LEFT JOIN _orders_pcd o
+          ON o.o_orderpriority <=> q.o_orderpriority
+         AND o.o_totalprice = q.p50_disc
+        GROUP BY q.o_orderpriority, q.n_priced, q.p50_cont, q.p50_disc
+        ORDER BY q.o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding COUNT(DISTINCT) — daily active-user accumulation — via
+    the first-seen trick (§2B window surface): a naive
+    ``COUNT(DISTINCT) OVER (ORDER BY day)`` re-scans every prefix
+    (O(n·days) and unsupported by both engines anyway); instead each
+    user contributes once at MIN(day), new-user counts aggregate per
+    day, and a running SUM over the tiny day spine yields the exact
+    cumulative distinct count. All-integer arithmetic — no FP to
+    diverge.
+
+    Scale: the heavy shuffle is on user_id (the natural key);
+    the window runs over the bounded day spine (hundreds of rows), so
+    the single-partition window is a non-issue at any corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality/concentration profile a corpus-curation pipeline runs on
+    per-domain byte counts before rebalancing. Rank-weighted closed
+    form G = Σ(2i−n−1)·x_i / (n·Σx) over revenues sorted ascending;
+    the value is invariant to the ordering WITHIN a tie block (equal
+    x share the same Σi regardless of permutation), so the custkey
+    tie-break only stabilizes the intermediate, not the result. All
+    sums run in DECIMAL (exact, order-independent); the single double
+    division happens last, rounded to 6.
+
+    Scale: one shuffle to build per-customer revenue, one per-segment
+    window rank (5 segments — the known-few-groups shape; the 100 TB
+    path pre-buckets by revenue quantile to spread the sort), one
+    final 5-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(dmoney("o_totalprice")).cast("decimal(15,2)").alias("rev"))
+        # a customer whose every price is NULL has NULL revenue: it adds
+        # nothing to the numerator but WOULD shift every other row's rank
+        # by where the engine sorts NULLs (Spark first, DuckDB last) —
+        # drop the class explicitly on both sides
+        .where(F.col("rev").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .select("c_mktsegment", "c_custkey", "rev")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("rev", "c_custkey")
+    ranked = rev.select(
+        "c_mktsegment",
+        "rev",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    n = Window.partitionBy("c_mktsegment")
+    weighted = ranked.select(
+        "c_mktsegment",
+        "rev",
+        (
+            (F.lit(2) * F.col("i") - F.count(F.lit(1)).over(n) - F.lit(1))
+            .cast("decimal(12,0)")
+            * F.col("rev")
+        ).alias("wrev"),
+        F.count(F.lit(1)).over(n).alias("n_customers"),
+    )
+    return (
+        weighted.groupBy("c_mktsegment")
+        .agg(
+            F.max("n_customers").alias("n_customers"),
+            F.round(
+                F.sum("wrev").cast("double")
+                / (
+                    F.max("n_customers").cast("double")
+                    * F.sum("rev").cast("double")
+                ),
+                6,
+            ).alias("gini"),
+            dsum(F.col("rev")).alias("total_revenue"),
+        )
+        .orderBy(F.col("c_mktsegment").asc_nulls_first())
+    )
+
+
+def entropy_source_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source mix per language — the diversity
+    metric behind mixture-balancing dashboards (a lang whose corpus
+    collapses to one crawl source is a contamination risk). Per-source
+    terms −p·ln(p) are each rounded to 9 and summed in DECIMAL(18,9)
+    so the cross-engine sum order cannot move the hash; p itself is an
+    exact integer ratio divided once in double.
+
+    Scale: two partial-aggregated shuffles on (lang, source) then lang
+    — both tiny keys; the scan is the only big read."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.where(F.col("source").isNotNull())
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("c").alias("n_docs"), F.count(F.lit(1)).alias("n_sources")
+    )
+    p = F.col("c").cast("double") / F.col("n_docs").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        # null-safe: a NULL lang is a real group (un-identified docs) —
+        # plain equality would silently drop it on the Spark side only
+        per.join(tot, per["lang"].eqNullSafe(tot["lang"])).drop(tot["lang"])
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_sources").alias("n_sources"),
+            F.round(F.sum(term).cast("double"), 6).alias("source_entropy"),
+        )
+        .orderBy(F.col("lang").asc_nulls_first())
+    )
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of a fixed query against the corpus (§2B text
+    surface, the IR twin of ``tfidf_top_terms``): Okapi k1=1.2 b=0.75,
+    idf = ln(1 + (N−df+0.5)/(df+0.5)). Document length and avgdl come
+    from the SAME engine-wide tokenizer as every other text query
+    (``TX.tokens``); avgdl divides two exact integers once. Per-term
+    partials are rounded to 9 and summed in DECIMAL so the ≤4-term
+    addition order cannot flip the rounded score; ranking is on the
+    rounded score with a doc_id tie-break (the determinism rule).
+
+    Scale: tf is a partial-aggregated shuffle on (doc, term) for the
+    4 query terms only (filter pushed before the explode's shuffle);
+    df and avgdl are scalar broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window", "stream"]
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    n_avg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(n_avg))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    part = idf * (
+        tfd
+        * F.lit(2.2)
+        / (
+            tfd
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+        )
+    )
+    per_doc = (
+        scored.select(
+            "doc_id", F.round(part, 9).cast("decimal(18,9)").alias("part")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("part").cast("double"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return per_doc.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(15)
+
+
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile every sampling-budget allocator needs (median byte-weighted
+    quality, not document-weighted). Two-pass shape: prices pre-combine
+    per (flag, price) so the cumulative window runs over DISTINCT
+    prices, not rows; the pick is the smallest price whose cumulative
+    weight reaches half the total (2·cumw ≥ total in exact DECIMAL —
+    no FP compare).
+
+    Scale: the pre-agg is the shuffle; the per-flag window sorts only
+    distinct prices (the 100 TB path buckets prices first — same
+    two-pass idea one level deeper)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_price = (
+        li.where(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum(dmoney("l_quantity")).alias("w"))
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wt = Window.partitionBy("l_returnflag")
+    cum = per_price.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    )
+    picked = cum.where(F.col("cumw") * 2 >= F.col("totw")).groupBy(
+        "l_returnflag"
+    )
+    return (
+        picked.agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.max(F.col("totw").cast("double")).alias("total_weight"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first())
+    )
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic CRM cube, and the same quota-bucketing shape a curation
+    pipeline uses to stratify domains by staleness/volume/size. Each
+    dimension gets ntile(4) under a total order (metric + custkey
+    tie-break, so the bucket split is deterministic on both engines);
+    the output is the 4×4×4 cell census, integers and one exact
+    DECIMAL→double average.
+
+    Scale: one shuffle to per-customer metrics; three ntiles over the
+    same partitioning (single window stage); the census is a tiny
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dmoney("o_totalprice")).alias("monetary"),
+    )
+    horizon = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("max_day")
+    )
+    base = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        F.datediff("max_day", "last_day").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    # NULL placement is EXPLICIT on every ntile order: Spark ASC defaults
+    # NULLS FIRST / DESC NULLS LAST while DuckDB defaults the opposite
+    # way, and a customer whose every order date (or price) is NULL has
+    # NULL recency/monetary — the bucket split must not depend on the
+    # engine's default
+    r_w = Window.orderBy(
+        F.col("recency_days").asc_nulls_first(), "o_custkey"
+    )
+    f_w = Window.orderBy(F.col("frequency").desc_nulls_last(), "o_custkey")
+    m_w = Window.orderBy(F.col("monetary").desc_nulls_last(), "o_custkey")
+    cells = base.select(
+        F.ntile(4).over(r_w).alias("r_quartile"),
+        F.ntile(4).over(f_w).alias("f_quartile"),
+        F.ntile(4).over(m_w).alias("m_quartile"),
+        "monetary",
+    )
+    return (
+        cells.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("monetary").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association — brand-pair co-occurrence lift within
+    orders (the co-click / co-citation shape): distinct (order, brand)
+    first, self-join ON the order key with brand_a < brand_b, then
+    lift = n_ab·N / (n_a·n_b) from EXACT integer counts divided once.
+    Top 20 by rounded lift with a pair tie-break.
+
+    Scale: the self-join is keyed on o_orderkey and each order holds
+    ≤7 lines → ≤21 pairs (bounded fan-out, never quadratic in the
+    table); brand marginals broadcast (25 brands)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "inner",
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.agg(
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders")
+    )
+    a = ob.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    marg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("p_brand").alias("brand_a"),
+                                    F.col("n_b").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("p_brand").alias("brand_b"),
+                                    F.col("n_b").alias("n_bb"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_bb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), "brand_a", "brand_b"
+    ).limit(20)
+
+
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline per brand — parts no sibling dominates on
+    (cheaper-or-equal price, bigger-or-equal size, strictly better on
+    one). The multi-objective frontier cut (price/quality, size/cost)
+    expressed as a blocked anti-join: dominance is only tested WITHIN
+    a brand, so the non-equi join is bounded per block and never goes
+    quadratic in the table.
+
+    Scale: both sides shuffle on p_brand (the block key); at 100 TB the
+    block gains a secondary size-band key — the same bound, one level
+    finer. Output is the 25-row per-brand census."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.where(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    ).select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    dom = p.select(
+        F.col("p_brand").alias("d_brand"),
+        F.col("p_retailprice").alias("d_price"),
+        F.col("p_size").alias("d_size"),
+    )
+    cond = (
+        (F.col("p_brand") == F.col("d_brand"))
+        & (F.col("d_price") <= F.col("p_retailprice"))
+        & (F.col("d_size") >= F.col("p_size"))
+        & (
+            (F.col("d_price") < F.col("p_retailprice"))
+            | (F.col("d_size") > F.col("p_size"))
+        )
+    )
+    skyline = p.join(dom, cond, "left_anti")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .join(
+            skyline.groupBy("p_brand").agg(
+                F.count(F.lit(1)).alias("n_skyline"),
+                F.min("p_retailprice").alias("min_skyline_price"),
+                F.max("p_size").alias("max_skyline_size"),
+            ),
+            "p_brand",
+            "left",
+        )
+        .orderBy(F.col("p_brand").asc_nulls_first())
+    )
+
+
+def notin_null_aware_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS null semantics, measured (§2B correlated-
+    subquery surface, the null-aware half): the subquery's segment list
+    contains a NULL (every BUILDING row NULLIFs), so SQL's three-valued
+    NOT IN can never prove TRUE and keeps ZERO customers, while the
+    NOT EXISTS twin — which many engines wrongly present as equivalent
+    — keeps exactly the BUILDING rows. Spark plans the first branch as
+    a NullAwareAntiJoin; the counts pin the divergence as data, not
+    doc-lore.
+
+    Scale: both branches broadcast the tiny distinct segment list; one
+    scan each."""
+    customer = load_table(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("_cust_nas")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM _cust_nas) AS n_customers,
+          (SELECT COUNT(*) FROM _cust_nas
+            WHERE c_mktsegment NOT IN
+                  (SELECT NULLIF(c_mktsegment, 'BUILDING') FROM _cust_nas))
+            AS n_not_in,
+          (SELECT COUNT(*) FROM _cust_nas c
+            WHERE NOT EXISTS
+                  (SELECT 1 FROM _cust_nas d
+                    WHERE NULLIF(d.c_mktsegment, 'BUILDING')
+                          = c.c_mktsegment))
+            AS n_not_exists
+        """
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
 # The per-round correctness harness samples the FIRST 50 entries in
 # declaration order, so each round we front-load the queries with the
-# STALEST driver CORRECTNESS rows (round 9 cohort):
-#   positions 0-5   — new round-9 queries (never driver-sampled)
-#   positions 6-43  — the 38-query cohort last driver-checked in round 6
-#                     (all TPC-H shapes q1-q21, raster_contours_tiles,
-#                     dedup_substring_spans, quality/resample/recursive-
-#                     CTE/sketch/funnel/asof/range_join/...) — checked
-#                     BEFORE the round-8 churn in operators/windows.py,
-#                     session.py nanos default, and the shuffle helpers
-#   positions 44-49 — head of the round-7-checked cohort
-#   remainder       — rest of round 7, then the round-8-checked set
+# STALEST driver CORRECTNESS rows (round 10 cohort):
+#   positions 0-14  — the 15 round-9 tokenizer-lockstep rewrites whose
+#                     green driver rows predate the oracle change
+#   positions 15-24 — the 10 new round-10 queries (never driver-sampled)
+#   positions 25-49 — head of the stale-first rotation (round-6/7 rows)
+#   remainder       — rest of the rotation
 # Every query remains declared regardless of position; local
 # tests/test_oracle_parity.py always runs all oracle-backed pairs.
 QUERIES: dict[str, QueryFn] = {
@@ -5205,6 +5683,17 @@ QUERIES: dict[str, QueryFn] = {
     "try_cast_typed_backfill": try_cast_typed_backfill,
     "udtf_chunk_documents": udtf_chunk_documents,
     "unigram_logprob_score": unigram_logprob_score,
+    # -- new round-10 queries (never driver-sampled) --------------------------
+    "percentile_cont_vs_disc_ties": percentile_cont_vs_disc_ties,
+    "cumulative_distinct_users": cumulative_distinct_users,
+    "gini_revenue_concentration": gini_revenue_concentration,
+    "entropy_source_by_lang": entropy_source_by_lang,
+    "bm25_doc_scores": bm25_doc_scores,
+    "weighted_median_lineitem": weighted_median_lineitem,
+    "rfm_customer_segments": rfm_customer_segments,
+    "basket_pair_lift": basket_pair_lift,
+    "skyline_parts_pareto": skyline_parts_pareto,
+    "notin_null_aware_segments": notin_null_aware_segments,
     # -- not sampled in round 9 (stale-first rotation) ------------------------
     "benford_first_digit_prices": benford_first_digit_prices,
     "domain_quota_topn": domain_quota_topn,

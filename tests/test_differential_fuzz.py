@@ -57,6 +57,11 @@ FUZZ_QUERIES = [
     # over the same hostile text classes (unicode, \x0b, empty docs)
     "set_algebra_token_halves",
     "regexp_extract_all_words",
+    # round-10 additions: NULL text must contribute zero BM25 terms and
+    # zero entropy mass identically per engine; the eqNullSafe lang join
+    # keeps a NULL-lang group a real group on both sides
+    "bm25_doc_scores",
+    "entropy_source_by_lang",
 ]
 
 _VOCAB = (
@@ -360,6 +365,10 @@ FUZZ_EVENT_QUERIES = [
     # COALESCE sentinels and the reserved '__n__' key
     "str_to_map_event_kv",
     "map_filter_concat_profile",
+    # round-10 addition: planted NULL ts / NULL user rows must be
+    # excluded from first-seen on both engines, and the running sum
+    # must hold over the irregular planted day spine
+    "cumulative_distinct_users",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -518,6 +527,12 @@ FUZZ_ORDER_QUERIES = [
     # Spark's mode(col, true) skips NULLs — the planted NULL-priority
     # class below keeps the two mode definitions locked
     "agg_listagg_mode_orders",
+    # round-10 additions: the duplicate-price tie class (every 7th price
+    # from 3 fixed values) is exactly what the CONT-vs-DISC contrast
+    # exists to pin; RFM's ntile splits ride the planted NULL date /
+    # NULL price classes under explicit NULLS FIRST/LAST ordering
+    "percentile_cont_vs_disc_ties",
+    "rfm_customer_segments",
 ]
 
 
@@ -620,6 +635,12 @@ FUZZ_STAR_QUERIES = [
     "q13_customer_distribution",
     "q18_large_volume_customers",
     "join_left_outer_counts",
+    # round-10 additions: Gini's rank-weighted DECIMAL sum over random
+    # negative/positive revenues (tie blocks permute — the value must
+    # not move), and the weighted median's exact-DECIMAL cumulative cut
+    # over random tied prices
+    "gini_revenue_concentration",
+    "weighted_median_lineitem",
 ]
 
 
@@ -739,6 +760,13 @@ FUZZ_TPCH_QUERIES = [
     "agg_cube_segment_status",
     "spatial_box_join_counts",
     "recursive_cte_customer_tree",
+    # round-10 additions: skyline dominance over the 8-value size /
+    # random price lattice (heavy exact ties on both axes), basket lift
+    # on the small random brand pool, and the NOT IN / NOT EXISTS
+    # null-semantics pin over the random segment mix
+    "skyline_parts_pareto",
+    "basket_pair_lift",
+    "notin_null_aware_segments",
 ]
 
 _P_NAMES = ["green bolt", "red widget", "blue bolt case", "widget press",
