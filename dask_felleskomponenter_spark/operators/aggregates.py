@@ -61,6 +61,14 @@ def two_phase_salted_agg(
         quoted_col,
     )
 
+    # Keys resolve by EXACT name (quoted_col) in every phase: a bare
+    # string key containing a dot ("user.id") groups fine in phase 1
+    # but phase 2's groupBy on the PARTIAL — whose output column is the
+    # literal name, not a struct — would fail UNRESOLVED_COLUMN where
+    # the plain twin succeeds. Exact resolution keeps both phases (and
+    # the schema twin below) on the same column.
+    key_exprs = [quoted_col(k) for k in key_cols]
+
     salt_col = fresh_name("_salt", df, extra=set(aggs))
     salt = deterministic_row_salt(df, salt_buckets).alias(salt_col)
 
@@ -84,19 +92,24 @@ def two_phase_salted_agg(
     # insertInto against the unsalted twin. Resolve the target dtypes
     # from the unsalted plan (schema-only, nothing executes) and cast
     # the merged columns back.
-    plain_schema = df.groupBy(*key_cols).agg(
+    plain_schema = df.groupBy(*key_exprs).agg(
         *[
-            _MERGEABLE[fn][0](col).alias(out)
+            _MERGEABLE[fn][0](quoted_col(col)).alias(out)
             for out, (fn, col) in aggs.items()
         ]
     ).schema
 
     partial = (
-        df.select(*df.columns, salt)
-        .groupBy(*key_cols, salt_col)
+        # quoted_col on the passthrough too: select(*df.columns) feeds
+        # raw name strings back into the analyzer, which path-parses a
+        # dotted name exactly like the key/input cases above
+        df.select(*[quoted_col(c) for c in df.columns], salt)
+        .groupBy(*key_exprs, quoted_col(salt_col))
         .agg(
             *[
-                _MERGEABLE[fn][0](col).alias(partial_alias[out])
+                # quoted_col on the INPUT too: F.sum("a.b") path-parses
+                # a dotted value column exactly like the key case above
+                _MERGEABLE[fn][0](quoted_col(col)).alias(partial_alias[out])
                 for out, (fn, col) in aggs.items()
             ]
         )
@@ -116,6 +129,6 @@ def two_phase_salted_agg(
             merged = F.coalesce(merged, F.lit(0))
         return merged.cast(plain_schema[out].dataType).alias(out)
 
-    return partial.groupBy(*key_cols).agg(
+    return partial.groupBy(*[quoted_col(k) for k in key_cols]).agg(
         *[merge_col(out, fn) for out, (fn, col) in aggs.items()]
     )

@@ -46,6 +46,14 @@ def _require_integral_ids(df: DataFrame, cols: list[str], op: str) -> None:
     should dense-rank them to longs first (zipWithIndex-free:
     ``F.xxhash64`` is NOT safe here — collisions merge components)."""
     types = dict(df.dtypes)
+    missing = [c for c in cols if c not in types]
+    if missing:
+        # a bare dict lookup would surface as KeyError('id_a') with no
+        # hint which operator or frame is at fault
+        raise TypeError(
+            f"{op}: id column(s) {missing} not found; frame has "
+            f"{sorted(types)}"
+        )
     bad = {c: types[c] for c in cols if types[c] not in _INTEGRAL_TYPES}
     if bad:
         raise TypeError(

@@ -99,6 +99,15 @@ def test_assign_components_rejects_string_ids(spark):
         assign_components(docs, "doc_id", pairs)
 
 
+def test_graph_type_guard_names_missing_columns(spark):
+    """A typo'd id column must raise the operator's own message naming
+    the column and the frame's schema, not a bare KeyError from the
+    dtype lookup (round-10 review finding)."""
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(TypeError, match=r"id column\(s\) \['id_z'\]"):
+        connected_components(pairs, src="id_a", dst="id_z")
+
+
 def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a bigint, id_b bigint"

@@ -564,6 +564,29 @@ def test_operator_helper_columns_never_shadow_user_columns(spark):
     }
     assert {(r["k"], r["a"], r["a0"]) for r in collide.collect()} == plain
 
+    # two_phase_salted_agg: a key or value column literally named with a
+    # dot must resolve as the EXACT column in every phase — phase 2
+    # groups on the partial's literal output name, where a bare-string
+    # groupBy would path-parse "user.id" and fail UNRESOLVED_COLUMN
+    # (round-10 review finding)
+    dotted = spark.createDataFrame(
+        [Row(**{"user.id": i % 2, "v.al": float(i)}) for i in range(10)]
+    )
+    dot_out = two_phase_salted_agg(
+        dotted,
+        keys=["user.id"],
+        aggs={"n": ("count", "v.al"), "s": ("sum", "v.al")},
+        salt_buckets=3,
+    )
+    got = {(r["user.id"], r["n"], r["s"]) for r in dot_out.collect()}
+    want = {
+        (r["user.id"], r["n"], r["s"])
+        for r in dotted.groupBy(F.col("`user.id`"))
+        .agg(F.count("`v.al`").alias("n"), F.sum("`v.al`").alias("s"))
+        .collect()
+    }
+    assert got == want
+
     # asof_join: left side carries "_asof_ts" as user data
     left = spark.createDataFrame(
         [Row(k=1, ts=10, _asof_ts="mine"), Row(k=1, ts=20, _asof_ts="also")]
