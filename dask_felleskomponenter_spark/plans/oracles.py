@@ -20,7 +20,7 @@ The twin rules that make hash-parity hold:
   value hash is order-sensitive.
 
 Queries deliberately absent (rows-only checks) — the complete list, 11
-of the 152 declared (every one has pytest semantic pins instead):
+of the 158 declared (every one has pytest semantic pins instead):
 agg_approx_distinct / sketch_rollup_users (different HLL
 implementations), agg_approx_percentiles / kll_quantile_rollup_prices
 (different quantile sketches), neardup_minhash_lsh / simhash_documents /
@@ -3036,6 +3036,191 @@ SELECT
           (SELECT 1 FROM customer d
             WHERE NULLIF(d.c_mktsegment, 'BUILDING') = c.c_mktsegment))
     AS n_not_exists
+"""
+
+
+# DiD twin: the cutoff is exact integer day arithmetic (// 2 of the
+# day span), cell means are DECIMAL sums over exact counts, the DiD
+# combine is the same fixed four-term double expression.
+ORACLES["did_promo_effect"] = """
+WITH span AS (
+  SELECT MIN(CAST(o_orderdate AS DATE))
+           + CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                            MAX(CAST(o_orderdate AS DATE))) // 2
+                  AS INTEGER) AS cutoff
+  FROM orders WHERE o_orderdate IS NOT NULL
+), cells AS (
+  SELECT (o_orderpriority = '1-URGENT') AS treated,
+         (CAST(o_orderdate AS DATE) >= (SELECT cutoff FROM span)) AS post,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) AS mean_price
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT
+  MAX(CASE WHEN treated AND post THEN n END) AS n_treat_post,
+  MAX(CASE WHEN treated AND NOT post THEN n END) AS n_treat_pre,
+  MAX(CASE WHEN NOT treated AND post THEN n END) AS n_ctrl_post,
+  MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_ctrl_pre,
+  ROUND(
+    (MAX(CASE WHEN treated AND post THEN mean_price END)
+     - MAX(CASE WHEN treated AND NOT post THEN mean_price END))
+    - (MAX(CASE WHEN NOT treated AND post THEN mean_price END)
+       - MAX(CASE WHEN NOT treated AND NOT post THEN mean_price END)),
+    6) AS did_estimate
+FROM cells
+"""
+
+# Largest-remainder twin: all-integer // and % — no FP anywhere.
+# HUGEINT-widening window sums cast back to BIGINT.
+ORACLES["allocation_largest_remainder"] = """
+WITH counts AS (
+  SELECT c_mktsegment, COUNT(*) AS n_customers
+  FROM customer GROUP BY c_mktsegment
+), quota AS (
+  SELECT c_mktsegment, n_customers,
+         CAST((10000 * n_customers) // CAST(SUM(n_customers) OVER ()
+              AS BIGINT) AS BIGINT) AS base,
+         CAST((10000 * n_customers) % CAST(SUM(n_customers) OVER ()
+              AS BIGINT) AS BIGINT) AS rem
+  FROM counts
+), ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY rem DESC, c_mktsegment ASC NULLS FIRST) AS INTEGER)
+           AS r,
+         CAST(10000 - SUM(base) OVER () AS BIGINT) AS leftover
+  FROM quota
+)
+SELECT c_mktsegment, n_customers, base,
+       CASE WHEN r <= leftover THEN 1 ELSE 0 END AS extra,
+       base + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS allocated
+FROM ranked
+ORDER BY c_mktsegment NULLS FIRST
+"""
+
+# Chi-squared twin: exact integer marginals cast to double inside the
+# SAME (O−E)²/E expression, per-cell terms rounded to 9 and summed in
+# DECIMAL per segment.
+ORACLES["crosstab_chi2_segment_priority"] = """
+WITH cells AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS o
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), terms AS (
+  SELECT c_mktsegment, o,
+         CAST(ROUND(
+           (CAST(o AS DOUBLE)
+            - CAST(SUM(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+              * CAST(SUM(o) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+              / CAST(SUM(o) OVER () AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - CAST(SUM(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                * CAST(SUM(o) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                / CAST(SUM(o) OVER () AS DOUBLE))
+           / (CAST(SUM(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+              * CAST(SUM(o) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+              / CAST(SUM(o) OVER () AS DOUBLE)), 9)
+           AS DECIMAL(18,9)) AS term
+  FROM cells
+)
+SELECT c_mktsegment,
+       CAST(SUM(o) AS BIGINT) AS n_orders,
+       COUNT(*) AS n_cells,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2_contrib
+FROM terms
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment NULLS FIRST
+"""
+
+# Wilson twin: exact integer n/successes; the lower-bound formula is
+# the same fixed double chain (sqrt is IEEE-correct on both engines);
+# rank on the rounded bound + type.
+ORACLES["wilson_ctr_event_types"] = """
+WITH agg AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         COUNT(CASE WHEN value > 50.0 THEN 1 END) AS successes
+  FROM events
+  GROUP BY event_type
+  HAVING COUNT(value) > 0
+)
+SELECT event_type, n, successes,
+       ROUND(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       ROUND(
+         (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+          + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+          - 1.96 * sqrt(((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(successes AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                         + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE)))
+                        / CAST(n AS DOUBLE)))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6) AS wilson_lb
+FROM agg
+ORDER BY wilson_lb DESC, event_type ASC NULLS FIRST
+"""
+
+# Decile-lift twin: ntile(10) under the same total order; per-decile
+# DECIMAL revenue; the cumulative share divides two exact decimal
+# window sums once in double.
+ORACLES["decile_lift_monetary"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(15,2)) AS monetary
+  FROM orders GROUP BY o_custkey
+  HAVING SUM(CAST(o_totalprice AS DECIMAL(12,2))) IS NOT NULL
+), deciles AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY monetary DESC NULLS LAST,
+                              o_custkey) AS INTEGER) AS decile,
+         monetary
+  FROM per_cust
+), per_dec AS (
+  SELECT decile, COUNT(*) AS n_customers,
+         CAST(SUM(monetary) AS DECIMAL(18,2)) AS revenue
+  FROM deciles GROUP BY decile
+)
+SELECT decile, n_customers,
+       CAST(revenue AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(revenue) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS cum_share
+FROM per_dec
+ORDER BY decile
+"""
+
+# Autocorrelation twin: exact DECIMAL Pearson sums over the lag-paired
+# day spine, cast to double only inside the one closed-form expression.
+ORACLES["autocorr_daily_revenue"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(15,2)) AS x
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), pairs AS (
+  SELECT x, LAG(x) OVER (ORDER BY day) AS y FROM daily
+), sums AS (
+  SELECT COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs WHERE y IS NOT NULL
+)
+SELECT n_pairs,
+       ROUND(
+         (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS autocorr_lag1
+FROM sums
 """
 
 

@@ -5652,6 +5652,272 @@ def notin_null_aware_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def did_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the pre/post × treated/control
+    contrast behind every curation A/B readback (did the new filter
+    change quality for the treated slice more than drift changed the
+    control?). Treated = urgent orders; the cutoff is the data's own
+    midpoint date (exact integer day arithmetic, no literal to go stale
+    with the corpus). Cell means are exact DECIMAL sums over exact
+    counts, divided once in double; the DiD combine is four determinate
+    doubles in one fixed order, rounded at the end.
+
+    Scale: one scan, one 4-cell aggregate; the cutoff scalar broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_did")
+    return spark.sql(
+        """
+        WITH span AS (
+          SELECT DATE_ADD(MIN(CAST(o_orderdate AS DATE)),
+                          CAST(DATEDIFF(MAX(CAST(o_orderdate AS DATE)),
+                                        MIN(CAST(o_orderdate AS DATE)))
+                               DIV 2 AS INT)) AS cutoff
+          FROM _orders_did WHERE o_orderdate IS NOT NULL
+        ), cells AS (
+          -- scalar subquery, not CROSS JOIN span: the one-row cross
+          -- join plans as a BroadcastNestedLoopJoin; the scalar form
+          -- is a reused subquery broadcast with no join operator
+          SELECT (o_orderpriority = '1-URGENT') AS treated,
+                 (CAST(o_orderdate AS DATE)
+                  >= (SELECT cutoff FROM span)) AS post,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) AS mean_price
+          FROM _orders_did
+          WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT
+          MAX(CASE WHEN treated AND post THEN n END) AS n_treat_post,
+          MAX(CASE WHEN treated AND NOT post THEN n END) AS n_treat_pre,
+          MAX(CASE WHEN NOT treated AND post THEN n END) AS n_ctrl_post,
+          MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_ctrl_pre,
+          ROUND(
+            (MAX(CASE WHEN treated AND post THEN mean_price END)
+             - MAX(CASE WHEN treated AND NOT post THEN mean_price END))
+            - (MAX(CASE WHEN NOT treated AND post THEN mean_price END)
+               - MAX(CASE WHEN NOT treated AND NOT post THEN mean_price END)),
+            6) AS did_estimate
+        FROM cells
+        """
+    )
+
+
+def allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed budget of
+    10,000 sampling slots across market segments, proportional to
+    customer count — the integer-exact quota split a corpus sampler
+    needs (floor quotas always undershoot; the leftover slots go to the
+    largest fractional remainders). ALL integer arithmetic (DIV / %),
+    so there is no FP boundary for the two engines to disagree on; the
+    remainder rank is totally ordered by (remainder, segment).
+
+    Scale: a 5-row aggregate; the unpartitioned windows run over those
+    5 rows, not the data."""
+    customer = load_table(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("_cust_alloc")
+    return spark.sql(
+        """
+        WITH counts AS (
+          SELECT c_mktsegment, COUNT(*) AS n_customers
+          FROM _cust_alloc GROUP BY c_mktsegment
+        ), quota AS (
+          SELECT c_mktsegment, n_customers,
+                 (10000 * n_customers) DIV SUM(n_customers) OVER () AS base,
+                 (10000 * n_customers) % SUM(n_customers) OVER () AS rem
+          FROM counts
+        ), ranked AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY rem DESC, c_mktsegment ASC NULLS FIRST)
+                   AS INT) AS r,
+                 10000 - SUM(base) OVER () AS leftover
+          FROM quota
+        )
+        SELECT c_mktsegment, n_customers, base,
+               CASE WHEN r <= leftover THEN 1 ELSE 0 END AS extra,
+               base + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS allocated
+        FROM ranked
+        ORDER BY c_mktsegment NULLS FIRST
+        """
+    )
+
+
+def crosstab_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared contingency profile of segment × priority —
+    the independence screen behind "does domain correlate with quality
+    bucket" dashboards. Observed counts are exact integers; each cell's
+    (O−E)²/E term is one fixed double expression rounded to 9 and
+    summed per segment in DECIMAL, so cell addition order cannot move
+    the hash.
+
+    Scale: broadcast customer-dim join, one shuffle to the ≤30-cell
+    crosstab; the row/column marginals are windows over those cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "inner",
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_row = Window.partitionBy("c_mktsegment")
+    w_col = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    e = (
+        F.sum("o").over(w_row).cast("double")
+        * F.sum("o").over(w_col).cast("double")
+        / F.sum("o").over(w_all).cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    return (
+        cells.select(
+            "c_mktsegment",
+            "o",
+            F.round(term, 9).cast("decimal(18,9)").alias("term"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("o").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("term").cast("double"), 6).alias("chi2_contrib"),
+        )
+        .orderBy(F.col("c_mktsegment").asc_nulls_first())
+    )
+
+
+def wilson_ctr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound per event type — the small-sample-safe
+    success-rate ranking (a 3/3 type must NOT outrank a 950/1000 type,
+    which the naive ratio does). Success = value above the corpus
+    midpoint 50. n and successes are exact integers; the Wilson
+    formula is one fixed chain of double ops (sqrt is IEEE
+    correctly-rounded, so both engines produce the same bits), rounded
+    to 6; ranking is on the rounded bound with a type tie-break.
+
+    Scale: one partial-aggregated shuffle on the tiny type key."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.count(F.when(F.col("value") > 50.0, 1)).alias("successes"),
+    ).where(F.col("n") > 0)
+    z = F.lit(1.96)
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    wilson = (
+        p
+        + z * z / (2.0 * n)
+        - z * F.sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n)
+    ) / (1.0 + z * z / n)
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            "successes",
+            F.round(p, 6).alias("rate"),
+            F.round(wilson, 6).alias("wilson_lb"),
+        )
+        .orderBy(
+            F.col("wilson_lb").desc(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
+def decile_lift_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table over customer spend — the concentration
+    readback ("the top decile holds X% of revenue") that pairs with
+    the Gini query: ntile(10) under a total order (monetary DESC +
+    custkey), per-decile exact DECIMAL revenue, and a cumulative share
+    from a 10-row running DECIMAL window divided once in double.
+
+    Scale: one shuffle to per-customer spend; the decile windows and
+    the 10-row cumulative window are cheap by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(dmoney("o_totalprice")).cast("decimal(15,2)").alias("monetary")
+        )
+        .where(F.col("monetary").isNotNull())
+    )
+    d_w = Window.orderBy(F.col("monetary").desc_nulls_last(), "o_custkey")
+    deciles = per_cust.select(
+        F.ntile(10).over(d_w).alias("decile"), "monetary"
+    )
+    per_dec = deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("decimal(18,2)").alias("revenue"),
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.partitionBy()
+    return (
+        per_dec.select(
+            "decile",
+            "n_customers",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.sum("revenue").over(cum_w).cast("double")
+                / F.sum("revenue").over(tot_w).cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — the
+    seasonality probe a forecasting pipeline runs before choosing a
+    model. Daily revenues are exact DECIMAL sums; the (x_t, x_{t−1})
+    pairs come from a lag over the bounded day spine; all five Pearson
+    sums (Σx, Σy, Σxy, Σx², Σy²) stay in exact DECIMAL and cast to
+    double only inside the single closed-form expression, so parallel
+    partial-sum order cannot move the result.
+
+    Scale: one shuffle to per-day revenue; the lag window runs over the
+    ~2.4k-row day spine. (At 100 TB the DECIMAL products want a
+    cents-scaled double instead — noted, not needed at this precision.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.where(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(dmoney("o_totalprice")).cast("decimal(15,2)").alias("x"))
+    )
+    lag_w = Window.orderBy("day")
+    pairs = daily.select(
+        "x", F.lag("x").over(lag_w).alias("y")
+    ).where(F.col("y").isNotNull())
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    r = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return sums.select(
+        "n_pairs", F.round(r, 6).alias("autocorr_lag1")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 # Declaration order is a VERIFICATION ROTATION, not a semantic grouping.
@@ -5694,6 +5960,12 @@ QUERIES: dict[str, QueryFn] = {
     "basket_pair_lift": basket_pair_lift,
     "skyline_parts_pareto": skyline_parts_pareto,
     "notin_null_aware_segments": notin_null_aware_segments,
+    "did_promo_effect": did_promo_effect,
+    "allocation_largest_remainder": allocation_largest_remainder,
+    "crosstab_chi2_segment_priority": crosstab_chi2_segment_priority,
+    "wilson_ctr_event_types": wilson_ctr_event_types,
+    "decile_lift_monetary": decile_lift_monetary,
+    "autocorr_daily_revenue": autocorr_daily_revenue,
     # -- not sampled in round 9 (stale-first rotation) ------------------------
     "benford_first_digit_prices": benford_first_digit_prices,
     "domain_quota_topn": domain_quota_topn,

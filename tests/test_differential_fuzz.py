@@ -369,6 +369,10 @@ FUZZ_EVENT_QUERIES = [
     # excluded from first-seen on both engines, and the running sum
     # must hold over the irregular planted day spine
     "cumulative_distinct_users",
+    # batch 2: Wilson bound over the planted NULL value / NULL type
+    # classes (a NULL type is a real group; NULL values count in
+    # neither n nor successes)
+    "wilson_ctr_event_types",
 ]
 
 _ETYPES = ["click", "error", "purchase", "view", "signup"]
@@ -533,6 +537,13 @@ FUZZ_ORDER_QUERIES = [
     # NULL price classes under explicit NULLS FIRST/LAST ordering
     "percentile_cont_vs_disc_ties",
     "rfm_customer_segments",
+    # batch 2: the DiD cutoff must survive all-NULL-date corpora (NULL
+    # cutoff → empty cells → one all-NULL row on both engines), the
+    # decile ntile rides the NULL-price class, and the autocorrelation
+    # series must agree on NaN when the planted corpus degenerates
+    "did_promo_effect",
+    "decile_lift_monetary",
+    "autocorr_daily_revenue",
 ]
 
 
@@ -641,6 +652,11 @@ FUZZ_STAR_QUERIES = [
     # over random tied prices
     "gini_revenue_concentration",
     "weighted_median_lineitem",
+    # batch 2: integer-exact Hamilton apportionment over the random
+    # 3-segment census, and the chi-squared crosstab over random
+    # segment × priority cells (orphan custkeys exercise the join)
+    "allocation_largest_remainder",
+    "crosstab_chi2_segment_priority",
 ]
 
 
