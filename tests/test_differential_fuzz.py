@@ -657,6 +657,11 @@ FUZZ_STAR_QUERIES = [
     # segment × priority cells (orphan custkeys exercise the join)
     "allocation_largest_remainder",
     "crosstab_chi2_segment_priority",
+    # previously the ONLY oracle-backed query in no fuzz family: the
+    # >9900 balance cut keeps most random censuses empty (an
+    # empty-vs-empty compare), but seeds that do clear it pin the
+    # LATERAL decorrelation + price-tie ordering on random data
+    "lateral_topn_per_group",
 ]
 
 
