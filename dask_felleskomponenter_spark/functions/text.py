@@ -218,7 +218,24 @@ def language_id(col: str | Column, ltoks: Column | None = None) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def word_shingles(text_col: str | Column, k: int = 3, distinct: bool = True) -> Column:
+def tokens_or_null(col: str | Column) -> Column:
+    """``tokens`` with the shingle-family NULL contract: NULL text maps
+    to a NULL array (not ``[]``), so NULL-ness survives into shingle /
+    fingerprint outputs. This is the expression hot call sites stage as
+    a real column and hand to ``word_shingles(..., toks=...)`` — see
+    that function's staging note."""
+    c = _c(col)
+    return F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        tokens(c)
+    )
+
+
+def word_shingles(
+    text_col: str | Column | None,
+    k: int = 3,
+    distinct: bool = True,
+    toks: Column | None = None,
+) -> Column:
     """``k``-word shingles of a text column as ``array<string>``.
 
     Built by zipping the token array with its own shifted tails
@@ -233,13 +250,22 @@ def word_shingles(text_col: str | Column, k: int = 3, distinct: bool = True) -> 
     ``n_tokens - k + 1`` shingles survive. Documents shorter than ``k``
     tokens yield a single shingle of the whole text so they still
     participate in similarity.
+
+    ``toks`` accepts a pre-staged ``tokens_or_null(text_col)`` column —
+    the same staging contract as ``quality_score``: this expression
+    references its token array ~k+5 times, the ``zip_with``/``filter``
+    lambdas keep the projection OUT of whole-stage codegen, and
+    interpreted Projects have no common-subexpression elimination, so
+    inline every reference re-splits the document (measured 1.55× on
+    the 3-gram shape at sf0.1). Hot call sites stage the array as a
+    real column in a separate (codegen'd) projection and pass it here;
+    each reference is then an attribute read, not a re-tokenization.
     """
-    c = _c(text_col)
-    # tokens(), not a raw split: phantom ''-tokens from tab/newline
-    # padding made near-identical docs share zero shingles (see tokens)
-    toks = F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        tokens(c)
-    )
+    if toks is None:
+        # tokens_or_null, not a raw split: phantom ''-tokens from
+        # tab/newline padding made near-identical docs share zero
+        # shingles (see tokens)
+        toks = tokens_or_null(text_col)
     n = F.size(toks)
     if k <= 1:
         shingled = toks

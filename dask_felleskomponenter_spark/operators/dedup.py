@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dask_felleskomponenter_spark.functions.text import word_shingles
+from dask_felleskomponenter_spark.functions.text import (
+    tokens_or_null,
+    word_shingles,
+)
 from dask_felleskomponenter_spark.operators.windows import keep_first
 
 
@@ -102,7 +105,7 @@ def minhash_signatures(
     ``word_shingles``' empty→[] branch exists to keep out of near-dup
     ("exact dedup owns that class"; round-10 review).
     """
-    reserved = {"_s", *(f"_h{h}" for h in range(num_hashes))}
+    reserved = {"_s", "_tk", *(f"_h{h}" for h in range(num_hashes))}
     if id_col in reserved:
         # select would emit two same-named columns and the groupBy dies
         # with AMBIGUOUS_REFERENCE mid-plan — fail with the real reason
@@ -112,9 +115,16 @@ def minhash_signatures(
         )
     if sig_col == id_col:
         raise ValueError("sig_col must differ from id_col")
+    # token array staged once (word_shingles' staging note: the shingle
+    # HOF evaluates interpreted and re-splits the text per reference)
     inv = df.select(
         F.col(id_col),
-        F.explode_outer(word_shingles(text_col, shingle_size)).alias("_s"),
+        tokens_or_null(text_col).alias("_tk"),
+    ).select(
+        id_col,
+        F.explode_outer(
+            word_shingles(None, shingle_size, toks=F.col("_tk"))
+        ).alias("_s"),
     )
     mins = [
         F.min(F.xxhash64("_s", F.lit(h))).alias(f"_h{h}") for h in range(num_hashes)
@@ -312,10 +322,21 @@ def ngram_jaccard_pairs(
     exact semantics; with any cap at or above the corpus's true maximum
     df the two are identical (property-tested in ``tests/test_dedup.py``).
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_size).alias("_sh"),
-    ).withColumn("_set_size", F.size("_sh"))
+    # Token array staged once in its own (codegen'd) projection: the
+    # shingle expression references it ~k+5 times and evaluates
+    # interpreted, where every inline reference re-splits the document
+    # (word_shingles' staging note; measured 1.55× on this shape).
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            tokens_or_null(text_col).alias("_tk"),
+        )
+        .select(
+            "_id",
+            word_shingles(None, shingle_size, toks=F.col("_tk")).alias("_sh"),
+        )
+        .withColumn("_set_size", F.size("_sh"))
+    )
 
     inv = base.select("_id", "_set_size", F.explode("_sh").alias("_s"))
 
@@ -460,8 +481,6 @@ def duplicated_spans(
     """
     from pyspark.sql import Window as _W
 
-    from dask_felleskomponenter_spark.functions.text import token_count
-
     # validated like lsh_band_buckets: a typo'd family silently hashing
     # with xxhash64 would produce shingle keys that never match the md5
     # oracle the parameter exists for
@@ -471,13 +490,22 @@ def duplicated_spans(
             f"expected 'xxhash64' or 'md5'"
         )
     hasher = F.md5 if hash_family == "md5" else F.xxhash64
+    # Token array staged once (word_shingles' staging note): the k-gram
+    # HOF references the array ~k+5 times interpreted, and the
+    # token_count filter would re-split a k+6th time. The filter
+    # guarantees >= k >= 1 tokens, so the staged array is non-NULL and
+    # only word_shingles' main branch runs — semantics unchanged.
     shingled = (
-        df.filter(token_count(text_col) >= k)
-        .select(
+        df.select(
             F.col(id_col).alias("_id"),
-            F.posexplode(word_shingles(text_col, k, distinct=False)).alias(
-                "_pos", "_sh"
-            ),
+            tokens_or_null(text_col).alias("_tk"),
+        )
+        .filter(F.size("_tk") >= k)
+        .select(
+            "_id",
+            F.posexplode(
+                word_shingles(None, k, distinct=False, toks=F.col("_tk"))
+            ).alias("_pos", "_sh"),
         )
         .select("_id", "_pos", hasher(F.col("_sh")).alias("_h"))
     )

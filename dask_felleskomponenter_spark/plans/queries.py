@@ -1008,9 +1008,13 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from. One explode + one count shuffle + TakeOrdered top-k; ties
     broken by the bigram itself for determinism."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = TX.word_shingles(F.lower(F.col("text")), 2, distinct=False)
+    # lowercased token array staged once (word_shingles' staging note)
+    staged = docs.select(
+        TX.tokens_or_null(F.lower(F.col("text"))).alias("_tk")
+    )
+    grams = TX.word_shingles(None, 2, distinct=False, toks=F.col("_tk"))
     return (
-        docs.select(F.explode(grams).alias("bigram"))
+        staged.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -2925,8 +2929,14 @@ def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle count come from ONE explode pass (left-join marker), so
     the corpus is scanned once."""
     docs = scan_fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    # token array staged once (word_shingles' staging note)
     shingled = docs.select(
-        "doc_id", F.explode(TX.word_shingles("text", 3)).alias("sh")
+        "doc_id", TX.tokens_or_null("text").alias("_tk")
+    ).select(
+        "doc_id",
+        F.explode(
+            TX.word_shingles(None, 3, toks=F.col("_tk"))
+        ).alias("sh"),
     )
     is_eval = F.col("doc_id") % 97 == 0
     eval_sh = (
@@ -3127,16 +3137,21 @@ def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the already-reduced pairs (never a window over the
     raw stream); token stats ride the same scan as column expressions."""
     docs = scan_fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
-    toks = TX.tokens("text")
+    # token array staged once (word_shingles' staging note): inline,
+    # the filter + two sizes + the bigram HOF re-split the document
+    # ~10× in an interpreted projection with no CSE
+    staged = docs.select("doc_id", TX.tokens_or_null("text").alias("_tk"))
     # zero-token docs (NULL/blank/whitespace-only text) are excluded:
     # there is nothing to profile and the distinct/token ratio would be
     # 0/0 (ANSI divide-by-zero; the raw split's phantom ''-token used
     # to mask this by making every doc "one token")
-    base = docs.where(F.size(toks) > 0).select(
+    base = staged.where(F.size("_tk") > 0).select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        F.explode(TX.word_shingles("text", 2, distinct=False)).alias("bg"),
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_tk")).cast("bigint").alias("n_distinct"),
+        F.explode(
+            TX.word_shingles(None, 2, distinct=False, toks=F.col("_tk"))
+        ).alias("bg"),
     )
     per_bigram = base.groupBy("doc_id", "n_tokens", "n_distinct", "bg").agg(
         F.count(F.lit(1)).alias("_c")
@@ -4960,10 +4975,14 @@ def set_algebra_token_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower("text"), TX.WS_PATTERN), lambda x: x != ""
     )
-    a = F.array_distinct(F.filter(toks, lambda x, i: i % 2 == 0))
-    b = F.array_distinct(F.filter(toks, lambda x, i: i % 2 == 1))
+    # token array staged once: the even/odd HOF filters each reference
+    # the split inline, and the interpreted projection re-evaluates it
+    # per reference (word_shingles' staging note)
+    a = F.array_distinct(F.filter(F.col("_tk"), lambda x, i: i % 2 == 0))
+    b = F.array_distinct(F.filter(F.col("_tk"), lambda x, i: i % 2 == 1))
     return (
         docs.filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("_tk"))
         .select("doc_id", a.alias("_a"), b.alias("_b"))
         .select(
             "doc_id",
