@@ -82,8 +82,21 @@ def _nonnull_guard(col: str, dtype, op: str):
     )
 
 
-def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Undirected edge list as (a < b) long pairs, self-loops dropped."""
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str, pre_canonical: bool = False
+) -> DataFrame:
+    """Undirected edge list as (a < b) long pairs, self-loops dropped.
+
+    ``pre_canonical=True`` skips the ``distinct()`` — an exchange plus a
+    dedup pass over the whole edge list — for callers whose pairs are
+    aggregation outputs that already hold one row per unordered pair
+    (every near-dup pair producer in this repo: the Jaccard groupBy, the
+    LSH ``distinct``, the GEMM tiles' upper-triangle). The row-wise
+    least/greatest canonicalization and the null/self-loop guards stay —
+    they are codegen'd per-row work, not a shuffle — so a caller that is
+    wrong about distinctness degrades to duplicate edges (the star ops'
+    own ``distinct`` absorbs them next round), never to wrong
+    components."""
     _require_integral_ids(edges, [src, dst], "connected_components")
     types = dict(edges.dtypes)
     e = edges.select(
@@ -94,9 +107,10 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .cast("long")
         .alias("_v"),
     ).where(F.col("_u") != F.col("_v"))
-    return e.select(
+    e = e.select(
         F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
-    ).distinct()
+    )
+    return e if pre_canonical else e.distinct()
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -127,11 +141,42 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbr.union(own).distinct()
 
 
+#: Target edge rows per shuffle partition inside the star-contraction
+#: loop. Star edges are two longs (~16 B + overhead), so 256k rows is a
+#: few MB per task — large enough that task scheduling stops dominating,
+#: small enough that a round never funnels into one giant sort.
+_CC_ROWS_PER_PARTITION = 262_144
+
+
+def _cc_loop_partitions(spark, n_edges: int) -> int:
+    """Scale-adaptive shuffle-partition count for the CC rounds.
+
+    The star ops shuffle the (contracted, fixed-16-byte-row) edge list
+    ~6x per round, and every round materializes through
+    ``localCheckpoint`` — an RDD-level action that bypasses AQE, so the
+    session's ``spark.sql.shuffle.partitions`` (sized for the *data*
+    queries) applies uncoalesced. On a near-dup graph the edge list is
+    orders of magnitude smaller than the corpus: with the session
+    default, one measured round over 256 edges ran ~200 near-empty
+    tasks and task scheduling was 80%+ of the round (1.8 s → 0.3 s
+    with the count sized to the data). Derive the count from the
+    materialized edge count instead, capped at the session setting so a
+    100 TB edge list still gets the cluster-sized fan-out.
+    """
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" on Connect-style sessions
+        cap = 200
+    need = -(-n_edges // _CC_ROWS_PER_PARTITION)  # ceil-div
+    return max(1, min(cap, need))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    pre_canonical: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -140,43 +185,100 @@ def connected_components(
     the node's component (roots map to themselves). Nodes with no edges
     don't appear — union them in with ``assign_components``.
 
+    ``pre_canonical`` promises the input already holds one row per
+    unordered pair (see ``_canonical_edges``), skipping a full-edge-list
+    dedup shuffle.
+
     Raises ``RuntimeError`` if the star fixpoint is not reached within
     ``max_iter`` alternating rounds (2^max_iter node span — never in
     practice; a hit means pathological input like id overflow).
     """
-    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        stars = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        cur = stars
-        # Convergence = the output is already a star forest, which needs
-        # BOTH conditions: (1) no root (b side) appears as a child
-        # (a side) — no chains; (2) every child has exactly ONE parent —
-        # a child bridging two roots (e.g. edges (3,1),(3,2)) satisfies
-        # (1) alone while the component is still split, the bug a
-        # (1)-only probe shipped: nodes came back with two component
-        # labels. A star forest is a fixpoint of both star operations
-        # and both ops preserve connectivity, so stopping at (1)∧(2) is
-        # exact — and still fires one round earlier than the old
-        # output-stability signature (which recomputed both stars just
-        # to observe no change). Both probes run on checkpointed data:
-        # a semi-join isEmpty that short-circuits at the first witness,
-        # and a map-side-combinable duplicate-child count.
-        non_root_parents = stars.join(
-            stars.select(F.col("a").alias("_child")),
-            F.col("b") == F.col("_child"),
-            "left_semi",
+    from pyspark import StorageLevel
+
+    e = _canonical_edges(edges, src, dst, pre_canonical)
+    # Materialize the edge list through persist+count FIRST, then
+    # checkpoint from the cache: ``localCheckpoint`` compiles and runs
+    # the plan through ``toRdd``, which bypasses AQE — a direct eager
+    # checkpoint re-executed the whole (often expensive) pair-producing
+    # subtree with uncoalesced full-width shuffles. The count both
+    # drives the AQE-enabled execution and is needed anyway: it sizes
+    # the loop's shuffles (_cc_loop_partitions) and lets the zero-edge
+    # corpus skip the loop outright — an all-unique input otherwise
+    # paid a full star round + probe to discover nothing. The cache is
+    # dropped as soon as the checkpoint has copied it (edges are two
+    # longs per row — MEMORY_AND_DISK spills, never OOMs).
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_edges = e.count()
+        cur = e.localCheckpoint(eager=True)
+    finally:
+        e.unpersist(False)
+    spark = cur.sparkSession
+    if n_edges == 0:
+        return cur.select(
+            F.col("a").alias("node"), F.col("b").alias("component")
         )
-        multi_parent = (
-            stars.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("_np"))
-            .where(F.col("_np") > 1)
-        )
-        if non_root_parents.isEmpty() and multi_parent.isEmpty():
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
+    loop_parts = _cc_loop_partitions(spark, n_edges)
+    conf_key = "spark.sql.shuffle.partitions"
+    prior_parts = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            # eager=False: the logical plan is truncated (LogicalRDD)
+            # immediately, but materialization is deferred to the
+            # convergence probe below — whose shuffle-map stage scans
+            # every stars partition anyway — so each round runs ONE job
+            # (probe incl. star computation + checkpoint write) instead
+            # of two (separate eager-checkpoint job, then probe jobs).
+            # Measured per-round driver latency is the round's floor at
+            # this scale, so one fewer job is one fewer ~0.2 s barrier.
+            stars = _small_star(_large_star(cur)).localCheckpoint(
+                eager=False
+            )
+            cur = stars
+            # Convergence = the output is already a star forest, which
+            # needs BOTH conditions: (1) no root (b side) appears as a
+            # child (a side) — no chains; (2) every child has exactly
+            # ONE parent — a child bridging two roots (e.g. edges
+            # (3,1),(3,2)) satisfies (1) alone while the component is
+            # still split, the bug a (1)-only probe shipped: nodes came
+            # back with two component labels. A star forest is a
+            # fixpoint of both star operations and both ops preserve
+            # connectivity, so stopping at (1)∧(2) is exact — and still
+            # fires one round earlier than the old output-stability
+            # signature (which recomputed both stars just to observe no
+            # change). Both conditions ride ONE job over the
+            # checkpointed stars (the old shape ran a semi-join job for
+            # (1) and an aggregate job for (2) every round): each edge
+            # contributes its child (a, tagged 1) and its root (b,
+            # tagged 0) to one map-side-combinable aggregate, where a
+            # node with more than one child row violates (2) and a node
+            # carrying both roles violates (1); ``isEmpty`` still
+            # short-circuits at the first witness.
+            roles = stars.select(
+                F.col("a").alias("_n"), F.lit(1).alias("_c")
+            ).unionAll(
+                stars.select(F.col("b").alias("_n"), F.lit(0).alias("_c"))
+            )
+            violations = (
+                roles.groupBy("_n")
+                .agg(
+                    F.sum("_c").alias("_nc"),
+                    F.count(F.lit(1)).alias("_nt"),
+                )
+                .where(
+                    (F.col("_nc") > 1)
+                    | ((F.col("_nc") > 0) & (F.col("_nt") > F.col("_nc")))
+                )
+            )
+            if violations.isEmpty():
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set(conf_key, prior_parts)
     # Fixpoint is a star forest with b = root < a: every non-root node
     # has exactly one outgoing edge to its component minimum.
     members = cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
@@ -195,10 +297,13 @@ def assign_components(
     src: str = "id_a",
     dst: str = "id_b",
     out_col: str = "component",
+    pre_canonical: bool = False,
 ) -> DataFrame:
     """Attach a cluster id to every row of ``df``: the component minimum
     for rows that near-dup with anything, the row's own id otherwise
-    (singleton clusters)."""
+    (singleton clusters). ``pre_canonical`` is forwarded to
+    ``connected_components`` (skip the edge dedup shuffle when ``pairs``
+    already holds one row per unordered pair)."""
     from dask_felleskomponenter_spark.operators.shuffle import (
         ensure_absent,
         fresh_name,
@@ -230,7 +335,9 @@ def assign_components(
     # exists for.
     id_name = fresh_name("_cc_id", df, extra={out_col})
     comp_name = fresh_name("_cc_comp", df, extra={out_col, id_name})
-    cc = connected_components(pairs, src, dst).select(
+    cc = connected_components(
+        pairs, src, dst, pre_canonical=pre_canonical
+    ).select(
         F.col("node").alias(id_name), F.col("component").alias(comp_name)
     )
     return (

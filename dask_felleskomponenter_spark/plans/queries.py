@@ -851,7 +851,7 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
     )
     assigned = assign_components(
-        docs.select("doc_id"), "doc_id", pairs
+        docs.select("doc_id"), "doc_id", pairs, pre_canonical=True
     )
     sizes = assigned.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -1297,7 +1297,8 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         deduped, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
     )
-    assigned = assign_components(deduped, "doc_id", pairs)
+    # pre_canonical: the Jaccard groupBy emits one row per (a < b) pair
+    assigned = assign_components(deduped, "doc_id", pairs, pre_canonical=True)
     reps = assigned.where(F.col("doc_id") == F.col("component"))
     return (
         reps.select("doc_id", "lang", "n_tokens", "quality")
@@ -1405,7 +1406,10 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_neardup_pairs(emb, threshold=0.4, n_blocks=8)
-    assigned = assign_components(emb.select("vec_id"), "vec_id", pairs)
+    # pre_canonical: the GEMM tiles emit one row per (a < b) pair
+    assigned = assign_components(
+        emb.select("vec_id"), "vec_id", pairs, pre_canonical=True
+    )
     sizes = assigned.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -5438,25 +5442,33 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight reaches half the total (2·cumw ≥ total in exact DECIMAL —
     no FP compare).
 
-    Scale: the pre-agg is the shuffle; the per-flag window sorts only
-    distinct prices (the 100 TB path buckets prices first — same
-    two-pass idea one level deeper)."""
+    Scale: one shuffle on the flag; the RANGE frame makes the
+    cumulative weight per-price directly (the 100 TB path buckets
+    prices first — same two-pass idea one level deeper).
+
+    The per-(flag, price) pre-aggregation this used to run was a
+    measured pessimization: prices are near-unique (594k groups from
+    600k rows at sf0.1), so the "pre-combine" reduced nothing and paid
+    two decimal hash-aggregations plus an extra exchange before the
+    window. A RANGE-frame cumulative sum over the raw rows computes the
+    identical per-price cumulative weight — a RANGE frame's peer group
+    IS "all rows of this price" — in one shuffle (2.6 s → 1.4 s, same
+    rows; plans/r10/weighted_median_lineitem_*.txt)."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_price = (
-        li.where(
-            F.col("l_extendedprice").isNotNull()
-            & F.col("l_quantity").isNotNull()
-        )
-        .groupBy("l_returnflag", "l_extendedprice")
-        .agg(F.sum(dmoney("l_quantity")).alias("w"))
+    base = li.where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select("l_returnflag", "l_extendedprice", dmoney("l_quantity").alias("_w"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wc = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     wt = Window.partitionBy("l_returnflag")
-    cum = per_price.select(
+    cum = base.select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum("w").over(wc).alias("cumw"),
-        F.sum("w").over(wt).alias("totw"),
+        F.sum("_w").over(wc).alias("cumw"),
+        F.sum("_w").over(wt).alias("totw"),
     )
     picked = cum.where(F.col("cumw") * 2 >= F.col("totw")).groupBy(
         "l_returnflag"

@@ -113,6 +113,23 @@ def get_spark(
         # surfaces must not drift.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` under every non-outer explode/posexplode and
+        # pushes it through the projections — re-inlining the generator
+        # input expression into an interpreted Filter. For this
+        # engine's staged token/shingle arrays that meant the whole
+        # tokenizer re-ran ~14x per row before the real projection ran
+        # it once more (measured 3x on the inverted-index explode, the
+        # stage every dedup/similarity operator starts with). The
+        # rule's upside — pruning empty-array rows before the generate
+        # — is a row-count nicety this engine's exploders don't need;
+        # its downside scales with the generator expression, which is
+        # exactly what a 100 TB text pipeline makes expensive.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         # normalize truthy env values — the JVM accepts only true/false
         .config("spark.ui.enabled", _env_flag("SPARK_UI_ENABLED"))
         .config("spark.driver.maxResultSize", "2g")
@@ -164,6 +181,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # PARQUET_TYPE_ILLEGAL (load_table also sets it, but a tuned
         # session should not depend on load_table having run first)
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # see get_spark: the inferred pre-generate filter re-inlines
+        # expensive generator inputs (tokenizer ~14x per row)
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        ),
     ):
         try:
             spark.conf.set(key, value)
