@@ -148,6 +148,65 @@ def _small_star(e: DataFrame) -> DataFrame:
 _CC_ROWS_PER_PARTITION = 262_144
 
 
+#: Edge count at or below which the whole component computation runs as
+#: ONE union-find task instead of the star-contraction loop. Matches
+#: _CC_ROWS_PER_PARTITION: "the loop would run every shuffle in a
+#: single partition anyway" is exactly the regime where 4-6 sequential
+#: driver-coordinated rounds (each a full plan-compile + job barrier,
+#: measured ~0.55 s/round on a 920-edge graph — latency, not work) lose
+#: to one task walking the edges once. The adaptive pick mirrors AQE's
+#: own size-based re-planning and uses a statistic (the materialized
+#: edge count) the optimizer doesn't have.
+_CC_SINGLE_TASK_EDGES = _CC_ROWS_PER_PARTITION
+
+
+def _single_task_components(edges: DataFrame) -> DataFrame:
+    """Exact components of a small canonical edge list in ONE task.
+
+    ``coalesce(1)`` (no shuffle — the checkpointed partitions are read
+    by a single task) feeds every edge to one ``mapInPandas`` worker
+    running path-compressed union-find with union-toward-the-minimum,
+    so each node's final root IS its component minimum — byte-identical
+    output to the star-loop fixpoint (pytest pins both paths against
+    the same model). Bounded by ``_CC_SINGLE_TASK_EDGES`` rows of two
+    longs, so the task never sees more than a few MB."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", LongType()),
+            StructField("component", LongType()),
+        ]
+    )
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"node": nodes, "component": [find(n) for n in nodes]}
+            )
+
+    return edges.coalesce(1).mapInPandas(uf, schema=schema)
+
+
 def _cc_loop_partitions(spark, n_edges: int) -> int:
     """Scale-adaptive shuffle-partition count for the CC rounds.
 
@@ -177,6 +236,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     pre_canonical: bool = False,
+    small_graph_cutoff: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -188,6 +248,12 @@ def connected_components(
     ``pre_canonical`` promises the input already holds one row per
     unordered pair (see ``_canonical_edges``), skipping a full-edge-list
     dedup shuffle.
+
+    ``small_graph_cutoff`` (default ``_CC_SINGLE_TASK_EDGES``): edge
+    lists at or below this size solve in one union-find task
+    (``_single_task_components``) instead of the star loop — identical
+    output, none of the loop's per-round job latency. Pass ``0`` to
+    force the star loop (the scale path; tests pin both).
 
     Raises ``RuntimeError`` if the star fixpoint is not reached within
     ``max_iter`` alternating rounds (2^max_iter node span — never in
@@ -218,6 +284,13 @@ def connected_components(
         return cur.select(
             F.col("a").alias("node"), F.col("b").alias("component")
         )
+    cutoff = (
+        _CC_SINGLE_TASK_EDGES
+        if small_graph_cutoff is None
+        else small_graph_cutoff
+    )
+    if n_edges <= cutoff:
+        return _single_task_components(cur)
     loop_parts = _cc_loop_partitions(spark, n_edges)
     conf_key = "spark.sql.shuffle.partitions"
     prior_parts = spark.conf.get(conf_key)

@@ -3263,23 +3263,51 @@ def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: these are one-pass co-moment aggregates over doubles,
     so parallel summation differs from a serial engine only in the last
     ulps; results are rounded well above that noise floor (and the
-    parity harness re-rounds at 1e-9)."""
+    parity harness re-rounds at 1e-9).
+
+    The exact median is computed in its OWN aggregation and joined back
+    (3 rows): one ``median`` in the shared agg forced the whole
+    8-aggregate pass into ``ObjectHashAggregate`` — no whole-stage
+    codegen and per-partition value buffers shipped for every column —
+    while split out, the seven co-moment aggregates plan as a codegen'd
+    partial ``HashAggregate`` and only the median side pays the
+    value-buffer price on its two needed columns (2.0 s → 1.3 s,
+    identical values at every SF;
+    plans/r10/stats_regression_lineitem_*.txt)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("double").alias("q"),
         F.col("l_extendedprice").cast("double").alias("p"),
     )
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr("p", "q"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("p", "q"), 3).alias("covar_pq"),
+        F.round(F.regr_slope("p", "q"), 4).alias("slope"),
+        F.round(F.regr_intercept("p", "q"), 3).alias("intercept"),
+        F.round(F.regr_r2("p", "q"), 6).alias("r2"),
+        F.round(F.stddev_samp("q"), 6).alias("stddev_qty"),
+    )
+    med = li.groupBy(F.col("l_returnflag").alias("_mf")).agg(
+        F.round(F.median("p"), 6).alias("median_price")
+    )
+    # null-safe equi-join: both sides aggregate the same rows, so every
+    # flag (including a NULL group, which a plain equi-join would drop)
+    # matches exactly once — semantics identical to the single-agg form
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.corr("p", "q"), 6).alias("corr_pq"),
-            F.round(F.covar_samp("p", "q"), 3).alias("covar_pq"),
-            F.round(F.regr_slope("p", "q"), 4).alias("slope"),
-            F.round(F.regr_intercept("p", "q"), 3).alias("intercept"),
-            F.round(F.regr_r2("p", "q"), 6).alias("r2"),
-            F.round(F.median("p"), 6).alias("median_price"),
-            F.round(F.stddev_samp("q"), 6).alias("stddev_qty"),
+        base.join(
+            med, F.col("l_returnflag").eqNullSafe(F.col("_mf")), "inner"
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "corr_pq",
+            "covar_pq",
+            "slope",
+            "intercept",
+            "r2",
+            "median_price",
+            "stddev_qty",
         )
         .orderBy("l_returnflag")
     )
@@ -5546,9 +5574,23 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = n_ab·N / (n_a·n_b) from EXACT integer counts divided once.
     Top 20 by rounded lift with a pair tie-break.
 
-    Scale: the self-join is keyed on o_orderkey and each order holds
-    ≤7 lines → ≤21 pairs (bounded fan-out, never quadratic in the
-    table); brand marginals broadcast (25 brands)."""
+    Scale: ONE scan of the fact table. The old shape consumed the
+    (order, brand) relation four ways — self-join for pairs, marginal
+    groupBy, distinct-order count — re-deriving the join+distinct
+    subtree each time (5 lineitem scans in the initial plan; runtime
+    ReuseExchange collapsed them locally, which is why this rewrite
+    measures neutral at sf0.1, but a 100 TB fact table cannot rely on
+    exchange reuse across four differently-keyed consumers). Now the
+    per-order sorted brand set is built once (collect_set dedups in the
+    same shuffle the old distinct paid), and a single explode emits all
+    three unit kinds — brand pairs (a < b via the sorted array), single
+    brands (marginals), and one per-order marker (order count) — so one
+    groupBy counts everything; each order holds ≤7 lines → ≤21 pairs
+    (bounded fan-out, never quadratic). NULL lockstep with the old
+    self-join: NULL-orderkey groups emit singles only (an equi-join
+    never matched them, but their distinct (NULL, brand) rows fed the
+    marginals), and the marker replicates count_distinct's NULL
+    exclusion. Brand marginals broadcast (25 brands)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     ob = (
@@ -5558,32 +5600,50 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         )
         .select("l_orderkey", "p_brand")
-        .distinct()
     )
-    n_orders = ob.agg(
-        F.count_distinct(F.col("l_orderkey")).alias("n_orders")
+    per_order = ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("_bs")
     )
-    a = ob.select(
-        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    pairs_arr = F.expr(
+        "flatten(transform(_bs, (x, i) -> transform("
+        "slice(_bs, i + 2, size(_bs)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
     )
-    b = ob.select(
-        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b")
+    singles_arr = F.expr(
+        "transform(_bs, x -> "
+        "struct(x AS brand_a, CAST(NULL AS STRING) AS brand_b))"
     )
-    pairs = (
-        a.join(b, "k")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+    marker = F.expr(
+        "array(struct(CAST(NULL AS STRING) AS brand_a, "
+        "CAST(NULL AS STRING) AS brand_b))"
     )
-    marg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    units = per_order.select(
+        F.explode(
+            F.when(F.col("l_orderkey").isNull(), singles_arr).otherwise(
+                F.concat(pairs_arr, singles_arr, marker)
+            )
+        ).alias("u")
+    ).select("u.brand_a", "u.brand_b")
+    counts = units.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    pairs = counts.where(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNotNull()
+    ).select("brand_a", "brand_b", F.col("_n").alias("n_ab"))
+    marg = counts.where(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
+    ).select(F.col("brand_a").alias("_mb"), F.col("_n").alias("n_b"))
+    n_orders = counts.where(
+        F.col("brand_a").isNull() & F.col("brand_b").isNull()
+    ).select(F.col("_n").alias("n_orders"))
     out = (
         pairs.join(
-            F.broadcast(marg.select(F.col("p_brand").alias("brand_a"),
+            F.broadcast(marg.select(F.col("_mb").alias("brand_a"),
                                     F.col("n_b").alias("n_a"))),
             "brand_a",
         )
         .join(
-            F.broadcast(marg.select(F.col("p_brand").alias("brand_b"),
+            F.broadcast(marg.select(F.col("_mb").alias("brand_b"),
                                     F.col("n_b").alias("n_bb"))),
             "brand_b",
         )

@@ -61,9 +61,11 @@ def test_self_loops_and_duplicates_ignored(spark):
 def test_long_chain_converges_logarithmically(spark):
     """A 64-node path has diameter 63; naive propagation needs 63
     rounds. Large-star/small-star must finish inside the default
-    max_iter=25 (expected ~log2(64)+O(1))."""
+    max_iter=25 (expected ~log2(64)+O(1)). ``small_graph_cutoff=0``
+    forces the star loop — the default would solve this in the
+    single-task path."""
     edges = [(i, i + 1) for i in range(64)]
-    got = _cc(spark, edges)
+    got = _cc(spark, edges, small_graph_cutoff=0)
     assert set(got.values()) == {0}
     assert len(got) == 65
 
@@ -76,6 +78,22 @@ def test_random_graph_matches_union_find(spark):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     assert _cc(spark, edges) == _model(edges)
+
+
+def test_star_loop_matches_union_find(spark):
+    """The scale path (star contraction, forced via cutoff=0) must
+    produce byte-identical components to the default single-task
+    union-find path on the same random graph — the two-path contract
+    the small-graph cutover introduced."""
+    rng = random.Random(7)
+    nodes = list(range(300))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(180)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    star = _cc(spark, edges, small_graph_cutoff=0)
+    single = _cc(spark, edges)
+    assert star == single == _model(edges)
 
 
 def test_assign_components_covers_singletons(spark):
@@ -109,11 +127,13 @@ def test_graph_type_guard_names_missing_columns(spark):
 
 
 def test_nonconvergence_raises(spark):
+    """``small_graph_cutoff=0`` forces the star loop — the single-task
+    union-find path has no iteration count to exhaust."""
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, small_graph_cutoff=0)
 
 
 def test_bridge_child_with_two_roots_converges_fully(spark):
