@@ -420,3 +420,68 @@ def assign_components(
         )
         .drop(id_name, comp_name)
     )
+
+
+def assign_components_with_sizes(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    out_col: str = "component",
+    size_col: str = "cluster_size",
+    pre_canonical: bool = False,
+) -> DataFrame:
+    """``assign_components`` plus a ``size_col`` member count per
+    cluster — fused so the sizes aggregate over the O(edges) component
+    table instead of the O(corpus) assigned output.
+
+    The unfused shape (``assign_components`` → ``groupBy(component)``
+    → join back) computes the corpus⟕cc join twice and shuffles a
+    corpus-sized sizes table into a corpus×corpus join, because
+    singleton clusters make ``sizes`` as big as the corpus. But the
+    member count is already determined by the component table alone:
+    every member of a multi-node cluster shares an edge, so it appears
+    in ``connected_components`` output exactly once, and every id NOT
+    in that output is a singleton with size exactly 1. Counting cc
+    rows per component therefore IS the cluster size (ids are unique
+    keys — the same contract the dedup pipeline and the oracle's
+    per-id recursive CTE already assume), and the corpus is joined
+    ONCE against the edge-bounded cc⋈sizes table; at sf0.1 AQE
+    broadcasts it, at cluster scale it stays an un-hinted shuffle join
+    of corpus × O(dup-docs) — strictly less data than the unfused
+    corpus × corpus join. Equivalence is pinned in
+    ``tests/test_graph.py`` against the unfused composition."""
+    from dask_felleskomponenter_spark.operators.shuffle import (
+        ensure_absent,
+        fresh_name,
+        quoted_col,
+    )
+
+    ensure_absent(out_col, df, what="out_col")
+    ensure_absent(size_col, df, what="size_col")
+    _require_integral_ids(df, [id_col], "assign_components_with_sizes")
+    df = df.withColumn(
+        id_col, _nonnull_guard(id_col, dict(df.dtypes)[id_col],
+                               "assign_components_with_sizes")
+    )
+    id_name = fresh_name("_cc_id", df, extra={out_col, size_col})
+    comp_name = fresh_name("_cc_comp", df, extra={out_col, size_col, id_name})
+    n_name = fresh_name("_cc_n", df, extra={out_col, size_col, id_name,
+                                            comp_name})
+    cc = connected_components(
+        pairs, src, dst, pre_canonical=pre_canonical
+    ).select(
+        F.col("node").alias(id_name), F.col("component").alias(comp_name)
+    )
+    sizes = cc.groupBy(comp_name).agg(F.count(F.lit(1)).alias(n_name))
+    cc_sized = cc.join(sizes, on=comp_name)
+    return (
+        df.join(cc_sized, on=quoted_col(id_col) == cc_sized[id_name],
+                how="left")
+        .withColumn(
+            out_col, F.coalesce(comp_name, quoted_col(id_col).cast("long"))
+        )
+        .withColumn(size_col, F.coalesce(n_name, F.lit(1).cast("long")))
+        .drop(id_name, comp_name, n_name)
+    )

@@ -49,7 +49,10 @@ from dask_felleskomponenter_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
 )
-from dask_felleskomponenter_spark.operators.graph import assign_components
+from dask_felleskomponenter_spark.operators.graph import (
+    assign_components,
+    assign_components_with_sizes,
+)
 from dask_felleskomponenter_spark.operators.similarity import (
     as_double_vec,
     cosine_topk_per_query,
@@ -837,27 +840,30 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the step a dedup pipeline runs between candidate pairs and
     representative selection; O(log n) rounds, two shuffles per round,
     so a million-link boilerplate chain still terminates at 100 TB.
-    Cluster sizes come from a map-side-combinable groupBy joined back
-    WITHOUT a broadcast hint: ``sizes`` has one row per component and
-    singletons keep their own id, so its cardinality is O(n) — a forced
-    broadcast would exceed the 8 GiB cap at corpus scale. ``assigned``
-    is already hash-partitioned by ``component`` from the groupBy, so
-    the shuffled hash join co-partitions for free, and AQE still picks
-    a broadcast when the table is genuinely small. (A window over the
-    cluster stays off the table regardless: a pathological giant
-    cluster would funnel all its rows through one reducer's sort.)"""
+    Cluster sizes are fused into the assignment
+    (``assign_components_with_sizes``): every member of a multi-doc
+    cluster appears in the cc table exactly once, so counting cc rows
+    per component IS the member count and singletons are size 1 by
+    construction — the sizes aggregate runs over O(edges) rows, not
+    the O(corpus) assigned output, and the corpus is joined once, not
+    twice. The cc⋈sizes table is joined back WITHOUT a broadcast hint
+    (O(duplicate docs) at corpus scale — a forced broadcast would
+    exceed the 8 GiB cap; AQE still picks a broadcast when it is
+    genuinely small). (A window over the cluster stays off the table
+    regardless: a pathological giant cluster would funnel all its rows
+    through one reducer's sort.)"""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
     )
-    assigned = assign_components(
-        docs.select("doc_id"), "doc_id", pairs, pre_canonical=True
-    )
-    sizes = assigned.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
+    # Fused sizes: counted over the O(edges) cc table, corpus joined
+    # once (see assign_components_with_sizes — the unfused groupBy-
+    # over-assigned shape computed the docs⟕cc join twice and shuffled
+    # a corpus-sized sizes table into a corpus×corpus join).
     return (
-        assigned.join(sizes, on="component")
+        assign_components_with_sizes(
+            docs.select("doc_id"), "doc_id", pairs, pre_canonical=True
+        )
         .select("doc_id", "component", "cluster_size")
         .orderBy("doc_id")
     )
@@ -1395,26 +1401,27 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs→clusters→representatives shape as the text-Jaccard pipeline
     (``neardup_cluster_assign``) with the candidate generator swapped —
     the point of keeping pair generation and clustering as separate
-    operators. Cluster sizes via map-side-combinable groupBy joined
-    back WITHOUT a broadcast hint (one row per component ⇒ O(n) rows —
-    a forced broadcast OOMs at corpus scale; the co-partitioned
-    shuffled join is free and AQE broadcasts when genuinely small),
-    never a window over the cluster."""
+    operators. Cluster sizes fused into the assignment
+    (``assign_components_with_sizes``: counted over the O(edges) cc
+    table, corpus joined once, no broadcast hint — a forced broadcast
+    of the O(duplicate-docs) cc⋈sizes table OOMs at corpus scale; AQE
+    broadcasts when genuinely small), never a window over the
+    cluster."""
     from dask_felleskomponenter_spark.operators.similarity import (
         cosine_neardup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_neardup_pairs(emb, threshold=0.4, n_blocks=8)
-    # pre_canonical: the GEMM tiles emit one row per (a < b) pair
-    assigned = assign_components(
-        emb.select("vec_id"), "vec_id", pairs, pre_canonical=True
-    )
-    sizes = assigned.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
+    # pre_canonical: the GEMM tiles emit one row per (a < b) pair.
+    # Fused sizes: counted over the O(edges) cc table, corpus joined
+    # once (see assign_components_with_sizes — the unfused groupBy-
+    # over-assigned shape computed the emb⟕cc join twice and shuffled
+    # a corpus-sized sizes table).
     return (
-        assigned.join(sizes, on="component")
+        assign_components_with_sizes(
+            emb.select("vec_id"), "vec_id", pairs, pre_canonical=True
+        )
         .select("vec_id", "component", "cluster_size")
         .orderBy("vec_id")
     )

@@ -106,6 +106,55 @@ def test_assign_components_covers_singletons(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
 
 
+def test_assign_with_sizes_matches_unfused_composition(spark):
+    """The fused operator (sizes counted over the O(edges) cc table)
+    must match the unfused composition (assign_components → groupBy
+    component → join back) row-for-row, including singletons (size 1),
+    on a random graph over ids with members absent from any pair."""
+    from dask_felleskomponenter_spark.operators.graph import (
+        assign_components_with_sizes,
+    )
+
+    rng = random.Random(11)
+    docs = spark.range(120).select(F.col("id").alias("doc_id"))
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+    assigned = assign_components(docs, "doc_id", pairs)
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    unfused = {
+        (r["doc_id"], r["component"], r["cluster_size"])
+        for r in assigned.join(sizes, on="component").collect()
+    }
+    fused = {
+        (r["doc_id"], r["component"], r["cluster_size"])
+        for r in assign_components_with_sizes(
+            docs, "doc_id", pairs
+        ).collect()
+    }
+    assert fused == unfused
+
+
+def test_assign_with_sizes_rejects_size_col_collision(spark):
+    """size_col is an output-contract name like out_col — a collision
+    must raise, not silently replace the user's column."""
+    from dask_felleskomponenter_spark.operators.graph import (
+        assign_components_with_sizes,
+    )
+
+    docs = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit(9).alias("cluster_size")
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError):
+        assign_components_with_sizes(docs, "doc_id", pairs)
+
+
 def test_assign_components_rejects_string_ids(spark):
     """The singleton fallback is cast('long'); string ids must fail
     loudly at plan-build time (like the edge side) instead of silently

@@ -910,21 +910,28 @@ def _broadcast_exchange_blocks(plan: str) -> list[str]:
     "name", ["neardup_cluster_assign", "semantic_cluster_assign"]
 )
 def test_cluster_size_join_is_never_forced_broadcast(spark, name):
-    """The per-component size table has one row per input id (singletons
-    keep their own id as component), so it is O(n) rows — a broadcast
-    HINT on it guarantees an over-cap driver/executor OOM at 100 TB.
-    With auto-broadcast disabled, only hinted broadcasts survive
-    planning: assert no BroadcastExchange in the plan carries the
-    ``cluster_size`` aggregate. (The bounded hot-shingle correction in
+    """The fused sizes table (assign_components_with_sizes) is bounded
+    by the cc edge list — but at 100 TB that is still O(duplicate
+    docs), which can be a large fraction of the corpus, so a broadcast
+    HINT on the cc⋈sizes table guarantees an over-cap driver/executor
+    OOM exactly like the old O(n) per-id sizes table did. With
+    auto-broadcast disabled, only hinted broadcasts survive planning:
+    assert no BroadcastExchange in the plan carries the component-size
+    aggregate (its internal ``_cc_n`` count or the output
+    ``cluster_size``). (The bounded hot-shingle correction in
     ngram_jaccard_pairs may legitimately broadcast; it never carries
-    cluster_size.)"""
+    either.)"""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = plan_of(spark, name)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    offenders = [b for b in _broadcast_exchange_blocks(plan) if "cluster_size" in b]
+    offenders = [
+        b
+        for b in _broadcast_exchange_blocks(plan)
+        if "cluster_size" in b or "_cc_n" in b
+    ]
     assert not offenders, offenders
     # the sizes join must still exist as a co-partitioned shuffled join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
