@@ -374,10 +374,21 @@ def ngram_jaccard_pairs(
             "_df", F.count(F.lit(1)).over(_W.partitionBy("_s"))
         )
         kept = tagged.filter(F.col("_df") <= int(max_shingle_df)).drop("_df")
+        # count("_set_size"), not count(1): on explode-survivor rows the
+        # two are identical (_set_size is size(_sh) of the row's own
+        # non-null array — a NULL/empty array emits no index rows), but
+        # counting the COLUMN keeps _set_size referenced in this branch,
+        # so column pruning projects the same (_id, _set_size, _s) set
+        # under both consumers of the pinned exchange and ReuseExchange
+        # actually collapses them. With count(1) the drops subtree got
+        # its own narrower exchange AND re-ran the whole scan+tokenize+
+        # shingle+explode map stage to feed it (measured: 2 single-task
+        # 1.1 s map stages instead of 1 at sf0.1 — the "shares the
+        # index exchange" claim below was aspirational until this).
         drops = (
             tagged.filter(F.col("_df") > int(max_shingle_df))
             .groupBy("_id")
-            .agg(F.count(F.lit(1)).alias("_n_dropped"))
+            .agg(F.count("_set_size").alias("_n_dropped"))
         )
         inv = (
             kept.join(F.broadcast(drops), "_id", "left")

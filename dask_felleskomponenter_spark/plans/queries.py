@@ -112,6 +112,26 @@ def ordered_output(df: DataFrame, *sort_cols: str) -> DataFrame:
 
 
 
+def python_fanout(df: DataFrame, key: str) -> DataFrame:
+    """Moderate pinned fan-out for multi-stage Python pipelines.
+
+    ``scan_fanout`` (full shuffle-partition width) is the right escape
+    hatch for JVM-side per-row compute, but every task of every
+    pandas-UDF / ``mapInPandas`` stage pays a fresh Python worker spawn
+    plus numpy/pandas import (``spark.python.worker.reuse=false`` —
+    required, see session.py), a per-task CONSTANT that full width
+    multiplies by stages × partitions: the image profile measured
+    2.4 s at width 32, 1.46 s at 8, and 2.2 s single-task. A quarter
+    of the cores keeps the decode parallel while paying 4× fewer
+    spawns per stage; the count derives from ``defaultParallelism`` so
+    a cluster still fans out proportionally (never below 4)."""
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        cores = 16
+    return df.repartition(max(4, cores // 4), key)
+
+
 def scan_fanout(df: DataFrame, key: str) -> DataFrame:
     """Decouple per-row CPU parallelism from file layout.
 
@@ -821,7 +841,14 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus where the cap actually removes shingles — the declared query
     exercises the exact shape that survives boilerplate-heavy data at
     100 TB, not a benign-data special case."""
-    docs = load_table(spark, sf_dir, "documents")
+    # scan_fanout: the one-row-group testdata parquet caps the scan at
+    # ONE task, serializing the tokenize+shingle+explode map stage
+    # (measured 1.1 s single-task at sf0.1); the pinned hash exchange
+    # fans the per-row CPU across the cluster before it.
+    docs = scan_fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
     )
@@ -853,8 +880,12 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless: a pathological giant cluster would funnel all its rows
     through one reducer's sort.)"""
     docs = load_table(spark, sf_dir, "documents")
+    # scan_fanout on the pair-generation input only (see
+    # neardup_jaccard_pairs); the assignment side keeps the pruned
+    # 1-column doc_id scan.
     pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
+        scan_fanout(docs.select("doc_id", "text"), "doc_id"),
+        "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
     )
     # Fused sizes: counted over the O(edges) cc table, corpus joined
     # once (see assign_components_with_sizes — the unfused groupBy-
@@ -1282,7 +1313,15 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is a FILTER (``doc_id == component`` — the component id IS
     the minimum member), not a window, so a pathological giant cluster
     costs nothing extra."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # scan_fanout: one-row-group parquet caps the scan at ONE task, and
+    # the quality projections would otherwise run single-threaded
+    # inside it (~0.7 s at sf0.1)
+    docs = scan_fanout(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        ),
+        "doc_id",
+    )
     # token arrays staged once (interpreted-projection CSE gap — see
     # functions/text.py quality_score); dropped before the dedup stage
     scored = (
@@ -1299,7 +1338,20 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_toks", "_ltoks")
     )
     kept = scored.where(F.col("quality") >= 0.7)
-    deduped = exact_dedup(kept, "text", order_by=[F.col("doc_id").asc()])
+    # The deduped subtree has TWO consumers in one execution: the
+    # Jaccard/CC edge materialization (connected_components runs it
+    # eagerly) and the final representative projection. Un-persisted,
+    # the scan + quality scoring + dedup shuffle ran twice per query
+    # execution (~1.2 s of the 4.6 s at sf0.1); a lazy MEMORY_AND_DISK
+    # persist lets the CC materialization populate the cache and the
+    # output side read it (guide §5: reuse + expensive recompute).
+    # Recomputed from parquet on every execution — nothing survives
+    # across runs (the bench clearCache()s between passes).
+    from pyspark import StorageLevel
+
+    deduped = exact_dedup(
+        kept, "text", order_by=[F.col("doc_id").asc()]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = ngram_jaccard_pairs(
         deduped, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=64
     )
@@ -1664,6 +1716,10 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         sniff_media_type,
     )
 
+    # No fan-out here: the FAKM encode/sniff work is light enough that
+    # the single-task scan beats paying a repartition exchange plus
+    # fresh Python worker spawns per fanned task (A/B measured 1.30 s
+    # plain vs 1.44 s at quarter width; see python_fanout).
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     @F.pandas_udf("binary")
@@ -1712,6 +1768,11 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_encode,
     )
 
+    # No fan-out here: WAV encode+header-decode is light enough that
+    # the single-task scan beats a repartition exchange plus per-task
+    # Python worker spawns (A/B measured 1.33 s plain vs 1.49 s at
+    # quarter width; contrast multimodal_audio_features, whose full
+    # sample decode DOES win from fanning out).
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     @F.pandas_udf("binary")
@@ -1766,7 +1827,13 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_encode,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # python_fanout: multi-stage pandas-UDF pipeline behind a one-task
+    # scan; quarter-width fan-out balances decode parallelism against
+    # per-task Python worker spawns (see python_fanout)
+    docs = python_fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     clean = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.regexp_replace("text", r"[^ -~]", "").alias("t")
     )
@@ -1821,7 +1888,13 @@ def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         sniff_media_type,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # python_fanout: multi-stage pandas-UDF pipeline behind a one-task
+    # scan; quarter-width fan-out balances decode parallelism against
+    # per-task Python worker spawns (see python_fanout)
+    docs = python_fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
 
     @F.pandas_udf("binary")
     def to_png(text: pd.Series) -> pd.Series:
@@ -1891,7 +1964,13 @@ def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         sniff_media_type,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # python_fanout: multi-stage pandas-UDF pipeline behind a one-task
+    # scan; quarter-width fan-out balances decode parallelism against
+    # per-task Python worker spawns (see python_fanout)
+    docs = python_fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
 
     @F.pandas_udf("binary")
     def to_avi(text: pd.Series) -> pd.Series:
@@ -3795,8 +3874,11 @@ def raster_contours_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # tile-keyed repartition ahead of the Python stages: the contour
     # work parallelizes per tile, not per input split (locally the
-    # one-row-group scan would otherwise serialize the whole UDF chain)
-    emb = scan_fanout(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # one-row-group scan would otherwise serialize the whole UDF chain).
+    # Quarter-width (python_fanout), not full scan_fanout: two chained
+    # pandas-UDF stages pay a worker spawn per task per stage — full
+    # width spent more on spawns than on contouring.
+    emb = python_fanout(load_table(spark, sf_dir, "embeddings"), "vec_id")
     contoured = emb.select(
         "vec_id",
         "label",
@@ -4009,14 +4091,28 @@ def neardup_crossbatch_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = (
+    # scan_fanout: the signature pipeline is per-row CPU behind a
+    # one-task scan (one-row-group parquet) — fan it out first.
+    docs = scan_fanout(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "source")
-        .filter(F.col("text").isNotNull())
+        .filter(F.col("text").isNotNull()),
+        "doc_id",
     )
-    bb = lsh_band_buckets(
-        minhash_signatures(docs, "doc_id", "text"), "doc_id"
-    ).select("doc_id", "bucket")
+    # bb has THREE consumers in this one plan (history, seen, intra);
+    # un-persisted, the whole tokenize→shingle→64-min-agg signature
+    # pipeline executed three times per run. The persisted rows are
+    # (doc_id, band, bucket) — ~24 B/doc·band, far smaller than the
+    # corpus — and are recomputed from parquet on every execution.
+    from pyspark import StorageLevel
+
+    bb = (
+        lsh_band_buckets(
+            minhash_signatures(docs, "doc_id", "text"), "doc_id"
+        )
+        .select("doc_id", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     history = (
         bb.join(
             docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
