@@ -349,6 +349,14 @@ def simhash_signatures(df, id_col: str, text_col: str, out_col: str = "simhash")
     ``n = 0``, all positives NULL → ``2·pos > n`` false) and
     fingerprints to 0, matching ``simhash64``.
     """
+    # The 64 vote aggregates and the 64-term bucket reassembly are built
+    # as SQL expression STRINGS, not chained Column operators: every
+    # Column method is a py4j round-trip, and the ~500 calls of the
+    # chained form cost 1.3-2.3 s of driver time per invocation
+    # (measured; the expr form is ~0.25 s with a byte-identical result —
+    # plan-construction time sits inside the bench's timed region, and
+    # on a real cluster it is serial driver latency before any task
+    # runs).
     inv = df.select(
         F.col(id_col),
         F.explode_outer(tokens(text_col)).alias("_t"),
@@ -359,19 +367,18 @@ def simhash_signatures(df, id_col: str, text_col: str, out_col: str = "simhash")
         F.when(F.col("_t").isNotNull(), F.xxhash64("_t")).alias("_h"),
     )
     votes = [
-        F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1).cast("long"))).alias(
-            f"_p{b}"
-        )
+        F.expr(f"sum(shiftright(_h, {b}) & CAST(1 AS BIGINT)) AS _p{b}")
         for b in range(64)
     ]
     agg = inv.groupBy(id_col).agg(F.count("_h").alias("_n"), *votes)
-    bucket = F.lit(0).cast("long")
-    for b in range(64):
-        mask = F.shiftleft(F.lit(1).cast("long"), b)
-        bucket = bucket + F.when(
-            F.col(f"_p{b}") * 2 > F.col("_n"), mask
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select(F.col(id_col), bucket.alias(out_col))
+    bucket = " + ".join(
+        f"(CASE WHEN _p{b} * 2 > _n THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64)
+    )
+    qid = id_col.replace("`", "``")
+    qout = out_col.replace("`", "``")
+    return agg.selectExpr(f"`{qid}`", f"({bucket}) AS `{qout}`")
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -126,8 +126,14 @@ def minhash_signatures(
             word_shingles(None, shingle_size, toks=F.col("_tk"))
         ).alias("_s"),
     )
+    # expr strings, not F.min(F.xxhash64(...)) chains: each Column
+    # method is a py4j round-trip and the chained form costs ~0.4 s of
+    # driver plan-construction per invocation at 64 hashes (same
+    # finding as functions/text.py simhash_signatures; results are
+    # byte-identical — the SQL literal {h} is the same INT type as
+    # F.lit(h), so every xxhash64 seed hashes identically).
     mins = [
-        F.min(F.xxhash64("_s", F.lit(h))).alias(f"_h{h}") for h in range(num_hashes)
+        F.expr(f"min(xxhash64(_s, {h})) AS _h{h}") for h in range(num_hashes)
     ]
     sig = F.when(
         F.col("_n") > 0,
