@@ -14,6 +14,7 @@ pushes predicates and prunes columns into the parquet scan
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +37,19 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Per-session memo of the LAZY scan DataFrames, keyed by (abs sf_dir,
+# table). ``spark.read.parquet`` re-reads the footer for schema
+# inference on every call (~0.1 s of serial driver time); a catalog
+# table would resolve from cached metadata instead, and this memo is
+# that catalog behavior for the path-based layout. It caches only the
+# unexecuted logical plan — never rows, never files: every execution
+# of a returned DataFrame still scans the parquet. Weak-keyed so a
+# stopped session's entries become collectable with it; a fresh
+# session (the driver's, each pytest fixture) starts empty.
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _pin_utc(spark: SparkSession) -> None:
@@ -73,9 +87,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    try:
+        memo = _SCAN_MEMO.setdefault(spark, {})
+    except TypeError:  # pragma: no cover - unweakrefable session stub
+        memo = {}
+    key = (os.path.abspath(sf_dir), name)
+    df = memo.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        memo[key] = df
     return df
 
 
