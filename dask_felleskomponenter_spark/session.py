@@ -91,6 +91,23 @@ def get_spark(
             "SPARK_GRAFT_SHUFFLE_PARTITIONS"
         ) or max(par, 8)
 
+    # Pre-importing worker daemon (pydaemon.py): with worker reuse OFF
+    # (required — see below), every task forks a fresh Python worker
+    # and pays `import pandas`/`import pyarrow` (~0.3-0.5 s) inside its
+    # critical path. The daemon-module hook imports the stack once in
+    # the daemon parent so forks inherit it copy-on-write — fresh-fork
+    # semantics at reused-worker import cost. The daemon is spawned as
+    # `python -m <module>` in a fresh process, so the package dir must
+    # be on PYTHONPATH (the env var, not this process's sys.path);
+    # export it before the JVM starts. Static conf: applies when this
+    # factory creates the JVM.
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _py_path = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_root + os.pathsep + _py_path if _py_path else _pkg_root
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
@@ -150,6 +167,17 @@ def get_spark(
         .config(
             "spark.python.worker.reuse",
             _env_flag("SPARK_GRAFT_PY_WORKER_REUSE"),
+        )
+        # Fresh forks inherit a daemon that has ALREADY imported
+        # numpy/pandas/pyarrow (see pydaemon.py and the PYTHONPATH
+        # export above) — removes the per-task import constant the
+        # reuse=false policy would otherwise charge every Python stage.
+        .config(
+            "spark.python.daemon.module",
+            os.environ.get(
+                "SPARK_GRAFT_PY_DAEMON",
+                "dask_felleskomponenter_spark.pydaemon",
+            ),
         )
         # The context cleaner only reclaims shuffle files/broadcasts when
         # driver GC collects their weak refs; with a 16g heap that can be
