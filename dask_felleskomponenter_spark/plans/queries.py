@@ -1416,7 +1416,7 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+    pairs = cosine_neardup_pairs(emb, threshold=0.4)  # n_blocks derived from parallelism (see operator)
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")
@@ -1469,7 +1469,7 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+    pairs = cosine_neardup_pairs(emb, threshold=0.4)  # n_blocks derived from parallelism (see operator)
     # pre_canonical: the GEMM tiles emit one row per (a < b) pair.
     # Fused sizes: counted over the O(edges) cc table, corpus joined
     # once (see assign_components_with_sizes — the unfused groupBy-
@@ -1999,7 +1999,17 @@ def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return text.apply(enc)
 
-    vids = docs.select("doc_id", to_avi("text").alias("vid"))
+    # vids has TWO consumers in this one plan (metadata pass + frame
+    # pass): un-persisted, the to_avi encode stage — a full pandas-UDF
+    # pass over the corpus — executed twice per run (guide §5: persist
+    # when reused AND expensive to recompute). The persisted rows are
+    # (doc_id, few-KB AVI blob); recomputed from parquet on every
+    # execution — the bench clearCache()s between passes.
+    from pyspark import StorageLevel
+
+    vids = docs.select("doc_id", to_avi("text").alias("vid")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     meta = decode_videos(vids, "vid", decoder=decode_video_avi)
     frames = sample_frames(
         vids, "vid", ["doc_id"], every_n=2, decoder=decode_video_avi
