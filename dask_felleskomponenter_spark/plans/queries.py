@@ -112,6 +112,28 @@ def ordered_output(df: DataFrame, *sort_cols: str) -> DataFrame:
 
 
 
+def bounded_sort(df: DataFrame, *sort_cols: str | Column) -> DataFrame:
+    """Total-order a DOMAIN-BOUNDED query output — one bounded by a
+    small key domain at ANY scale factor (status/flag/priority/nation/
+    bucket/grouping-set/decile keys, or a fixed histogram width), never
+    by corpus size.
+
+    A global ``orderBy`` is a range sort: the planner first runs a
+    SAMPLING job over the child stage to pick range bounds, then
+    range-exchanges into parallel sort tasks — two jobs plus an
+    exchange to order what is at most a few hundred rows. For a
+    domain-bounded output the right plan at every scale is ONE
+    single-target exchange feeding an in-task sort: same rows, same
+    total order, one fewer job and no sampling pass (measured
+    0.1-0.25 s per query at sf0.1 on both a 6-row and a 7k-row
+    output). Corpus-sized outputs keep ``orderBy``/``ordered_output``,
+    and top-k queries keep ``orderBy().limit()`` — Spark plans those
+    as TakeOrderedAndProject, which is already sampling-free.
+    Usage: ``.transform(bounded_sort, *keys)`` in place of the final
+    ``.orderBy(*keys)``."""
+    return df.repartition(1).sortWithinPartitions(*sort_cols)
+
+
 def python_fanout(df: DataFrame, key: str) -> DataFrame:
     """Moderate pinned fan-out for multi-stage Python pipelines.
 
@@ -189,7 +211,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum(drate("l_discount")) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(bounded_sort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -252,7 +274,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(revenue.cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .transform(bounded_sort, F.col("revenue").desc(), F.col("n_name"))
     )
 
 
@@ -352,7 +374,7 @@ def agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_total"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
-        .orderBy("o_orderpriority")
+        .transform(bounded_sort, "o_orderpriority")
     )
 
 
@@ -371,7 +393,7 @@ def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "sum_total",
         )
-        .orderBy("status", "priority")
+        .transform(bounded_sort, "status", "priority")
     )
 
 
@@ -394,7 +416,7 @@ def agg_cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "sum_total",
         )
-        .orderBy("segment", "status")
+        .transform(bounded_sort, "segment", "status")
     )
 
 
@@ -412,7 +434,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_suppkey").alias("approx_supps"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -436,7 +458,7 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_p")[1], 2).alias("p90"),
             F.round(F.col("_p")[2], 2).alias("p99"),
         )
-        .orderBy("o_orderstatus")
+        .transform(bounded_sort, "o_orderstatus")
     )
 
 
@@ -704,7 +726,7 @@ def json_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_k").cast("double") / F.count("_k"), 6).alias("avg_k"),
             F.max("_k").alias("max_k"),
         )
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -730,7 +752,7 @@ def variant_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_k").alias("max_k"),
             F.sum(F.col("_m").isNull().cast("long")).alias("n_missing"),
         )
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -778,7 +800,7 @@ def math_fns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_high_disc"),
             F.round(F.abs(F.min("l_extendedprice")), 2).alias("abs_min_price"),
         )
-        .orderBy("l_linestatus")
+        .transform(bounded_sort, "l_linestatus")
     )
 
 
@@ -1442,7 +1464,7 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return profile_numeric_columns(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    ).orderBy("col_name")
+    ).transform(bounded_sort, "col_name")
 
 
 def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2063,7 +2085,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(f"`{p}`"), F.lit(0).cast("long")).alias(a)
             for p, a in zip(prios, aliases)
         ],
-    ).orderBy("o_orderstatus")
+    ).transform(bounded_sort, "o_orderstatus")
 
 
 def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,7 +2106,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             valueColumnName="value",
         )
         .select("l_linestatus", "metric", F.round("value", 2).alias("value"))
-        .orderBy("l_linestatus", "metric")
+        .transform(bounded_sort, "l_linestatus", "metric")
     )
 
 
@@ -2103,7 +2125,7 @@ def agg_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile(price, F.lit(0.9)), 6).alias("p90"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("o_orderstatus")
+        .transform(bounded_sort, "o_orderstatus")
     )
 
 
@@ -2157,7 +2179,7 @@ def udaf_geomean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 geometric_mean(F.col("o_totalprice").cast("double")), 4
             ).alias("geomean_price"),
         )
-        .orderBy("o_orderstatus")
+        .transform(bounded_sort, "o_orderstatus")
     )
 
 
@@ -2250,7 +2272,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(dsum(F.col("_vol")).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .transform(bounded_sort, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -2299,7 +2321,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
+        .transform(bounded_sort, "o_year")
     )
 
 
@@ -2385,7 +2407,7 @@ def join_salted_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        .orderBy("c_mktsegment")
+        .transform(bounded_sort, "c_mktsegment")
     )
 
 
@@ -2514,7 +2536,7 @@ def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderpriority")
+        .transform(bounded_sort, "o_orderpriority")
     )
 
 
@@ -2605,7 +2627,7 @@ def notexists_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cust"),
             dsum(dmoney("c_acctbal")).alias("total_bal"),
         )
-        .orderBy("c_mktsegment")
+        .transform(bounded_sort, "c_mktsegment")
     )
 
 
@@ -2649,7 +2671,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "sum_total",
         )
-        .orderBy("status", "priority")
+        .transform(bounded_sort, "status", "priority")
     )
 
 
@@ -2697,7 +2719,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .transform(bounded_sort, F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -2899,7 +2921,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg((revenue.cast("double") - cost.cast("double")).alias("profit"))
-        .orderBy("n_name", F.col("o_year").desc())
+        .transform(bounded_sort, "n_name", F.col("o_year").desc())
     )
 
 
@@ -2929,7 +2951,7 @@ def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
+        .transform(bounded_sort, "l_linestatus")
     )
 
 
@@ -2972,7 +2994,7 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
+        .transform(bounded_sort, F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
     )
 
 
@@ -3153,7 +3175,7 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "achieved_rate", F.round(F.col("n_kept") / F.col("n_total"), 6)
         )
-        .orderBy("lang")
+        .transform(bounded_sort, "lang")
     )
 
 
@@ -3227,7 +3249,7 @@ def robust_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.median(F.abs(F.col("q") - F.col("_med"))), 6
             ).alias("mad_qty"),
         )
-        .orderBy("l_returnflag")
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -3351,7 +3373,7 @@ def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(dim), F.col("seg").eqNullSafe(F.col("d_seg")))
         .groupBy("seg_label")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("seg_label")
+        .transform(bounded_sort, "seg_label")
     )
 
 
@@ -3410,7 +3432,7 @@ def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_price",
             "stddev_qty",
         )
-        .orderBy("l_returnflag")
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -3439,7 +3461,7 @@ def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("u").cast("bigint").alias("est_users"),
         )
     )
-    return per.unionByName(total).orderBy("event_type")
+    return per.unionByName(total).transform(bounded_sort, "event_type")
 
 
 def kll_quantile_rollup_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3481,7 +3503,7 @@ def kll_quantile_rollup_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL"),
         "_m",
     )
-    return per.unionByName(total).orderBy("l_returnflag")
+    return per.unionByName(total).transform(bounded_sort, "l_returnflag")
 
 
 def theta_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3618,7 +3640,7 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
-        .orderBy("cohort_week", "week_offset")
+        .transform(bounded_sort, "cohort_week", "week_offset")
     )
 
 
@@ -4039,7 +4061,7 @@ def quality_ensemble_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "selected", F.col("cum_tokens") <= 0.5 * F.col("_total_tokens")
         )
         .drop("_total_tokens")
-        .orderBy(F.col("score_bin").desc())
+        .transform(bounded_sort, F.col("score_bin").desc())
     )
 
 
@@ -4225,7 +4247,7 @@ def agg_listagg_mode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.mode("o_orderpriority", True).alias("top_priority"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("o_orderstatus")
+        .transform(bounded_sort, "o_orderstatus")
     )
 
 
@@ -4450,7 +4472,7 @@ def histogram_orders_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # a NULL price has no bin: the NULL-bin group's sort position is
         # pinned (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST)
-        .orderBy(F.col("bin").asc_nulls_first())
+        .transform(bounded_sort, F.col("bin").asc_nulls_first())
     )
 
 
@@ -4485,7 +4507,7 @@ def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_transitions"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy(
+        .transform(bounded_sort, 
             F.col("prev_type").asc_nulls_first(),
             F.col("cur_type").asc_nulls_first(),
         )
@@ -4541,7 +4563,7 @@ def benford_first_digit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
         )
-        .orderBy("digit")
+        .transform(bounded_sort, "digit")
     )
 
 
@@ -4652,7 +4674,7 @@ def grouping_id_sales_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dmoney("o_totalprice")).alias("sum_total"),
         )
         .select("gid", "o_orderstatus", "o_orderpriority", "n_orders", "sum_total")
-        .orderBy(
+        .transform(bounded_sort, 
             "gid",
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
@@ -4829,7 +4851,7 @@ def union_byname_backfill_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_backfilled"),
             F.sum("_chars_filled").alias("sum_chars_filled"),
         )
-        .orderBy("origin")
+        .transform(bounded_sort, "origin")
     )
 
 
@@ -4869,7 +4891,7 @@ def argminmax_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("o_orderkey", latest_key).alias("latest_orderkey"),
             F.min_by("o_orderkey", cheap_key).alias("cheapest_orderkey"),
         )
-        .orderBy("o_orderpriority")
+        .transform(bounded_sort, "o_orderpriority")
     )
 
 
@@ -4905,7 +4927,7 @@ def bitmap_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("hour_mask").alias("min_mask"),
             F.max("hour_mask").alias("max_mask"),
         )
-        .orderBy("n_active_hours")
+        .transform(bounded_sort, "n_active_hours")
     )
 
 
@@ -5026,7 +5048,7 @@ def bool_flags_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
             F.count_if(F.col("c_acctbal") > 5000).alias("n_wealthy"),
         )
-        .orderBy("c_mktsegment")
+        .transform(bounded_sort, "c_mktsegment")
     )
 
 
@@ -5197,7 +5219,7 @@ def str_to_map_event_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("_u").alias("min_user"),
             F.max("_u").alias("max_user"),
         )
-        .orderBy("t_key")
+        .transform(bounded_sort, "t_key")
     )
 
 
@@ -5343,7 +5365,7 @@ def width_bucket_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("_cents").alias("min_cents"),
             F.max("_cents").alias("max_cents"),
         )
-        .orderBy(F.col("bucket").asc_nulls_first())
+        .transform(bounded_sort, F.col("bucket").asc_nulls_first())
     )
 
 
@@ -5416,7 +5438,7 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_users",
             F.sum("new_users").over(w).alias("cum_users"),
         )
-        .orderBy("day")
+        .transform(bounded_sort, "day")
     )
 
 
@@ -5483,7 +5505,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
             dsum(F.col("rev")).alias("total_revenue"),
         )
-        .orderBy(F.col("c_mktsegment").asc_nulls_first())
+        .transform(bounded_sort, F.col("c_mktsegment").asc_nulls_first())
     )
 
 
@@ -5518,7 +5540,7 @@ def entropy_source_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_sources").alias("n_sources"),
             F.round(F.sum(term).cast("double"), 6).alias("source_entropy"),
         )
-        .orderBy(F.col("lang").asc_nulls_first())
+        .transform(bounded_sort, F.col("lang").asc_nulls_first())
     )
 
 
@@ -5632,7 +5654,7 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_extendedprice").alias("weighted_median_price"),
             F.max(F.col("totw").cast("double")).alias("total_weight"),
         )
-        .orderBy(F.col("l_returnflag").asc_nulls_first())
+        .transform(bounded_sort, F.col("l_returnflag").asc_nulls_first())
     )
 
 
@@ -5689,7 +5711,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_monetary"),
         )
-        .orderBy("r_quartile", "f_quartile", "m_quartile")
+        .transform(bounded_sort, "r_quartile", "f_quartile", "m_quartile")
     )
 
 
@@ -6010,7 +6032,7 @@ def crosstab_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_cells"),
             F.round(F.sum("term").cast("double"), 6).alias("chi2_contrib"),
         )
-        .orderBy(F.col("c_mktsegment").asc_nulls_first())
+        .transform(bounded_sort, F.col("c_mktsegment").asc_nulls_first())
     )
 
 
@@ -6045,7 +6067,7 @@ def wilson_ctr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p, 6).alias("rate"),
             F.round(wilson, 6).alias("wilson_lb"),
         )
-        .orderBy(
+        .transform(bounded_sort, 
             F.col("wilson_lb").desc(),
             F.col("event_type").asc_nulls_first(),
         )
@@ -6092,7 +6114,7 @@ def decile_lift_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cum_share"),
         )
-        .orderBy("decile")
+        .transform(bounded_sort, "decile")
     )
 
 
