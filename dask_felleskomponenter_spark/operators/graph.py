@@ -113,9 +113,19 @@ def _canonical_edges(
     return e if pre_canonical else e.distinct()
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
-    nbrs = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+def _large_star(e: DataFrame, parts: int) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    ``parts`` sizes every exchange in the round EXPLICITLY
+    (``repartition(parts, keys)``): the min-aggregation and the join
+    back both ride the one pinned hash(a) layout, and the final dedup
+    rides a pinned hash(a, b) layout — so the loop never touches the
+    session's ``spark.sql.shuffle.partitions`` (a session-global
+    mutation would hand any CONCURRENT query planned in the same
+    session the loop's tiny partition count)."""
+    nbrs = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).repartition(parts, "a")
     mins = nbrs.groupBy("a").agg(F.min("b").alias("_mn"))
     mins = mins.select("a", F.least("a", "_mn").alias("_m"))
     # m <= u < v, so the emitted (v, m) is never a self-loop.
@@ -123,14 +133,18 @@ def _large_star(e: DataFrame) -> DataFrame:
         nbrs.join(mins, "a")
         .where(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("_m").alias("b"))
-        .distinct()
+        .repartition(parts, "a", "b")
+        .dropDuplicates()
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, parts: int) -> DataFrame:
     """Connect every smaller-or-equal neighbor of u (and u itself) to
-    the minimum of that neighborhood. Output is root-oriented: b < a."""
-    e2 = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+    the minimum of that neighborhood. Output is root-oriented: b < a.
+    ``parts`` pins every exchange width (see ``_large_star``)."""
+    e2 = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).repartition(parts, "a")
     mins = e2.groupBy("a").agg(F.min("b").alias("_m"))  # _m < a always
     nbr = (
         e2.join(mins, "a")
@@ -138,7 +152,7 @@ def _small_star(e: DataFrame) -> DataFrame:
         .select(F.col("b").alias("a"), F.col("_m").alias("b"))
     )
     own = mins.select("a", F.col("_m").alias("b"))
-    return nbr.union(own).distinct()
+    return nbr.union(own).repartition(parts, "a", "b").dropDuplicates()
 
 
 #: Target edge rows per shuffle partition inside the star-contraction
@@ -163,7 +177,7 @@ _CC_SINGLE_TASK_EDGES = _CC_ROWS_PER_PARTITION
 def _single_task_components(edges: DataFrame) -> DataFrame:
     """Exact components of a small canonical edge list in ONE task.
 
-    ``coalesce(1)`` (no shuffle — the checkpointed partitions are read
+    ``coalesce(1)`` (no shuffle — the cached partitions are read
     by a single task) feeds every edge to one ``mapInPandas`` worker
     running path-compressed union-find with union-toward-the-minimum,
     so each node's final root IS its component minimum — byte-identical
@@ -262,26 +276,27 @@ def connected_components(
     from pyspark import StorageLevel
 
     e = _canonical_edges(edges, src, dst, pre_canonical)
-    # Materialize the edge list through persist+count FIRST, then
-    # checkpoint from the cache: ``localCheckpoint`` compiles and runs
-    # the plan through ``toRdd``, which bypasses AQE — a direct eager
-    # checkpoint re-executed the whole (often expensive) pair-producing
-    # subtree with uncoalesced full-width shuffles. The count both
-    # drives the AQE-enabled execution and is needed anyway: it sizes
-    # the loop's shuffles (_cc_loop_partitions) and lets the zero-edge
-    # corpus skip the loop outright — an all-unique input otherwise
-    # paid a full star round + probe to discover nothing. The cache is
-    # dropped as soon as the checkpoint has copied it (edges are two
-    # longs per row — MEMORY_AND_DISK spills, never OOMs).
+    # Materialize the edge list through persist+count (ONE job, AQE-
+    # planned): a direct eager ``localCheckpoint`` would compile and
+    # run the plan through ``toRdd``, which bypasses AQE and re-plans
+    # the (often expensive) pair-producing subtree with uncoalesced
+    # full-width shuffles. The count both drives the execution and is
+    # needed anyway: it sizes the loop's shuffles
+    # (_cc_loop_partitions), routes small graphs to the single-task
+    # solver, and lets a zero-edge corpus skip everything. The CACHED
+    # edge list then feeds the solver directly — the old
+    # checkpoint-from-cache copy was a second driver job per query
+    # that bought nothing the cache doesn't already provide. On the
+    # zero-edge/small paths the persist stays alive for the session
+    # (a few MB at the 256k-edge cutoff; callers running many
+    # components in one long-lived session reclaim it with
+    # ``spark.catalog.clearCache()`` — the bench does between passes);
+    # the loop path unpersists as soon as round 1 has materialized.
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        n_edges = e.count()
-        cur = e.localCheckpoint(eager=True)
-    finally:
-        e.unpersist(False)
-    spark = cur.sparkSession
+    n_edges = e.count()
+    spark = e.sparkSession
     if n_edges == 0:
-        return cur.select(
+        return e.select(
             F.col("a").alias("node"), F.col("b").alias("component")
         )
     cutoff = (
@@ -290,12 +305,10 @@ def connected_components(
         else small_graph_cutoff
     )
     if n_edges <= cutoff:
-        return _single_task_components(cur)
+        return _single_task_components(e)
     loop_parts = _cc_loop_partitions(spark, n_edges)
-    conf_key = "spark.sql.shuffle.partitions"
-    prior_parts = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(loop_parts))
     try:
+        cur = e
         for _ in range(max_iter):
             # eager=False: the logical plan is truncated (LogicalRDD)
             # immediately, but materialization is deferred to the
@@ -305,9 +318,11 @@ def connected_components(
             # of two (separate eager-checkpoint job, then probe jobs).
             # Measured per-round driver latency is the round's floor at
             # this scale, so one fewer job is one fewer ~0.2 s barrier.
-            stars = _small_star(_large_star(cur)).localCheckpoint(
-                eager=False
-            )
+            # Round 1 reads the persisted edge list straight from the
+            # cache (no separate checkpoint job).
+            stars = _small_star(
+                _large_star(cur, loop_parts), loop_parts
+            ).localCheckpoint(eager=False)
             cur = stars
             # Convergence = the output is already a star forest, which
             # needs BOTH conditions: (1) no root (b side) appears as a
@@ -351,7 +366,10 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} rounds"
             )
     finally:
-        spark.conf.set(conf_key, prior_parts)
+        # Round 1's probe has materialized its checkpoint (or we are
+        # raising) — later rounds only reference the previous round's
+        # checkpoint, never the original edges. Idempotent.
+        e.unpersist(False)
     # Fixpoint is a star forest with b = root < a: every non-root node
     # has exactly one outgoing edge to its component minimum.
     members = cur.select(F.col("a").alias("node"), F.col("b").alias("component"))

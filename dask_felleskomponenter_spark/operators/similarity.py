@@ -273,7 +273,10 @@ def cosine_neardup_pairs(
     should track cores — not a constant tuned for either local mode or
     one cluster size; on 32 local cores this picks 4 (10 tiles,
     measured 0.97 s vs 1.21 s at the old fixed 8/36 tiles at sf0.1),
-    on a 1024-core cluster 22 (253 tiles). Block membership only
+    on a 1024-core cluster 22 (253 tiles) — plus a corpus-size floor
+    (√(estimated input bytes / 8 MiB), capped at 256) so a low-core
+    machine reading a large corpus still gets memory-bounded tiles
+    instead of (n/2)²-score monsters. Block membership only
     partitions WHICH task computes a pair — every pair is still scored
     once from the same normalized vectors — so the result is
     byte-identical for any block count (property-tested).
@@ -293,7 +296,27 @@ def cosine_neardup_pairs(
             cores = emb_df.sparkSession.sparkContext.defaultParallelism
         except Exception:  # Spark Connect: no sparkContext
             cores = 16
-        n_blocks = max(2, math.isqrt(max(cores, 2) // 2))
+        # Size floor alongside the cores rule: tile memory is
+        # data-sized, not core-sized — deriving blocks from cores alone
+        # would hand a low-core machine reading a big corpus a tile of
+        # (n/2)² scores. √(bytes/8 MiB) keeps per-tile vector payload
+        # roughly √-bounded as the input grows (Catalyst's optimized-
+        # plan size estimate; parquet scans report real file bytes).
+        # Estimates at or above ~1 EiB are Catalyst's "unknown" default
+        # — treat as no information, never as a giant corpus. Capped at
+        # 256 blocks: beyond that, tile-count scheduling overhead beats
+        # any memory relief this heuristic can offer.
+        try:
+            est_bytes = int(
+                emb_df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        except Exception:  # Spark Connect / stats unavailable
+            est_bytes = 0
+        if est_bytes >= (1 << 60):
+            est_bytes = 0
+        size_blocks = min(256, math.isqrt(est_bytes // (8 << 20)))
+        n_blocks = max(2, math.isqrt(max(cores, 2) // 2), size_blocks)
     if int(n_blocks) < 1:
         # n_blocks=0 aborts at runtime with an opaque pmod
         # DIVIDE_BY_ZERO deep in the explode stage; negative values emit

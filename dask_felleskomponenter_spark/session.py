@@ -168,23 +168,35 @@ def get_spark(
             "spark.python.worker.reuse",
             _env_flag("SPARK_GRAFT_PY_WORKER_REUSE"),
         )
-        # Fresh forks inherit a daemon that has ALREADY imported
-        # numpy/pandas/pyarrow (see pydaemon.py and the PYTHONPATH
-        # export above) — removes the per-task import constant the
-        # reuse=false policy would otherwise charge every Python stage.
-        .config(
-            "spark.python.daemon.module",
-            os.environ.get(
-                "SPARK_GRAFT_PY_DAEMON",
-                "dask_felleskomponenter_spark.pydaemon",
-            ),
-        )
         # The context cleaner only reclaims shuffle files/broadcasts when
         # driver GC collects their weak refs; with a 16g heap that can be
         # never in a long session, so disk state accumulates across a
         # multi-query run. Force a periodic GC (default is 30min).
         .config("spark.cleaner.periodicGC.interval", "5min")
     )
+    # Fresh forks inherit a daemon that has ALREADY imported
+    # numpy/pandas/pyarrow (see pydaemon.py and the PYTHONPATH export
+    # above) — removes the per-task import constant the reuse=false
+    # policy would otherwise charge every Python stage. LOCAL MODE
+    # ONLY by default: the daemon is spawned by each executor as
+    # `python -m dask_felleskomponenter_spark.pydaemon`, and the
+    # PYTHONPATH export above only reaches executors that share this
+    # process's environment (local mode). On a cluster-manager-launched
+    # executor the import would fail and kill every Python-UDF task —
+    # pydaemon's try/except guards the numeric stack, not module
+    # resolution. Opt in on a cluster by setting SPARK_GRAFT_PY_DAEMON
+    # after shipping the package (spark.submit.pyFiles / a baked
+    # image); set SPARK_GRAFT_PY_DAEMON= (empty) to disable even
+    # locally.
+    _daemon_env = os.environ.get("SPARK_GRAFT_PY_DAEMON")
+    if _daemon_env is not None:
+        _daemon = _daemon_env.strip()
+    elif master is not None and master.startswith("local"):
+        _daemon = "dask_felleskomponenter_spark.pydaemon"
+    else:
+        _daemon = ""
+    if _daemon:
+        builder = builder.config("spark.python.daemon.module", _daemon)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

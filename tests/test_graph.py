@@ -255,3 +255,23 @@ def test_assign_components_rejects_colliding_out_col(spark):
         assign_components(df, "doc_id", pairs)
     out = assign_components(df, "doc_id", pairs, out_col="cluster_id")
     assert out.collect()[0]["Component"] == "hardware"
+
+
+def test_cc_loop_never_mutates_session_shuffle_partitions(spark, monkeypatch):
+    """Round-10 verdict item: the star loop used to set the session-global
+    spark.sql.shuffle.partitions for its rounds (restored in a finally),
+    which would hand any CONCURRENT query planned in the same session the
+    loop's tiny width. The loop now pins widths per-exchange with explicit
+    repartition(parts, keys); the session conf must never be touched."""
+    real_set = spark.conf.set
+
+    def guarded(key, value):
+        assert key != "spark.sql.shuffle.partitions", (
+            "connected_components mutated session shuffle partitions"
+        )
+        return real_set(key, value)
+
+    monkeypatch.setattr(spark.conf, "set", guarded)
+    # cutoff=0 forces the star-contraction loop (the path that mutated)
+    got = _cc(spark, [(1, 2), (2, 3), (4, 5)], small_graph_cutoff=0)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}

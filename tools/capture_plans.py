@@ -39,7 +39,9 @@ def main() -> None:
         sys.exit(f"unknown queries: {', '.join(unknown)}")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO_ROOT, "plans", "r10")
+    out_dir = os.path.join(
+        REPO_ROOT, "plans", os.environ.get("PLANS_ROUND", "r11")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="dfs-capture-plans")
