@@ -878,6 +878,88 @@ def decode_videos(
     )
 
 
+#: Fused per-clip profile: the decode_videos metadata fields plus the
+#: sampled-frame pixel statistics, from ONE decode.
+VIDEO_PROFILE_SCHEMA = StructType(
+    list(VIDEO_META_SCHEMA.fields)
+    + [
+        StructField("n_sampled", LongType()),
+        StructField("sampled_pixel_sum", LongType()),
+    ]
+)
+
+
+def video_profile_stats(
+    df: DataFrame,
+    binary_col: str,
+    every_n: int = 2,
+    decoder: Decoder = decode_video_avi,
+    out_col: str = "video_profile",
+) -> DataFrame:
+    """Per-clip metadata AND every-``every_n``-th-frame pixel statistics
+    from ONE decode — the fusion of ``decode_videos`` +
+    ``sample_frames`` → ``image_pixel_stats`` → per-clip aggregate, for
+    profile consumers that never need frame ROWS. The composed path
+    decodes each clip twice (metadata pass + frame pass) and round-trips
+    every sampled frame through a frame encoder and a second Python
+    stage; this computes the identical integers in a single map-only
+    pass (pinned against the composition in ``tests/test_multimodal.py``).
+
+    Field-level contract (matches the composed pipeline exactly):
+    - undecodable/null blob → null struct (the composed path's null
+      ``video_meta`` plus absent frame rows);
+    - decodable clip with zero frames or a zero frame size (impossible
+      for the AVI decoder, possible for injected decoders) → metadata
+      fields set, ``n_sampled``/``sampled_pixel_sum`` NULL — the
+      composed path emits no frame rows for such clips, so its per-clip
+      aggregate is likewise absent;
+    - otherwise ``n_sampled`` = ceil(n_frames / every_n) and
+      ``sampled_pixel_sum`` = exact int64 byte-sum of the sampled
+      frames' payloads (numpy, identical to ``image_pixel_stats``).
+
+    The loud all-decode-failure mismatch guard stays with
+    ``sample_frames`` (the row-exploding operator); this one follows
+    ``decode_videos``' quiet null contract."""
+    if int(every_n) < 1:
+        # mirrors sample_frames: a zero step would raise an opaque
+        # range() error per row; a negative one silently samples nothing
+        raise ValueError(f"every_n must be >= 1, got {every_n!r}")
+
+    import numpy as np
+
+    def row(data):
+        d = decoder(data)
+        if d is None:
+            return None
+        out = {
+            "width": d["width"],
+            "height": d["height"],
+            "channels": d["channels"],
+            "n_frames": d["n_frames"],
+            "rate": d["rate"],
+            "scale": d["scale"],
+            "duration_ms": d["duration_ms"],
+            "n_sampled": None,
+            "sampled_pixel_sum": None,
+        }
+        frame_size = d["width"] * d["height"] * d["channels"]
+        payload = d["payload"]
+        n_frames = len(payload) // frame_size if frame_size > 0 else 0
+        if n_frames > 0:
+            # one reshape + strided slice instead of per-frame loops;
+            # int64 sum is the exact integer image_pixel_stats computes
+            frames = np.frombuffer(
+                payload[: n_frames * frame_size], np.uint8
+            ).reshape(n_frames, frame_size)[::every_n]
+            out["n_sampled"] = int(frames.shape[0])
+            out["sampled_pixel_sum"] = int(frames.sum(dtype=np.int64))
+        return out
+
+    return _map_binary_rowwise(
+        df, binary_col, StructField(out_col, VIDEO_PROFILE_SCHEMA), row
+    )
+
+
 #: Integer DSP features over int16 PCM (one row per clip) — exact, so an
 #: SQL oracle can reproduce them byte-for-byte.
 AUDIO_FEATURES_SCHEMA = StructType(

@@ -1978,17 +1978,17 @@ def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A wrong scanline flip, row un-padding, chunk walk, or sampling
     stride changes ``sampled_pixel_sum`` even when headers parse. The
-    video is decoded twice (metadata pass + frame pass) — each pass is
-    map-only over Arrow batches with no shuffle of media bytes; the only
-    shuffled rows are the per-doc aggregates."""
+    video is decoded ONCE (``video_profile_stats``, the fusion of the
+    metadata and frame passes — pinned against the composed
+    decode_videos + sample_frames → image_pixel_stats pipeline in
+    tests/test_multimodal.py): map-only over Arrow batches, no shuffle
+    of media bytes, no per-doc join, and the two-consumer persist the
+    twice-decoding shape needed is gone with the second decode."""
     from dask_felleskomponenter_spark.functions.multimodal import (
         avi_encode,
         decode_video_avi,
-        decode_videos,
-        fakm_decode,
-        image_pixel_stats,
-        sample_frames,
         sniff_media_type,
+        video_profile_stats,
     )
 
     # python_fanout: multi-stage pandas-UDF pipeline behind a one-task
@@ -2021,45 +2021,34 @@ def multimodal_video_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return text.apply(enc)
 
-    # vids has TWO consumers in this one plan (metadata pass + frame
-    # pass): un-persisted, the to_avi encode stage — a full pandas-UDF
-    # pass over the corpus — executed twice per run (guide §5: persist
-    # when reused AND expensive to recompute). The persisted rows are
-    # (doc_id, few-KB AVI blob); recomputed from parquet on every
-    # execution — the bench clearCache()s between passes.
-    from pyspark import StorageLevel
-
-    vids = docs.select("doc_id", to_avi("text").alias("vid")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    meta = decode_videos(vids, "vid", decoder=decode_video_avi)
-    frames = sample_frames(
-        vids, "vid", ["doc_id"], every_n=2, decoder=decode_video_avi
-    )
-    fstats = image_pixel_stats(frames, "frame", decoder=fakm_decode)
-    fagg = fstats.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum("pixel_stats.pixel_sum").alias("sampled_pixel_sum"),
-    )
-    prof = (
-        meta.join(fagg, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce(sniff_media_type("vid"), F.lit("none")).alias("container"),
-            F.coalesce(F.col("video_meta.width"), F.lit(-1)).alias("width"),
-            F.coalesce(F.col("video_meta.height"), F.lit(-1)).alias("height"),
-            F.coalesce(F.col("video_meta.n_frames"), F.lit(-1)).alias("n_frames"),
-            F.coalesce(F.col("video_meta.rate"), F.lit(-1)).alias("rate"),
-            F.coalesce(
-                F.col("video_meta.duration_ms"), F.lit(-1).cast("long")
-            ).alias("duration_ms"),
-            F.coalesce(F.col("n_sampled"), F.lit(-1).cast("long")).alias(
-                "n_sampled"
-            ),
-            F.coalesce(F.col("sampled_pixel_sum"), F.lit(-1).cast("long")).alias(
-                "sampled_pixel_sum"
-            ),
-        )
+    # ONE decode pass (guide §1.2 step 1): the old shape persisted the
+    # encoded AVI (two consumers) and still decoded it twice — metadata
+    # pass plus frame pass — then re-joined the per-doc frame aggregate.
+    # video_profile_stats emits metadata + sampled-frame stats together,
+    # so the persist, the second ArrowEvalPython decode subtree, and the
+    # per-doc left join all disappear from the plan
+    # (plans/r11/multimodal_video_profile_{before,after}.txt).
+    vids = docs.select("doc_id", to_avi("text").alias("vid"))
+    prof = video_profile_stats(
+        vids, "vid", every_n=2, decoder=decode_video_avi
+    ).select(
+        "doc_id",
+        F.coalesce(sniff_media_type("vid"), F.lit("none")).alias("container"),
+        F.coalesce(F.col("video_profile.width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("video_profile.height"), F.lit(-1)).alias("height"),
+        F.coalesce(F.col("video_profile.n_frames"), F.lit(-1)).alias(
+            "n_frames"
+        ),
+        F.coalesce(F.col("video_profile.rate"), F.lit(-1)).alias("rate"),
+        F.coalesce(
+            F.col("video_profile.duration_ms"), F.lit(-1).cast("long")
+        ).alias("duration_ms"),
+        F.coalesce(
+            F.col("video_profile.n_sampled"), F.lit(-1).cast("long")
+        ).alias("n_sampled"),
+        F.coalesce(
+            F.col("video_profile.sampled_pixel_sum"), F.lit(-1).cast("long")
+        ).alias("sampled_pixel_sum"),
     )
     return ordered_output(prof, "doc_id")
 

@@ -1031,3 +1031,110 @@ class TestRound10ReviewFindings:
             keep_first(df, ["k"], [F.col("v")], keep=0)
         with pytest.raises(ValueError, match="n must be"):
             rank_topn_per_group(df, ["k"], [F.col("v")], n=0)
+
+
+class TestVideoProfileFusion:
+    """video_profile_stats must equal the composed decode_videos +
+    sample_frames -> image_pixel_stats -> per-clip aggregate pipeline
+    (the r11 single-decode fusion), including null/corrupt rows and
+    every_n strides that don't divide the frame count."""
+
+    def _corpus(self, spark):
+        import numpy as np
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            avi_encode,
+        )
+
+        def clip(w, h, nf, fps, seed):
+            base = (
+                np.arange(h)[:, None, None]
+                + np.arange(w)[None, :, None]
+                + np.arange(3)[None, None, :]
+                + seed
+            )
+            frames = [
+                ((base + i) % 251).astype(np.uint8).tobytes()
+                for i in range(nf)
+            ]
+            return avi_encode(w, h, fps, frames)
+
+        rows = [
+            Row(vid_id=1, media=clip(5, 4, 1, 10, 0)),   # single frame
+            Row(vid_id=2, media=clip(3, 7, 5, 24, 11)),  # odd count
+            Row(vid_id=3, media=clip(8, 2, 6, 12, 7)),   # even count
+            Row(vid_id=4, media=None),                   # null blob
+            Row(vid_id=5, media=b"RIFFxxxxAVI corrupt"), # undecodable
+        ]
+        return spark.createDataFrame(rows)
+
+    @pytest.mark.parametrize("every_n", [1, 2, 3])
+    def test_matches_composed_pipeline(self, spark, every_n):
+        from pyspark.sql import functions as F
+
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            decode_video_avi,
+            decode_videos,
+            fakm_decode,
+            image_pixel_stats,
+            sample_frames,
+            video_profile_stats,
+        )
+
+        df = self._corpus(spark)
+
+        fused = {
+            r["vid_id"]: r["p"]
+            for r in video_profile_stats(
+                df, "media", every_n=every_n, decoder=decode_video_avi
+            ).select("vid_id", F.col("video_profile").alias("p")).collect()
+        }
+
+        meta = {
+            r["vid_id"]: r["video_meta"]
+            for r in decode_videos(
+                df, "media", decoder=decode_video_avi
+            ).collect()
+        }
+        frames = sample_frames(
+            df, "media", ["vid_id"], every_n=every_n,
+            decoder=decode_video_avi,
+        )
+        fagg = {
+            r["vid_id"]: (r["n"], r["s"])
+            for r in image_pixel_stats(frames, "frame", decoder=fakm_decode)
+            .groupBy("vid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("pixel_stats.pixel_sum").alias("s"),
+            )
+            .collect()
+        }
+
+        for vid_id, m in meta.items():
+            p = fused[vid_id]
+            if m is None:
+                assert p is None, f"vid {vid_id}: fused should be null"
+                continue
+            for f in (
+                "width height channels n_frames rate scale duration_ms"
+            ).split():
+                assert p[f] == m[f], f"vid {vid_id}: {f}"
+            if vid_id in fagg:
+                assert (p["n_sampled"], p["sampled_pixel_sum"]) == fagg[
+                    vid_id
+                ], f"vid {vid_id}: frame stats"
+            else:
+                assert p["n_sampled"] is None
+                assert p["sampled_pixel_sum"] is None
+
+    def test_rejects_nonpositive_step(self, spark):
+        from dask_felleskomponenter_spark.functions.multimodal import (
+            video_profile_stats,
+        )
+
+        df = spark.createDataFrame(
+            [Row(id=1, media=None)], "id int, media binary"
+        )
+        with pytest.raises(ValueError, match="every_n"):
+            video_profile_stats(df, "media", every_n=0)
